@@ -1,0 +1,54 @@
+"""Table loading for the driver's synthetic parquet tables.
+
+Plain ``spark.read.parquet`` — declarative scans so Catalyst applies
+column pruning and predicate pushdown (verified in tests via
+plans.explain helpers). Never collect, never infer schemas by hand.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import prepare
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table; pins session confs needed for oracle parity.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer, which Spark
+    reads as a nanos long (legacy.parquet.nanosAsLong); convert to a
+    proper micros timestamp with integer division — the same truncation
+    DuckDB applies when it coerces TIMESTAMP_NS to TIMESTAMP.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    prepare(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

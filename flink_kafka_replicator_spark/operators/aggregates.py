@@ -1,0 +1,111 @@
+"""Aggregation operators: hash aggregate, distinct agg, rollup, approx.
+
+All built-in Catalyst operators — partial (map-side) aggregation, AQE
+partition coalescing and codegen come for free. Float aggregates are
+wrapped in round(x, 4) on both the Spark and oracle side for
+hash-stable comparison (SURVEY.md §2.5 rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+# TPC-H Q1 cutoff adapted to the synthetic data's 1995..2001 shipdate range.
+Q1_CUTOFF = "1998-09-02"
+
+
+def agg_hash_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filtered multi-aggregate hash groupBy on lineitem.
+
+    The flagship query — exercises scan → pushed filter → project →
+    partial agg → shuffle on (returnflag, linestatus) → final agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate (expands to a two-phase plan under Catalyst)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup over (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate count-distinct (rows-only check:
+    approximation differs across engines by design)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count("*").alias("n_items"),
+    )
+
+
+QUERIES = {
+    "agg_hash_groupby": agg_hash_groupby,
+    "agg_distinct": agg_distinct,
+    "agg_rollup": agg_rollup,
+    "agg_approx_distinct": agg_approx_distinct,
+}
+
+ORACLES = {
+    "agg_hash_groupby": f"""
+        SELECT l_returnflag,
+               l_linestatus,
+               ROUND(SUM(l_quantity), 4)      AS sum_qty,
+               ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+               ROUND(AVG(l_quantity), 4)      AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 4)      AS avg_disc,
+               COUNT(*)                       AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "agg_distinct": """
+        SELECT o_orderstatus,
+               COUNT(DISTINCT o_custkey) AS n_cust,
+               COUNT(*)                  AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    "agg_rollup": """
+        SELECT l_returnflag,
+               l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               COUNT(*)                  AS n_items
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+}

@@ -1,0 +1,155 @@
+"""Join operators: inner / broadcast / outer / semi / anti / range.
+
+Strategy notes for scale:
+  - dimension tables (customer, part, the literal band table) are
+    broadcast — no shuffle of the fact side;
+  - fact-fact joins shuffle on the join key and rely on AQE skew
+    splitting;
+  - the range join keeps the tiny side broadcast so the non-equi
+    predicate evaluates as a BroadcastNestedLoopJoin instead of a
+    cartesian shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..io import load_table
+
+PRICE_BANDS = [(i, i * 100_000.0, (i + 1) * 100_000.0) for i in range(5)]
+
+
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders ⋈ customer (dim side broadcast-able)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast join lineitem ⋈ part: the fact table never
+    shuffles; only the aggregate exchanges on p_brand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        )
+    )
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping customers without orders (count = 0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers having at least one 'O' order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no 'O' order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range-predicate) join: orders against price bands.
+
+    The band table is a 5-row literal → broadcast nested-loop join, the
+    right physical shape for interval joins with a tiny build side.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        PRICE_BANDS, schema="band_id INT, lo DOUBLE, hi DOUBLE"
+    )
+    cond = (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi"))
+    return (
+        o.join(broadcast(bands), cond, "inner")
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+QUERIES = {
+    "join_inner": join_inner,
+    "join_broadcast": join_broadcast,
+    "join_left_outer": join_left_outer,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_range": join_range,
+}
+
+_BAND_VALUES = ", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in PRICE_BANDS)
+
+ORACLES = {
+    "join_inner": """
+        SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "join_broadcast": """
+        SELECT p_brand,
+               COUNT(*) AS n_items,
+               ROUND(SUM(l_extendedprice), 4) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "join_left_outer": """
+        SELECT c_custkey,
+               c_name,
+               COUNT(o_orderkey) AS n_orders,
+               ROUND(COALESCE(SUM(o_totalprice), 0.0), 4) AS total_spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+    "join_range": f"""
+        SELECT band_id,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS sum_price
+        FROM orders
+        JOIN (VALUES {_BAND_VALUES}) AS b(band_id, lo, hi)
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band_id
+    """,
+}

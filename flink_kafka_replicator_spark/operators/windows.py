@@ -1,0 +1,107 @@
+"""Window functions and top-k.
+
+Every ORDER BY inside a window carries a deterministic tiebreak key
+(orderkey / event_id) so results are hash-stable against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number (ranking window fn)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per user with an explicit ROWS frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic: inter-event gap per user in seconds."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(w)
+    gap = F.col("ts").cast("double") - prev_ts.cast("double")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(gap, 4).alias("gap_seconds"),
+    )
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort + limit: global top-20 orders by price (TakeOrderedAndProject —
+    a per-partition top-k then a driver merge of k·partitions rows, never
+    a full sort at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+QUERIES = {
+    "window_rank": window_rank,
+    "window_running_sum": window_running_sum,
+    "window_lag_delta": window_lag_delta,
+    "topk_orders": topk_orders,
+}
+
+ORACLES = {
+    "window_rank": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders)
+        WHERE rn <= 3
+    """,
+    "window_running_sum": """
+        SELECT user_id,
+               event_id,
+               ROUND(SUM(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS running_value
+        FROM events
+    """,
+    "window_lag_delta": """
+        SELECT user_id,
+               event_id,
+               ROUND(EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts ASC, event_id ASC)), 4)
+                   AS gap_seconds
+        FROM events
+    """,
+    "topk_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 20
+    """,
+}

@@ -1,0 +1,76 @@
+"""SparkSession factory.
+
+Single place where engine-wide performance knobs live so that tests,
+bench.py and the driver entry point all run with the same plan-shaping
+configuration. Designed for a multi-executor cluster (AQE, skew-join
+handling, sane shuffle sizing) even though CI runs local[N].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for cluster-scale behavior:
+#  - AQE on: runtime re-plan (partition coalescing, skew-join splitting,
+#    dynamic broadcast) is the single biggest win at 100 TB.
+#  - shuffle.partitions is a *starting* number; AQE coalesces down.
+#  - maxPartitionBytes 128m keeps scan tasks memory-bounded at scale.
+#  - session timezone pinned to UTC so timestamp semantics match the
+#    DuckDB oracle (naive/UTC parquet timestamps) everywhere.
+ENGINE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for every pandas interchange (mapInPandas / pandas_udf paths).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    # The driver's events.parquet carries TIMESTAMP(NANOS) which the Spark
+    # reader rejects; read as long and convert in io.load_table (same
+    # nanos→micros truncation DuckDB applies).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_session(
+    app_name: str = "flink-kafka-replicator-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard confs."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    confs = dict(ENGINE_CONFS)
+    if shuffle_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an externally-created session.
+
+    The driver hands us its own SparkSession; timestamp parity with the
+    DuckDB oracle requires the UTC session timezone, and AQE is runtime
+    settable too.
+    """
+    for k in (
+        "spark.sql.session.timeZone",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.legacy.parquet.nanosAsLong",
+    ):
+        spark.conf.set(k, ENGINE_CONFS[k])
+    return spark

@@ -1,0 +1,74 @@
+"""Simulate the driver: plain SparkSession, import __spark_entry__, run the protocol."""
+import sys, time
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession
+
+# Driver-like session: note NO engine confs — __spark_entry__ must cope.
+spark = (
+    SparkSession.builder.appName("driver-sim")
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
+
+import __spark_entry__ as e
+
+# 1. smoke: entry()
+df = e.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
+assert len(rows) > 0
+
+# 2. full protocol at sf0.01
+import duckdb, pandas as pd, numpy as np
+
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+qs, os_ = e.queries(), e.oracle_sql()
+assert set(os_) <= set(qs), f"oracle keys not in queries: {set(os_)-set(qs)}"
+
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if isinstance(df[c].dtype, pd.DatetimeTZDtype):
+            df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+fails = []
+for qid in sorted(qs):
+    t0 = time.time()
+    try:
+        got = canon(qs[qid](spark, SF).toPandas())
+        if qid in os_:
+            want = canon(con.sql(os_[qid]).df())
+            assert list(got.columns) == list(want.columns), f"cols {list(got.columns)} vs {list(want.columns)}"
+            assert len(got) == len(want), f"rows {len(got)} vs {len(want)}"
+            for c in got.columns:
+                g, w = got[c].to_numpy(), want[c].to_numpy()
+                if g.dtype.kind == "f" or w.dtype.kind == "f":
+                    g, w = g.astype(float), w.astype(float)
+                    ok = (np.isnan(g) & np.isnan(w)) | (g == w)
+                else:
+                    ok = np.array([a == b or (pd.isna(a) and pd.isna(b)) for a, b in zip(g, w)])
+                assert ok.all(), f"col {c}: {int((~ok).sum())} mismatches e.g. {got[c][~ok].iloc[0]!r} vs {want[c][~ok].iloc[0]!r}"
+            status = "MATCH"
+        else:
+            status = f"rows-only({len(got)})"
+        print(f"  {qid:30s} {status:12s} {time.time()-t0:5.1f}s")
+    except Exception as ex:
+        fails.append(qid)
+        print(f"  {qid:30s} FAIL: {str(ex)[:200]}")
+
+# 3. probe: re-run one query twice (state pollution) on same session
+n1 = qs["agg_hash_groupby"](spark, SF).count()
+n2 = qs["agg_hash_groupby"](spark, SF).count()
+assert n1 == n2
+print(f"rerun probe: {n1}=={n2} OK")
+print("FAILS:", fails if fails else "none")
+sys.exit(1 if fails else 0)

@@ -1,0 +1,67 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Mirrors the contract described in __spark_entry__: row count, column
+names (sorted), and order-insensitive value equality. Runs at sf0.001
+in pytest so oracle drift is caught before the driver's sf0.01 gate.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from flink_kafka_replicator_spark.io import TABLES, table_path
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con
+
+
+def _canonical(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if isinstance(s.dtype, pd.DatetimeTZDtype):
+            df[c] = s.dt.tz_convert("UTC").dt.tz_localize(None)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return df
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
+    got = _canonical(spark_df.toPandas())
+    want = _canonical(con.sql(sql).df())
+    assert list(got.columns) == list(want.columns), (
+        f"column mismatch:\n spark={list(got.columns)}\n duckdb={list(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count: spark={len(got)} duckdb={len(want)}"
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            g = g.astype(np.float64)
+            w = w.astype(np.float64)
+            both_nan = np.isnan(g) & np.isnan(w)
+            ok = both_nan | (g == w)
+        elif g.dtype.kind == "M" or w.dtype.kind == "M":
+            ok = pd.Series(g).astype("datetime64[us]").to_numpy() == pd.Series(
+                w
+            ).astype("datetime64[us]").to_numpy()
+        else:
+            gs = pd.Series(g).astype(object).where(pd.Series(g).notna(), None)
+            ws = pd.Series(w).astype(object).where(pd.Series(w).notna(), None)
+            ok = np.array([a == b for a, b in zip(gs, ws, strict=True)])
+        if not bool(np.all(ok)):
+            bad = int(np.argmin(ok))
+            raise AssertionError(
+                f"value mismatch in column {c!r} at sorted row {bad}: "
+                f"spark={got[c].iloc[bad]!r} duckdb={want[c].iloc[bad]!r} "
+                f"({int((~ok).sum())} mismatching rows)"
+            )
