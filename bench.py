@@ -1,0 +1,87 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {qid: sec, ...}, "sf": <sf>}
+
+Each query executes fully via the noop datasource writer (no driver
+collect, no pandas conversion — measures the Spark plan, not the
+transfer). A single warm-up run of the flagship query absorbs JVM/
+codegen startup so per-query numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_kafka_replicator_spark.registry import all_queries
+from flink_kafka_replicator_spark.session import get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the heaviest representative per operator family.
+HEADLINE = [
+    "agg_hash_groupby",
+    "agg_rollup",
+    "join_inner",
+    "join_broadcast",
+    "join_range",
+    "window_rank",
+    "window_running_sum",
+    "topk_orders",
+    "stream_tumbling",
+    "stream_session",
+    "dedup_exact",
+    "set_except",
+    "fn_array",
+    # LLM-pipeline ops (registered via functions/pipeline_queries)
+    "dedup_exact_docs",
+    "dedup_fuzzy_minhash",
+    "sim_topk_cosine",
+    "text_stats",
+]
+
+
+def run_once(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    queries = all_queries()
+    spark = get_session(app_name="fkr-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    flagship = queries["agg_hash_groupby"]
+    run_once(flagship(spark, SF_DIR))  # warm-up
+
+    timings: dict[str, float] = {}
+    for qid in HEADLINE:
+        fn = queries.get(qid)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        run_once(fn(spark, SF_DIR))
+        timings[qid] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

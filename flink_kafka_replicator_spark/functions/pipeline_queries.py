@@ -1,0 +1,394 @@
+"""LLM-data-pipeline queries over documents/embeddings (SURVEY.md §2.5).
+
+Oracle-backed wherever DuckDB can express the same computation;
+hash-seed-dependent ops (xxhash64 LSH) and float-ordered top-k are
+rows-only, with pytest covering their invariants instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..io import load_table
+from . import multimodal, text
+from .similarity import (
+    QUERY_VEC,
+    as_double,
+    banded_minhash,
+    cosine,
+    hamming64,
+    hyperplane_bucket,
+    jaccard,
+    lsh_candidate_pairs,
+    query_vec_col,
+    shingle_pipeline,
+    simhash,
+    simhash_bands,
+)
+
+# ------------------------------------------------------------------ dedup
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup: canonical survivor (min doc_id) per md5(text).
+    Hash-groupBy — one shuffle on the digest, the exact-dedup plan that
+    scales linearly."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("content_hash", F.md5("text"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _minhash_candidates_with_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared MinHash-LSH pipeline: shingle → 16 minhashes (one xxhash64
+    per shingle + affine permutations) → 8 bands → bucket-local pair
+    expansion → exact-Jaccard verification of the (tiny) candidate set.
+
+    The candidate pair table is broadcast for the verify joins, so the
+    documents table is scanned, not shuffled, in that phase.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    banded = banded_minhash(d, "doc_id", "text")
+    pairs = broadcast(lsh_candidate_pairs(banded, "doc_id"))
+    sh = shingle_pipeline(d, "doc_id", "text")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+        )
+    )
+
+
+def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact Jaccard ≥ 0.5."""
+    return _minhash_candidates_with_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.5
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signature, 4×16-bit band blocking,
+    hamming distance ≤ 8 verification."""
+    d = load_table(spark, sf_dir, "documents")
+    sims = d.select(
+        "doc_id", simhash(F.split(F.col("text"), " ")).alias("sim")
+    )
+    banded = sims.select(
+        "doc_id", F.explode(simhash_bands(F.col("sim"))).alias("band_key")
+    )
+    pairs = broadcast(lsh_candidate_pairs(banded, "doc_id"))
+    a = sims.select(F.col("doc_id").alias("id_a"), F.col("sim").alias("sim_a"))
+    b = sims.select(F.col("doc_id").alias("id_b"), F.col("sim").alias("sim_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")).cast("int"))
+        .filter(F.col("hamming") <= 8)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All MinHash-LSH candidate pairs with their exact n-gram Jaccard
+    (the scale-correct composition: LSH prunes |df|² → candidate set,
+    exact Jaccard verifies). Unthresholded variant of
+    dedup_fuzzy_minhash."""
+    return _minhash_candidates_with_jaccard(spark, sf_dir)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH buckets + exact cosine
+    verification (≥ 0.9) within buckets."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("vec"))
+    bucketed = v.select(
+        "vec_id", hyperplane_bucket(F.col("vec")).alias("band_key")
+    )
+    pairs = broadcast(lsh_candidate_pairs(bucketed, "vec_id"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4))
+        .filter(F.col("cos_sim") >= 0.9)
+        .select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"), "cos_sim")
+    )
+
+
+# ------------------------------------------------------------- similarity
+
+
+def sim_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity of every embedding against the fixed query vector
+    — the oracle-checkable core of similarity search (no float ordering)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(cosine(as_double(F.col("embedding")), query_vec_col()), 4).alias(
+            "cos_sim"
+        ),
+    )
+
+
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 nearest to the query vector: the exact baseline.
+    TakeOrderedAndProject keeps it a per-partition top-k at scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "vec_id",
+            F.round(cosine(as_double(F.col("embedding")), query_vec_col()), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+IVF_N_CENTROIDS = 16
+IVF_N_PROBE = 4
+
+
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: partition vectors into inverted lists keyed by the
+    nearest of 16 centroid vectors (broadcast), then search only the
+    IVF_N_PROBE lists closest to the query. The scale path: probes touch
+    ~nprobe/ncentroids of the data instead of all of it."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("vec"))
+    cents = v.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec")
+    )
+    # assign: nearest centroid per vector (broadcast the tiny centroid set)
+    from pyspark.sql import Window
+
+    dist = 1 - cosine(F.col("vec"), F.col("cvec"))
+    w = Window.partitionBy("vec_id").orderBy(
+        dist.asc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        v.crossJoin(broadcast(cents))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", "centroid_id")
+    )
+    # probe: the IVF_N_PROBE centroids nearest the query vector
+    probe = (
+        cents.select(
+            "centroid_id",
+            (1 - cosine(F.col("cvec"), query_vec_col())).alias("qdist"),
+        )
+        .orderBy(F.col("qdist").asc(), F.col("centroid_id").asc())
+        .limit(IVF_N_PROBE)
+        .select("centroid_id")
+    )
+    return (
+        assigned.join(broadcast(probe), "centroid_id")
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("vec"), query_vec_col()), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+# ------------------------------------------------------------ text analysis
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    n_tokens = F.size(toks)
+    compact_len = F.length(F.regexp_replace("text", " ", ""))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("text_len"),
+        F.round(compact_len.cast("double") / n_tokens, 4).alias("avg_token_len"),
+    )
+
+
+def lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(text.stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.round(text.distinct_token_ratio("text"), 4).alias("distinct_ratio"),
+        F.round(text.quality_score("text"), 4).alias("quality"),
+    )
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        text.predicted_lang("text").alias("predicted_lang"),
+    )
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_ws_tokens"),
+        text.bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.rolling_fingerprint("text").alias("fp_min"),
+        text.distinct_kgram_count("text").alias("n_kgrams"),
+    )
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata via Arrow-batched mapInPandas (oracle checks
+    the byte-level results against DuckDB's blob functions)."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.blob_meta(multimodal.with_blob(d))
+
+
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-codec image decode (real codecs stubbed; plumbing real)."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_image_meta(multimodal.with_blob(d), use_fake_codec=True)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.with_blob(d))
+
+
+QUERIES = {
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_fuzzy_minhash": dedup_fuzzy_minhash,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "sim_cosine_scores": sim_cosine_scores,
+    "sim_topk_cosine": sim_topk_cosine,
+    "sim_topk_ivf": sim_topk_ivf,
+    "text_stats": text_stats,
+    "lang_breakdown": lang_breakdown,
+    "text_quality": text_quality,
+    "lang_id_ngram": lang_id_ngram,
+    "token_count_bpe": token_count_bpe,
+    "doc_fingerprint": doc_fingerprint,
+    "multimodal_meta": multimodal_meta,
+    "multimodal_image_meta": multimodal_image_meta,
+    "multimodal_frame_sample": multimodal_frame_sample,
+}
+
+_STOPLIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+
+ORACLES = {
+    "dedup_exact_docs": """
+        SELECT md5(text) AS content_hash,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*)    AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    "sim_cosine_scores": f"""
+        SELECT vec_id,
+               ROUND(
+                 list_dot_product(CAST(embedding AS DOUBLE[]), {QUERY_VEC!r}::DOUBLE[])
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product({QUERY_VEC!r}::DOUBLE[], {QUERY_VEC!r}::DOUBLE[]))),
+                 4) AS cos_sim
+        FROM embeddings
+    """,
+    "text_stats": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(length(text) AS INTEGER)                 AS text_len,
+               ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len(string_split(text, ' ')), 4)      AS avg_token_len
+        FROM documents
+    """,
+    "lang_breakdown": """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               ROUND(AVG(n_chars), 4)       AS avg_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    "text_quality": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        )
+        SELECT doc_id,
+               ROUND(CAST(len(list_filter(toks, x -> list_contains([{_STOPLIST}], x))) AS DOUBLE)
+                     / len(toks), 4) AS stopword_ratio,
+               ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS distinct_ratio,
+               ROUND(0.5 * (CAST(len(list_filter(toks, x -> list_contains([{_STOPLIST}], x))) AS DOUBLE)
+                            / len(toks))
+                   + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 4) AS quality
+        FROM t
+    """,
+    "lang_id_ngram": (lambda profiles=text.LANG_PROFILES: (
+        "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),\n"
+        "s AS (SELECT doc_id, lang, "
+        + ", ".join(
+            "len(list_filter(toks, x -> list_contains(["
+            + ", ".join(f"'{w}'" for w in prof)
+            + f"], x))) AS s_{lg}"
+            for lg, prof in profiles
+        )
+        + " FROM t)\nSELECT doc_id, lang, CASE "
+        + " ".join(
+            "WHEN "
+            + " AND ".join(f"s_{lg} >= s_{other}" for other, _ in profiles)
+            + f" THEN '{lg}'"
+            for lg, _ in profiles[:-1]
+        )
+        + f" ELSE '{profiles[-1][0]}' END AS predicted_lang FROM s"
+    ))(),
+    "token_count_bpe": f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{text.BPE_PATTERN}')) AS INTEGER) AS n_bpe_tokens
+        FROM documents
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               list_min([md5(text[i:i+4]) for i in generate_series(1, greatest(length(text) - 4, 1))]) AS fp_min,
+               CAST(len(list_distinct([text[i:i+4] for i in generate_series(1, greatest(length(text) - 4, 1))])) AS INTEGER) AS n_kgrams
+        FROM documents
+    """,
+    "multimodal_meta": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               lower(substring(hex(encode(text)), 1, 8))   AS header_hex
+        FROM documents
+    """,
+}

@@ -1,0 +1,310 @@
+"""Similarity search and near-duplicate detection, designed for scale.
+
+Everything avoids the two cardinal sins at 100 TB:
+  - no driver-side collect of data-plane rows;
+  - no unblocked cross join — every pairwise operator goes through an
+    LSH bucket (minhash bands / simhash bands / hyperplane signs) so
+    the self-join is an equi-join on the bucket key.
+
+Vector math uses higher-order array functions (zip_with + aggregate)
+— JVM-side, codegen-friendly; the fold is left-to-right so results are
+deterministic.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+# ---------------------------------------------------------------- vectors
+
+# Fixed 64-dim query vector for similarity-search queries; literal in both
+# the Spark plan and any oracle SQL so results are reproducible.
+QUERY_VEC: list[float] = [round(math.sin(i + 1.0), 6) for i in range(64)]
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def query_vec_col() -> Column:
+    return F.array(*[F.lit(v) for v in QUERY_VEC])
+
+
+# ------------------------------------------------------------- minhash LSH
+
+N_HASHES = 16
+N_BANDS = 8  # 8 bands × 2 rows: sensitive enough to surface near-dups
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SHINGLE_WORDS = 3
+
+
+def shingles_from_tokens(tokens_col: str, k: int = SHINGLE_WORDS) -> Column:
+    """Distinct word k-gram shingles from a *bound tokens column*.
+
+    Must be applied to a materialized column (separate select), not an
+    inline split(...): the lambda references the token array per output
+    element, and inlining the split would make shingling O(tokens²).
+    """
+    return F.expr(
+        f"array_distinct(transform("
+        f" sequence(0, greatest(size({tokens_col}) - {k}, 0)),"
+        f" i -> concat_ws(' ', slice({tokens_col}, i + 1, {k}))))"
+    )
+
+
+def word_shingles(text_col: str, k: int = SHINGLE_WORDS) -> Column:
+    """Convenience composition for small inputs/tests; production paths
+    stage tokens → shingles in separate selects (see shingle_pipeline)."""
+    return F.expr(
+        f"array_distinct(transform("
+        f" sequence(0, greatest(size(split({text_col}, ' ')) - {k}, 0)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k}))))"
+    )
+
+
+def shingle_pipeline(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingles) with tokens bound once per row."""
+    return df.select(id_col, F.split(text_col, " ").alias("__toks")).select(
+        id_col, shingles_from_tokens("__toks").alias("shingles")
+    )
+
+
+# Affine permutations mod a Mersenne prime: h_i = (a_i·h + b_i) mod P with
+# h = xxhash64(shingle) mod P — ONE string hash per shingle, then cheap
+# integer arithmetic per hash function. All intermediates stay < 2^62 so
+# this is safe under ANSI overflow checking (Spark 4 default).
+_MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def _lcg_params(n: int) -> list[tuple[int, int]]:
+    state = 0x5DEECE66D
+    out = []
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = 1 + (state >> 33) % (_MINHASH_P - 1)
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (state >> 33) % _MINHASH_P
+        out.append((a, b))
+    return out
+
+
+_MINHASH_PARAMS = _lcg_params(N_HASHES)
+
+
+def _affine_perm(i: int):
+    # single-parameter closure: a two-arg lambda would make pyspark's
+    # transform() pass the array index as the second argument
+    a, b = _MINHASH_PARAMS[i]
+    return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """One xxhash64 per shingle, reduced mod 2^31-1."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P)))
+
+
+def minhash_from_hashes(hashes_col: str, n_hashes: int = N_HASHES) -> Column:
+    """Signature from a *bound* hash-array column: 16 cheap affine mins.
+
+    Apply in a separate select from shingle_hashes — referencing an
+    unbound hash expression here would re-hash every shingle 16 times
+    (Catalyst only refrains from inlining when the alias is a bound
+    attribute)."""
+    h = F.col(hashes_col)
+    return F.array(
+        *[F.array_min(F.transform(h, _affine_perm(i))) for i in range(n_hashes)]
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
+    """Convenience composition for small inputs/tests; production paths
+    stage hashes → signature in separate selects (see banded_minhash)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_hashes(shingles), _affine_perm(i)))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def banded_minhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, band_key) exploded LSH bucket keys, with every stage bound to
+    a real column so nothing is recomputed: tokens → shingles → hashes →
+    signature → band keys, one pass each."""
+    return (
+        shingle_pipeline(df, id_col, text_col)
+        .select(id_col, shingle_hashes(F.col("shingles")).alias("__hashes"))
+        .select(id_col, minhash_from_hashes("__hashes").alias("__sig"))
+        .select(id_col, F.explode(band_keys(F.col("__sig"))).alias("band_key"))
+    )
+
+
+def band_keys(sig: Column, n_bands: int = N_BANDS, rows: int = ROWS_PER_BAND) -> Column:
+    """Array of (band_id, band_hash) strings: the LSH bucket keys."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                *[
+                    F.element_at(sig, b * rows + r + 1).cast("string")
+                    for r in range(rows)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+MAX_BUCKET = 200  # skip pathological mega-buckets (standard LSH hygiene)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str, bucket_col: str = "band_key"
+) -> DataFrame:
+    """Bucket-local pair generation → distinct candidate pairs (a < b).
+
+    One shuffle (groupBy bucket) + in-bucket pair expansion with
+    higher-order functions. Compared to a bucket self-join this evaluates
+    the (possibly expensive) upstream signature exactly once, and work
+    scales with Σ bucket², never |df|² — the property that makes LSH
+    dedup viable at 100 TB. Buckets larger than MAX_BUCKET are dropped:
+    they are degenerate shingles (boilerplate), and pair-expanding them
+    is quadratic poison at scale.
+    """
+    ids = F.sort_array(F.collect_list(id_col))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        df.groupBy(bucket_col)
+        .agg(ids.alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET))
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / union
+
+
+# ------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 16 bits per band → catches hamming distance ≤ 3 reliably
+
+
+def simhash(tokens_col: Column) -> Column:
+    """64-bit SimHash: fold token hashes into per-bit vote counters with
+    zip_with, then reassemble the sign bits into a bigint. Entirely
+    JVM-side higher-order functions.
+
+    Shift counts must be literals in the DataFrame API, so the 64 bit
+    tests are unrolled in Python (over a pre-hashed array so xxhash64
+    runs once per token, not 64 times)."""
+    hashes = F.transform(tokens_col, lambda t: F.xxhash64(t))
+    zeros = F.array_repeat(F.lit(0), SIMHASH_BITS)
+    bit_votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    for j in range(SIMHASH_BITS)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # positive vote → bit j set; 1<<63 wraps to long-min, fine for a hash key
+    out = F.lit(0).cast("bigint")
+    for j in range(SIMHASH_BITS):
+        bit = (1 << j) if j < 63 else -(1 << 63)
+        out = out + F.when(
+            F.element_at(bit_votes, j + 1) > 0, F.lit(bit).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return out
+
+
+def simhash_bands(sim_col: Column) -> Column:
+    """Split the 64-bit simhash into 4 × 16-bit band keys."""
+    mask = F.lit((1 << 16) - 1).cast("bigint")
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                F.shiftrightunsigned(sim_col, b * 16).bitwiseAND(mask).cast("string"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# --------------------------------------------- random-hyperplane LSH (vectors)
+
+N_PLANES = 8
+
+
+def _hyperplanes(dims: int = 64, n_planes: int = N_PLANES) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed LCG, no numpy import
+    cost at module load; literal in the plan)."""
+    state = 42
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dims):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(round(((state >> 11) / float(1 << 53)) * 2.0 - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+HYPERPLANES = _hyperplanes()
+
+
+def hyperplane_bucket(vec: Column) -> Column:
+    """Sign-bit bucket id from N_PLANES random hyperplanes."""
+    bucket = F.lit(0)
+    for j, plane in enumerate(HYPERPLANES):
+        p = F.array(*[F.lit(v) for v in plane])
+        bucket = bucket + F.when(dot(vec, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket

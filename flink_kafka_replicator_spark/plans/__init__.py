@@ -1,0 +1,9 @@
+"""Physical-plan inspection helpers."""
+
+from .explain import (  # noqa: F401
+    codegen_stage_count,
+    executed_plan,
+    formatted_plan,
+    plan_contains,
+    pushed_filters,
+)

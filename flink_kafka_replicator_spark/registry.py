@@ -22,6 +22,8 @@ from .operators import (
     windows,
 )
 
+from .functions import pipeline_queries
+
 _MODULES = [
     replication,
     aggregates,
@@ -30,14 +32,8 @@ _MODULES = [
     setops,
     scalar_fns,
     streaming_batch,
+    pipeline_queries,
 ]
-
-try:  # text/similarity/multimodal layers register themselves if importable
-    from .functions import pipeline_queries
-
-    _MODULES.append(pipeline_queries)
-except ImportError:  # pragma: no cover
-    pass
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -58,6 +58,24 @@ def get_session(
     return builder.getOrCreate()
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers regardless of the
+    driver process's cwd/sys.path (pickled closures may reference it)."""
+    if getattr(spark, "_fkr_pkg_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(
+        tempfile.gettempdir(), f"fkr_spark_pkg_{os.getpid()}"
+    )
+    zip_path = shutil.make_archive(base, "zip", os.path.dirname(pkg_dir),
+                                   os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(zip_path)
+    spark._fkr_pkg_shipped = True  # type: ignore[attr-defined]
+
+
 def prepare(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an externally-created session.
 
@@ -73,4 +91,5 @@ def prepare(spark: SparkSession) -> SparkSession:
         "spark.sql.legacy.parquet.nanosAsLong",
     ):
         spark.conf.set(k, ENGINE_CONFS[k])
+    _ship_package(spark)
     return spark

@@ -1,0 +1,156 @@
+"""Unit tests for the text / similarity / multimodal function layer.
+
+Oracle parity covers the registered queries; these tests cover the
+invariants of the hash-seed-dependent operators (rows-only in the
+driver gate) with planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_kafka_replicator_spark.functions import multimodal, text
+from flink_kafka_replicator_spark.functions.similarity import (
+    as_double,
+    band_keys,
+    cosine,
+    hamming64,
+    hyperplane_bucket,
+    jaccard,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the birds sing in the tall green trees outside"
+)
+NEAR = BASE.replace("lazy dog", "lazy wolf")  # one-word edit → near dup
+FAR = "completely different content about spark query engines and shuffles at scale"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(0, BASE), (1, NEAR), (2, FAR), (3, BASE)], "doc_id bigint, text string"
+    )
+
+
+def test_minhash_lsh_finds_planted_near_dup(docs):
+    sh = docs.select("doc_id", word_shingles("text").alias("shingles"))
+    banded = sh.select(
+        "doc_id",
+        F.explode(band_keys(minhash_signature(F.col("shingles")))).alias("band_key"),
+    )
+    pairs = {
+        (r.id_a, r.id_b) for r in lsh_candidate_pairs(banded, "doc_id").collect()
+    }
+    assert (0, 3) in pairs, "identical docs must always collide in every band"
+    assert (0, 1) in pairs or (1, 3) in pairs, "near dup should collide in some band"
+
+
+def test_jaccard_bounds(docs):
+    sh = docs.select("doc_id", word_shingles("text").alias("shingles"))
+    a = sh.filter("doc_id = 0").select(F.col("shingles").alias("sh_a"))
+    b = sh.filter("doc_id = 3").select(F.col("shingles").alias("sh_b"))
+    j_same = a.crossJoin(b).select(jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
+    assert j_same.collect()[0].j == 1.0
+    c = sh.filter("doc_id = 2").select(F.col("shingles").alias("sh_b"))
+    j_diff = a.crossJoin(c).select(jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
+    assert j_diff.collect()[0].j == 0.0
+
+
+def test_simhash_invariants(docs):
+    sims = {
+        r.doc_id: r.sim
+        for r in docs.select(
+            "doc_id", simhash(F.split("text", " ")).alias("sim")
+        ).collect()
+    }
+    assert sims[0] == sims[3], "identical text → identical simhash"
+    two = docs.sparkSession.createDataFrame(
+        [(sims[0], sims[1]), (sims[0], sims[2])], "a bigint, b bigint"
+    )
+    h = [r.h for r in two.select(hamming64(F.col("a"), F.col("b")).alias("h")).collect()]
+    assert h[0] < h[1], "near dup must be closer in hamming space than far text"
+    assert h[0] <= 12
+
+
+def test_embedding_lsh_and_cosine(spark):
+    base = [float(i % 7 - 3) for i in range(64)]
+    near = list(base)
+    near[0] += 0.01
+    orth = [0.0] * 64
+    orth[1] = 5.0
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, orth)], "vec_id bigint, embedding array<double>"
+    )
+    v = df.select("vec_id", as_double(F.col("embedding")).alias("vec"))
+    bucketed = v.withColumn("bucket", hyperplane_bucket(F.col("vec")))
+    buckets = {r.vec_id: r.bucket for r in bucketed.collect()}
+    assert buckets[0] == buckets[1], "near-identical vectors share all sign bits"
+    a = v.filter("vec_id = 0").select(F.col("vec").alias("va"))
+    b = v.filter("vec_id = 1").select(F.col("vec").alias("vb"))
+    cos = a.crossJoin(b).select(cosine(F.col("va"), F.col("vb")).alias("c")).collect()
+    assert cos[0].c > 0.999
+
+
+def test_ivf_matches_bruteforce_top1(spark, sf_dir):
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        sim_topk_cosine,
+        sim_topk_ivf,
+    )
+
+    bf = sim_topk_cosine(spark, sf_dir).collect()
+    ivf = sim_topk_ivf(spark, sf_dir).collect()
+    assert bf[0].vec_id == ivf[0].vec_id, "nprobe=4/16 must recover the top hit here"
+    ivf_ids = {r.vec_id for r in ivf}
+    bf_ids = {r.vec_id for r in bf}
+    assert len(ivf_ids & bf_ids) >= 5, "IVF recall@10 should be ≥ 0.5 on this data"
+
+
+def test_lang_id_is_deterministic_heuristic(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog of the house is a friend"),
+         (1, "el perro y la casa de la madre que y el")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.p for r in df.select("doc_id", text.predicted_lang("text").alias("p")).collect()}
+    assert out[0] == "en"
+    assert out[1] == "es"
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(0, "abcdefgh" * 4), (1, "xy")], "doc_id bigint, text string")
+    blobs = multimodal.with_blob(df)
+    meta = {r.doc_id: r for r in multimodal.blob_meta(blobs).collect()}
+    assert meta[0].n_bytes == 32
+    assert meta[0].header_hex == "61626364"
+    img = {r.doc_id: r for r in multimodal.decode_image_meta(blobs).collect()}
+    assert img[0].width >= 16 and img[0].channels in (1, 3)
+    img2 = {r.doc_id: r for r in multimodal.decode_image_meta(blobs).collect()}
+    assert img2[0].width == img[0].width, "fake decode must be deterministic"
+    frames = multimodal.sample_frames(blobs, n_frames=4).collect()
+    assert sum(1 for r in frames if r.doc_id == 0) == 4
+    assert sum(1 for r in frames if r.doc_id == 1) == 2, "short payload → fewer frames"
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_meta(blobs, use_fake_codec=False)
+
+
+def test_rolling_fingerprint_shift_invariance(spark):
+    df = spark.createDataFrame(
+        [(0, "abcdefghij"), (1, "XXabcdefghij")], "doc_id bigint, text string"
+    )
+    fps = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", text.rolling_fingerprint("text").alias("fp")
+        ).collect()
+    }
+    base_grams = {"abcde", "bcdef", "cdefg", "defgh", "efghi", "fghij"}
+    import hashlib
+
+    expected_min = min(hashlib.md5(g.encode()).hexdigest() for g in base_grams)
+    assert fps[0] == expected_min, "fingerprint = min md5 over char 5-grams"
