@@ -1,0 +1,146 @@
+"""CLI: the reference's argument surface on argparse.
+
+Mirrors FlinkKafkaReplicator's parameter handling
+(reference: FlinkKafkaReplicator.java:63-106,139-177):
+
+  - ``<<``/``>>`` → ``"`` rewrite (JAAS quoting workaround, :73-74)
+  - required params: topics, consumer.bootstrap.servers,
+    consumer.group.id, producer.bootstrap.servers (:63-68)
+  - unknown-option rejection (:139-152)
+  - ``consumer.*`` / ``producer.*`` prefix split into the two property
+    sets (:104-105,168-177)
+  - transaction-timeout ≥ checkpoint-interval validation (:92-96)
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .streaming.replicate import (
+    DEFAULT_CHECKPOINT_INTERVAL_MS,
+    DEFAULT_TRANSACTION_TIMEOUT_MS,
+    ReplicateConfig,
+)
+
+CONSUMER_PREFIX = "consumer."
+PRODUCER_PREFIX = "producer."
+REQUIRED = [
+    "topics",
+    "consumer.bootstrap.servers",
+    "consumer.group.id",
+    "producer.bootstrap.servers",
+]
+
+_FLAGS = {
+    "--from-latest": "from_latest",
+    "--create-topics": "create_topics",
+    "--create-partitions": "create_partitions",
+    "--sync-properties": "sync_properties",
+    "--no-preserve-partitioning": "no_preserve_partitioning",
+    "--exactly-once": "exactly_once",
+}
+_INT_OPTS = {
+    "--checkpoint-interval-ms": ("checkpoint_interval_ms", DEFAULT_CHECKPOINT_INTERVAL_MS),
+    "--transaction-timeout-ms": ("transaction_timeout_ms", DEFAULT_TRANSACTION_TIMEOUT_MS),
+    "--parallelism": ("parallelism", None),
+}
+
+
+def rewrite_quotes(args: list[str]) -> list[str]:
+    """``<<``/``>>`` → ``"`` (reference: FlinkKafkaReplicator.java:73-74)."""
+    return [a.replace("<<", '"').replace(">>", '"') for a in args]
+
+
+def parse_args(argv: list[str]) -> tuple[ReplicateConfig, dict[str, str]]:
+    """Parse → validated ReplicateConfig + leftover generic params.
+
+    Dynamic ``--consumer.X`` / ``--producer.X`` properties are accepted
+    like the reference's ParameterTool; anything else unknown is
+    rejected with the usage text.
+    """
+    argv = rewrite_quotes(argv)
+    parser = argparse.ArgumentParser(
+        prog="spark-kafka-replicator",
+        description="Replicate Kafka topics between clusters (PySpark Structured Streaming)",
+    )
+    parser.add_argument("--topics", required=False)
+    for flag in _FLAGS:
+        parser.add_argument(flag, action="store_true")
+    for opt, (_, default) in _INT_OPTS.items():
+        parser.add_argument(opt, type=int, default=default)
+    parser.add_argument("--checkpoint-location", default="/tmp/spark-kafka-replicator-ckpt")
+
+    known, unknown = parser.parse_known_args(argv)
+    props: dict[str, str] = {}
+    i = 0
+    while i < len(unknown):
+        tok = unknown[i]
+        if tok.startswith("--") and (
+            tok[2:].startswith(CONSUMER_PREFIX) or tok[2:].startswith(PRODUCER_PREFIX)
+        ):
+            key = tok[2:]
+            if "=" in key:
+                key, val = key.split("=", 1)
+                props[key] = val
+                i += 1
+            elif i + 1 < len(unknown):
+                props[key] = unknown[i + 1]
+                i += 2
+            else:
+                parser.error(f"option {tok} requires a value")
+        else:
+            parser.error(f"unknown option: {tok}")
+
+    missing = [
+        r
+        for r in REQUIRED
+        if (r == "topics" and not known.topics) or (r != "topics" and r not in props)
+    ]
+    if missing:
+        parser.error("missing required parameters: " + ", ".join(missing))
+
+    consumer = {
+        k[len(CONSUMER_PREFIX) :]: v
+        for k, v in props.items()
+        if k.startswith(CONSUMER_PREFIX)
+    }
+    producer = {
+        k[len(PRODUCER_PREFIX) :]: v
+        for k, v in props.items()
+        if k.startswith(PRODUCER_PREFIX)
+    }
+    cfg = ReplicateConfig(
+        topics=known.topics,
+        from_latest=known.from_latest,
+        create_topics=known.create_topics,
+        create_partitions=known.create_partitions,
+        sync_properties=known.sync_properties,
+        preserve_partitioning=not known.no_preserve_partitioning,
+        exactly_once=known.exactly_once,
+        checkpoint_interval_ms=known.checkpoint_interval_ms,
+        transaction_timeout_ms=known.transaction_timeout_ms,
+        consumer_props=consumer,
+        producer_props=producer,
+    )
+    try:
+        cfg.validate()
+    except ValueError as e:
+        parser.error(str(e))
+    return cfg, {"checkpoint_location": known.checkpoint_location}
+
+
+def main(argv: list[str] | None = None) -> int:
+    import sys
+
+    from .session import get_session
+    from .streaming.replicate import start_kafka_replication
+
+    cfg, extra = parse_args(argv if argv is not None else sys.argv[1:])
+    spark = get_session(app_name="spark-kafka-replicator")
+    query = start_kafka_replication(spark, cfg, extra["checkpoint_location"])
+    query.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

@@ -1,0 +1,153 @@
+"""Replication-semantics tests via the broker-free micro-batch harness
+(SURVEY.md §5.2 item 3): envelope preservation, partition routing
+modes, exactly-once replay idempotence, and streaming windowed aggs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flink_kafka_replicator_spark.model import KAFKA_MESSAGE
+from flink_kafka_replicator_spark.sources.files import envelope_batch
+from flink_kafka_replicator_spark.streaming.exactly_once import (
+    IdempotentBatchSink,
+    ParquetBatchWriter,
+    start_exactly_once_file_replication,
+)
+from flink_kafka_replicator_spark.streaming.replicate import (
+    ReplicateConfig,
+    start_file_replication,
+)
+
+import datetime as dt
+
+
+def _envelope_rows(n=50):
+    base = dt.datetime(2024, 1, 1)
+    return [
+        Row(
+            topic=f"topic-{i % 3}",
+            partition=i % 4,
+            offset=i,
+            timestamp=base + dt.timedelta(seconds=i),
+            key=f"k{i}".encode(),
+            value=f"v{i}".encode(),
+            headers=[Row(key="h", value=b"x")],
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.fixture()
+def envelope_dir(spark, tmp_path):
+    path = str(tmp_path / "input")
+    spark.createDataFrame(_envelope_rows(), KAFKA_MESSAGE).coalesce(2).write.parquet(
+        path
+    )
+    return path
+
+
+def test_replication_preserves_envelope(spark, tmp_path, envelope_dir):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    cfg = ReplicateConfig(topics=".*")
+    q = start_file_replication(spark, cfg, envelope_dir, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 50
+    assert set(got.columns) == {"topic", "partition", "timestamp", "key", "value", "headers"}
+    # replication output is a permutation of the input envelope
+    src = envelope_batch(spark, envelope_dir).select(
+        "topic", "partition", "timestamp", "key", "value"
+    )
+    assert got.select("topic", "partition", "timestamp", "key", "value").exceptAll(
+        src
+    ).count() == 0
+    row = got.filter(F.col("topic") == "topic-1").first()
+    assert row.headers[0].key == "h" and bytes(row.headers[0].value) == b"x"
+
+
+def test_repartitioning_mode_drops_partition(spark, tmp_path, envelope_dir):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    cfg = ReplicateConfig(topics=".*", preserve_partitioning=False)
+    q = start_file_replication(spark, cfg, envelope_dir, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert "partition" not in got.columns, "repartition mode must drop partition"
+    assert got.count() == 50
+
+
+def test_exactly_once_replay_is_idempotent(spark, tmp_path, envelope_dir):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    cfg = ReplicateConfig(topics=".*", exactly_once=True)
+    q = start_exactly_once_file_replication(spark, cfg, envelope_dir, out, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(os.path.join(out, "*")).count()
+    assert first == 50
+
+    # simulate a post-commit replay of the same batch: the engine calls
+    # foreachBatch again with an already-committed batch_id
+    sink = IdempotentBatchSink(
+        ParquetBatchWriter(out), ledger_dir=os.path.join(ckpt, "_ledger")
+    )
+    replay_df = envelope_batch(spark, envelope_dir)
+    sink(replay_df, 0)  # batch 0 already committed → must be a no-op
+    assert spark.read.parquet(os.path.join(out, "*")).count() == first
+    assert sink.is_committed(0)
+
+    # an uncommitted batch id must write
+    sink(replay_df.limit(7), 99)
+    assert spark.read.parquet(os.path.join(out, "*")).count() == first + 7
+
+
+def test_transaction_timeout_validation():
+    cfg = ReplicateConfig(
+        topics=".*", exactly_once=True,
+        checkpoint_interval_ms=10_000, transaction_timeout_ms=5_000,
+    )
+    with pytest.raises(ValueError, match="transaction-timeout-ms"):
+        cfg.validate()
+    # non-exactly-once mode does not enforce it (reference gates the check
+    # on EXACTLY_ONCE semantic)
+    ReplicateConfig(
+        topics=".*", checkpoint_interval_ms=10_000, transaction_timeout_ms=5_000
+    ).validate()
+
+
+def test_streaming_tumbling_agg_matches_batch(spark, tmp_path):
+    """Unified-model check: the same windowed agg over a stream equals
+    the batch result (micro-batch harness, availableNow)."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from flink_kafka_replicator_spark.io import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.write.parquet(str(tmp_path / "stream_in"))
+
+    stream = (
+        spark.readStream.schema(ev.schema).parquet(str(tmp_path / "stream_in"))
+        .withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "stream_out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "stream_out"))
+    want = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    # watermark closes all windows strictly before max(ts) - 1min; the
+    # final (still-open) windows are withheld in append mode
+    assert got.count() > 0
+    assert got.exceptAll(want).count() == 0, "stream emitted a row batch never would"
