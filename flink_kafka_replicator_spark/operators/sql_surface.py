@@ -1,0 +1,212 @@
+"""SQL-API surface: queries expressed as ANSI SQL via spark.sql.
+
+Demonstrates the engine's full SQL layer (temp views + Catalyst SQL
+parsing) — the reference has no SQL surface at all (SURVEY.md §2.4);
+this is part of the declared analytics extension. Also carries the
+operators most naturally written in SQL: correlated subqueries, CTEs,
+HAVING, CASE pivots, and lateral explodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+
+def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (customer ⋈ orders ⋈ lineitem, filtered, grouped,
+    top-10) through the SQL parser end-to-end."""
+    _register(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               o.o_orderdate,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+        """
+    )
+
+
+def sql_having_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + HAVING: high-volume customers."""
+    _register(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 4) AS total_spend
+            FROM orders
+            GROUP BY o_custkey
+        )
+        SELECT o_custkey, n_orders, total_spend
+        FROM per_cust
+        WHERE n_orders >= 5
+        """
+    )
+
+
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates it to a join)."""
+    _register(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               c_name,
+               (SELECT ROUND(MAX(o_totalprice), 4) FROM orders
+                WHERE o_custkey = c_custkey) AS max_order
+        FROM customer
+        """
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over two dimensions."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns per priority (fixed pivot values →
+    no extra discovery pass; the oracle is the equivalent CASE pivot)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 4))
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("total_f"),
+            F.col("O").alias("total_o"),
+            F.col("P").alias("total_p"),
+        )
+    )
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def explode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (UDTF-shaped 1→N): per-dimension stats across all
+    vectors via posexplode."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 4).alias("avg_v"),
+            F.round(F.max(F.col("v").cast("double")), 4).alias("max_v"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+QUERIES = {
+    "sql_q3_shipping_priority": sql_q3_shipping_priority,
+    "sql_having_cte": sql_having_cte,
+    "sql_correlated_subquery": sql_correlated_subquery,
+    "agg_cube": agg_cube,
+    "pivot_status": pivot_status,
+    "agg_percentiles": agg_percentiles,
+    "explode_embeddings": explode_embeddings,
+}
+
+ORACLES = {
+    "sql_q3_shipping_priority": """
+        SELECT o.o_orderkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               o.o_orderdate,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "sql_having_cte": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 4) AS total_spend
+            FROM orders
+            GROUP BY o_custkey
+        )
+        SELECT o_custkey, n_orders, total_spend
+        FROM per_cust
+        WHERE n_orders >= 5
+    """,
+    "sql_correlated_subquery": """
+        SELECT c_custkey,
+               c_name,
+               (SELECT ROUND(MAX(o_totalprice), 4) FROM orders
+                WHERE o_custkey = c_custkey) AS max_order
+        FROM customer
+    """,
+    "agg_cube": """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "pivot_status": """
+        SELECT o_orderpriority,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS total_f,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS total_o,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS total_p
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    "agg_percentiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+               COUNT(*) AS n_items
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "explode_embeddings": """
+        SELECT u.dim,
+               ROUND(AVG(u.v), 4) AS avg_v,
+               ROUND(MAX(u.v), 4) AS max_v,
+               COUNT(*) AS n
+        FROM (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(UNNEST(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ) u
+        GROUP BY u.dim
+    """,
+}

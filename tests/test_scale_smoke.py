@@ -1,0 +1,83 @@
+"""Opt-in scale smoke (SPARK_GRAFT_SCALE_TEST=1): replicate sf0.1 10×
+into /tmp and check the heavy operators complete with ~linear cost.
+
+Not part of the default gate (adds minutes); run before perf-sensitive
+changes: SPARK_GRAFT_SCALE_TEST=1 python -m pytest tests/test_scale_smoke.py -q
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_TEST") != "1",
+    reason="scale smoke is opt-in (SPARK_GRAFT_SCALE_TEST=1)",
+)
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+
+
+@pytest.fixture(scope="module")
+def big_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sf1x"))
+    for name, id_col in [
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+        ("lineitem", "l_orderkey"),
+        ("orders", "o_orderkey"),
+        ("events", "event_id"),
+    ]:
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        n = df.count()
+        copies = [
+            df.withColumn(id_col, F.col(id_col) + F.lit(i * n * 10)) for i in range(COPIES)
+        ]
+        union = copies[0]
+        for c in copies[1:]:
+            union = union.union(c)
+        union.repartition(16).write.parquet(f"{out}/{name}.parquet")
+    for name in ["customer", "supplier", "part", "nation", "region"]:
+        spark.read.parquet(f"{SRC}/{name}.parquet").write.parquet(
+            f"{out}/{name}.parquet"
+        )
+    return out
+
+
+def _timed(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def test_minhash_scales_linearly(spark, big_dir):
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        dedup_fuzzy_minhash,
+    )
+
+    small = _timed(dedup_fuzzy_minhash(spark, SRC))
+    big = _timed(dedup_fuzzy_minhash(spark, big_dir))
+    assert big < small * COPIES * 3, (
+        f"minhash at 10x took {big:.1f}s vs {small:.1f}s at 1x — superlinear"
+    )
+
+
+def test_q1_scales_linearly(spark, big_dir):
+    from flink_kafka_replicator_spark.operators.aggregates import agg_hash_groupby
+
+    small = _timed(agg_hash_groupby(spark, SRC))
+    big = _timed(agg_hash_groupby(spark, big_dir))
+    assert big < small * COPIES * 3, f"q1 at 10x: {big:.1f}s vs {small:.1f}s"
+
+
+def test_join_and_window_at_10x(spark, big_dir):
+    from flink_kafka_replicator_spark.operators.joins import join_broadcast
+    from flink_kafka_replicator_spark.operators.windows import window_rank
+
+    t_join = _timed(join_broadcast(spark, big_dir))
+    t_win = _timed(window_rank(spark, big_dir))
+    assert t_join < 60 and t_win < 60

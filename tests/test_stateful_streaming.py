@@ -1,0 +1,107 @@
+"""applyInPandasWithState operators: cross-batch state accumulation and
+stateful dedup, driven through real micro-batch runs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flink_kafka_replicator_spark.streaming.stateful import (
+    running_count_per_user,
+    stateful_dedup_per_user,
+)
+
+SCHEMA = "event_id bigint, ts timestamp, user_id bigint, value double"
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _rows(ids, user=1):
+    base = dt.datetime(2024, 1, 1)
+    return [
+        Row(event_id=i, ts=base + dt.timedelta(seconds=i), user_id=user, value=1.5)
+        for i in ids
+    ]
+
+
+def test_running_count_accumulates_across_batches(spark, tmp_path):
+    src = str(tmp_path / "in")
+    _write_batch(spark, src, _rows(range(10)))
+
+    def run(out_name):
+        stream = spark.readStream.schema(SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = (
+            running_count_per_user(stream)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / out_name))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(str(tmp_path / out_name))
+
+    run("out")
+    # second wave of events, same checkpoint → state must carry over
+    _write_batch(spark, src, _rows(range(10, 25)))
+    got = run("out")
+    final = got.orderBy(F.col("n_events").desc()).first()
+    assert final.n_events == 25, f"state lost across batches: {got.collect()}"
+    assert abs(final.total_value - 25 * 1.5) < 1e-9
+
+
+def test_stateful_dedup_suppresses_replayed_ids(spark, tmp_path):
+    src = str(tmp_path / "in")
+    _write_batch(spark, src, _rows(range(10)))
+    _write_batch(spark, src, _rows(range(5, 15)))  # overlap 5..9 replayed
+
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        stateful_dedup_per_user(stream)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    ids = sorted(r.event_id for r in got.collect())
+    assert ids == list(range(15)), f"dedup failed: {ids}"
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Built-in streaming dedup (dropDuplicatesWithinWatermark)."""
+    src = str(tmp_path / "in")
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i % 6, ts=base + dt.timedelta(seconds=i), user_id=1, value=1.0)
+        for i in range(12)  # every id appears twice within the watermark
+    ]
+    _write_batch(spark, src, rows)
+    stream = (
+        spark.readStream.schema(SCHEMA).parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 6, "each id must survive exactly once"
