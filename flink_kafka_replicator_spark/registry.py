@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
+    advanced,
     aggregates,
     joins,
     replication,
@@ -33,6 +34,7 @@ _MODULES = [
     setops,
     scalar_fns,
     sql_surface,
+    advanced,
     streaming_batch,
     pipeline_queries,
 ]

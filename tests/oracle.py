@@ -51,9 +51,9 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
             both_nan = np.isnan(g) & np.isnan(w)
             ok = both_nan | (g == w)
         elif g.dtype.kind == "M" or w.dtype.kind == "M":
-            ok = pd.Series(g).astype("datetime64[us]").to_numpy() == pd.Series(
-                w
-            ).astype("datetime64[us]").to_numpy()
+            gm = pd.Series(g).astype("datetime64[us]").to_numpy()
+            wm = pd.Series(w).astype("datetime64[us]").to_numpy()
+            ok = (np.isnat(gm) & np.isnat(wm)) | (gm == wm)
         else:
             gs = pd.Series(g).astype(object).where(pd.Series(g).notna(), None)
             ws = pd.Series(w).astype(object).where(pd.Series(w).notna(), None)
