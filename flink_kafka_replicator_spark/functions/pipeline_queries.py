@@ -54,10 +54,24 @@ def _minhash_candidates_with_jaccard(spark: SparkSession, sf_dir: str) -> DataFr
     """
     d = load_table(spark, sf_dir, "documents")
     banded = banded_minhash(d, "doc_id", "text")
-    pairs = broadcast(lsh_candidate_pairs(banded, "doc_id"))
-    sh = shingle_pipeline(d, "doc_id", "text")
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    # The candidate table is tiny but feeds three differently-keyed
+    # broadcasts (semi id_a, semi id_b, final join) — localCheckpoint
+    # truncates the lineage so the LSH banding pipeline runs exactly
+    # once instead of once per broadcast mode. (On a cluster with
+    # dynamic allocation, a reliable checkpoint dir is the equivalent.)
+    pairs = broadcast(lsh_candidate_pairs(banded, "doc_id").localCheckpoint())
+    # Shingle only the candidate docs: left-semi against the pairs
+    # broadcast prunes the corpus to the candidate set BEFORE the
+    # expensive shingle computation — at 100 TB the verify phase
+    # touches |candidates| docs, not |corpus|.
+    docs_a = d.join(pairs, d.doc_id == pairs.id_a, "left_semi")
+    docs_b = d.join(pairs, d.doc_id == pairs.id_b, "left_semi")
+    a = shingle_pipeline(docs_a, "doc_id", "text").select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    b = shingle_pipeline(docs_b, "doc_id", "text").select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
@@ -108,9 +122,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = v.select(
         "vec_id", hyperplane_bucket(F.col("vec")).alias("band_key")
     )
-    pairs = broadcast(lsh_candidate_pairs(bucketed, "vec_id"))
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"))
+    pairs = broadcast(lsh_candidate_pairs(bucketed, "vec_id").localCheckpoint())
+    # Same candidate-prune-before-verify shape as the minhash path.
+    v_a = v.join(pairs, v.vec_id == pairs.id_a, "left_semi")
+    v_b = v.join(pairs, v.vec_id == pairs.id_b, "left_semi")
+    a = v_a.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = v_b.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"))
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
