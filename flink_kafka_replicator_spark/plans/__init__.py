@@ -2,6 +2,7 @@
 
 from .explain import (  # noqa: F401
     codegen_stage_count,
+    exchange_count,
     executed_plan,
     formatted_plan,
     plan_contains,

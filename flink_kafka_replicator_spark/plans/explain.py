@@ -34,6 +34,14 @@ def codegen_stage_count(df: DataFrame) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", executed_plan(df))))
 
 
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the formatted plan. Counts the
+    node-detail headers (``(n) Exchange``) because the formatted output
+    renders every node twice (tree + detail); broadcast exchanges are
+    excluded — they're data distribution, not a shuffle."""
+    return len(re.findall(r"\(\d+\) Exchange\b", formatted_plan(df)))
+
+
 def plan_contains(df: DataFrame, *fragments: str) -> bool:
     plan = formatted_plan(df)
     return all(f in plan for f in fragments)

@@ -14,7 +14,10 @@ from flink_kafka_replicator_spark.functions.pipeline_queries import (
     dedup_fuzzy_minhash,
     sim_topk_ivf,
 )
+import re
+
 from flink_kafka_replicator_spark.plans import (
+    exchange_count,
     executed_plan,
     formatted_plan,
     plan_contains,
@@ -63,6 +66,44 @@ def test_lsh_pipelines_have_no_cartesian_product(spark, sf_dir):
     for q in (dedup_fuzzy_minhash, sim_topk_ivf):
         plan = formatted_plan(q(spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{q.__name__} regressed to cartesian"
+
+
+def test_asof_join_single_shuffle_no_pair_explosion(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.advanced import join_asof
+
+    plan = formatted_plan(join_asof(spark, sf_dir))
+    # the union trick: one keyed exchange feeding the window, and never a
+    # range-join (BNLJ/cartesian) pair explosion
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert exchange_count(join_asof(spark, sf_dir)) == 1, (
+        f"as-of join must shuffle exactly once on the key, got:\n{plan}"
+    )
+    assert "Window" in plan
+
+
+def test_topk_per_group_no_global_sort(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.advanced import topk_per_group
+
+    plan = formatted_plan(topk_per_group(spark, sf_dir))
+    assert exchange_count(topk_per_group(spark, sf_dir)) == 1, (
+        "one hash exchange on the group key"
+    )
+    # the only sort is the per-partition window sort, no global ordering
+    assert "rangepartitioning" not in plan.lower(), "global sort leaked into plan"
+    # Spark pushes the rank limit below the exchange: each map task emits
+    # at most k rows per group before shuffling
+    assert "WindowGroupLimit" in plan
+
+
+def test_salted_agg_partials_collapse_before_shuffle(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.advanced import agg_salted_skew
+
+    plan = formatted_plan(agg_salted_skew(spark, sf_dir))
+    # two-phase: salted partial agg + final combine, each with map-side
+    # partial aggregation (4 HashAggregate nodes), exactly two exchanges
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 4
+    assert exchange_count(agg_salted_skew(spark, sf_dir)) == 2
 
 
 def test_whole_stage_codegen_active(spark, sf_dir):
