@@ -77,7 +77,60 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family: extract / replace / count (RE2-compatible patterns
+    so Spark's java.util.regex and DuckDB's RE2 agree)."""
+    d = load_table(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 60)
+    return d.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace(head, r"\d", "#").alias("head_masked"),
+        F.regexp_count(head, F.lit("[aeiou]")).cast("long").alias("n_vowels"),
+    )
+
+
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE, NULLIF, COALESCE, GREATEST, LEAST."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "done")
+        .otherwise("other")
+        .alias("status_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("pending"))
+        .alias("status_or_pending"),
+        F.round(F.greatest(F.col("o_totalprice"), F.lit(100000.0)), 4)
+        .alias("price_floor"),
+        F.round(F.least(F.col("o_totalprice"), F.lit(400000.0)), 4)
+        .alias("price_cap"),
+    )
+
+
+def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map + struct construction and field access, JVM-side; the nested
+    values are projected back to scalars so the oracle compares flat
+    columns (map/struct wire equality across engines is not defined)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("uid")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")),
+    )
+    s = F.struct(F.col("event_id").alias("id"), F.col("value").alias("v"))
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("m_type"),
+        F.element_at(m, "uid").cast("long").alias("m_uid"),
+        F.size(m).alias("m_size"),
+        s.getField("v").alias("s_value"),
+    )
+
+
 QUERIES = {
+    "fn_regexp": fn_regexp,
+    "fn_conditional": fn_conditional,
+    "fn_map_struct": fn_map_struct,
     "fn_string": fn_string,
     "fn_date": fn_date,
     "fn_math": fn_math,
@@ -86,6 +139,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_regexp": r"""
+        SELECT doc_id,
+               regexp_extract(text, '^(\w+)', 1) AS first_word,
+               regexp_replace(SUBSTRING(text, 1, 60), '\d', '#', 'g') AS head_masked,
+               LENGTH(regexp_replace(SUBSTRING(text, 1, 60), '[^aeiou]', '', 'g'))
+                   AS n_vowels
+        FROM documents
+    """,
+    "fn_conditional": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'O' THEN 'open'
+                    WHEN o_orderstatus = 'F' THEN 'done'
+                    ELSE 'other' END AS status_class,
+               COALESCE(NULLIF(o_orderstatus, 'P'), 'pending') AS status_or_pending,
+               ROUND(GREATEST(o_totalprice, 100000.0), 4) AS price_floor,
+               ROUND(LEAST(o_totalprice, 400000.0), 4) AS price_cap
+        FROM orders
+    """,
+    "fn_map_struct": """
+        SELECT event_id,
+               event_type AS m_type,
+               user_id AS m_uid,
+               2 AS m_size,
+               value AS s_value
+        FROM events
+    """,
     "fn_string": """
         SELECT doc_id,
                UPPER(lang)                AS lang_upper,

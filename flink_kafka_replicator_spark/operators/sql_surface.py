@@ -127,7 +127,25 @@ def explode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id disambiguation (rollup and
+    cube are the sugared forms; this is the general one)."""
+    _register(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               GROUPING__ID AS gid,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
 QUERIES = {
+    "agg_grouping_sets": agg_grouping_sets,
     "sql_q3_shipping_priority": sql_q3_shipping_priority,
     "sql_having_cte": sql_having_cte,
     "sql_correlated_subquery": sql_correlated_subquery,
@@ -138,6 +156,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_grouping_sets": """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
     "sql_q3_shipping_priority": """
         SELECT o.o_orderkey,
                ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,

@@ -53,6 +53,28 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per-user rolling 1-hour sum/count.
+
+    The frame is value-based (all rows within 3600 s before the current
+    row's timestamp), not row-count-based — Spark requires a numeric
+    ordering expression for rangeBetween, so the frame runs over epoch
+    seconds. Same single keyed shuffle as any partitioned window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("hour_value"),
+        F.count("*").over(w).alias("hour_events"),
+    )
+
+
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort + limit: global top-20 orders by price (TakeOrderedAndProject —
     a per-partition top-k then a driver merge of k·partitions rows, never
@@ -69,6 +91,7 @@ QUERIES = {
     "window_rank": window_rank,
     "window_running_sum": window_running_sum,
     "window_lag_delta": window_lag_delta,
+    "window_range_frame": window_range_frame,
     "topk_orders": topk_orders,
 }
 
@@ -97,6 +120,16 @@ ORACLES = {
                                                      ORDER BY ts ASC, event_id ASC)), 4)
                    AS gap_seconds
         FROM events
+    """,
+    "window_range_frame": """
+        SELECT user_id,
+               event_id,
+               ROUND(SUM(value) OVER w, 4) AS hour_value,
+               COUNT(*) OVER w AS hour_events
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
     "topk_orders": """
         SELECT o_orderkey, o_custkey, o_totalprice

@@ -1,0 +1,65 @@
+"""Stream-stream joins with watermark-bounded state.
+
+The reference carries event timestamps but never interprets them
+(SURVEY.md §2.4: no join/connect/coGroup anywhere); this module supplies
+the streaming-join capability class on Structured Streaming's model
+(SIGMOD '18): both sides watermarked, the join condition time-bounded so
+the state store can evict rows once the watermark passes the bound.
+
+Scale notes: state size is O(input rate × interval bound) per key range,
+independent of stream length — the time bound is what makes an unbounded
+join feasible. The equi-key (``user_id``) hash-partitions both sides to
+the same tasks; without it a stream-stream join would be a broadcast of
+everything forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join_clicks_to_views(
+    clicks: DataFrame,
+    views: DataFrame,
+    watermark: str = "10 minutes",
+    max_gap: str = "5 minutes",
+) -> DataFrame:
+    """Inner interval join: each click paired with view events by the
+    same user in the ``max_gap`` window *before* the click.
+
+    Both inputs must carry (user_id, ts, event_id, value). Watermarks
+    bound the state store on both sides; the two-sided time predicate
+    (view before click AND within the gap) is what lets Spark GC state.
+    """
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    v = (
+        views.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("view_value"),
+        )
+    )
+    return c.join(
+        v,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "view_id",
+        "view_ts",
+        "view_value",
+    )

@@ -1,0 +1,61 @@
+"""Stream-stream interval join: micro-batch runs vs the batch equivalent."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from flink_kafka_replicator_spark.streaming.joins import interval_join_clicks_to_views
+
+SCHEMA = "event_id bigint, ts timestamp, user_id bigint, value double"
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _rows(spec):
+    # spec: list of (event_id, seconds_offset, user_id)
+    return [
+        Row(event_id=i, ts=BASE + dt.timedelta(seconds=s), user_id=u, value=float(i))
+        for i, s, u in spec
+    ]
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_interval_join_matches_batch_semantics(spark, tmp_path):
+    clicks_dir, views_dir = str(tmp_path / "clicks"), str(tmp_path / "views")
+    # user 1: views at t=0,100; clicks at t=120 (view@100 within 5 min,
+    # view@0 also within 300s) and t=500 (only view@290 in range)
+    _write(spark, views_dir, _rows([(1, 0, 1), (2, 100, 1), (3, 290, 1), (4, 0, 2)]))
+    _write(spark, clicks_dir, _rows([(10, 120, 1), (11, 500, 1), (12, 600, 3)]))
+
+    clicks = spark.readStream.schema(SCHEMA).parquet(clicks_dir)
+    views = spark.readStream.schema(SCHEMA).parquet(views_dir)
+    out = str(tmp_path / "out")
+    q = (
+        interval_join_clicks_to_views(clicks, views)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.click_id, r.view_id) for r in spark.read.parquet(out).collect()
+    }
+    # click 10 (t=120): views 1 (t=0) and 2 (t=100) both within 300 s before
+    # click 11 (t=500): only view 3 (t=290) in [200, 500]
+    # click 12: user 3 has no views
+    assert got == {(10, 1), (10, 2), (11, 3)}, got
+
+
+def test_interval_join_batch_plan_is_same_code(spark, tmp_path):
+    """The unified model: the identical function works on batch frames."""
+    clicks = spark.createDataFrame(_rows([(10, 120, 1)]), SCHEMA)
+    views = spark.createDataFrame(_rows([(1, 0, 1), (2, 400, 1)]), SCHEMA)
+    got = interval_join_clicks_to_views(clicks, views).collect()
+    assert [(r.click_id, r.view_id) for r in got] == [(10, 1)]
