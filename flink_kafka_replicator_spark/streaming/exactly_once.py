@@ -81,6 +81,112 @@ class IdempotentBatchSink:
             f.write("")
 
 
+class KafkaTransactionalBatchWriter:
+    """BatchWriter publishing each micro-batch through per-partition
+    Kafka transactions (the reference's EXACTLY_ONCE producer semantic,
+    FlinkKafkaReplicator.java:124, rebuilt for Spark's execution model).
+
+    Each task opens its own transactional producer with a
+    ``transactional.id`` derived from (prefix, batch_id, partition_id).
+    Stable ids across batch replays mean a retried task *fences* any
+    zombie producer from the failed attempt (broker bumps the producer
+    epoch on init_transactions and aborts its in-flight transaction), so
+    a partially-failed batch leaves no uncommitted garbage and the retry
+    is clean. Combined with IdempotentBatchSink's ledger, replayed
+    batches are skipped entirely.
+
+    Delivery-semantics note (honest accounting vs Flink's 2PC): Flink
+    commits transactions on checkpoint-complete and re-commits them from
+    checkpoint state on recovery, closing the crash window between data
+    commit and progress record. foreachBatch has no transaction handle
+    in the checkpoint, so a crash in the instant between the last
+    partition's commit and the ledger marker re-runs the whole batch →
+    duplicates bounded by one micro-batch, only in that window, only
+    for read-committed consumers. The reference's default mode is
+    at-least-once (AT_LEAST_ONCE, FlinkKafkaReplicator.java:124), which
+    this strictly improves on.
+
+    ``producer_factory(transactional_id) -> producer`` must be a
+    top-level picklable callable returning an object with the
+    confluent-kafka transactional API: ``init_transactions``,
+    ``begin_transaction``, ``produce(topic, value=…, key=…,
+    partition=…, timestamp=…, headers=…)``, ``commit_transaction``,
+    ``abort_transaction``. The real implementation is
+    :func:`confluent_producer_factory` (import-gated — the library is
+    optional); tests inject a fake.
+    """
+
+    def __init__(self, producer_factory, txn_prefix: str = "fkr-eo"):
+        self.producer_factory = producer_factory
+        self.txn_prefix = txn_prefix
+
+    def write(self, df: DataFrame, batch_id: int) -> None:
+        factory, prefix = self.producer_factory, self.txn_prefix
+        cols = df.columns
+
+        def send_partition(rows) -> None:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            producer = factory(f"{prefix}-b{batch_id}-p{pid}")
+            producer.init_transactions()
+            producer.begin_transaction()
+            try:
+                for row in rows:
+                    producer.produce(
+                        topic=row["topic"],
+                        key=bytes(row["key"]) if row["key"] is not None else None,
+                        value=bytes(row["value"]) if row["value"] is not None else None,
+                        partition=(
+                            int(row["partition"])
+                            if "partition" in cols and row["partition"] is not None
+                            else -1
+                        ),
+                        timestamp=(
+                            int(row["timestamp"].timestamp() * 1000)
+                            if row["timestamp"] is not None
+                            else 0
+                        ),
+                        headers=(
+                            [(h["key"], bytes(h["value"])) for h in row["headers"]]
+                            if "headers" in cols and row["headers"] is not None
+                            else None
+                        ),
+                    )
+            except Exception:
+                producer.abort_transaction()
+                raise
+            producer.commit_transaction()
+
+        df.foreachPartition(send_partition)
+
+
+def confluent_producer_factory(bootstrap_servers: str, **props):
+    """Factory-of-factories for the real confluent-kafka producer.
+    Import-gated: the container has no Kafka client library; on a real
+    deployment `pip install confluent-kafka` enables this path."""
+    try:
+        from confluent_kafka import Producer  # type: ignore[import-not-found]
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "confluent-kafka is not installed; KafkaTransactionalBatchWriter "
+            "requires it (or inject a custom producer_factory)"
+        ) from exc
+
+    def factory(transactional_id: str):
+        return Producer(
+            {
+                "bootstrap.servers": bootstrap_servers,
+                "transactional.id": transactional_id,
+                "enable.idempotence": True,
+                **props,
+            }
+        )
+
+    return factory
+
+
 def start_exactly_once_file_replication(
     spark,
     cfg,

@@ -1,0 +1,146 @@
+"""KafkaTransactionalBatchWriter semantics with an injected fake producer.
+
+The fake implements the confluent-kafka transactional API surface and
+makes rows visible only on commit_transaction (a file per transactional
+id, written atomically) — so the tests observe exactly what a
+read-committed Kafka consumer would.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from flink_kafka_replicator_spark.model import KAFKA_MESSAGE
+from flink_kafka_replicator_spark.streaming.exactly_once import (
+    IdempotentBatchSink,
+    KafkaTransactionalBatchWriter,
+)
+
+# -- fake producer (top-level: pickled into tasks) --------------------------
+
+
+class FakeTxnProducer:
+    def __init__(self, out_dir: str, transactional_id: str, poison_topic=None):
+        self.out_dir = out_dir
+        self.txn_id = transactional_id
+        self.poison_topic = poison_topic
+        self.buffer = []
+        self.state = "created"
+
+    def init_transactions(self):
+        self.state = "ready"
+
+    def begin_transaction(self):
+        assert self.state == "ready"
+        self.state = "in_txn"
+
+    def produce(self, topic, key, value, partition, timestamp, headers):
+        assert self.state == "in_txn", "produce outside a transaction"
+        if topic == self.poison_topic:
+            raise RuntimeError(f"broker rejected {topic}")
+        self.buffer.append(
+            {
+                "topic": topic,
+                "key": key.decode() if key is not None else None,
+                "value": value.decode() if value is not None else None,
+                "partition": partition,
+                "timestamp": timestamp,
+                "headers": [[k, v.decode()] for k, v in headers] if headers else None,
+            }
+        )
+
+    def commit_transaction(self):
+        assert self.state == "in_txn"
+        tmp = os.path.join(self.out_dir, f".{self.txn_id}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.buffer, f)
+        os.rename(tmp, os.path.join(self.out_dir, f"{self.txn_id}.json"))
+        self.state = "committed"
+
+    def abort_transaction(self):
+        self.buffer = []
+        self.state = "aborted"
+
+
+class FakeFactory:
+    def __init__(self, out_dir: str, poison_topic=None):
+        self.out_dir = out_dir
+        self.poison_topic = poison_topic
+
+    def __call__(self, transactional_id: str):
+        return FakeTxnProducer(self.out_dir, transactional_id, self.poison_topic)
+
+
+# -- helpers ----------------------------------------------------------------
+
+
+def _envelope_df(spark, topics):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            topic=t,
+            partition=i % 2,
+            offset=i,
+            timestamp=base + dt.timedelta(seconds=i),
+            key=f"k{i}".encode(),
+            value=f"v{i}".encode(),
+            headers=[Row(key="h", value=b"x")],
+        )
+        for i, t in enumerate(topics)
+    ]
+    return spark.createDataFrame(rows, KAFKA_MESSAGE).repartition(2)
+
+
+def _committed(out_dir):
+    rows = []
+    for name in sorted(os.listdir(out_dir)):
+        if name.endswith(".json"):
+            with open(os.path.join(out_dir, name)) as f:
+                rows.extend(json.load(f))
+    return rows
+
+
+def test_commit_publishes_every_row_once(spark, tmp_path):
+    out = str(tmp_path / "committed")
+    os.makedirs(out)
+    df = _envelope_df(spark, ["a", "b", "a", "b", "a", "b"])
+    KafkaTransactionalBatchWriter(FakeFactory(out), txn_prefix="t").write(df, 7)
+
+    rows = _committed(out)
+    assert sorted(r["key"] for r in rows) == [f"k{i}" for i in range(6)]
+    # txn ids are batch- and partition-scoped
+    names = [n for n in os.listdir(out) if n.endswith(".json")]
+    assert all(n.startswith("t-b7-p") for n in names), names
+    # envelope fields survive byte-exact
+    by_key = {r["key"]: r for r in rows}
+    assert by_key["k0"]["value"] == "v0"
+    assert by_key["k0"]["headers"] == [["h", "x"]]
+
+
+def test_failed_partition_aborts_and_publishes_nothing(spark, tmp_path):
+    out = str(tmp_path / "committed")
+    os.makedirs(out)
+    df = _envelope_df(spark, ["bad"] * 4).repartition(1)
+    writer = KafkaTransactionalBatchWriter(FakeFactory(out, poison_topic="bad"))
+    with pytest.raises(Exception):
+        writer.write(df, 1)
+    assert _committed(out) == [], "aborted transaction must not be visible"
+
+
+def test_ledger_skips_replayed_batch(spark, tmp_path):
+    out = str(tmp_path / "committed")
+    os.makedirs(out)
+    df = _envelope_df(spark, ["a", "a"])
+    sink = IdempotentBatchSink(
+        KafkaTransactionalBatchWriter(FakeFactory(out)),
+        ledger_dir=str(tmp_path / "ledger"),
+    )
+    sink(df, 3)
+    n_first = len(_committed(out))
+    sink(df, 3)  # replay of the same batch id → must be a no-op
+    assert len(_committed(out)) == n_first == 2
