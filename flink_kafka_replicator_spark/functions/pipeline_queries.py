@@ -98,11 +98,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sims.select(
         "doc_id", "sim", F.explode(simhash_bands(F.col("sim"))).alias("band_key")
     )
-    pairs = lsh_candidate_pairs_payload(banded, "doc_id", "sim")
-    return (
-        pairs.withColumn("hamming", hamming64(F.col("p_a"), F.col("p_b")).cast("int"))
-        .filter(F.col("hamming") <= 8)
-        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming")
+    # hamming filter runs pre-distinct (it commutes with dedup and cuts
+    # the distinct's shuffle input from all candidates to survivors)
+    pairs = lsh_candidate_pairs_payload(
+        banded,
+        "doc_id",
+        "sim",
+        pair_filter=lambda df: df.filter(
+            hamming64(F.col("p_a"), F.col("p_b")) <= 8
+        ),
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        hamming64(F.col("p_a"), F.col("p_b")).cast("int").alias("hamming"),
     )
 
 

@@ -213,7 +213,11 @@ def lsh_candidate_pairs(
 
 
 def lsh_candidate_pairs_payload(
-    df: DataFrame, id_col: str, payload_col: str, bucket_col: str = "band_key"
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    bucket_col: str = "band_key",
+    pair_filter=None,
 ) -> DataFrame:
     """:func:`lsh_candidate_pairs`, but carrying a small per-id payload
     through the bucket: (id_a, id_b, p_a, p_b).
@@ -224,6 +228,12 @@ def lsh_candidate_pairs_payload(
     once per verify side, and the two verify joins vanish from the plan.
     Do NOT use for fat payloads (shingle sets, embeddings) — those stay
     in the source table and join against the broadcast pair list.
+
+    ``pair_filter(df) -> df`` runs on the exploded (id_a, id_b, p_a, p_b)
+    rows BEFORE the distinct: when the verification predicate is cheap
+    (hamming on the carried payload), filtering first shrinks the
+    dedup's shuffle input from |candidates| to |survivors| — on skewed
+    bucket distributions that's orders of magnitude.
     """
     items = F.array_sort(
         F.collect_list(
@@ -246,14 +256,16 @@ def lsh_candidate_pairs_payload(
             ),
         )
     )
-    return (
+    exploded = (
         df.groupBy(bucket_col)
         .agg(items.alias("items"))
         .filter((F.size("items") >= 2) & (F.size("items") <= MAX_BUCKET))
         .select(F.explode(pairs).alias("q"))
         .select("q.id_a", "q.id_b", "q.p_a", "q.p_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if pair_filter is not None:
+        exploded = pair_filter(exploded)
+    return exploded.dropDuplicates(["id_a", "id_b"])
 
 
 def jaccard(a: Column, b: Column) -> Column:
