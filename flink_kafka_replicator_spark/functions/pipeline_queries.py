@@ -287,6 +287,60 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sharding for training-data output: each
+    doc goes to shard md5(text)[:4] mod 16, with per-shard size stats.
+
+    Content (not id) hashing keeps shard assignment stable under
+    re-ingestion and independent of upstream partitioning — the property
+    a 100 TB training-data writer needs so a re-run overwrites the same
+    shards. md5 is the cross-engine-portable choice (oracle-exact).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long") % 16
+    ).alias("shard")
+    return (
+        d.select(shard, F.length("text").alias("text_len"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("text_len").alias("total_chars"),
+        )
+    )
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, strip non-alphanumerics,
+    collapse whitespace) — the standard pre-dedup/pre-tokenize pass."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.substring(norm, 1, 80).alias("norm_prefix"),
+        F.length(norm).alias("norm_len"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sampling by language: downsample the dominant
+    strata (the corpus-rebalancing move before training). Bernoulli
+    sampling per stratum — embarrassingly parallel, no shuffle; the
+    seed pins the row set so replays are deterministic. rows-only:
+    DuckDB's RNG differs, so pytest asserts the per-stratum proportions
+    instead (tests/test_functions.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -323,6 +377,9 @@ QUERIES = {
     "lang_id_ngram": lang_id_ngram,
     "token_count_bpe": token_count_bpe,
     "doc_fingerprint": doc_fingerprint,
+    "corpus_shard_assign": corpus_shard_assign,
+    "text_normalize": text_normalize,
+    "sample_stratified": sample_stratified,
     "multimodal_meta": multimodal_meta,
     "multimodal_image_meta": multimodal_image_meta,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -331,6 +388,27 @@ QUERIES = {
 _STOPLIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 
 ORACLES = {
+    "corpus_shard_assign": """
+        SELECT ('0x' || substr(md5(text), 1, 4))::BIGINT % 16 AS shard,
+               COUNT(*) AS n_docs,
+               SUM(LENGTH(text)) AS total_chars
+        FROM documents
+        GROUP BY 1
+    """,
+    "text_normalize": r"""
+        WITH norm AS (
+            SELECT doc_id,
+                   TRIM(regexp_replace(
+                       regexp_replace(LOWER(text), '[^a-z0-9\s]', ' ', 'g'),
+                       '\s+', ' ', 'g')) AS n
+            FROM documents
+        )
+        SELECT doc_id,
+               SUBSTRING(n, 1, 80) AS norm_prefix,
+               CAST(LENGTH(n) AS INTEGER) AS norm_len,
+               md5(n) AS norm_hash
+        FROM norm
+    """,
     "dedup_exact_docs": """
         SELECT md5(text) AS content_hash,
                MIN(doc_id) AS keep_doc_id,

@@ -154,3 +154,24 @@ def test_rolling_fingerprint_shift_invariance(spark):
 
     expected_min = min(hashlib.md5(g.encode()).hexdigest() for g in base_grams)
     assert fps[0] == expected_min, "fingerprint = min md5 over char 5-grams"
+
+
+def test_stratified_sample_is_seeded_and_proportional(spark, sf_dir):
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        sample_stratified,
+    )
+
+    a = sample_stratified(spark, sf_dir).groupBy("lang").count().collect()
+    b = sample_stratified(spark, sf_dir).groupBy("lang").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)), "seed must pin the sample"
+    got = {r.lang: r["count"] for r in a}
+    # non-en strata keep every row; en is downsampled to ~half
+    from flink_kafka_replicator_spark.io import load_table
+
+    base = {
+        r.lang: r["count"]
+        for r in load_table(spark, sf_dir, "documents").groupBy("lang").count().collect()
+    }
+    for lang in ("de", "fr", "es", "zh"):
+        assert got[lang] == base[lang], f"{lang} stratum must be kept whole"
+    assert 0.3 * base["en"] <= got["en"] <= 0.7 * base["en"]
