@@ -148,12 +148,43 @@ def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
 def banded_minhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, band_key) exploded LSH bucket keys, with every stage bound to
     a real column so nothing is recomputed: tokens → shingles → hashes →
-    signature → band keys, one pass each."""
+    signature → band keys, one pass each.
+
+    Signature and band-key expressions are single ``F.expr`` SQL strings
+    (not Column-API lambda compositions) — the py4j round-trips to build
+    16 transform lambdas cost more than the banding job itself at small
+    SF (see simhash_table for the same pattern). Plans are identical.
+    """
+    sig_sql = (
+        "array("
+        + ", ".join(
+            f"array_min(transform(__hashes, h -> pmod(h * {a}L + {b}L,"
+            f" {_MINHASH_P}L)))"
+            for a, b in _MINHASH_PARAMS
+        )
+        + ")"
+    )
+    keys_sql = (
+        "array("
+        + ", ".join(
+            "concat_ws(':', "
+            + ", ".join(
+                [f"'{b}'"]
+                + [
+                    f"cast(element_at(__sig, {b * ROWS_PER_BAND + r + 1}) as string)"
+                    for r in range(ROWS_PER_BAND)
+                ]
+            )
+            + ")"
+            for b in range(N_BANDS)
+        )
+        + ")"
+    )
     return (
         shingle_pipeline(df, id_col, text_col)
         .select(id_col, shingle_hashes(F.col("shingles")).alias("__hashes"))
-        .select(id_col, minhash_from_hashes("__hashes").alias("__sig"))
-        .select(id_col, F.explode(band_keys(F.col("__sig"))).alias("band_key"))
+        .select(id_col, F.expr(sig_sql).alias("__sig"))
+        .select(id_col, F.explode(F.expr(keys_sql)).alias("band_key"))
     )
 
 
@@ -332,33 +363,41 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     4× off the codegen compile). Lane arithmetic bounds the per-doc
     token count at 2^15 (top lane sum must stay under 2^63); split
     oversized docs upstream if that ever binds.
+
+    Both big expression trees are assembled as SQL strings for a single
+    ``F.expr`` parse each — building them from hundreds of Column calls
+    costs ~1.6 s of py4j round-trips per query *construction* (measured;
+    the JVM plan is identical either way).
     """
     toks = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("__tok"))
     h = toks.select(id_col, F.xxhash64("__tok").alias("__h"))
     lanes_per_long, lane_bits = 4, 16
     n_groups = SIMHASH_BITS // lanes_per_long
-    packed_sums = []
-    for g in range(n_groups):
-        lanes = None
-        for k in range(lanes_per_long):
-            j = g * lanes_per_long + k
-            lane = F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) * F.lit(
-                1 << (lane_bits * k)
+    packed_sums = [
+        F.expr(
+            "sum("
+            + " + ".join(
+                f"(shiftright(__h, {g * lanes_per_long + k}) & 1) * "
+                f"{1 << (lane_bits * k)}L"
+                for k in range(lanes_per_long)
             )
-            lanes = lane if lanes is None else lanes + lane
-        packed_sums.append(F.sum(lanes).alias(f"__p{g}"))
+            + ")"
+        ).alias(f"__p{g}")
+        for g in range(n_groups)
+    ]
     votes = h.groupBy(id_col).agg(F.count("*").alias("__n"), *packed_sums)
     lane_mask = (1 << lane_bits) - 1
-    sim = F.lit(0).cast("bigint")
+    terms = []
     for j in range(SIMHASH_BITS):
         g, k = divmod(j, lanes_per_long)
-        ones = F.shiftright(F.col(f"__p{g}"), lane_bits * k).bitwiseAND(
-            F.lit(lane_mask)
+        # -(1<<63) can't be written as a single SQL literal (parses as
+        # unary minus of an overflowing positive); spell it as arithmetic
+        bit = f"{1 << j}L" if j < 63 else "(-9223372036854775807L - 1L)"
+        terms.append(
+            f"if(((shiftright(__p{g}, {lane_bits * k}) & {lane_mask}) * 2) > __n,"
+            f" {bit}, 0L)"
         )
-        bit = (1 << j) if j < 63 else -(1 << 63)
-        sim = sim + F.when(ones * 2 > F.col("__n"), F.lit(bit).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+    sim = F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
     return votes.select(id_col, sim.alias("sim"))
 
 
