@@ -25,3 +25,35 @@ def envelope_stream(spark: SparkSession, path: str, max_files_per_trigger: int |
 
 def envelope_batch(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(KAFKA_MESSAGE).parquet(path)
+
+
+# ------------------------------------------------- generic format support
+
+# The reference reads/writes only Kafka (SURVEY.md §2.4); the analytics
+# engine fronts Spark's columnar/row file formats behind one pair of
+# helpers. Parquet/ORC carry their own schema; CSV/JSON require an
+# explicit one on read — schema inference is a full extra pass at 100 TB
+# and silently wrong on empty partitions, so it is not offered.
+SUPPORTED_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def write_table_fmt(df: DataFrame, path: str, fmt: str) -> None:
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED_FORMATS}")
+    writer = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(path)
+
+
+def read_table_fmt(spark: SparkSession, path: str, fmt: str, schema=None) -> DataFrame:
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED_FORMATS}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        raise ValueError(f"{fmt} requires an explicit schema (no inference pass)")
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    return reader.load(path)

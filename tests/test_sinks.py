@@ -1,0 +1,70 @@
+"""Sharded corpus sink: stability, file layout, and partition pruning."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from flink_kafka_replicator_spark.io import load_table
+from flink_kafka_replicator_spark.plans import formatted_plan
+from flink_kafka_replicator_spark.sinks import (
+    read_corpus_shard,
+    with_shard,
+    write_sharded_corpus,
+)
+
+
+def test_sharded_write_roundtrip_and_stability(spark, sf_dir, tmp_path):
+    d = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus")
+    write_sharded_corpus(d, out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+    # shard assignment is content-derived → identical across runs
+    a = {r.doc_id: r.shard for r in with_shard(d).select("doc_id", "shard").collect()}
+    b = {r.doc_id: r.shard for r in back.select("doc_id", "shard").collect()}
+    assert a == b
+
+    # repartition-before-write: one file per populated shard dir, not
+    # (tasks × shards) small files
+    for shard_dir in glob.glob(os.path.join(out, "shard=*")):
+        files = [f for f in os.listdir(shard_dir) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{shard_dir} has {len(files)} files"
+
+
+def test_shard_read_is_partition_pruned(spark, sf_dir, tmp_path):
+    d = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus")
+    write_sharded_corpus(d, out)
+
+    one = read_corpus_shard(spark, out, 3)
+    plan = formatted_plan(one)
+    assert "PartitionFilters: [isnotnull(shard" in plan or "shard#" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], f"no partition pruning:\n{plan}"
+    got = {r.shard for r in one.select("shard").distinct().collect()}
+    assert got <= {3}
+
+
+def test_format_roundtrips(spark, sf_dir, tmp_path):
+    from flink_kafka_replicator_spark.sources.files import (
+        read_table_fmt,
+        write_table_fmt,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    want = sorted(map(tuple, o.collect()))
+    for fmt in ("parquet", "orc", "csv", "json"):
+        path = str(tmp_path / fmt)
+        write_table_fmt(o, path, fmt)
+        back = read_table_fmt(spark, path, fmt, schema=o.schema)
+        assert sorted(map(tuple, back.collect())) == want, f"{fmt} roundtrip"
+
+
+def test_csv_json_require_schema(spark, tmp_path):
+    import pytest
+    from flink_kafka_replicator_spark.sources.files import read_table_fmt
+
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_table_fmt(spark, str(tmp_path), "csv")
