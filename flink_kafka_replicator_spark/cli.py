@@ -133,11 +133,19 @@ def main(argv: list[str] | None = None) -> int:
     import sys
 
     from .session import get_session
+    from .streaming.exactly_once import start_exactly_once_kafka_replication
     from .streaming.replicate import start_kafka_replication
 
     cfg, extra = parse_args(argv if argv is not None else sys.argv[1:])
     spark = get_session(app_name="spark-kafka-replicator")
-    query = start_kafka_replication(spark, cfg, extra["checkpoint_location"])
+    if cfg.exactly_once:
+        # reference: --exactly-once switches the producer to transactional
+        # two-phase semantics (FlinkKafkaReplicator.java:124)
+        query = start_exactly_once_kafka_replication(
+            spark, cfg, extra["checkpoint_location"]
+        )
+    else:
+        query = start_kafka_replication(spark, cfg, extra["checkpoint_location"])
     query.awaitTermination()
     return 0
 

@@ -210,3 +210,50 @@ def start_exactly_once_file_replication(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_exactly_once_kafka_replication(
+    spark,
+    cfg,
+    checkpoint_location: str,
+    producer_factory=None,
+    source_df=None,
+    available_now: bool = False,
+):
+    """Exactly-once replication to Kafka: the reference's
+    ``--exactly-once`` mode (FlinkKafkaReplicator.java:124 EXACTLY_ONCE),
+    as foreachBatch → per-partition transactional producers behind the
+    batch-id ledger.
+
+    ``source_df`` injects a non-Kafka envelope stream (the broker-free
+    test harness drives the REAL sink path with a fake producer
+    factory); production omits it and reads from the configured Kafka
+    source. ``producer_factory`` defaults to the confluent-kafka one.
+    """
+    from .replicate import build_replication
+
+    cfg.validate()
+    df = build_replication(spark, cfg, source_df=source_df)
+    if producer_factory is None:
+        servers = cfg.producer_props.get("bootstrap.servers")
+        if not servers:
+            raise ValueError("producer.bootstrap.servers is required")
+        props = {
+            k: v for k, v in cfg.producer_props.items() if k != "bootstrap.servers"
+        }
+        props["transaction.timeout.ms"] = str(cfg.transaction_timeout_ms)
+        producer_factory = confluent_producer_factory(servers, **props)
+    sink = IdempotentBatchSink(
+        KafkaTransactionalBatchWriter(producer_factory),
+        ledger_dir=os.path.join(checkpoint_location, "_ledger"),
+    )
+    writer = df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_location
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(
+            processingTime=f"{cfg.checkpoint_interval_ms} milliseconds"
+        )
+    return writer.start()

@@ -144,3 +144,47 @@ def test_ledger_skips_replayed_batch(spark, tmp_path):
     n_first = len(_committed(out))
     sink(df, 3)  # replay of the same batch id → must be a no-op
     assert len(_committed(out)) == n_first == 2
+
+
+def test_end_to_end_exactly_once_kafka_replication(spark, tmp_path):
+    """Full pipeline: envelope file stream → replication transform →
+    ledger-guarded per-partition transactional Kafka sink (fake
+    producer), driven by a real micro-batch run."""
+    from flink_kafka_replicator_spark.streaming.exactly_once import (
+        start_exactly_once_kafka_replication,
+    )
+    from flink_kafka_replicator_spark.streaming.replicate import ReplicateConfig
+
+    src = str(tmp_path / "in")
+    _envelope_df(spark, ["alpha", "beta", "alpha", "skipme"]).write.parquet(src)
+    out = str(tmp_path / "committed")
+    os.makedirs(out)
+
+    stream = spark.readStream.schema(KAFKA_MESSAGE).parquet(src)
+    q = start_exactly_once_kafka_replication(
+        spark,
+        ReplicateConfig(topics="alpha|beta", exactly_once=True),
+        checkpoint_location=str(tmp_path / "ck"),
+        producer_factory=FakeFactory(out),
+        source_df=stream,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    rows = _committed(out)
+    # topic regex filtered 'skipme'; envelope preserved byte-exact
+    assert sorted(r["key"] for r in rows) == ["k0", "k1", "k2"]
+    assert all(r["topic"] in ("alpha", "beta") for r in rows)
+    assert all(r["headers"] == [["h", "x"]] for r in rows)
+
+    # a second identical run against the same checkpoint replays nothing
+    q2 = start_exactly_once_kafka_replication(
+        spark,
+        ReplicateConfig(topics="alpha|beta", exactly_once=True),
+        checkpoint_location=str(tmp_path / "ck"),
+        producer_factory=FakeFactory(out),
+        source_df=spark.readStream.schema(KAFKA_MESSAGE).parquet(src),
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert len(_committed(out)) == len(rows), "replay must be a no-op"
