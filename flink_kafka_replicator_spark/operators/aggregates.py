@@ -70,7 +70,23 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample stddev/variance, correlation and
+    covariance — single hash aggregate, partial moments combine
+    map-side like any algebraic agg. Normalized statistics (corr) and
+    ~1e4-magnitude moments round stably to 4 dp across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("cov_pd"),
+        F.count("*").alias("n"),
+    )
+
+
 QUERIES = {
+    "agg_stats": agg_stats,
     "agg_hash_groupby": agg_hash_groupby,
     "agg_distinct": agg_distinct,
     "agg_rollup": agg_rollup,
@@ -78,6 +94,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_stats": """
+        SELECT l_returnflag,
+               ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
+               ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+               ROUND(CORR(l_extendedprice, l_quantity), 4) AS corr_pq,
+               ROUND(COVAR_SAMP(l_extendedprice, l_discount), 4) AS cov_pd,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     "agg_hash_groupby": f"""
         SELECT l_returnflag,
                l_linestatus,

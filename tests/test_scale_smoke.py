@@ -81,3 +81,12 @@ def test_join_and_window_at_10x(spark, big_dir):
     t_join = _timed(join_broadcast(spark, big_dir))
     t_win = _timed(window_rank(spark, big_dir))
     assert t_join < 60 and t_win < 60
+
+
+def test_asof_and_simhash_at_10x(spark, big_dir):
+    from flink_kafka_replicator_spark.functions.pipeline_queries import dedup_simhash
+    from flink_kafka_replicator_spark.operators.advanced import join_asof
+
+    t_asof = _timed(join_asof(spark, big_dir))
+    t_sim = _timed(dedup_simhash(spark, big_dir))
+    assert t_asof < 60 and t_sim < 120, f"asof {t_asof:.1f}s simhash {t_sim:.1f}s"
