@@ -287,6 +287,25 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster vector centroids in exploded (cluster, dim, value)
+    form — the distributed k-means update step. posexplode + hash
+    aggregate: per-dim partial sums combine map-side, the shuffle
+    carries (clusters × dims) rows regardless of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            (F.col("vec_id") % 8).alias("cluster_id"),
+            F.posexplode(as_double(F.col("embedding"))).alias("dim", "v"),
+        )
+        .groupBy("cluster_id", "dim")
+        .agg(
+            F.round(F.avg("v"), 4).alias("centroid_v"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
+
+
 def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash sharding for training-data output: each
     doc goes to shard md5(text)[:4] mod 16, with per-shard size stats.
@@ -377,6 +396,7 @@ QUERIES = {
     "lang_id_ngram": lang_id_ngram,
     "token_count_bpe": token_count_bpe,
     "doc_fingerprint": doc_fingerprint,
+    "embedding_centroids": embedding_centroids,
     "corpus_shard_assign": corpus_shard_assign,
     "text_normalize": text_normalize,
     "sample_stratified": sample_stratified,
@@ -388,6 +408,19 @@ QUERIES = {
 _STOPLIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 
 ORACLES = {
+    "embedding_centroids": """
+        SELECT u.cluster_id,
+               u.dim,
+               ROUND(AVG(u.v), 4) AS centroid_v,
+               COUNT(*) AS n_vecs
+        FROM (
+            SELECT vec_id % 8 AS cluster_id,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(UNNEST(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ) u
+        GROUP BY u.cluster_id, u.dim
+    """,
     "corpus_shard_assign": """
         SELECT ('0x' || substr(md5(text), 1, 4))::BIGINT % 16 AS shard,
                COUNT(*) AS n_docs,
