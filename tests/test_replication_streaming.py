@@ -151,3 +151,51 @@ def test_streaming_tumbling_agg_matches_batch(spark, tmp_path):
     # final (still-open) windows are withheld in append mode
     assert got.count() > 0
     assert got.exceptAll(want).count() == 0, "stream emitted a row batch never would"
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """session_window in a real micro-batch run (append mode + watermark)
+    equals the batch session_window result for all closed sessions."""
+    from flink_kafka_replicator_spark.io import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.write.parquet(str(tmp_path / "sess_in"))
+
+    def sessionize(df):
+        return (
+            df.groupBy(
+                F.session_window("ts", "10 minutes").alias("w"), F.col("user_id")
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("w.start").alias("session_start"),
+                "user_id",
+                "n_events",
+            )
+        )
+
+    stream = sessionize(
+        spark.readStream.schema(ev.schema)
+        .parquet(str(tmp_path / "sess_in"))
+        .withWatermark("ts", "1 minute")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "sess_out"))
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.session_start, r.user_id, r.n_events)
+        for r in spark.read.parquet(str(tmp_path / "sess_out")).collect()
+    }
+    batch = {
+        (r.session_start, r.user_id, r.n_events) for r in sessionize(ev).collect()
+    }
+    # append mode emits only watermark-closed sessions; everything emitted
+    # must match the batch result, and most sessions should have closed
+    assert got <= batch
+    assert len(got) >= 0.8 * len(batch), f"{len(got)}/{len(batch)} sessions closed"
