@@ -49,6 +49,13 @@ def get_session(
         master or f"local[{cpus}]"
     )
     confs = dict(ENGINE_CONFS)
+    # In local mode the driver JVM hosts every executor thread; the 1g
+    # default heap GC-thrashes as soon as N-way parallel tasks explode
+    # arrays. Only effective at JVM launch — a pre-existing session
+    # keeps its heap (the driver's own session is its own business).
+    confs.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    )
     if shuffle_partitions is not None:
         confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_confs:
