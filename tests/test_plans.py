@@ -106,6 +106,48 @@ def test_salted_agg_partials_collapse_before_shuffle(spark, sf_dir):
     assert exchange_count(agg_salted_skew(spark, sf_dir)) == 2
 
 
+def test_aqe_splits_skewed_join(spark):
+    """A hot join key must trigger AQE's skew split (the runtime defense
+    the engine relies on for skewed equi-joins at 100 TB; skewed
+    *aggregation* keys use agg_salted_skew instead). Thresholds are
+    lowered so local-scale data exhibits 'skew'; they're runtime confs,
+    restored after."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        hot = spark.range(4_000_000).select(F.lit(1).alias("k"), F.rand(7).alias("v"))
+        cold = spark.range(100_000).select(
+            (F.col("id") % 1000 + 2).alias("k"), F.rand(8).alias("v")
+        )
+        dim = spark.range(1002).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+        )
+        # keep the incompressible v column through the shuffle — pruning
+        # to the constant key alone compresses the hot partition below
+        # any skew threshold
+        j = hot.union(cold).join(dim, "k").select("k", "v")
+        # Arrow collect executes j's own QueryExecution (a noop write
+        # would plan a separate command whose AQE plan we can't read)
+        assert len(j.toPandas()) == 4_100_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE did not split the skewed join:\n{plan}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     from flink_kafka_replicator_spark.plans import codegen_stage_count
 
