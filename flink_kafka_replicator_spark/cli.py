@@ -68,7 +68,7 @@ def parse_args(argv: list[str]) -> tuple[ReplicateConfig, dict[str, str]]:
         parser.add_argument(flag, action="store_true")
     for opt, (_, default) in _INT_OPTS.items():
         parser.add_argument(opt, type=int, default=default)
-    parser.add_argument("--checkpoint-location", default="/tmp/spark-kafka-replicator-ckpt")
+    parser.add_argument("--checkpoint-location", default=None)
 
     known, unknown = parser.parse_known_args(argv)
     props: dict[str, str] = {}
@@ -126,10 +126,48 @@ def parse_args(argv: list[str]) -> tuple[ReplicateConfig, dict[str, str]]:
         cfg.validate()
     except ValueError as e:
         parser.error(str(e))
-    return cfg, {"checkpoint_location": known.checkpoint_location}
+    # Default checkpoint path is derived from (topics, group) so two
+    # replicator instances on one host never share checkpoint state —
+    # a fixed default would make job B silently resume job A's offsets.
+    checkpoint = known.checkpoint_location
+    if checkpoint is None:
+        import hashlib
+
+        ident = f"{known.topics}|{consumer.get('group.id', '')}"
+        checkpoint = (
+            "/tmp/spark-kafka-replicator-ckpt-"
+            + hashlib.md5(ident.encode()).hexdigest()[:10]
+        )
+    return cfg, {
+        "checkpoint_location": checkpoint,
+        "parallelism": known.parallelism,
+    }
 
 
-def main(argv: list[str] | None = None) -> int:
+def run_preflight(cfg: ReplicateConfig, admin_factory=None):
+    """Admin pre-flight: discover topics on both clusters and
+    create/grow/sync or fail per the flags — the reference runs this
+    blocking on the client before building the job graph
+    (FlinkKafkaReplicator.java:108). ``admin_factory(bootstrap) ->
+    AdminClient`` is injectable for tests; defaults to confluent-kafka.
+    """
+    from .streaming.admin import check_topics, confluent_admin_client
+
+    factory = admin_factory or confluent_admin_client
+    source = factory(cfg.consumer_props["bootstrap.servers"])
+    target = factory(cfg.producer_props["bootstrap.servers"])
+    return check_topics(
+        source,
+        target,
+        cfg.topics,
+        create_topics=cfg.create_topics,
+        create_partitions=cfg.create_partitions,
+        sync_properties=cfg.sync_properties,
+        preserve_partitioning=cfg.preserve_partitioning,
+    )
+
+
+def main(argv: list[str] | None = None, admin_factory=None) -> int:
     import sys
 
     from .session import get_session
@@ -137,7 +175,13 @@ def main(argv: list[str] | None = None) -> int:
     from .streaming.replicate import start_kafka_replication
 
     cfg, extra = parse_args(argv if argv is not None else sys.argv[1:])
-    spark = get_session(app_name="spark-kafka-replicator")
+    run_preflight(cfg, admin_factory)
+    spark = get_session(
+        app_name="spark-kafka-replicator",
+        # the reference's --parallelism bounds job parallelism
+        # (README.adoc:28); shuffle partitions are the Spark analog
+        shuffle_partitions=extra["parallelism"],
+    )
     if cfg.exactly_once:
         # reference: --exactly-once switches the producer to transactional
         # two-phase semantics (FlinkKafkaReplicator.java:124)

@@ -315,12 +315,11 @@ def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB training-data writer needs so a re-run overwrites the same
     shards. md5 is the cross-engine-portable choice (oracle-exact).
     """
+    from ..sinks import with_shard
+
     d = load_table(spark, sf_dir, "documents")
-    shard = (
-        F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long") % 16
-    ).alias("shard")
     return (
-        d.select(shard, F.length("text").alias("text_len"))
+        with_shard(d).select("shard", F.length("text").alias("text_len"))
         .groupBy("shard")
         .agg(
             F.count("*").alias("n_docs"),

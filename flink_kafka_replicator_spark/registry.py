@@ -52,6 +52,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _MODULES:
+        dup = set(out) & set(m.ORACLES)
+        if dup:
+            raise ValueError(f"duplicate oracle ids {dup} in {m.__name__}")
         out.update(m.ORACLES)
     unknown = set(out) - set(all_queries())
     if unknown:

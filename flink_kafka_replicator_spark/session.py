@@ -45,9 +45,18 @@ def get_session(
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's standard confs."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    builder = SparkSession.builder.appName(app_name).master(
-        master or f"local[{cpus}]"
-    )
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    else:
+        # Respect a cluster master injected by spark-submit/env — calling
+        # .master() unconditionally would silently downgrade a YARN/k8s
+        # submission to single-node local mode. Default to local[N] only
+        # when nothing set one.
+        from pyspark.conf import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            builder = builder.master(f"local[{cpus}]")
     confs = dict(ENGINE_CONFS)
     # In local mode the driver JVM hosts every executor thread; the 1g
     # default heap GC-thrashes as soon as N-way parallel tasks explode

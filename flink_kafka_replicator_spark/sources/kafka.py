@@ -61,7 +61,15 @@ def kafka_sink_writer(
 ):
     """DataStreamWriter for the replication sink (at-least-once — the
     reference's default semantic, FlinkKafkaReplicator.java:124; the
-    exactly-once path goes through streaming.exactly_once instead)."""
+    exactly-once path goes through streaming.exactly_once instead).
+
+    Known divergence: Spark's built-in Kafka sink has no timestamp
+    column, so target records get produce-time timestamps, while the
+    reference forwards the source timestamp
+    (KafkaMessageSerializationSchema.java:16-23). When event-time
+    parity on the target matters, use the foreachBatch writer
+    (``KafkaTransactionalBatchWriter(..., transactional=False)``), which
+    forwards timestamps in both delivery modes."""
     writer = (
         df.writeStream.format(KAFKA_FORMAT)
         .option("kafka.bootstrap.servers", bootstrap_servers)

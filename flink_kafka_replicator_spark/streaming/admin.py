@@ -183,17 +183,65 @@ def check_topics(
     return report
 
 
+ADMIN_TIMEOUT_S = 30.0  # reference: FlinkKafkaReplicator.java:40 (30 s RPCs)
+
+
 def confluent_admin_client(bootstrap_servers: str, props: dict[str, str] | None = None):
-    """Real-cluster client (confluent_kafka) — import-guarded: the
-    library is not installed in this container."""
+    """Real-cluster AdminClient adapter (confluent_kafka) — import-guarded:
+    the library is not installed in this container, so the adapter body
+    is exercised against live clusters only; the decision logic in
+    check_topics is client-agnostic and tested with FakeAdminClient."""
     try:
-        from confluent_kafka.admin import AdminClient as _CK  # type: ignore
+        from confluent_kafka.admin import (  # type: ignore[import-not-found]
+            AdminClient as _CKAdmin,
+            ConfigResource,
+            NewPartitions,
+            NewTopic,
+        )
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError(
             "confluent_kafka is not available in this environment; "
             "use FakeAdminClient or install confluent-kafka"
         ) from e
-    raise NotImplementedError(
-        "real-cluster admin wiring requires a broker to test against; "
-        "the decision logic in check_topics is client-agnostic"
-    )  # pragma: no cover
+
+    class _ConfluentAdmin:  # pragma: no cover — needs live brokers
+        def __init__(self) -> None:
+            self._c = _CKAdmin(
+                {"bootstrap.servers": bootstrap_servers, **(props or {})}
+            )
+
+        def list_topics(self) -> list[str]:
+            return sorted(self._c.list_topics(timeout=ADMIN_TIMEOUT_S).topics)
+
+        def describe_topic(self, name: str) -> Topic:
+            md = self._c.list_topics(topic=name, timeout=ADMIN_TIMEOUT_S).topics[name]
+            res = ConfigResource(ConfigResource.Type.TOPIC, name)
+            entries = self._c.describe_configs([res])[res].result(ADMIN_TIMEOUT_S)
+            config = {
+                k: e.value for k, e in entries.items() if e.value is not None
+            }
+            return Topic(name, len(md.partitions), config)
+
+        def create_topic(self, topic: Topic, replication_factor: int) -> None:
+            new = NewTopic(
+                topic.name,
+                num_partitions=topic.partitions,
+                replication_factor=replication_factor,
+                config=dict(topic.config),
+            )
+            self._c.create_topics([new])[topic.name].result(ADMIN_TIMEOUT_S)
+
+        def create_partitions(self, name: str, total_count: int) -> None:
+            self._c.create_partitions([NewPartitions(name, total_count)])[
+                name
+            ].result(ADMIN_TIMEOUT_S)
+
+        def alter_configs(self, name: str, config: dict[str, str | None]) -> None:
+            res = ConfigResource(
+                ConfigResource.Type.TOPIC,
+                name,
+                set_config={k: v for k, v in config.items() if v is not None},
+            )
+            self._c.alter_configs([res])[res].result(ADMIN_TIMEOUT_S)
+
+    return _ConfluentAdmin()

@@ -116,12 +116,21 @@ class KafkaTransactionalBatchWriter:
     optional); tests inject a fake.
     """
 
-    def __init__(self, producer_factory, txn_prefix: str = "fkr-eo"):
+    def __init__(
+        self, producer_factory, txn_prefix: str = "fkr-eo", transactional: bool = True
+    ):
         self.producer_factory = producer_factory
         self.txn_prefix = txn_prefix
+        # transactional=False degrades to a plain flushed producer — the
+        # at-least-once semantic, but unlike Spark's built-in Kafka sink
+        # it still forwards record timestamps (the built-in sink has no
+        # timestamp column; reference KafkaMessageSerializationSchema
+        # passes them through).
+        self.transactional = transactional
 
     def write(self, df: DataFrame, batch_id: int) -> None:
         factory, prefix = self.producer_factory, self.txn_prefix
+        transactional = self.transactional
         cols = df.columns
 
         def send_partition(rows) -> None:
@@ -130,11 +139,26 @@ class KafkaTransactionalBatchWriter:
             ctx = TaskContext.get()
             pid = ctx.partitionId() if ctx is not None else 0
             producer = factory(f"{prefix}-b{batch_id}-p{pid}")
-            producer.init_transactions()
-            producer.begin_transaction()
+            poll = getattr(producer, "poll", lambda timeout: None)
+            if transactional:
+                producer.init_transactions()
+                producer.begin_transaction()
+
+            def produce_with_backpressure(**kw) -> None:
+                # librdkafka's local queue (default 100k msgs) fills far
+                # below one partition's row count at scale; poll() drains
+                # delivery callbacks and frees queue slots
+                while True:
+                    try:
+                        producer.produce(**kw)
+                        return
+                    except BufferError:
+                        poll(0.5)
+
             try:
+                sent = 0
                 for row in rows:
-                    producer.produce(
+                    produce_with_backpressure(
                         topic=row["topic"],
                         key=bytes(row["key"]) if row["key"] is not None else None,
                         value=bytes(row["value"]) if row["value"] is not None else None,
@@ -145,7 +169,7 @@ class KafkaTransactionalBatchWriter:
                         ),
                         timestamp=(
                             int(row["timestamp"].timestamp() * 1000)
-                            if row["timestamp"] is not None
+                            if "timestamp" in cols and row["timestamp"] is not None
                             else 0
                         ),
                         headers=(
@@ -154,10 +178,18 @@ class KafkaTransactionalBatchWriter:
                             else None
                         ),
                     )
+                    sent += 1
+                    if sent % 10_000 == 0:
+                        poll(0)
             except Exception:
-                producer.abort_transaction()
+                if transactional:
+                    producer.abort_transaction()
                 raise
-            producer.commit_transaction()
+            if transactional:
+                producer.commit_transaction()
+            else:
+                flush = getattr(producer, "flush", lambda: None)
+                flush()
 
         df.foreachPartition(send_partition)
 

@@ -71,11 +71,18 @@ def _first_seen_fn(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Stateful dedup: emit only event_ids never seen before for this key
-    (state keeps the max emitted id; ids are monotonic per source)."""
+    (state keeps the max emitted id; ids are monotonic per source).
+
+    Duplicates *within* a chunk are dropped too (drop_duplicates before
+    the state filter) — producer-retry duplicates usually land close
+    together in time, i.e. in the same micro-batch, so cross-batch
+    state alone would pass them through.
+    """
     (max_seen,) = state.get if state.exists else (-1,)
     out = []
     for pdf in batches:
-        fresh = pdf[pdf["event_id"] > max_seen]
+        fresh = pdf.drop_duplicates(subset=["event_id"])
+        fresh = fresh[fresh["event_id"] > max_seen]
         if len(fresh):
             out.append(fresh[["user_id", "event_id", "ts"]])
             max_seen = int(fresh["event_id"].max())

@@ -74,3 +74,71 @@ def test_equals_style_properties():
         ]
     )
     assert cfg.consumer_props["group.id"] == "g"
+
+
+def test_preflight_runs_reference_decision_matrix():
+    from flink_kafka_replicator_spark.cli import parse_args, run_preflight
+    from flink_kafka_replicator_spark.model import Topic
+    from flink_kafka_replicator_spark.streaming.admin import FakeAdminClient
+
+    src = FakeAdminClient(
+        {
+            "app.a": Topic("app.a", 4, {"retention.ms": "100"}),
+            "other": Topic("other", 1, {}),
+        }
+    )
+    dst = FakeAdminClient({})
+    clients = {"s:9092": src, "d:9092": dst}
+    cfg, _ = parse_args(
+        [
+            "--topics", r"app\..*",
+            "--create-topics",
+            "--consumer.bootstrap.servers", "s:9092",
+            "--consumer.group.id", "g",
+            "--producer.bootstrap.servers", "d:9092",
+        ]
+    )
+    report = run_preflight(cfg, admin_factory=lambda b: clients[b])
+    # matched topic created on target with source partitions + config;
+    # non-matching 'other' untouched
+    assert report.created == ["app.a"]
+    assert dst.topics["app.a"].partitions == 4
+    assert "other" not in dst.topics
+
+
+def test_preflight_fails_without_create_flag():
+    import pytest
+
+    from flink_kafka_replicator_spark.cli import parse_args, run_preflight
+    from flink_kafka_replicator_spark.model import Topic
+    from flink_kafka_replicator_spark.streaming.admin import FakeAdminClient
+
+    clients = {
+        "s:9092": FakeAdminClient({"app.a": Topic("app.a", 4, {})}),
+        "d:9092": FakeAdminClient({}),
+    }
+    cfg, _ = parse_args(
+        [
+            "--topics", r"app\..*",
+            "--consumer.bootstrap.servers", "s:9092",
+            "--consumer.group.id", "g",
+            "--producer.bootstrap.servers", "d:9092",
+        ]
+    )
+    with pytest.raises(Exception, match="app.a"):
+        run_preflight(cfg, admin_factory=lambda b: clients[b])
+
+
+def test_default_checkpoint_location_is_job_scoped():
+    from flink_kafka_replicator_spark.cli import parse_args
+
+    base = [
+        "--consumer.bootstrap.servers", "s:9092",
+        "--consumer.group.id", "g",
+        "--producer.bootstrap.servers", "d:9092",
+    ]
+    _, a = parse_args(["--topics", "a.*"] + base)
+    _, b = parse_args(["--topics", "b.*"] + base)
+    assert a["checkpoint_location"] != b["checkpoint_location"]
+    _, a2 = parse_args(["--topics", "a.*"] + base)
+    assert a["checkpoint_location"] == a2["checkpoint_location"]

@@ -105,3 +105,25 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(str(tmp_path / "out"))
     assert got.count() == 6, "each id must survive exactly once"
+
+
+def test_stateful_dedup_drops_in_batch_duplicates(spark, tmp_path):
+    """Producer-retry duplicates land in the SAME micro-batch — the
+    common case; cross-batch state alone would pass them through."""
+    src = str(tmp_path / "in")
+    rows = _rows([3, 3, 4, 4, 4, 5])  # duplicates within one file/batch
+    _write_batch(spark, src, rows)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        stateful_dedup_per_user(stream)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r.event_id for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    assert ids == [3, 4, 5], f"in-batch duplicates leaked: {ids}"
