@@ -43,6 +43,7 @@ _INT_OPTS = {
     "--checkpoint-interval-ms": ("checkpoint_interval_ms", DEFAULT_CHECKPOINT_INTERVAL_MS),
     "--transaction-timeout-ms": ("transaction_timeout_ms", DEFAULT_TRANSACTION_TIMEOUT_MS),
     "--parallelism": ("parallelism", None),
+    "--max-offsets-per-trigger": ("max_offsets_per_trigger", None),
 }
 
 
@@ -119,6 +120,7 @@ def parse_args(argv: list[str]) -> tuple[ReplicateConfig, dict[str, str]]:
         exactly_once=known.exactly_once,
         checkpoint_interval_ms=known.checkpoint_interval_ms,
         transaction_timeout_ms=known.transaction_timeout_ms,
+        max_offsets_per_trigger=known.max_offsets_per_trigger,
         consumer_props=consumer,
         producer_props=producer,
     )

@@ -32,6 +32,7 @@ def kafka_source_reader(
     bootstrap_servers: str,
     from_latest: bool = False,
     consumer_props: dict[str, str] | None = None,
+    max_offsets_per_trigger: int | None = None,
 ):
     """DataStreamReader for the replication source.
 
@@ -47,6 +48,8 @@ def kafka_source_reader(
         .option("includeHeaders", "true")
         .option("failOnDataLoss", "false")
     )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     for k, v in (consumer_props or {}).items():
         reader = reader.option(f"kafka.{k}", v)
     return reader

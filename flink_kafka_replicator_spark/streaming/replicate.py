@@ -37,6 +37,10 @@ class ReplicateConfig:
     exactly_once: bool = False
     checkpoint_interval_ms: int = DEFAULT_CHECKPOINT_INTERVAL_MS
     transaction_timeout_ms: int = DEFAULT_TRANSACTION_TIMEOUT_MS
+    # micro-batch admission control — the Spark analog of Flink's
+    # credit-based backpressure (SURVEY.md §4.2): caps records ingested
+    # per trigger so a backlogged source can't produce an unbounded batch
+    max_offsets_per_trigger: int | None = None
     consumer_props: dict[str, str] = field(default_factory=dict)
     producer_props: dict[str, str] = field(default_factory=dict)
 
@@ -94,6 +98,7 @@ def build_replication(
             bootstrap_servers=servers,
             from_latest=cfg.from_latest,
             consumer_props=props,
+            max_offsets_per_trigger=cfg.max_offsets_per_trigger,
         ).load()
     return replication_transform(source_df, cfg)
 

@@ -142,3 +142,18 @@ def test_default_checkpoint_location_is_job_scoped():
     assert a["checkpoint_location"] != b["checkpoint_location"]
     _, a2 = parse_args(["--topics", "a.*"] + base)
     assert a["checkpoint_location"] == a2["checkpoint_location"]
+
+
+def test_max_offsets_per_trigger_flows_to_config():
+    from flink_kafka_replicator_spark.cli import parse_args
+
+    cfg, _ = parse_args(
+        [
+            "--topics", "t.*",
+            "--max-offsets-per-trigger", "50000",
+            "--consumer.bootstrap.servers", "s:9092",
+            "--consumer.group.id", "g",
+            "--producer.bootstrap.servers", "d:9092",
+        ]
+    )
+    assert cfg.max_offsets_per_trigger == 50000
