@@ -61,6 +61,27 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: suppliers × lineitem usage, keeping both unmatched
+    suppliers and (synthetically filtered) unmatched lineitem keys."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_heavy_items"))
+    )
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey, "full_outer")
+        .select(
+            "s_suppkey",
+            "s_name",
+            "l_suppkey",
+            F.coalesce("n_heavy_items", F.lit(0)).alias("n_heavy_items"),
+        )
+    )
+
+
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left semi join: customers having at least one 'O' order."""
     c = load_table(spark, sf_dir, "customer")
@@ -111,6 +132,7 @@ QUERIES = {
     "join_inner": join_inner,
     "join_broadcast": join_broadcast,
     "join_left_outer": join_left_outer,
+    "join_full_outer": join_full_outer,
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_range": join_range,
@@ -129,6 +151,18 @@ ORACLES = {
                ROUND(SUM(l_extendedprice), 4) AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
+    """,
+    "join_full_outer": """
+        SELECT s.s_suppkey,
+               s.s_name,
+               li.l_suppkey,
+               COALESCE(li.n_heavy_items, 0) AS n_heavy_items
+        FROM (SELECT s_suppkey, s_name FROM supplier) s
+        FULL OUTER JOIN (
+            SELECT l_suppkey, COUNT(*) AS n_heavy_items
+            FROM lineitem WHERE l_quantity > 45
+            GROUP BY l_suppkey
+        ) li ON s.s_suppkey = li.l_suppkey
     """,
     "join_left_outer": """
         SELECT c_custkey,
