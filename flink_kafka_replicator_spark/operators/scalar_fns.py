@@ -127,7 +127,27 @@ def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (filter / exists / transform+aggregate)
+    projected to scalars — array-typed outputs don't compare stably
+    across engines, scalar reductions do."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(F.filter(vec, lambda x: x > 0.5)).alias("n_above_half"),
+        F.exists(vec, lambda x: x < -0.99).alias("has_near_neg1"),
+        F.round(
+            F.aggregate(
+                F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            ),
+            4,
+        ).alias("sq_norm"),
+    )
+
+
 QUERIES = {
+    "fn_higher_order": fn_higher_order,
     "fn_regexp": fn_regexp,
     "fn_conditional": fn_conditional,
     "fn_map_struct": fn_map_struct,
@@ -139,6 +159,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_higher_order": """
+        SELECT vec_id,
+               CAST(LEN(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.5))
+                    AS INTEGER) AS n_above_half,
+               LEN(list_filter(CAST(embedding AS DOUBLE[]), x -> x < -0.99)) > 0
+                   AS has_near_neg1,
+               ROUND(LIST_AGGREGATE(
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                   'sum'), 4) AS sq_norm
+        FROM embeddings
+    """,
     "fn_regexp": r"""
         SELECT doc_id,
                regexp_extract(text, '^(\w+)', 1) AS first_word,
