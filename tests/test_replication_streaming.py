@@ -199,3 +199,41 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     # must match the batch result, and most sessions should have closed
     assert got <= batch
     assert len(got) >= 0.8 * len(batch), f"{len(got)}/{len(batch)} sessions closed"
+
+
+def test_streaming_sliding_window_matches_batch(spark, tmp_path):
+    """Sliding windows in a real micro-batch run equal the batch result
+    for watermark-closed windows."""
+    from flink_kafka_replicator_spark.io import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.write.parquet(str(tmp_path / "slide_in"))
+
+    def slide(df):
+        return (
+            df.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events")
+        )
+
+    q = (
+        slide(
+            spark.readStream.schema(ev.schema)
+            .parquet(str(tmp_path / "slide_in"))
+            .withWatermark("ts", "1 minute")
+        )
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "slide_out"))
+        .option("checkpointLocation", str(tmp_path / "slide_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.n_events)
+        for r in spark.read.parquet(str(tmp_path / "slide_out")).collect()
+    }
+    batch = {(r.window_start, r.n_events) for r in slide(ev).collect()}
+    assert got <= batch
+    assert len(got) >= 0.8 * len(batch), f"{len(got)}/{len(batch)} windows closed"
