@@ -100,3 +100,74 @@ def stateful_dedup_per_user(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+SESSION_STATE = "start_ms bigint, end_ms bigint, n bigint"
+SESSION_GAP_MS = 10 * 60 * 1000
+
+
+def _session_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Timer-driven sessionizer: extend the open session with arriving
+    events; when the event-time timer fires (watermark passed
+    session_end + gap, i.e. the state timed out with no new events),
+    emit the closed session and clear state.
+
+    This is the Flink KeyedProcessFunction-with-timers pattern —
+    emission is triggered by TIME, not by data arrival — which plain
+    ``session_window`` aggregation can't express when the per-session
+    output needs custom logic.
+    """
+
+    def emit(start_ms: int, end_ms: int, n: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                "n_events": [n],
+            }
+        )
+
+    if state.hasTimedOut:
+        start_ms, end_ms, n = state.get
+        state.remove()
+        yield emit(start_ms, end_ms, n)
+        return
+
+    start_ms, end_ms, n = state.get if state.exists else (None, None, 0)
+    for pdf in batches:
+        ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+        for t in ts_ms:
+            if start_ms is None:
+                start_ms, end_ms, n = t, t, 1
+            elif t - end_ms <= SESSION_GAP_MS:
+                end_ms, n = max(end_ms, t), n + 1
+            else:
+                yield emit(start_ms, end_ms, n)  # gap exceeded in-stream
+                start_ms, end_ms, n = t, t, 1
+    if start_ms is not None:
+        state.update((start_ms, end_ms, n))
+        state.setTimeoutTimestamp(end_ms + SESSION_GAP_MS)
+
+
+def sessionize_per_user(events: DataFrame) -> DataFrame:
+    """Gap-based sessions via explicit state + event-time timers.
+
+    Requires a watermark on ``ts`` upstream (the timer fires when the
+    watermark passes session_end + gap). State per key is three longs —
+    constant, regardless of session length.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

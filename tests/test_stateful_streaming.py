@@ -127,3 +127,51 @@ def test_stateful_dedup_drops_in_batch_duplicates(spark, tmp_path):
     q.awaitTermination(120)
     ids = sorted(r.event_id for r in spark.read.parquet(str(tmp_path / "out")).collect())
     assert ids == [3, 4, 5], f"in-batch duplicates leaked: {ids}"
+
+
+def test_timer_based_sessionizer(spark, tmp_path):
+    """Sessions close via event-time timers: watermark passes
+    session_end + gap → the timed-out state emits, with no further
+    events for that key needed."""
+    import datetime as dt
+
+    from flink_kafka_replicator_spark.streaming.stateful import sessionize_per_user
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: two sessions (gap > 10 min between event 2 and 3)
+        Row(event_id=0, ts=base, user_id=1, value=1.0),
+        Row(event_id=1, ts=base + dt.timedelta(minutes=5), user_id=1, value=1.0),
+        Row(event_id=2, ts=base + dt.timedelta(minutes=8), user_id=1, value=1.0),
+        Row(event_id=3, ts=base + dt.timedelta(minutes=40), user_id=1, value=1.0),
+        # user 2: one session; a late watermark-driver event closes all
+        Row(event_id=4, ts=base + dt.timedelta(minutes=41), user_id=2, value=1.0),
+        Row(event_id=5, ts=base + dt.timedelta(hours=3), user_id=3, value=1.0),
+    ]
+    src = str(tmp_path / "in")
+    _write_batch(spark, src, rows)
+
+    q = (
+        sessionize_per_user(
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "1 minute")
+        )
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start.minute, r.n_events)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # user 1: session [0,8min] n=3 and session [40] n=1 (closed by timer
+    # once the hour-3 event advanced the watermark); user 2: [41] n=1
+    assert (1, 0, 3) in got, got
+    assert (1, 40, 1) in got, got
+    assert (2, 41, 1) in got, got
