@@ -84,7 +84,11 @@ def _minhash_candidates_with_jaccard(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs with exact Jaccard ≥ 0.5."""
+    """MinHash-LSH near-dup pairs with exact Jaccard ≥ 0.5.
+
+    Oracle is the brute-force all-pairs Jaccard — the match verifies the
+    LSH path end-to-end (recall AND precision) at test scale, not just
+    the verify arithmetic."""
     return _minhash_candidates_with_jaccard(spark, sf_dir).filter(
         F.col("jaccard") >= 0.5
     )
@@ -125,7 +129,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH buckets + exact cosine
-    verification (≥ 0.9) within buckets."""
+    verification (≥ 0.9) within buckets.
+
+    Oracle is the brute-force all-pairs cosine — verifies bucketing
+    introduces no false positives/negatives at test scale."""
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select("vec_id", as_double(F.col("embedding")).alias("vec"))
     bucketed = v.select(
@@ -406,7 +413,72 @@ QUERIES = {
 
 _STOPLIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 
+_QV = f"{QUERY_VEC!r}::DOUBLE[]"
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
 ORACLES = {
+    "sim_topk_cosine": f"""
+        SELECT vec_id,
+               ROUND({_duck_cos('CAST(embedding AS DOUBLE[])', _QV)}, 4) AS cos_sim
+        FROM embeddings
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT 10
+    """,
+    "sim_topk_ivf": f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        c AS (SELECT vec_id AS centroid_id, vec AS cvec FROM v WHERE vec_id < 16),
+        asg AS (
+            SELECT v.vec_id, v.vec, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY (1 - {_duck_cos('v.vec', 'c.cvec')}) ASC, c.centroid_id ASC
+                   ) AS rn
+            FROM v CROSS JOIN c
+        ),
+        probe AS (
+            SELECT centroid_id FROM c
+            ORDER BY (1 - {_duck_cos('cvec', _QV)}) ASC, centroid_id ASC
+            LIMIT 4
+        )
+        SELECT a.vec_id, ROUND({_duck_cos('a.vec', _QV)}, 4) AS cos_sim
+        FROM asg a JOIN probe p USING (centroid_id)
+        WHERE a.rn = 1
+        ORDER BY cos_sim DESC, a.vec_id ASC
+        LIMIT 10
+    """,
+    # Brute-force all-pairs oracles for the LSH dedup paths: a match
+    # proves the bucketed plan loses nothing vs the quadratic baseline.
+    "dedup_embedding_cosine": f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND({_duck_cos('a.vec', 'b.vec')}, 4) AS cos_sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE ROUND({_duck_cos('a.vec', 'b.vec')}, 4) >= 0.9
+    """,
+    "dedup_fuzzy_minhash": r"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+            FROM t
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+    """,
     "embedding_centroids": """
         SELECT u.cluster_id,
                u.dim,
