@@ -594,4 +594,27 @@ ORACLES = {
                lower(substring(hex(encode(text)), 1, 8))   AS header_hex
         FROM documents
     """,
+    # The fake codec is deterministic byte arithmetic over sha256/md5, and
+    # documents.text is pure ASCII (char ops == byte ops), so DuckDB can
+    # replay it exactly — the oracle checks the whole mapInPandas path.
+    "multimodal_image_meta": """
+        WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents)
+        SELECT doc_id,
+               CAST(16 + ('0x' || substr(hx, 1, 2))::INT % 240 AS INTEGER) AS width,
+               CAST(16 + ('0x' || substr(hx, 3, 2))::INT % 240 AS INTEGER) AS height,
+               CAST(CASE WHEN ('0x' || substr(hx, 5, 2))::INT % 4 = 0
+                         THEN 1 ELSE 3 END AS INTEGER) AS channels,
+               'fake' AS format
+        FROM h
+    """,
+    "multimodal_frame_sample": """
+        WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        f AS (SELECT doc_id, text, greatest(n // 4, 1) AS step,
+                     UNNEST(generate_series(0, least(4, n) - 1)) AS fi
+              FROM b)
+        SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+               md5(substring(text, CAST(fi * step + 1 AS INTEGER),
+                             CAST(step AS INTEGER))) AS frame_hash
+        FROM f
+    """,
 }
