@@ -17,6 +17,7 @@ from .operators import (
     aggregates,
     joins,
     replication,
+    reshape,
     scalar_fns,
     setops,
     sql_surface,
@@ -35,6 +36,7 @@ _MODULES = [
     scalar_fns,
     sql_surface,
     advanced,
+    reshape,
     streaming_batch,
     pipeline_queries,
 ]
