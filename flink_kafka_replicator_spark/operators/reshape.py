@@ -148,7 +148,52 @@ def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: try_divide / try_multiply / try_cast return
+    NULL instead of raising under Spark 4's default ANSI mode — the
+    dirty-data-tolerant path a large-scale pipeline needs (one bad row
+    must not kill a 100 TB job)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # floor-quantized, not ROUND: the two engines' ROUND tie-breaks
+        # differ on division results; floor(x*1e4) is IEEE-deterministic
+        F.floor(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25.0)
+            * 10000
+        ).alias("ppe_e4"),
+        F.round(F.try_multiply(F.col("l_extendedprice"), F.lit(2.0)), 4).alias(
+            "price_x2"
+        ),
+        F.expr("try_cast(l_returnflag AS INT)").alias("flag_as_int"),
+    )
+
+
+def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: one pass producing aggregates at
+    every granularity of the year→month→day hierarchy (ROLLUP expands to
+    grouping sets; partial aggregation combines map-side, so the shuffle
+    carries one row per (grain, bucket), not per event)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+            "value",
+        )
+        .rollup("y", "m", "d")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
 QUERIES = {
+    "fn_try_arith": fn_try_arith,
+    "time_rollup_hierarchy": time_rollup_hierarchy,
     "unpivot_lineitem": unpivot_lineitem,
     "agg_collect_set": agg_collect_set,
     "fn_bitwise": fn_bitwise,
@@ -159,6 +204,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_try_arith": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(FLOOR(CASE WHEN l_quantity - 25.0 = 0 THEN NULL
+                               ELSE l_extendedprice / (l_quantity - 25.0) END
+                          * 10000) AS BIGINT) AS ppe_e4,
+               ROUND(l_extendedprice * 2.0, 4) AS price_x2,
+               TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int
+        FROM lineitem
+    """,
+    "time_rollup_hierarchy": """
+        SELECT CAST(YEAR(ts) AS INTEGER)  AS y,
+               CAST(MONTH(ts) AS INTEGER) AS m,
+               CAST(DAY(ts) AS INTEGER)   AS d,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        GROUP BY ROLLUP (1, 2, 3)
+    """,
     "unpivot_lineitem": """
         SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric,
                ROUND(l_extendedprice, 4) AS val FROM lineitem
