@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -175,3 +177,55 @@ def test_timer_based_sessionizer(spark, tmp_path):
     assert (1, 0, 3) in got, got
     assert (1, 40, 1) in got, got
     assert (2, 41, 1) in got, got
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: typed ValueState slots persist
+    across micro-batches and across a query restart on the same
+    checkpoint (RocksDB state store provider)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state protocol needs protobuf, "
+        "not present in this container",
+    )
+    from flink_kafka_replicator_spark.streaming.transform_state import (
+        rocksdb_state_conf,
+        running_totals_tws,
+    )
+
+    conf_key, conf_val = rocksdb_state_conf()
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, conf_val)
+    try:
+        src = str(tmp_path / "in")
+        _write_batch(spark, src, _rows(range(10)))
+
+        def run(out_name):
+            stream = spark.readStream.schema(SCHEMA).option(
+                "maxFilesPerTrigger", "1"
+            ).parquet(src)
+            q = (
+                running_totals_tws(stream)
+                .writeStream.format("parquet")
+                .option("path", str(tmp_path / out_name))
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return spark.read.parquet(str(tmp_path / out_name))
+
+        run("out")
+        # second wave on the same checkpoint: state must carry over
+        _write_batch(spark, src, _rows(range(10, 25)))
+        got = run("out")
+        final = got.orderBy(F.col("n_events").desc()).first()
+        assert final.n_events == 25, f"state lost: {got.collect()}"
+        assert abs(final.total_value - 25 * 1.5) < 1e-9
+        assert final.n_batches >= 2  # saw multiple micro-batches
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
