@@ -154,3 +154,40 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert codegen_stage_count(agg_hash_groupby(spark, sf_dir)) >= 2, (
         "partial and final agg should each run inside a codegen span"
     )
+
+
+def test_lateral_topk_rewrites_to_window_group_limit(spark, sf_dir):
+    """The correlated LATERAL (ORDER BY + LIMIT 2) must decorrelate into
+    a WindowGroupLimit plan — map-side top-k per key before the shuffle
+    — never a per-row subquery loop or a cartesian expansion."""
+    from flink_kafka_replicator_spark.operators.reshape import sql_lateral_topk
+
+    plan = formatted_plan(sql_lateral_topk(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, f"no group-limit pushdown:\n{plan}"
+    assert "Partial" in plan, "expected map-side partial WindowGroupLimit"
+    assert "CartesianProduct" not in plan
+
+
+def test_unpivot_is_shuffle_free_expand(spark, sf_dir):
+    """MELT must compile to a single codegen'd Expand over the scan —
+    wide→long is a map-side transform; any exchange here is a bug."""
+    from flink_kafka_replicator_spark.operators.reshape import unpivot_lineitem
+
+    df = unpivot_lineitem(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Expand" in plan
+    assert exchange_count(df) == 0, f"unpivot must not shuffle:\n{plan}"
+
+
+def test_grouped_zscore_prunes_columns_single_exchange(spark, sf_dir):
+    """applyInPandas: exactly one hash exchange on the group key, and
+    column pruning must reach the scan (text/source never read)."""
+    from flink_kafka_replicator_spark.operators.reshape import grouped_zscore_pandas
+
+    df = grouped_zscore_pandas(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert exchange_count(df) == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "text" not in plan.split("ReadSchema")[1].splitlines()[0], (
+        "grouped-map must not drag the text column through the shuffle"
+    )
