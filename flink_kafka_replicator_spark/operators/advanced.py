@@ -139,14 +139,80 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap fill + last-observation-carried-forward: a
+    dense hourly grid per event_type (sequence + explode over each key's
+    own [min, max] span), counts zero-filled, sums carried forward with
+    last(ignorenulls) over an ordered per-key window.
+
+    Scale shape: events collapse to one row per (key, hour) BEFORE any
+    join — everything downstream is proportional to grid size (keys ×
+    hours), not event count. The hourly rollup feeds both the bounds agg
+    and the final join; it is tiny, so localCheckpoint pins it and the
+    event scan runs exactly once (same move as the LSH candidate table in
+    pipeline_queries; a reliable checkpoint dir is the cluster
+    equivalent).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .localCheckpoint()
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
+    )
+
+
 QUERIES = {
     "join_asof": join_asof,
     "topk_per_group": topk_per_group,
     "agg_salted_skew": agg_salted_skew,
+    "gap_fill_locf": gap_fill_locf,
     "window_ntile": window_ntile,
 }
 
 ORACLES = {
+    "gap_fill_locf": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1
+        ),
+        grid AS (
+            SELECT event_type,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM bounds
+        )
+        SELECT g.event_type, g.h,
+               COALESCE(hh.n_events, 0) AS n_events,
+               last_value(hh.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sum_value_locf
+        FROM grid g LEFT JOIN hourly hh USING (event_type, h)
+    """,
     "join_asof": """
         SELECT c.event_id AS click_id,
                c.user_id,
