@@ -63,3 +63,44 @@ def interval_join_clicks_to_views(
         "view_ts",
         "view_value",
     )
+
+
+def left_outer_interval_join_clicks_to_views(
+    clicks: DataFrame,
+    views: DataFrame,
+    watermark: str = "10 minutes",
+    max_gap: str = "5 minutes",
+) -> DataFrame:
+    """Left-outer interval join: like the inner variant, but clicks with
+    no view in the window still emit (null view columns) — once the
+    watermark passes the click's join bound and Spark can prove no
+    matching view can arrive. Un-matched emission is watermark-driven,
+    not data-driven: the state store evicts the click and emits the
+    null-padded row at that point, which is what bounds state AND gives
+    a complete result over an unbounded stream.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    return c.join(
+        v,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {max_gap}")),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "view_id",
+        "view_ts",
+        "view_value",
+    )

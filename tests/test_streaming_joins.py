@@ -59,3 +59,42 @@ def test_interval_join_batch_plan_is_same_code(spark, tmp_path):
     views = spark.createDataFrame(_rows([(1, 0, 1), (2, 400, 1)]), SCHEMA)
     got = interval_join_clicks_to_views(clicks, views).collect()
     assert [(r.click_id, r.view_id) for r in got] == [(10, 1)]
+
+
+def test_left_outer_interval_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """Clicks with no view in the window emit null-padded once the
+    watermark passes their join bound (watermark-driven, so a far-future
+    event in a later micro-batch is what releases them)."""
+    from flink_kafka_replicator_spark.streaming.joins import (
+        left_outer_interval_join_clicks_to_views,
+    )
+
+    clicks_dir, views_dir = str(tmp_path / "clicks"), str(tmp_path / "views")
+    # user 1 click has a matching view; user 3 click has none
+    _write(spark, views_dir, _rows([(1, 100, 1)]))
+    _write(spark, clicks_dir, _rows([(10, 120, 1), (12, 130, 3)]))
+    # watermark drivers in a second file → second micro-batch pushes the
+    # watermark far past click_ts + gap on BOTH sides, releasing user 3
+    _write(spark, views_dir, _rows([(98, 90000, 9)]))
+    _write(spark, clicks_dir, _rows([(99, 90000, 9)]))
+
+    clicks = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(clicks_dir)
+    views = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(views_dir)
+    out = str(tmp_path / "out")
+    q = (
+        left_outer_interval_join_clicks_to_views(clicks, views)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.click_id, r.view_id) for r in spark.read.parquet(out).collect()}
+    assert (10, 1) in got, f"matched pair missing: {got}"
+    assert (12, None) in got, f"unmatched click not emitted: {got}"
