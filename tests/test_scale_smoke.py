@@ -90,3 +90,12 @@ def test_asof_and_simhash_at_10x(spark, big_dir):
     t_asof = _timed(join_asof(spark, big_dir))
     t_sim = _timed(dedup_simhash(spark, big_dir))
     assert t_asof < 60 and t_sim < 120, f"asof {t_asof:.1f}s simhash {t_sim:.1f}s"
+
+
+def test_gap_fill_and_lateral_at_10x(spark, big_dir):
+    from flink_kafka_replicator_spark.operators.advanced import gap_fill_locf
+    from flink_kafka_replicator_spark.operators.reshape import sql_lateral_topk
+
+    t_gap = _timed(gap_fill_locf(spark, big_dir))
+    t_lat = _timed(sql_lateral_topk(spark, big_dir))
+    assert t_gap < 60 and t_lat < 60, f"gap {t_gap:.1f}s lateral {t_lat:.1f}s"
