@@ -144,9 +144,38 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-way join (customer ⋈ orders ⋈ lineitem ⋈
+    supplier ⋈ nation ⋈ region) with the local-supplier correlation
+    (c_nationkey = s_nationkey). The join-reorder stress test: Catalyst
+    + AQE must broadcast the three dimension tables and keep the two
+    fact joins key-partitioned."""
+    _register(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+        "nation", "region",
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               COUNT(*) AS n_items
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+"""
+    )
+
+
 QUERIES = {
     "agg_grouping_sets": agg_grouping_sets,
     "sql_q3_shipping_priority": sql_q3_shipping_priority,
+    "sql_q5_local_supplier": sql_q5_local_supplier,
     "sql_having_cte": sql_having_cte,
     "sql_correlated_subquery": sql_correlated_subquery,
     "agg_cube": agg_cube,
@@ -156,6 +185,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_q5_local_supplier": """
+        SELECT n.n_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               COUNT(*) AS n_items
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+""",
     "agg_grouping_sets": """
         SELECT o_orderstatus,
                o_orderpriority,
