@@ -4,10 +4,25 @@ Aggregates the per-module QUERIES/ORACLES dicts. ``__spark_entry__``
 re-exports these for the driver; tests iterate the same registry, so
 the local pytest gate and the driver's correctness gate check the
 identical surface.
+
+Ordering contract: the driver's per-round correctness run caps at the
+first ~50 registry entries, so iteration order decides which ids get a
+driver-verified row each round. ``all_queries`` therefore emits:
+
+1. the SURVEY §2.5 declared contract ids (ids never seen in any
+   ``CORRECTNESS_r*.json`` first within the group),
+2. extension ids with no driver row yet, in module order,
+3. already-driver-verified extension ids.
+
+Round over round this rotates unverified ids into the verified set
+while keeping the §2.5 contract inside the cap every round.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,6 +57,64 @@ _MODULES = [
 ]
 
 
+# SURVEY.md §2.5 — the declared correctness contract, in survey order.
+# These must occupy the head of the registry so the driver's ~50-query
+# cap always reaches every one of them.
+CONTRACT_IDS: tuple[str, ...] = (
+    # replication-core semantics
+    "scan_events", "topic_pattern_filter", "identity_passthrough",
+    "partition_preserve_routing", "latest_offset_per_topic", "topic_config_diff",
+    # relational layer
+    "agg_hash_groupby", "agg_distinct", "agg_rollup", "agg_approx_distinct",
+    "join_inner", "join_broadcast", "join_left_outer", "join_semi", "join_anti",
+    "join_range", "window_rank", "window_running_sum", "topk_orders",
+    "set_union", "set_intersect", "set_except",
+    "fn_string", "fn_date", "fn_math", "fn_json", "fn_array",
+    # streaming layer (batch-equivalent twins)
+    "stream_tumbling", "stream_sliding", "stream_session", "stream_watermark",
+    "dedup_exact",
+    # LLM-data-pipeline extensions
+    "dedup_exact_docs", "dedup_fuzzy_minhash", "sim_topk_cosine",
+    "text_stats", "lang_breakdown",
+)
+
+
+def _driver_seen_ids() -> frozenset[str]:
+    """Ids with a row in any prior round's CORRECTNESS_r*.json.
+
+    A key's presence means the driver already exercised that query (even
+    rows-only records carry spark_rows), so it yields the cap slot to an
+    id that has never been driver-checked.
+    """
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path, encoding="utf-8") as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            seen.update(k for k, v in data.items() if isinstance(v, dict))
+    return frozenset(seen)
+
+
+def _ordered(ids: list[str]) -> list[str]:
+    seen = _driver_seen_ids()
+    contract_pos = {q: i for i, q in enumerate(CONTRACT_IDS)}
+    base_pos = {q: i for i, q in enumerate(ids)}
+
+    def key(q: str) -> tuple[int, int, int]:
+        in_contract = q in contract_pos
+        return (
+            0 if in_contract else 1,
+            0 if q not in seen else 1,
+            contract_pos[q] if in_contract else base_pos[q],
+        )
+
+    return sorted(ids, key=key)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _MODULES:
@@ -49,7 +122,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if dup:
             raise ValueError(f"duplicate query ids {dup} in {m.__name__}")
         out.update(m.QUERIES)
-    return out
+    return {q: out[q] for q in _ordered(list(out))}
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
@@ -61,4 +134,4 @@ def all_oracles() -> dict[str, str]:
     unknown = set(out) - set(all_queries())
     if unknown:
         raise ValueError(f"oracles without queries: {unknown}")
-    return out
+    return {q: out[q] for q in _ordered(list(out))}
