@@ -188,45 +188,123 @@ IVF_N_CENTROIDS = 16
 IVF_N_PROBE = 4
 
 
-def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: partition vectors into inverted lists keyed by the
-    nearest of 16 centroid vectors (broadcast), then search only the
-    IVF_N_PROBE lists closest to the query. The scale path: probes touch
-    ~nprobe/ncentroids of the data instead of all of it."""
-    e = load_table(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", as_double(F.col("embedding")).alias("vec"))
-    cents = v.filter(F.col("vec_id") < IVF_N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec")
-    )
-    # assign: nearest centroid per vector (broadcast the tiny centroid set)
-    from pyspark.sql import Window
+def _sql_double(x: float) -> str:
+    # string→double cast round-trips repr exactly and is constant-folded
+    # at plan time (a bare decimal literal would parse as DECIMAL)
+    return f"CAST('{x!r}' AS DOUBLE)"
 
-    dist = 1 - cosine(F.col("vec"), F.col("cvec"))
-    w = Window.partitionBy("vec_id").orderBy(
-        dist.asc(), F.col("centroid_id").asc()
+
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    """Left-to-right fold, matching Spark's aggregate() HOF and DuckDB's
+    list_dot_product, so driver-computed norms bit-match the oracle."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def _ivf_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, list[float], float]], list[int]]:
+    """The IVF coarse-quantizer model: (centroid_id, vector, l2-norm)
+    plus the IVF_N_PROBE centroid ids nearest the query vector.
+
+    The 16-row collect is a bounded *model artifact* (like loading a
+    trained quantizer), not a data-plane collect — at 100 TB the
+    centroids come from a k-means fit and are still O(k·dim) bytes.
+    Probe selection is pure driver arithmetic on those 16 vectors."""
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        e.filter(F.col("vec_id") < IVF_N_CENTROIDS)
+        .select("vec_id", as_double(F.col("embedding")).alias("cvec"))
+        .collect()
     )
-    assigned = (
-        v.crossJoin(broadcast(cents))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "vec", "centroid_id")
-    )
-    # probe: the IVF_N_PROBE centroids nearest the query vector
-    probe = (
-        cents.select(
-            "centroid_id",
-            (1 - cosine(F.col("cvec"), query_vec_col())).alias("qdist"),
+    cents = []
+    for r in sorted(rows, key=lambda r: r["vec_id"]):
+        cvec = [float(x) for x in r["cvec"]]
+        cents.append((int(r["vec_id"]), cvec, math.sqrt(_fold_dot(cvec, cvec))))
+    qnorm = math.sqrt(_fold_dot(QUERY_VEC, QUERY_VEC))
+    probes = sorted(
+        cents,
+        key=lambda c: (1.0 - _fold_dot(c[1], QUERY_VEC) / (c[2] * qnorm), c[0]),
+    )[:IVF_N_PROBE]
+    return cents, sorted(c[0] for c in probes)
+
+
+def _sql_double_array(vals: list[float]) -> str:
+    # constant-folded to one Literal(ArrayData) at plan time
+    return f"array({', '.join(_sql_double(v) for v in vals)})"
+
+
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign each vector to the nearest of 16 centroids,
+    then search only the IVF_N_PROBE inverted lists closest to the query.
+
+    Replaces the crossJoin(centroids) + row_number window argmin — a
+    16×N row explosion plus a shuffle+sort whose only purpose was a
+    per-row argmin. New shape: posexplode the vector once and compute
+    all 16 centroid dot products + the self-dot + the query dot as
+    codegen'd conditional SUMs in one hash aggregate (the measured-fast
+    pattern vs interpreted HOF folds), then take the argmin with
+    least()+CASE — first equal WHEN in centroid order reproduces the
+    oracle's (dist ASC, centroid_id ASC) tie-break. cos_sim comes from
+    the same aggregate row, so there is no join back to the data.
+
+    Plan: Scan → Generate → partial HashAgg → ONE Exchange(vec_id) →
+    final HashAgg → Project/Filter → TakeOrderedAndProject. No join, no
+    window; all row-path arithmetic in whole-stage codegen.
+
+    Float parity with the SQL oracle is exact: a group's 64 exploded
+    rows come from one input row, so each SUM accumulates in position
+    order inside a single partial — the same left fold as DuckDB's
+    list_dot_product — and centroid/query literals round-trip via repr."""
+    import math
+
+    cents, probe_ids = _ivf_model(spark, sf_dir)
+    qnorm = math.sqrt(_fold_dot(QUERY_VEC, QUERY_VEC))
+    e = load_table(spark, sf_dir, "embeddings")
+    x = "cast(x as double)"
+    sums = [
+        F.expr(f"sum({x} * element_at({_sql_double_array(cvec)}, pos + 1))").alias(
+            f"dot_{cid}"
         )
-        .orderBy(F.col("qdist").asc(), F.col("centroid_id").asc())
-        .limit(IVF_N_PROBE)
-        .select("centroid_id")
+        for cid, cvec, _ in cents
+    ]
+    sums.append(F.expr(f"sum({x} * {x})").alias("selfdot"))
+    sums.append(
+        F.expr(
+            f"sum({x} * element_at({_sql_double_array(QUERY_VEC)}, pos + 1))"
+        ).alias("dot_q")
+    )
+    agg = (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("vec_id")
+        .agg(*sums)
+    )
+    dists = [
+        F.expr(f"1.0D - dot_{cid} / (sqrt(selfdot) * {_sql_double(cn)})").alias(
+            f"d_{cid}"
+        )
+        for cid, _, cn in cents
+    ]
+    staged = agg.select(
+        "vec_id",
+        F.expr(f"round(dot_q / (sqrt(selfdot) * {_sql_double(qnorm)}), 4)").alias(
+            "cos_sim"
+        ),
+        *dists,
+    )
+    m = f"least({', '.join(f'd_{cid}' for cid, _, _ in cents)})"
+    cid_case = (
+        "CASE "
+        + " ".join(f"WHEN d_{cid} = {m} THEN {cid}" for cid, _, _ in cents)
+        + " END"
     )
     return (
-        assigned.join(broadcast(probe), "centroid_id")
-        .select(
-            "vec_id",
-            F.round(cosine(F.col("vec"), query_vec_col()), 4).alias("cos_sim"),
-        )
+        staged.filter(F.expr(cid_case).isin(probe_ids))
+        .select("vec_id", "cos_sim")
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )

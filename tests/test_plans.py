@@ -68,6 +68,20 @@ def test_lsh_pipelines_have_no_cartesian_product(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{q.__name__} regressed to cartesian"
 
 
+def test_ivf_assignment_is_single_exchange_no_window_no_join(spark, sf_dir):
+    """The centroid argmin must stay a map-side aggregate: no 16×N
+    crossJoin row explosion, no row_number window, exactly the one
+    hash exchange on vec_id — and the whole row path in codegen."""
+    df = sim_topk_ivf(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, f"argmin regressed to a window:\n{plan}"
+    assert "Join" not in plan, f"ivf must not join:\n{plan}"
+    assert exchange_count(df) == 1, f"expected one exchange:\n{plan}"
+    from flink_kafka_replicator_spark.plans import codegen_stage_count
+
+    assert codegen_stage_count(sim_topk_ivf(spark, sf_dir)) >= 2
+
+
 def test_asof_join_single_shuffle_no_pair_explosion(spark, sf_dir):
     from flink_kafka_replicator_spark.operators.advanced import join_asof
 
