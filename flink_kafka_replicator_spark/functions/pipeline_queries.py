@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..io import load_table
+from ..io import load_table, materialize_small
 from . import multimodal, text
 from .similarity import (
     QUERY_VEC,
@@ -55,11 +55,11 @@ def _minhash_candidates_with_jaccard(spark: SparkSession, sf_dir: str) -> DataFr
     d = load_table(spark, sf_dir, "documents")
     banded = banded_minhash(d, "doc_id", "text")
     # The candidate table is tiny but feeds three differently-keyed
-    # broadcasts (semi id_a, semi id_b, final join) — localCheckpoint
+    # broadcasts (semi id_a, semi id_b, final join) — materialize_small
     # truncates the lineage so the LSH banding pipeline runs exactly
-    # once instead of once per broadcast mode. (On a cluster with
-    # dynamic allocation, a reliable checkpoint dir is the equivalent.)
-    pairs = broadcast(lsh_candidate_pairs(banded, "doc_id").localCheckpoint())
+    # once instead of once per broadcast mode (reliable checkpoint dir
+    # when configured, else localCheckpoint).
+    pairs = broadcast(materialize_small(lsh_candidate_pairs(banded, "doc_id")))
     # Shingle only the candidate docs: left-semi against the pairs
     # broadcast prunes the corpus to the candidate set BEFORE the
     # expensive shingle computation — at 100 TB the verify phase
@@ -138,7 +138,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = v.select(
         "vec_id", hyperplane_bucket(F.col("vec")).alias("band_key")
     )
-    pairs = broadcast(lsh_candidate_pairs(bucketed, "vec_id").localCheckpoint())
+    pairs = broadcast(materialize_small(lsh_candidate_pairs(bucketed, "vec_id")))
     # Same candidate-prune-before-verify shape as the minhash path.
     v_a = v.join(pairs, v.vec_id == pairs.id_a, "left_semi")
     v_b = v.join(pairs, v.vec_id == pairs.id_b, "left_semi")
@@ -238,33 +238,16 @@ def _sql_double_array(vals: list[float]) -> str:
     return f"array({', '.join(_sql_double(v) for v in vals)})"
 
 
-def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: assign each vector to the nearest of 16 centroids,
-    then search only the IVF_N_PROBE inverted lists closest to the query.
-
-    Replaces the crossJoin(centroids) + row_number window argmin — a
-    16×N row explosion plus a shuffle+sort whose only purpose was a
-    per-row argmin. New shape: posexplode the vector once and compute
-    all 16 centroid dot products + the self-dot + the query dot as
-    codegen'd conditional SUMs in one hash aggregate (the measured-fast
-    pattern vs interpreted HOF folds), then take the argmin with
-    least()+CASE — first equal WHEN in centroid order reproduces the
-    oracle's (dist ASC, centroid_id ASC) tie-break. cos_sim comes from
-    the same aggregate row, so there is no join back to the data.
-
-    Plan: Scan → Generate → partial HashAgg → ONE Exchange(vec_id) →
-    final HashAgg → Project/Filter → TakeOrderedAndProject. No join, no
-    window; all row-path arithmetic in whole-stage codegen.
-
-    Float parity with the SQL oracle is exact: a group's 64 exploded
-    rows come from one input row, so each SUM accumulates in position
-    order inside a single partial — the same left fold as DuckDB's
-    list_dot_product — and centroid/query literals round-trip via repr."""
-    import math
-
-    cents, probe_ids = _ivf_model(spark, sf_dir)
-    qnorm = math.sqrt(_fold_dot(QUERY_VEC, QUERY_VEC))
-    e = load_table(spark, sf_dir, "embeddings")
+def _dot_sums(
+    cents: list[tuple[int, list[float], float]],
+    include_query: bool,
+    qvec: list[float] = QUERY_VEC,
+) -> list:
+    """Codegen'd SUM aggregates over a posexploded vector: one dot per
+    centroid, the self-dot, and optionally the query dot. A group's 64
+    exploded rows come from one input row, so each SUM accumulates in
+    position order inside a single partial — the same left fold as
+    DuckDB's list_dot_product."""
     x = "cast(x as double)"
     sums = [
         F.expr(f"sum({x} * element_at({_sql_double_array(cvec)}, pos + 1))").alias(
@@ -273,41 +256,184 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         for cid, cvec, _ in cents
     ]
     sums.append(F.expr(f"sum({x} * {x})").alias("selfdot"))
-    sums.append(
-        F.expr(
-            f"sum({x} * element_at({_sql_double_array(QUERY_VEC)}, pos + 1))"
-        ).alias("dot_q")
-    )
-    agg = (
-        e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
-        .groupBy("vec_id")
-        .agg(*sums)
-    )
-    dists = [
+    if include_query:
+        sums.append(
+            F.expr(
+                f"sum({x} * element_at({_sql_double_array(qvec)}, pos + 1))"
+            ).alias("dot_q")
+        )
+    return sums
+
+
+def _dist_cols(cents: list[tuple[int, list[float], float]]) -> list:
+    return [
         F.expr(f"1.0D - dot_{cid} / (sqrt(selfdot) * {_sql_double(cn)})").alias(
             f"d_{cid}"
         )
         for cid, _, cn in cents
     ]
+
+
+def _argmin_case(cents: list[tuple[int, list[float], float]]) -> str:
+    """Argmin over the d_<cid> columns via least()+CASE — the first
+    equal WHEN in centroid order reproduces the oracle's
+    (dist ASC, centroid_id ASC) tie-break, all in codegen."""
+    m = f"least({', '.join(f'd_{cid}' for cid, _, _ in cents)})"
+    return (
+        "CASE "
+        + " ".join(f"WHEN d_{cid} = {m} THEN {cid}" for cid, _, _ in cents)
+        + " END"
+    )
+
+
+def _ivf_search(
+    e: DataFrame,
+    cents: list[tuple[int, list[float], float]],
+    probe_ids: list[int],
+    qvec: list[float] = QUERY_VEC,
+) -> DataFrame:
+    """Probe-pruned top-10 given a centroid model.
+
+    Shape: posexplode the vector once and compute all centroid dot
+    products + the self-dot + the query dot as codegen'd SUMs in one
+    hash aggregate (the measured-fast pattern vs interpreted HOF
+    folds); argmin via least()+CASE; cos_sim comes from the same
+    aggregate row, so there is no join back to the data.
+
+    Plan: Scan → Generate → partial HashAgg → ONE Exchange(vec_id) →
+    final HashAgg → Project/Filter → TakeOrderedAndProject. No join,
+    no window; the crossJoin(centroids)+row_number argmin this replaces
+    shuffled 16× the data to sort it."""
+    import math
+
+    qnorm = math.sqrt(_fold_dot(qvec, qvec))
+    agg = (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("vec_id")
+        .agg(*_dot_sums(cents, include_query=True, qvec=qvec))
+    )
     staged = agg.select(
         "vec_id",
         F.expr(f"round(dot_q / (sqrt(selfdot) * {_sql_double(qnorm)}), 4)").alias(
             "cos_sim"
         ),
-        *dists,
-    )
-    m = f"least({', '.join(f'd_{cid}' for cid, _, _ in cents)})"
-    cid_case = (
-        "CASE "
-        + " ".join(f"WHEN d_{cid} = {m} THEN {cid}" for cid, _, _ in cents)
-        + " END"
+        *_dist_cols(cents),
     )
     return (
-        staged.filter(F.expr(cid_case).isin(probe_ids))
+        staged.filter(F.expr(_argmin_case(cents)).isin(probe_ids))
         .select("vec_id", "cos_sim")
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+def _probe_nearest(
+    cents: list[tuple[int, list[float], float]],
+    n_probe: int = IVF_N_PROBE,
+    qvec: list[float] = QUERY_VEC,
+) -> list[int]:
+    """Probe selection: pure driver arithmetic on the tiny centroid set,
+    same (dist ASC, cid ASC) ordering as the oracle's probe subquery."""
+    import math
+
+    qnorm = math.sqrt(_fold_dot(qvec, qvec))
+    probes = sorted(
+        cents,
+        key=lambda c: (1.0 - _fold_dot(c[1], qvec) / (c[2] * qnorm), c[0]),
+    )[:n_probe]
+    return sorted(c[0] for c in probes)
+
+
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN with fixed seed centroids (vec_id < 16): assign
+    each vector to its nearest centroid, then search only the
+    IVF_N_PROBE inverted lists closest to the query. See _ivf_search
+    for the plan shape; float parity with the SQL oracle is exact
+    (fold-order sums, repr round-trip literals)."""
+    cents, probe_ids = _ivf_model(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    return _ivf_search(e, cents, probe_ids)
+
+
+KMEANS_ITERS = 2
+# centroid quantization factor: floor(x*1e6)/1e6. The D suffix keeps
+# Spark on the DOUBLE path (a bare decimal literal parses as DECIMAL
+# and would reroute the division through decimal arithmetic).
+_Q6 = "1000000.0D"
+
+
+def _quant6(x: float) -> float:
+    import math
+
+    return float(math.floor(x * 1000000.0)) / 1000000.0
+
+
+def _kmeans_centroids(
+    spark: SparkSession, sf_dir: str, iters: int = KMEANS_ITERS
+) -> list[tuple[int, list[float], float]]:
+    """Lloyd's algorithm, DataFrame-native: per round, (1) one
+    explode-agg job computes every vector's nearest-centroid id, (2) a
+    vec_id-keyed join back to the exploded vectors + hash aggregate
+    produces per-(cluster, dim) means. Only the k×dim centroid table is
+    ever collected — bounded model state, like MLlib's k-means driver
+    loop. Empty clusters drop out (both engines agree).
+
+    Centroids are floor-quantized to 6 decimals after every update
+    (and at seeding): summation order inside AVG differs between Spark
+    partials and the DuckDB oracle by ~1 ulp, and FLOOR(x*1e6)/1e6 is
+    IEEE-deterministic given near-identical inputs, so both engines
+    iterate on bit-identical centroid models. (ROUND would tie-break
+    differently on division results — see the repo's parity notes.)"""
+    import math
+
+    cents_raw, _ = _ivf_model(spark, sf_dir)
+    cents = [
+        (cid, [_quant6(v) for v in cvec]) for cid, cvec, _ in cents_raw
+    ]
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+    for _ in range(iters):
+        cents3 = [
+            (cid, cvec, math.sqrt(_fold_dot(cvec, cvec))) for cid, cvec in cents
+        ]
+        assigned = (
+            exploded.groupBy("vec_id")
+            .agg(*_dot_sums(cents3, include_query=False))
+            .select("vec_id", *_dist_cols(cents3))
+            .select("vec_id", F.expr(_argmin_case(cents3)).alias("cid"))
+        )
+        upd = (
+            assigned.join(exploded, "vec_id")
+            .groupBy("cid", "pos")
+            .agg(
+                F.expr(
+                    f"floor(avg(cast(x as double)) * {_Q6}) / {_Q6}"
+                ).alias("cv")
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["cv"])
+        cents = [
+            (cid, [dims[p] for p in range(len(dims))])
+            for cid, dims in sorted(by_cid.items())
+        ]
+    return [
+        (cid, cvec, math.sqrt(_fold_dot(cvec, cvec))) for cid, cvec in cents
+    ]
+
+
+def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over centroids LEARNED by 2 Lloyd iterations (seeded from
+    vec_id < 16) instead of the raw seed vectors — the production
+    composition of embedding_centroids (the update step) with
+    sim_topk_ivf (the probe-pruned search). The oracle replays the
+    identical quantized iterations in SQL."""
+    cents = _kmeans_centroids(spark, sf_dir)
+    probe_ids = _probe_nearest(cents)
+    e = load_table(spark, sf_dir, "embeddings")
+    return _ivf_search(e, cents, probe_ids)
 
 
 # ------------------------------------------------------------ text analysis
@@ -474,6 +600,7 @@ QUERIES = {
     "sim_cosine_scores": sim_cosine_scores,
     "sim_topk_cosine": sim_topk_cosine,
     "sim_topk_ivf": sim_topk_ivf,
+    "sim_topk_ivf_kmeans": sim_topk_ivf_kmeans,
     "text_stats": text_stats,
     "lang_breakdown": lang_breakdown,
     "text_quality": text_quality,
@@ -501,7 +628,62 @@ def _duck_cos(a: str, b: str) -> str:
     )
 
 
+def _duck_asg(src: str, cents: str) -> str:
+    """Nearest-centroid assignment CTE body: same (dist ASC, cid ASC)
+    ordering as the Spark least()+CASE argmin."""
+    return f"""(
+        SELECT vec_id, vec, cid FROM (
+            SELECT s.vec_id, s.vec, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY (1 - {_duck_cos('s.vec', 'c.cvec')}) ASC, c.cid ASC
+                   ) AS rn
+            FROM {src} s CROSS JOIN {cents} c)
+        WHERE rn = 1
+    )"""
+
+
+def _duck_lloyd_update(asg: str) -> str:
+    """One centroid update: per-(cluster, dim) mean, floor-quantized to
+    6 decimals — the identical quantization the Spark iteration applies,
+    which is what lets both engines iterate on bit-equal models."""
+    return f"""(
+        SELECT cid, list(cv ORDER BY i) AS cvec FROM (
+            SELECT a.cid, t.i,
+                   FLOOR(AVG(a.vec[t.i]) * 1000000.0) / 1000000.0 AS cv
+            FROM {asg} a CROSS JOIN range(1, 65) t(i)
+            GROUP BY a.cid, t.i)
+        GROUP BY cid
+    )"""
+
+
+# Replays the Spark k-means IVF end-to-end: quantized seeds, two Lloyd
+# iterations with the same floor-quantized update, probe selection, and
+# the probe-pruned top-10 — all in SQL.
+_KMEANS_ORACLE = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    c0 AS (SELECT vec_id AS cid,
+                  list_transform(vec, x -> FLOOR(x * 1000000.0) / 1000000.0) AS cvec
+           FROM v WHERE vec_id < 16),
+    asg1 AS {_duck_asg('v', 'c0')},
+    c1 AS {_duck_lloyd_update('asg1')},
+    asg2 AS {_duck_asg('v', 'c1')},
+    c2 AS {_duck_lloyd_update('asg2')},
+    probe AS (
+        SELECT cid FROM c2
+        ORDER BY (1 - {_duck_cos('cvec', _QV)}) ASC, cid ASC
+        LIMIT 4
+    ),
+    asgf AS {_duck_asg('v', 'c2')}
+    SELECT a.vec_id, ROUND({_duck_cos('a.vec', _QV)}, 4) AS cos_sim
+    FROM asgf a JOIN probe p USING (cid)
+    ORDER BY cos_sim DESC, a.vec_id ASC
+    LIMIT 10
+"""
+
+
 ORACLES = {
+    "sim_topk_ivf_kmeans": _KMEANS_ORACLE,
     "sim_topk_cosine": f"""
         SELECT vec_id,
                ROUND({_duck_cos('CAST(embedding AS DOUBLE[])', _QV)}, 4) AS cos_sim

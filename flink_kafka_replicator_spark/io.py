@@ -64,3 +64,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     _TABLE_CACHE[key] = df
     return df
+
+
+def materialize_small(df: DataFrame) -> DataFrame:
+    """Pin a small multi-use intermediate so its lineage runs exactly once.
+
+    Identical broadcast subplans only get ReuseExchange when the build
+    keys match, so a tiny table feeding differently-keyed broadcasts
+    (the LSH candidate-pair pattern) recomputes its whole lineage per
+    use unless pinned.
+
+    If the session has a reliable checkpoint dir configured
+    (``sparkContext.setCheckpointDir``), use ``checkpoint(eager=True)``:
+    blocks live in the fault-tolerant store and survive executor loss —
+    required at cluster scale with dynamic allocation or spot kills.
+    Otherwise fall back to ``localCheckpoint(eager=True)``, whose blocks
+    sit on executors: fine for local runs, fragile under executor churn
+    — configure a checkpoint dir on real deployments.
+    """
+    sc = df.sparkSession.sparkContext
+    ck = sc.getCheckpointDir() if hasattr(sc, "getCheckpointDir") else None
+    if ck:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, materialize_small
 
 TOPK_PER_GROUP = 3
 SKEW_SALT_BUCKETS = 16
@@ -148,10 +148,10 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: events collapse to one row per (key, hour) BEFORE any
     join — everything downstream is proportional to grid size (keys ×
     hours), not event count. The hourly rollup feeds both the bounds agg
-    and the final join; it is tiny, so localCheckpoint pins it and the
+    and the final join; it is tiny, so materialize_small pins it and the
     event scan runs exactly once (same move as the LSH candidate table in
-    pipeline_queries; a reliable checkpoint dir is the cluster
-    equivalent).
+    pipeline_queries; uses the reliable checkpoint dir when one is
+    configured).
     """
     ev = load_table(spark, sf_dir, "events")
     hourly = (
@@ -160,8 +160,8 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
-        .localCheckpoint()
     )
+    hourly = materialize_small(hourly)
     bounds = hourly.groupBy("event_type").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
     )

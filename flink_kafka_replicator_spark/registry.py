@@ -51,9 +51,13 @@ _MODULES = [
     scalar_fns,
     sql_surface,
     advanced,
-    reshape,
     streaming_batch,
+    # pipeline_queries ahead of reshape: with ~13 unverified-extension
+    # slots under the driver's cap each round, the LSH/IVF/text family
+    # (the flagship LLM-pipeline surface) earns driver rows before the
+    # reshape conveniences; reshape rotates in next round.
     pipeline_queries,
+    reshape,
 ]
 
 

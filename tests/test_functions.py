@@ -111,6 +111,56 @@ def test_ivf_matches_bruteforce_top1(spark, sf_dir):
     assert len(ivf_ids & bf_ids) >= 5, "IVF recall@10 should be ≥ 0.5 on this data"
 
 
+def test_kmeans_ivf_recall_not_worse_than_fixed_seeds(spark):
+    """Learned (2-Lloyd-round) centroids must not lose recall vs the
+    raw seed vectors: mean recall@10 over an 8-query panel, through the
+    real Spark search path at sf0.01 (a single query's recall@10 is too
+    noisy to rank quantizers). Truth per query reuses the identical
+    arithmetic with every list probed."""
+    import math
+
+    from flink_kafka_replicator_spark.functions import pipeline_queries as pq
+    from flink_kafka_replicator_spark.io import load_table
+
+    sf = "/root/testdata/sf0.01"
+    e = load_table(spark, sf, "embeddings")
+    fixed, _ = pq._ivf_model(spark, sf)
+    learned = pq._kmeans_centroids(spark, sf)
+    panel = [
+        [math.sin(i + 1 + 0.37 * t) for i in range(64)] for t in range(8)
+    ]
+
+    def ids(cents, probes, q):
+        return {
+            r["vec_id"]
+            for r in pq._ivf_search(e, cents, probes, qvec=q).collect()
+        }
+
+    def recall(cents, q):
+        truth = ids(cents, [cid for cid, _, _ in cents], q)
+        got = ids(cents, pq._probe_nearest(cents, qvec=q), q)
+        return len(got & truth)
+
+    mean_fixed = sum(recall(fixed, q) for q in panel) / len(panel)
+    mean_learned = sum(recall(learned, q) for q in panel) / len(panel)
+    assert mean_learned >= mean_fixed, (
+        f"k-means IVF lost recall: {mean_learned} < {mean_fixed}"
+    )
+
+
+def test_materialize_small_prefers_reliable_checkpoint_dir(spark, tmp_path):
+    """With a checkpoint dir configured, materialize_small must route
+    through the fault-tolerant checkpoint store (files on disk), not
+    executor-local blocks — executor loss then recomputes nothing."""
+    from flink_kafka_replicator_spark.io import materialize_small
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path))
+    df = materialize_small(spark.range(100))
+    assert df.count() == 100
+    ck_files = [p for p in tmp_path.rglob("*") if p.is_file()]
+    assert ck_files, "no blocks written to the reliable checkpoint dir"
+
+
 def test_lang_id_is_deterministic_heuristic(spark):
     df = spark.createDataFrame(
         [(0, "the cat and the dog of the house is a friend"),
