@@ -44,6 +44,9 @@ _INT_OPTS = {
     "--transaction-timeout-ms": ("transaction_timeout_ms", DEFAULT_TRANSACTION_TIMEOUT_MS),
     "--parallelism": ("parallelism", None),
     "--max-offsets-per-trigger": ("max_offsets_per_trigger", None),
+    # reference: fixedDelayRestart(4, 10 s) (FlinkKafkaReplicator.java:99)
+    "--max-restarts": ("max_restarts", 4),
+    "--restart-delay-ms": ("restart_delay_ms", 10_000),
 }
 
 
@@ -63,10 +66,18 @@ def parse_args(argv: list[str]) -> tuple[ReplicateConfig, dict[str, str]]:
     parser = argparse.ArgumentParser(
         prog="spark-kafka-replicator",
         description="Replicate Kafka topics between clusters (PySpark Structured Streaming)",
+        # the reference's ParameterTool matches options exactly; argparse's
+        # default prefix matching would accept abbreviations it rejects
+        allow_abbrev=False,
     )
     parser.add_argument("--topics", required=False)
     for flag in _FLAGS:
-        parser.add_argument(flag, action="store_true")
+        if flag == "--from-latest":
+            # the reference spells it --latest-offset (OPTIONS.LATEST_OFFSET);
+            # accept both so existing invocations migrate verbatim
+            parser.add_argument(flag, "--latest-offset", action="store_true")
+        else:
+            parser.add_argument(flag, action="store_true")
     for opt, (_, default) in _INT_OPTS.items():
         parser.add_argument(opt, type=int, default=default)
     parser.add_argument("--checkpoint-location", default=None)
@@ -143,6 +154,8 @@ def parse_args(argv: list[str]) -> tuple[ReplicateConfig, dict[str, str]]:
     return cfg, {
         "checkpoint_location": checkpoint,
         "parallelism": known.parallelism,
+        "max_restarts": known.max_restarts,
+        "restart_delay_ms": known.restart_delay_ms,
     }
 
 
@@ -150,14 +163,21 @@ def run_preflight(cfg: ReplicateConfig, admin_factory=None):
     """Admin pre-flight: discover topics on both clusters and
     create/grow/sync or fail per the flags — the reference runs this
     blocking on the client before building the job graph
-    (FlinkKafkaReplicator.java:108). ``admin_factory(bootstrap) ->
+    (FlinkKafkaReplicator.java:108). ``admin_factory(bootstrap, props) ->
     AdminClient`` is injectable for tests; defaults to confluent-kafka.
     """
     from .streaming.admin import check_topics, confluent_admin_client
 
     factory = admin_factory or confluent_admin_client
-    source = factory(cfg.consumer_props["bootstrap.servers"])
-    target = factory(cfg.producer_props["bootstrap.servers"])
+    # pass the FULL property sets through (minus the bootstrap key):
+    # the reference builds its AdminClients from the complete
+    # consumer/producer properties (FlinkKafkaReplicator.java:202-205),
+    # so security.protocol / SASL / SSL settings must reach pre-flight
+    # or it cannot authenticate against secured clusters.
+    src_extra = {k: v for k, v in cfg.consumer_props.items() if k != "bootstrap.servers"}
+    tgt_extra = {k: v for k, v in cfg.producer_props.items() if k != "bootstrap.servers"}
+    source = factory(cfg.consumer_props["bootstrap.servers"], src_extra)
+    target = factory(cfg.producer_props["bootstrap.servers"], tgt_extra)
     return check_topics(
         source,
         target,
@@ -184,15 +204,25 @@ def main(argv: list[str] | None = None, admin_factory=None) -> int:
         # (README.adoc:28); shuffle partitions are the Spark analog
         shuffle_partitions=extra["parallelism"],
     )
-    if cfg.exactly_once:
-        # reference: --exactly-once switches the producer to transactional
-        # two-phase semantics (FlinkKafkaReplicator.java:124)
-        query = start_exactly_once_kafka_replication(
-            spark, cfg, extra["checkpoint_location"]
-        )
-    else:
-        query = start_kafka_replication(spark, cfg, extra["checkpoint_location"])
-    query.awaitTermination()
+    from .streaming.supervision import supervise
+
+    def start():
+        if cfg.exactly_once:
+            # reference: --exactly-once switches the producer to transactional
+            # two-phase semantics (FlinkKafkaReplicator.java:124)
+            return start_exactly_once_kafka_replication(
+                spark, cfg, extra["checkpoint_location"]
+            )
+        return start_kafka_replication(spark, cfg, extra["checkpoint_location"])
+
+    # fixed-delay restart supervision (FlinkKafkaReplicator.java:99):
+    # every restart re-opens the SAME checkpoint location, so the query
+    # resumes from committed offsets exactly like Flink's restore.
+    supervise(
+        start,
+        max_restarts=extra["max_restarts"],
+        restart_delay_s=extra["restart_delay_ms"] / 1000.0,
+    )
     return 0
 
 

@@ -142,16 +142,20 @@ def _session_fn(
         return
 
     start_ms, end_ms, n = state.get if state.exists else (None, None, 0)
+    # applyInPandasWithState guarantees no intra-batch ordering: collect
+    # the whole micro-batch's timestamps and sort before folding, or an
+    # out-of-order event would prematurely split a session.
+    ts_all: list[int] = []
     for pdf in batches:
-        ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-        for t in ts_ms:
-            if start_ms is None:
-                start_ms, end_ms, n = t, t, 1
-            elif t - end_ms <= SESSION_GAP_MS:
-                end_ms, n = max(end_ms, t), n + 1
-            else:
-                yield emit(start_ms, end_ms, n)  # gap exceeded in-stream
-                start_ms, end_ms, n = t, t, 1
+        ts_all.extend((pdf["ts"].astype("int64") // 1_000_000).tolist())
+    for t in sorted(ts_all):
+        if start_ms is None:
+            start_ms, end_ms, n = t, t, 1
+        elif t - end_ms <= SESSION_GAP_MS:
+            end_ms, n = max(end_ms, t), n + 1
+        else:
+            yield emit(start_ms, end_ms, n)  # gap exceeded in-stream
+            start_ms, end_ms, n = t, t, 1
     if start_ms is not None:
         state.update((start_ms, end_ms, n))
         state.setTimeoutTimestamp(end_ms + SESSION_GAP_MS)

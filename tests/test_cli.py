@@ -39,6 +39,28 @@ def test_flags_and_defaults():
     assert cfg.transaction_timeout_ms == 870_000
 
 
+def test_latest_offset_alias_matches_reference_spelling():
+    """The reference exposes OPTIONS.LATEST_OFFSET as --latest-offset;
+    a migrating invocation must work verbatim."""
+    cfg, _ = parse_args(BASE + ["--latest-offset"])
+    assert cfg.from_latest
+
+
+def test_abbreviated_options_rejected(capsys):
+    """ParameterTool matches options exactly; argparse's prefix
+    matching must be off or abbreviations the reference rejects would
+    silently parse."""
+    with pytest.raises(SystemExit):
+        parse_args(BASE + ["--exactly", "--from-lat"])
+
+
+def test_restart_strategy_options():
+    _, extra = parse_args(BASE)
+    assert extra["max_restarts"] == 4 and extra["restart_delay_ms"] == 10_000
+    _, extra = parse_args(BASE + ["--max-restarts", "2", "--restart-delay-ms", "500"])
+    assert extra["max_restarts"] == 2 and extra["restart_delay_ms"] == 500
+
+
 def test_missing_required_params_rejected(capsys):
     with pytest.raises(SystemExit):
         parse_args(["--topics", "x"])
@@ -98,7 +120,7 @@ def test_preflight_runs_reference_decision_matrix():
             "--producer.bootstrap.servers", "d:9092",
         ]
     )
-    report = run_preflight(cfg, admin_factory=lambda b: clients[b])
+    report = run_preflight(cfg, admin_factory=lambda b, props=None: clients[b])
     # matched topic created on target with source partitions + config;
     # non-matching 'other' untouched
     assert report.created == ["app.a"]
@@ -126,7 +148,7 @@ def test_preflight_fails_without_create_flag():
         ]
     )
     with pytest.raises(Exception, match="app.a"):
-        run_preflight(cfg, admin_factory=lambda b: clients[b])
+        run_preflight(cfg, admin_factory=lambda b, props=None: clients[b])
 
 
 def test_default_checkpoint_location_is_job_scoped():
