@@ -148,6 +148,26 @@ def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouped_zscore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score via built-in window functions — the
+    PRODUCTION twin of grouped_zscore_pandas. Same result, but the
+    plan is one hash exchange + codegen'd window aggregates: no Arrow
+    transfer and no whole-group pandas frame on one executor, so a hot
+    stratum (one language = 40% of a 100 TB corpus) streams through the
+    window operator instead of materializing in executor memory."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(
+            (F.col("n_chars") - F.avg("n_chars").over(w))
+            / F.stddev_samp("n_chars").over(w),
+            4,
+        ).alias("z_chars"),
+    )
+
+
 def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-safe arithmetic: try_divide / try_multiply / try_cast return
     NULL instead of raising under Spark 4's default ANSI mode — the
@@ -201,6 +221,7 @@ QUERIES = {
     "window_first_last": window_first_last,
     "sql_lateral_topk": sql_lateral_topk,
     "grouped_zscore_pandas": grouped_zscore_pandas,
+    "grouped_zscore_window": grouped_zscore_window,
 }
 
 ORACLES = {
@@ -281,6 +302,13 @@ ORACLES = {
         ) t ON TRUE
     """,
     "grouped_zscore_pandas": """
+        SELECT doc_id, lang,
+               ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+                     / STDDEV_SAMP(n_chars) OVER (PARTITION BY lang), 4)
+                   AS z_chars
+        FROM documents
+    """,
+    "grouped_zscore_window": """
         SELECT doc_id, lang,
                ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
                      / STDDEV_SAMP(n_chars) OVER (PARTITION BY lang), 4)

@@ -63,6 +63,23 @@ class IdempotentBatchSink:
     """
 
     def __init__(self, writer: BatchWriter, ledger_dir: str):
+        # The marker files are plain local-filesystem writes from the
+        # DRIVER. A remote URI (hdfs://, s3a://) would silently create a
+        # literal local directory named "hdfs:/..." and the ledger would
+        # not survive driver failover — replayed batches re-committed,
+        # duplicates under an exactly-once label. Reject loudly; on a
+        # cluster use the control-topic ledger
+        # (KafkaTransactionalBatchWriter control_topic=...), which is
+        # atomic with the data anyway.
+        scheme, sep, rest = ledger_dir.partition("://")
+        if sep and scheme != "file":
+            raise ValueError(
+                f"ledger_dir {ledger_dir!r} has a remote URI scheme; the "
+                "file ledger is local-driver-only — use the control-topic "
+                "ledger for cluster deployments"
+            )
+        if sep:
+            ledger_dir = rest if rest.startswith("/") else "/" + rest
         self.writer = writer
         self.ledger_dir = ledger_dir
         os.makedirs(ledger_dir, exist_ok=True)
@@ -95,16 +112,22 @@ class KafkaTransactionalBatchWriter:
     is clean. Combined with IdempotentBatchSink's ledger, replayed
     batches are skipped entirely.
 
-    Delivery-semantics note (honest accounting vs Flink's 2PC): Flink
-    commits transactions on checkpoint-complete and re-commits them from
-    checkpoint state on recovery, closing the crash window between data
-    commit and progress record. foreachBatch has no transaction handle
-    in the checkpoint, so a crash in the instant between the last
-    partition's commit and the ledger marker re-runs the whole batch →
-    duplicates bounded by one micro-batch, only in that window, only
-    for read-committed consumers. The reference's default mode is
-    at-least-once (AT_LEAST_ONCE, FlinkKafkaReplicator.java:124), which
-    this strictly improves on.
+    Delivery-semantics (vs Flink's 2PC): Flink commits transactions on
+    checkpoint-complete and re-commits them from checkpoint state on
+    recovery, closing the crash window between data commit and progress
+    record. Here that window is closed by the CONTROL-TOPIC ledger:
+    with ``control_topic`` set, every partition's transaction also
+    produces one marker record (key = ``b<batch>-p<partition>``) to the
+    control topic — marker and data commit atomically, by definition of
+    the transaction. ``committed_reader()`` (a read-committed scan of
+    the control topic, run on the driver at batch start) tells a replay
+    exactly which partitions already committed, and those tasks no-op.
+    A crash between two partitions' commits therefore re-runs only the
+    uncommitted partitions: zero duplicates for read-committed
+    consumers, with no atomicity assumption linking the file ledger to
+    the data. (The file ledger remains as the fast whole-batch skip.)
+    The control topic needs log retention covering the replay horizon;
+    compaction on key keeps it tiny.
 
     ``producer_factory(transactional_id) -> producer`` must be a
     top-level picklable callable returning an object with the
@@ -117,7 +140,12 @@ class KafkaTransactionalBatchWriter:
     """
 
     def __init__(
-        self, producer_factory, txn_prefix: str = "fkr-eo", transactional: bool = True
+        self,
+        producer_factory,
+        txn_prefix: str = "fkr-eo",
+        transactional: bool = True,
+        control_topic: str | None = None,
+        committed_reader=None,
     ):
         self.producer_factory = producer_factory
         self.txn_prefix = txn_prefix
@@ -127,10 +155,22 @@ class KafkaTransactionalBatchWriter:
         # timestamp column; reference KafkaMessageSerializationSchema
         # passes them through).
         self.transactional = transactional
+        # control-topic ledger: marker record produced INSIDE each
+        # partition's transaction; committed_reader() -> set[str] of
+        # marker keys, consulted at batch start so replayed tasks whose
+        # transaction already committed become no-ops.
+        self.control_topic = control_topic
+        self.committed_reader = committed_reader
 
     def write(self, df: DataFrame, batch_id: int) -> None:
         factory, prefix = self.producer_factory, self.txn_prefix
         transactional = self.transactional
+        control_topic = self.control_topic
+        committed: frozenset[str] = frozenset(
+            self.committed_reader()
+            if (control_topic and self.committed_reader is not None)
+            else ()
+        )
         cols = df.columns
 
         def send_partition(rows) -> None:
@@ -138,7 +178,10 @@ class KafkaTransactionalBatchWriter:
 
             ctx = TaskContext.get()
             pid = ctx.partitionId() if ctx is not None else 0
-            producer = factory(f"{prefix}-b{batch_id}-p{pid}")
+            marker = f"b{batch_id}-p{pid}"
+            if marker in committed:
+                return  # this partition's transaction already committed
+            producer = factory(f"{prefix}-{marker}")
             poll = getattr(producer, "poll", lambda timeout: None)
             if transactional:
                 producer.init_transactions()
@@ -181,6 +224,17 @@ class KafkaTransactionalBatchWriter:
                     sent += 1
                     if sent % 10_000 == 0:
                         poll(0)
+                if transactional and control_topic is not None:
+                    # the ledger marker rides in the SAME transaction:
+                    # data and marker become visible atomically
+                    produce_with_backpressure(
+                        topic=control_topic,
+                        key=marker.encode(),
+                        value=b"committed",
+                        partition=-1,
+                        timestamp=0,
+                        headers=None,
+                    )
             except Exception:
                 if transactional:
                     producer.abort_transaction()
@@ -219,6 +273,60 @@ def confluent_producer_factory(bootstrap_servers: str, **props):
     return factory
 
 
+def confluent_committed_reader(bootstrap_servers: str, control_topic: str, **props):
+    """``committed_reader`` for the real broker: a read-committed scan
+    of the control topic from the beginning, returning the set of
+    marker keys. Aborted transactions' markers are invisible by
+    isolation level, so the set contains exactly the durably committed
+    (batch, partition) pairs. Import-gated like the producer factory."""
+    try:
+        from confluent_kafka import Consumer, TopicPartition  # type: ignore[import-not-found]
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "confluent-kafka is not installed; inject a custom "
+            "committed_reader (or omit control_topic)"
+        ) from exc
+
+    def reader() -> set[str]:  # pragma: no cover — needs live brokers
+        consumer = Consumer(
+            {
+                "bootstrap.servers": bootstrap_servers,
+                "group.id": f"{control_topic}-ledger-reader",
+                "isolation.level": "read_committed",
+                "auto.offset.reset": "earliest",
+                "enable.auto.commit": False,
+                **props,
+            }
+        )
+        try:
+            md = consumer.list_topics(control_topic, timeout=10).topics.get(
+                control_topic
+            )
+            if md is None or md.error is not None:
+                return set()
+            parts = [TopicPartition(control_topic, p) for p in md.partitions]
+            ends = {
+                p.partition: consumer.get_watermark_offsets(p, timeout=10)[1]
+                for p in parts
+            }
+            consumer.assign(parts)
+            seen: set[str] = set()
+            done = {p: ends[p] == 0 for p in ends}
+            while not all(done.values()):
+                msg = consumer.poll(1.0)
+                if msg is None or msg.error():
+                    continue
+                if msg.key() is not None:
+                    seen.add(msg.key().decode())
+                if msg.offset() + 1 >= ends[msg.partition()]:
+                    done[msg.partition()] = True
+            return seen
+        finally:
+            consumer.close()
+
+    return reader
+
+
 def start_exactly_once_file_replication(
     spark,
     cfg,
@@ -251,6 +359,8 @@ def start_exactly_once_kafka_replication(
     producer_factory=None,
     source_df=None,
     available_now: bool = False,
+    control_topic: str | None = None,
+    committed_reader=None,
 ):
     """Exactly-once replication to Kafka: the reference's
     ``--exactly-once`` mode (FlinkKafkaReplicator.java:124 EXACTLY_ONCE),
@@ -275,8 +385,14 @@ def start_exactly_once_kafka_replication(
         }
         props["transaction.timeout.ms"] = str(cfg.transaction_timeout_ms)
         producer_factory = confluent_producer_factory(servers, **props)
+        if control_topic is not None and committed_reader is None:
+            committed_reader = confluent_committed_reader(servers, control_topic)
     sink = IdempotentBatchSink(
-        KafkaTransactionalBatchWriter(producer_factory),
+        KafkaTransactionalBatchWriter(
+            producer_factory,
+            control_topic=control_topic,
+            committed_reader=committed_reader,
+        ),
         ledger_dir=os.path.join(checkpoint_location, "_ledger"),
     )
     writer = df.writeStream.foreachBatch(sink).option(

@@ -148,6 +148,36 @@ def test_kmeans_ivf_recall_not_worse_than_fixed_seeds(spark):
     )
 
 
+def test_approx_distinct_within_hll_error_bound(spark, sf_dir):
+    """agg_approx_distinct stays rows-only for the driver (approximate
+    results differ across engines by design); this pins the invariant
+    instead: HLL++ at rsd=0.02 must land within 5% relative error of
+    the exact per-group countDistinct (comfortably above the
+    documented ~3-sigma bound)."""
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.operators.aggregates import (
+        agg_approx_distinct,
+    )
+
+    import pyspark.sql.functions as F
+
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in agg_approx_distinct(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["exact_parts"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("exact_parts"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, ex in exact.items():
+        rel = abs(approx[flag] - ex) / ex
+        assert rel <= 0.05, f"group {flag}: {approx[flag]} vs {ex} ({rel:.2%})"
+
+
 def test_materialize_small_prefers_reliable_checkpoint_dir(spark, tmp_path):
     """With a checkpoint dir configured, materialize_small must route
     through the fault-tolerant checkpoint store (files on disk), not

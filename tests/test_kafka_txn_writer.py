@@ -188,3 +188,93 @@ def test_end_to_end_exactly_once_kafka_replication(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert len(_committed(out)) == len(rows), "replay must be a no-op"
+
+
+class FlakyOnceFactory:
+    """Poisons exactly one partition's FIRST transaction: rows whose
+    topic == poison_topic raise while the flag file exists; the failing
+    task removes the flag, so the replay succeeds — simulating a crash
+    BETWEEN two partitions' commits."""
+
+    def __init__(self, out_dir: str, flag_path: str, poison_topic: str):
+        self.out_dir = out_dir
+        self.flag_path = flag_path
+        self.poison_topic = poison_topic
+
+    def __call__(self, transactional_id: str):
+        factory = self
+
+        class _Flaky(FakeTxnProducer):
+            def produce(self, topic, key, value, partition, timestamp, headers):
+                if topic == factory.poison_topic and os.path.exists(
+                    factory.flag_path
+                ):
+                    os.unlink(factory.flag_path)
+                    raise RuntimeError("injected crash mid-batch")
+                super().produce(topic, key, value, partition, timestamp, headers)
+
+        return _Flaky(self.out_dir, transactional_id)
+
+
+def _control_reader(out_dir: str, control_topic: str):
+    def reader() -> set:
+        return {
+            r["key"]
+            for r in _committed(out_dir)
+            if r["topic"] == control_topic
+        }
+
+    return reader
+
+
+def test_control_topic_ledger_survives_crash_between_partition_commits(
+    spark, tmp_path
+):
+    """Crash after partition A commits but before partition B does, then
+    replay the same batch id: with the marker record inside each
+    partition's transaction, the replay no-ops A and commits B — every
+    row delivered exactly once, no atomicity gap between data and
+    ledger."""
+    out = str(tmp_path / "committed")
+    os.makedirs(out)
+    flag = str(tmp_path / "poison-armed")
+    open(flag, "w").close()
+
+    # partition by the topic column → 'alpha' rows and 'beta' rows land
+    # in stable, distinct partitions across attempts
+    df = _envelope_df(spark, ["alpha", "beta", "alpha", "beta"]).repartition(
+        2, "topic"
+    )
+    writer = KafkaTransactionalBatchWriter(
+        FlakyOnceFactory(out, flag, poison_topic="beta"),
+        control_topic="__fkr_commits",
+        committed_reader=_control_reader(out, "__fkr_commits"),
+    )
+
+    with pytest.raises(Exception):
+        writer.write(df, 5)  # beta's partition aborts; alpha may commit
+    first = [r for r in _committed(out) if r["topic"] not in ("__fkr_commits",)]
+    assert all(r["topic"] == "alpha" for r in first), (
+        "aborted partition must publish nothing"
+    )
+
+    writer.write(df, 5)  # replay of the SAME batch id
+    rows = [r for r in _committed(out) if r["topic"] != "__fkr_commits"]
+    assert sorted(r["key"] for r in rows) == ["k0", "k1", "k2", "k3"], (
+        f"exactly-once violated: {sorted(r['key'] for r in rows)}"
+    )
+    markers = {r["key"] for r in _committed(out) if r["topic"] == "__fkr_commits"}
+    assert markers == {"b5-p0", "b5-p1"}
+
+
+def test_file_ledger_rejects_remote_uri(tmp_path):
+    class _NoopWriter:
+        def write(self, df, batch_id):  # pragma: no cover
+            pass
+
+    with pytest.raises(ValueError, match="local-driver-only"):
+        IdempotentBatchSink(_NoopWriter(), ledger_dir="hdfs://nn/ledger")
+    with pytest.raises(ValueError, match="local-driver-only"):
+        IdempotentBatchSink(_NoopWriter(), ledger_dir="s3a://bucket/ledger")
+    # file:// is local and fine
+    IdempotentBatchSink(_NoopWriter(), ledger_dir=f"file://{tmp_path}/ledger")

@@ -237,3 +237,62 @@ def test_streaming_sliding_window_matches_batch(spark, tmp_path):
     batch = {(r.window_start, r.n_events) for r in slide(ev).collect()}
     assert got <= batch
     assert len(got) >= 0.8 * len(batch), f"{len(got)}/{len(batch)} windows closed"
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """True late-data drop through a real micro-batch run, not the batch
+    simulation: run 1 (availableNow) advances the watermark past the
+    [00:00, 00:10) window and append-emits it; run 2 against the SAME
+    checkpoint delivers a late event inside that closed window plus an
+    on-time event. The late row must be dropped — the emitted count for
+    the closed window stays at the on-time count, while the batch query
+    over the full fixture would count the late row."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    schema = "ts timestamp, user_id int"
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    on_time = [(base + dt.timedelta(minutes=m), 1) for m in (1, 2, 3)] + [
+        (base + dt.timedelta(minutes=60), 1)
+    ]
+    run(on_time)
+    first = {
+        (r.window_start, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (base, 3) in first, f"window [0,10) should have closed: {first}"
+
+    # run 2: one LATE row in the closed window + one on-time row
+    run([(base + dt.timedelta(minutes=5), 9), (base + dt.timedelta(minutes=70), 1)])
+    got = [r for r in spark.read.parquet(out).collect() if r.window_start == base]
+    assert [(r.window_start, r.n_events) for r in got] == [(base, 3)], (
+        f"late row must be dropped, not re-emitted or re-counted: {got}"
+    )
+    # the batch query over the same (now full) fixture counts the late row
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("w.start") == base)
+        .collect()
+    )
+    assert batch[0].n_events == 4, "fixture sanity: batch sees the late row"

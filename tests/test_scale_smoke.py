@@ -99,3 +99,100 @@ def test_gap_fill_and_lateral_at_10x(spark, big_dir):
     t_gap = _timed(gap_fill_locf(spark, big_dir))
     t_lat = _timed(sql_lateral_topk(spark, big_dir))
     assert t_gap < 60 and t_lat < 60, f"gap {t_gap:.1f}s lateral {t_lat:.1f}s"
+
+
+# ----------------------------------------------------------------- 100×
+# A corpus-realistic 100× of sf0.1 (≈ sf10): documents get a per-copy
+# token salt so each copy has its own vocabulary — the original corpus's
+# planted near-dup structure is replicated 100× while cross-copy Jaccard
+# is 0, exactly how a 100× larger real corpus behaves (duplication RATE
+# constant, not 100 copies of every doc). Events offset both event_id
+# and user_id per copy: more keys, same per-key distribution.
+
+COPIES100 = 100
+
+
+@pytest.fixture(scope="module")
+def big100_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sf10x"))
+    d = spark.read.parquet(f"{SRC}/documents.parquet")
+    nd = d.count()
+    doc_copies = [
+        d.select(
+            (F.col("doc_id") + F.lit(i * nd * 10)).alias("doc_id"),
+            F.expr(
+                f"concat_ws(' ', transform(split(text, ' '), t -> concat(t, '_{i}')))"
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(COPIES100)
+    ]
+    docs = doc_copies[0]
+    for c in doc_copies[1:]:
+        docs = docs.unionByName(c)
+    docs.repartition(32).write.parquet(f"{out}/documents.parquet")
+
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    ne = ev.count()
+    ev_copies = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(i * ne * 10)).withColumn(
+            "user_id", F.col("user_id") + F.lit(i * 1_000_000)
+        )
+        for i in range(COPIES100)
+    ]
+    evs = ev_copies[0]
+    for c in ev_copies[1:]:
+        evs = evs.unionByName(c)
+    evs.repartition(32).write.parquet(f"{out}/events.parquet")
+    return out
+
+
+def test_minhash_at_100x_linear_no_pair_blowup(spark, big100_dir):
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        dedup_fuzzy_minhash,
+    )
+
+    t_small = _timed(dedup_fuzzy_minhash(spark, SRC))
+    n_small = dedup_fuzzy_minhash(spark, SRC).count()
+    t0 = time.perf_counter()
+    n_big = dedup_fuzzy_minhash(spark, big100_dir).count()
+    t_big = time.perf_counter() - t0
+    print(f"\nminhash 1x: {t_small:.1f}s/{n_small} pairs; "
+          f"100x: {t_big:.1f}s/{n_big} pairs")
+    assert t_big < t_small * COPIES100 * 3, (
+        f"superlinear: {t_big:.1f}s vs {t_small:.1f}s at 1x"
+    )
+    # pair structure must scale with the corpus (no bucket blowup): each
+    # copy contributes its own near-dup pairs; LSH recall jitters per
+    # salt, so allow a band around exactly-100×
+    assert 0.5 * COPIES100 * n_small <= n_big <= 2 * COPIES100 * max(n_small, 1), (
+        f"pair count {n_big} not ~100× the 1× count {n_small}"
+    )
+
+
+def test_simhash_at_100x_linear(spark, big100_dir):
+    from flink_kafka_replicator_spark.functions.pipeline_queries import dedup_simhash
+
+    t_small = _timed(dedup_simhash(spark, SRC))
+    t0 = time.perf_counter()
+    n_big = dedup_simhash(spark, big100_dir).count()
+    t_big = time.perf_counter() - t0
+    print(f"\nsimhash 1x: {t_small:.1f}s; 100x: {t_big:.1f}s/{n_big} pairs")
+    assert t_big < t_small * COPIES100 * 3, (
+        f"superlinear: {t_big:.1f}s vs {t_small:.1f}s"
+    )
+
+
+def test_asof_at_100x_linear(spark, big100_dir):
+    from flink_kafka_replicator_spark.operators.advanced import join_asof
+
+    t_small = _timed(join_asof(spark, SRC))
+    t0 = time.perf_counter()
+    n_big = join_asof(spark, big100_dir).count()
+    t_big = time.perf_counter() - t0
+    print(f"\nasof 1x: {t_small:.1f}s; 100x: {t_big:.1f}s/{n_big} rows")
+    assert t_big < t_small * COPIES100 * 3, (
+        f"superlinear: {t_big:.1f}s vs {t_small:.1f}s"
+    )
