@@ -49,6 +49,8 @@ HEADLINE = [
     "dedup_fuzzy_minhash",
     "dedup_simhash",
     "sim_topk_cosine",
+    "sim_topk_ivf",
+    "grouped_zscore_window",
     "text_stats",
 ]
 

@@ -1,0 +1,284 @@
+"""Corpus-preparation operators for large-scale training pipelines:
+chunking, TF-IDF, blocklist filtering, per-language vocabulary, and
+benchmark decontamination. No reference counterpart (SURVEY §2.6
+extensions); every op is JVM-side column expressions + joins/aggs so
+the row path stays in whole-stage codegen at 100 TB.
+
+Float-parity notes (shared with the rest of the repo): divisions and
+logs are floor-quantized (FLOOR(x*10^k)/10^k) instead of ROUND —
+ROUND's tie-break differs between Spark and DuckDB on division
+results, and the engines' ln() may differ in the last ulp, so scores
+quantize BEFORE any cross-engine comparison or ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from . import text
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40
+
+# Decontamination n-gram width. Real pipelines use 8-13 word grams;
+# the synthetic corpus is near-random word soup where 5+-grams never
+# collide across docs, so 4 keeps the operator's output non-trivial
+# at test scale (the shape is identical at any width).
+CONTAM_NGRAM = 4
+
+# Source blocklist: the dim-table side of a filter every production
+# corpus applies (licensing/opt-out/abuse lists).
+BLOCKED_SOURCES = ("crawl-3", "forum")
+
+
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping token-window chunks
+    (CHUNK_TOKENS wide, CHUNK_STRIDE apart) — the 1→N fan-out every
+    context-window-bounded trainer needs. Pure map-side: tokens are
+    materialized once per row (separate select, so the explode lambda
+    does not re-split per output chunk), then Generate + project; no
+    shuffle, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", text.tokens("text").alias("toks"))
+    return (
+        toks.select(
+            "doc_id",
+            "lang",
+            F.size("toks").alias("doc_tokens"),
+            F.explode(
+                F.expr(
+                    f"sequence(0, greatest(size(toks) - 1, 0), {CHUNK_STRIDE})"
+                )
+            ).alias("chunk_start"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "doc_tokens",
+            (F.col("chunk_start") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.expr(f"slice(toks, chunk_start + 1, {CHUNK_TOKENS})")
+            ).alias("chunk_text"),
+            F.expr(
+                f"size(slice(toks, chunk_start + 1, {CHUNK_TOKENS}))"
+            ).alias("chunk_tokens"),
+        )
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (stopwords removed).
+
+    Shape: explode tokens → per-(doc, term) counts (partial agg before
+    the shuffle) → document-frequency agg per term → join → score →
+    per-doc top-k via row_number (compiles with WindowGroupLimit, so
+    each map task emits ≤ k rows per doc before the shuffle).
+
+    The df table is vocabulary-sized — orders of magnitude smaller than
+    the corpus — so Catalyst/AQE broadcasts it in the score join.
+    Scores floor-quantize at 6 decimals before ordering so both
+    engines rank identical numbers (ln may differ in the last ulp)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(text.tokens("text")).alias("term")
+    ).filter(~F.col("term").isin(*text.STOPWORDS) & (F.col("term") != ""))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    df_ = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        F.expr(
+            f"floor(tf * floor(ln(cast({n_docs} as double) / doc_freq) * 1000000.0D)"
+            f" / 1000000.0D * 10000.0D) / 10000.0D"
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rn").cast("int").alias("rank"))
+    )
+
+
+def filter_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus filtering against a blocklist dim: anti-join on source
+    (broadcast — the blocklist is always tiny relative to the corpus)
+    plus a pattern rule. Returns per-(lang, source) survivor stats so
+    the result is aggregate-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    blocked = spark.sql(
+        "SELECT * FROM VALUES {} AS t(source)".format(
+            ", ".join(f"('{s}')" for s in BLOCKED_SOURCES)
+        )
+    )
+    return (
+        d.join(F.broadcast(blocked), "source", "left_anti")
+        .filter(~F.col("text").rlike("FORBIDDEN_MARKER"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary head: top-5 non-stopword terms by
+    (count DESC, term ASC). explode → two-level agg (partial map-side)
+    → WindowGroupLimit top-k. Pure integer counts: no float parity
+    concerns."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(text.tokens("text")).alias("term"))
+        .filter(~F.col("term").isin(*text.STOPWORDS) & (F.col("term") != ""))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "term", "n", F.col("rn").cast("int").alias("rank"))
+    )
+
+
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: which training docs share a CONTAM_NGRAM-word
+    n-gram with the eval set (docs with doc_id % 100 == 0 stand in for
+    the benchmark)?
+
+    Shape: distinct n-grams of the (small) eval side join the exploded
+    n-grams of the corpus side on the gram string — the eval-gram table
+    is benchmark-sized, so it broadcasts; the corpus side is scanned
+    once, map-side filtered by the broadcast hash. Output: per training
+    doc, how many distinct eval grams it contains."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", text.tokens("text").alias("toks"), (F.col("doc_id") % 100).alias("m")
+    )
+    grams = toks.select(
+        "doc_id",
+        "m",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform("
+                f" sequence(0, greatest(size(toks) - {CONTAM_NGRAM}, 0)),"
+                f" i -> concat_ws(' ', slice(toks, i + 1, {CONTAM_NGRAM}))))"
+            )
+        ).alias("gram"),
+    )
+    eval_grams = (
+        grams.filter(F.col("m") == 0).select("gram").distinct()
+    )
+    train = grams.filter(F.col("m") != 0)
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_contaminated_grams"))
+    )
+
+
+QUERIES = {
+    "doc_chunk": doc_chunk,
+    "tfidf_top_terms": tfidf_top_terms,
+    "filter_blocklist": filter_blocklist,
+    "top_terms_per_lang": top_terms_per_lang,
+    "contamination_ngram": contamination_ngram,
+}
+
+_STOP = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+_BLOCKED = ", ".join(f"'{s}'" for s in BLOCKED_SOURCES)
+
+ORACLES = {
+    "doc_chunk": f"""
+        WITH t AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+        ), starts AS (
+            SELECT doc_id, lang, toks,
+                   unnest(generate_series(1, greatest(len(toks), 1),
+                                          {CHUNK_STRIDE})) AS s
+            FROM t
+        )
+        SELECT doc_id, lang,
+               len(toks) AS doc_tokens,
+               CAST((s - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
+               array_to_string(toks[s:s + {CHUNK_TOKENS} - 1], ' ') AS chunk_text,
+               len(toks[s:s + {CHUNK_TOKENS} - 1]) AS chunk_tokens
+        FROM starts
+    """,
+    "tfidf_top_terms": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ), clean AS (
+            SELECT doc_id, term FROM toks
+            WHERE term NOT IN ({_STOP}) AND term <> ''
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM clean GROUP BY 1, 2
+        ), df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS doc_freq FROM clean GROUP BY 1
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   FLOOR(tf.tf * FLOOR(LN(CAST(n.n_docs AS DOUBLE) / df.doc_freq)
+                                       * 1000000.0) / 1000000.0 * 10000.0) / 10000.0
+                       AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term ASC) AS rn
+            FROM scored)
+        WHERE rn <= 3
+    """,
+    "filter_blocklist": f"""
+        SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        FROM documents
+        WHERE source NOT IN ({_BLOCKED})
+          AND NOT regexp_matches(text, 'FORBIDDEN_MARKER')
+        GROUP BY lang, source
+    """,
+    "top_terms_per_lang": f"""
+        WITH toks AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+        ), counts AS (
+            SELECT lang, term, COUNT(*) AS n FROM toks
+            WHERE term NOT IN ({_STOP}) AND term <> ''
+            GROUP BY 1, 2
+        )
+        SELECT lang, term, n, CAST(rn AS INT) AS rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                         ORDER BY n DESC, term ASC) AS rn
+            FROM counts)
+        WHERE rn <= 5
+    """,
+    "contamination_ngram": f"""
+        WITH t AS (
+            SELECT doc_id, doc_id % 100 AS m, string_split(text, ' ') AS toks
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, m,
+                   unnest(list_distinct([array_to_string(toks[i:i + {CONTAM_NGRAM} - 1], ' ')
+                          for i in generate_series(1, greatest(len(toks) - {CONTAM_NGRAM} + 1, 1))]))
+                       AS gram
+            FROM t
+        ), ev AS (
+            SELECT DISTINCT gram FROM grams WHERE m = 0
+        )
+        SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_contaminated_grams
+        FROM grams g JOIN ev USING (gram)
+        WHERE g.m <> 0
+        GROUP BY g.doc_id
+    """,
+}

@@ -40,7 +40,7 @@ from .operators import (
     windows,
 )
 
-from .functions import pipeline_queries
+from .functions import corpus, pipeline_queries
 
 _MODULES = [
     replication,
@@ -57,6 +57,7 @@ _MODULES = [
     # (the flagship LLM-pipeline surface) earns driver rows before the
     # reshape conveniences; reshape rotates in next round.
     pipeline_queries,
+    corpus,
     reshape,
 ]
 

@@ -205,3 +205,34 @@ def test_grouped_zscore_prunes_columns_single_exchange(spark, sf_dir):
     assert "text" not in plan.split("ReadSchema")[1].splitlines()[0], (
         "grouped-map must not drag the text column through the shuffle"
     )
+
+
+def test_doc_chunk_is_shuffle_free(spark, sf_dir):
+    """Chunking is a 1→N map-side fan-out: Generate over the scan, no
+    exchange anywhere."""
+    from flink_kafka_replicator_spark.functions.corpus import doc_chunk
+
+    df = doc_chunk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Generate" in plan
+    assert exchange_count(df) == 0, f"chunking must not shuffle:\n{plan}"
+
+
+def test_tfidf_topk_uses_window_group_limit(spark, sf_dir):
+    from flink_kafka_replicator_spark.functions.corpus import tfidf_top_terms
+
+    plan = formatted_plan(tfidf_top_terms(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, f"per-doc top-k must push down:\n{plan}"
+    assert "CartesianProduct" not in plan
+
+
+def test_blocklist_and_contamination_broadcast_the_small_side(spark, sf_dir):
+    from flink_kafka_replicator_spark.functions.corpus import (
+        contamination_ngram,
+        filter_blocklist,
+    )
+
+    plan = formatted_plan(filter_blocklist(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    plan = formatted_plan(contamination_ngram(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, f"eval grams must broadcast:\n{plan}"
