@@ -172,8 +172,80 @@ def sql_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations per
+    ship year — a six-way join where AQE broadcasts every dim and the
+    fact tables meet in one shuffled equi-join; YEAR() grouping."""
+    _register(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation")
+    return spark.sql("""
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               YEAR(l.l_shipdate) AS l_year,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_nationkey, n2.n_nationkey) IN ((0, 1), (1, 0))
+        GROUP BY n1.n_name, n2.n_name, YEAR(l.l_shipdate)
+""")
+
+
+def sql_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer in a
+    quarter, top-20 — date-window pushdown + selective flag filter
+    before the join, TakeOrderedAndProject for the top-k."""
+    _register(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql("""
+        SELECT c.c_custkey,
+               c.c_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               ROUND(c.c_acctbal, 4) AS c_acctbal,
+               n.n_name
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+""")
+
+
+def sql_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via IN over a HAVING
+    subquery — Catalyst rewrites the IN to a left-semi join against the
+    aggregated subquery (no correlated re-evaluation)."""
+    _register(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql("""
+        SELECT c.c_custkey,
+               o.o_orderkey,
+               o.o_orderdate,
+               ROUND(o.o_totalprice, 4) AS o_totalprice,
+               ROUND(SUM(l.l_quantity), 4) AS total_qty
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 300
+        )
+        GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+""")
+
+
 QUERIES = {
     "agg_grouping_sets": agg_grouping_sets,
+    "sql_q7_volume_shipping": sql_q7_volume_shipping,
+    "sql_q10_returned_items": sql_q10_returned_items,
+    "sql_q18_large_orders": sql_q18_large_orders,
     "sql_q3_shipping_priority": sql_q3_shipping_priority,
     "sql_q5_local_supplier": sql_q5_local_supplier,
     "sql_having_cte": sql_having_cte,
@@ -185,6 +257,54 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_q7_volume_shipping": """
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_nationkey, n2.n_nationkey) IN ((0, 1), (1, 0))
+        GROUP BY n1.n_name, n2.n_name, CAST(YEAR(l.l_shipdate) AS INT)
+""",
+    "sql_q10_returned_items": """
+        SELECT c.c_custkey,
+               c.c_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               ROUND(c.c_acctbal, 4) AS c_acctbal,
+               n.n_name
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+""",
+    "sql_q18_large_orders": """
+        SELECT c.c_custkey,
+               o.o_orderkey,
+               o.o_orderdate,
+               ROUND(o.o_totalprice, 4) AS o_totalprice,
+               ROUND(SUM(l.l_quantity), 4) AS total_qty
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 300
+        )
+        GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+""",
     "sql_q5_local_supplier": """
         SELECT n.n_name,
                ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
