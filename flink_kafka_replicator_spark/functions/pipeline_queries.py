@@ -60,18 +60,22 @@ def _minhash_candidates_with_jaccard(spark: SparkSession, sf_dir: str) -> DataFr
     # once instead of once per broadcast mode (reliable checkpoint dir
     # when configured, else localCheckpoint).
     pairs = broadcast(materialize_small(lsh_candidate_pairs(banded, "doc_id")))
-    # Shingle only the candidate docs: left-semi against the pairs
-    # broadcast prunes the corpus to the candidate set BEFORE the
-    # expensive shingle computation — at 100 TB the verify phase
-    # touches |candidates| docs, not |corpus|.
-    docs_a = d.join(pairs, d.doc_id == pairs.id_a, "left_semi")
-    docs_b = d.join(pairs, d.doc_id == pairs.id_b, "left_semi")
-    a = shingle_pipeline(docs_a, "doc_id", "text").select(
-        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+    # Shingle only the candidate docs, and each candidate ONCE: explode
+    # the pair table into its distinct ids, left-semi-prune the corpus
+    # against that broadcast, compute shingles for the union, and pin
+    # the (small) result. The per-side joins then reuse one shingle
+    # table instead of re-shingling per side — at 100 TB the verify
+    # phase computes |candidates| shingle sets, not 2×, and touches
+    # |candidates| docs, not |corpus|.
+    ids = pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
+    cand = d.join(broadcast(ids), "doc_id", "left_semi")
+    sh = broadcast(
+        materialize_small(
+            shingle_pipeline(cand, "doc_id", "text").select("doc_id", "shingles")
+        )
     )
-    b = shingle_pipeline(docs_b, "doc_id", "text").select(
-        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
-    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
