@@ -50,6 +50,9 @@ HEADLINE = [
     "dedup_simhash",
     "sim_topk_cosine",
     "sim_topk_ivf",
+    "sim_topk_ivf_kmeans",
+    "tfidf_top_terms",
+    "contamination_ngram",
     "grouped_zscore_window",
     "text_stats",
 ]

@@ -81,6 +81,9 @@ def parse_args(argv: list[str]) -> tuple[ReplicateConfig, dict[str, str]]:
     for opt, (_, default) in _INT_OPTS.items():
         parser.add_argument(opt, type=int, default=default)
     parser.add_argument("--checkpoint-location", default=None)
+    # control-topic transactional ledger for --exactly-once (markers
+    # committed atomically with the data; see streaming/exactly_once.py)
+    parser.add_argument("--control-topic", default=None)
 
     known, unknown = parser.parse_known_args(argv)
     props: dict[str, str] = {}
@@ -156,6 +159,7 @@ def parse_args(argv: list[str]) -> tuple[ReplicateConfig, dict[str, str]]:
         "parallelism": known.parallelism,
         "max_restarts": known.max_restarts,
         "restart_delay_ms": known.restart_delay_ms,
+        "control_topic": known.control_topic,
     }
 
 
@@ -211,7 +215,10 @@ def main(argv: list[str] | None = None, admin_factory=None) -> int:
             # reference: --exactly-once switches the producer to transactional
             # two-phase semantics (FlinkKafkaReplicator.java:124)
             return start_exactly_once_kafka_replication(
-                spark, cfg, extra["checkpoint_location"]
+                spark,
+                cfg,
+                extra["checkpoint_location"],
+                control_topic=extra["control_topic"],
             )
         return start_kafka_replication(spark, cfg, extra["checkpoint_location"])
 
