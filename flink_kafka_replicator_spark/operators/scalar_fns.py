@@ -146,6 +146,39 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed schema-on-read: from_json with a DECLARED schema + struct
+    field access + to_json round-trip (fn_json is the schemaless
+    get_json_object path). The parse happens once per row; both
+    projections read the same parsed struct."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        F.to_json(F.struct(parsed.getField("k").alias("k"))).alias("roundtrip"),
+    )
+
+
+def hist_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via the width_bucket built-in: 10 bins over
+    [0, 500), under/overflow in buckets 0 and 11 — the corpus-stats
+    binning primitive (token-length / score histograms at 100 TB are
+    this exact one-shuffle aggregate)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.width_bucket("value", F.lit(0.0), F.lit(500.0), F.lit(10)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 QUERIES = {
     "fn_higher_order": fn_higher_order,
     "fn_regexp": fn_regexp,
@@ -155,6 +188,8 @@ QUERIES = {
     "fn_date": fn_date,
     "fn_math": fn_math,
     "fn_json": fn_json,
+    "fn_json_struct": fn_json_struct,
+    "hist_value_buckets": hist_value_buckets,
     "fn_array": fn_array,
 }
 
@@ -223,6 +258,23 @@ ORACLES = {
                CAST(CEIL(l_quantity) AS BIGINT)  AS qty_ceil,
                CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor
         FROM lineitem
+    """,
+    "fn_json_struct": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+               CASE WHEN json_extract_string(props, '$.k') IS NULL THEN '{}'
+                    ELSE '{"k":' || CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS VARCHAR) || '}'
+               END AS roundtrip
+        FROM events
+    """,
+    "hist_value_buckets": """
+        SELECT bucket, COUNT(*) AS n FROM (
+            SELECT CASE WHEN value < 0 THEN 0
+                        WHEN value >= 500 THEN 11
+                        ELSE CAST(FLOOR(value / 50.0) AS INTEGER) + 1
+                   END AS bucket
+            FROM events)
+        GROUP BY bucket
     """,
     "fn_json": """
         SELECT event_id,
