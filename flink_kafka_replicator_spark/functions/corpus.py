@@ -190,18 +190,108 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_MIN = 0.22
+MIN_TOKENS = 25
+
+
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composition a training-data pipeline actually runs:
+    normalize → exact-dedup on the normalized hash → quality filter →
+    content-hash shard assignment → per-shard stats, as ONE declarative
+    plan.
+
+    Scale shape: normalize+hash are map-side projections fused into the
+    dedup aggregate's partial phase; min_by carries (doc_id, normalized
+    text) through the dedup so there is NO join back to the corpus; the
+    quality filter runs on the already-deduped survivors; total = two
+    shuffles (dedup hash, shard stats) for the whole pipeline.
+
+    Per-doc quality floor-quantizes to 4 decimals and aggregates as an
+    exact integer SUM (sum_quality_e4) — cross-engine AVG-of-division
+    rounding can differ in the last ulp, integer sums cannot."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    staged = d.select("doc_id", norm.alias("norm")).withColumn(
+        "h", F.md5("norm")
+    )
+    dedup = staged.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("norm", "doc_id").alias("norm"),
+    )
+    scored = dedup.select(
+        "h",
+        "doc_id",
+        text.token_count(F.col("norm")).alias("n_tokens"),
+        F.floor(text.quality_score(F.col("norm")) * 10000).alias("q_e4"),
+    )
+    kept = scored.filter(
+        (F.col("q_e4") >= int(QUALITY_MIN * 10000))
+        & (F.col("n_tokens") >= MIN_TOKENS)
+    )
+    return (
+        kept.select(
+            F.expr("conv(substring(h, 1, 4), 16, 10)").cast("bigint").alias("hx"),
+            "n_tokens",
+            "q_e4",
+        )
+        .select((F.col("hx") % 16).alias("shard"), "n_tokens", "q_e4")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("q_e4").alias("sum_quality_e4"),
+        )
+    )
+
+
 QUERIES = {
     "doc_chunk": doc_chunk,
     "tfidf_top_terms": tfidf_top_terms,
     "filter_blocklist": filter_blocklist,
     "top_terms_per_lang": top_terms_per_lang,
     "contamination_ngram": contamination_ngram,
+    "pipeline_end_to_end": pipeline_end_to_end,
 }
 
 _STOP = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 _BLOCKED = ", ".join(f"'{s}'" for s in BLOCKED_SOURCES)
 
 ORACLES = {
+    "pipeline_end_to_end": f"""
+        WITH norm AS (
+            SELECT doc_id,
+                   TRIM(regexp_replace(
+                       regexp_replace(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'),
+                       '\\s+', ' ', 'g')) AS n
+            FROM documents
+        ), dedup AS (
+            SELECT md5(n) AS h, MIN(doc_id) AS doc_id, MIN_BY(n, doc_id) AS n
+            FROM norm GROUP BY 1
+        ), scored AS (
+            SELECT h, doc_id, len(string_split(n, ' ')) AS n_tokens,
+                   CAST(FLOOR((0.5 * (CAST(len(list_filter(string_split(n, ' '),
+                                x -> list_contains([{_STOP}], x))) AS DOUBLE)
+                               / len(string_split(n, ' ')))
+                        + 0.5 * (CAST(len(list_distinct(string_split(n, ' '))) AS DOUBLE)
+                                 / len(string_split(n, ' ')))) * 10000) AS BIGINT) AS q_e4
+            FROM dedup
+        ), kept AS (
+            SELECT * FROM scored
+            WHERE q_e4 >= {int(QUALITY_MIN * 10000)} AND n_tokens >= {MIN_TOKENS}
+        )
+        SELECT ('0x' || substr(h, 1, 4))::BIGINT % 16 AS shard,
+               COUNT(*) AS n_docs,
+               SUM(n_tokens) AS total_tokens,
+               SUM(q_e4) AS sum_quality_e4
+        FROM kept
+        GROUP BY 1
+    """,
     "doc_chunk": f"""
         WITH t AS (
             SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents

@@ -179,6 +179,35 @@ def hist_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance + padding/translate string functions — the fuzzy
+    matching primitives (levenshtein is the exact-small-string
+    complement to the LSH families)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.levenshtein("source", "lang").alias("lev_src_lang"),
+        F.lpad("lang", 5, "*").alias("lang_padded"),
+        F.reverse("source").alias("source_rev"),
+        F.translate("source", "-", "_").alias("source_snake"),
+    )
+
+
+def upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins upsert compaction: one surviving row per
+    (user_id, event_type), carrying the values of the row with the
+    highest event_id — the max_by aggregate form (single hash agg with
+    map-side partials; the window/row_number form shuffles whole rows
+    and sorts each group, this shuffles only the agg buffers)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.max("event_id").alias("latest_event_id"),
+        F.max_by("ts", "event_id").alias("latest_ts"),
+        F.round(F.max_by("value", "event_id"), 4).alias("latest_value"),
+        F.count("*").alias("n_versions"),
+    )
+
+
 QUERIES = {
     "fn_higher_order": fn_higher_order,
     "fn_regexp": fn_regexp,
@@ -188,12 +217,31 @@ QUERIES = {
     "fn_date": fn_date,
     "fn_math": fn_math,
     "fn_json": fn_json,
+    "fn_string_distance": fn_string_distance,
+    "upsert_latest_wins": upsert_latest_wins,
     "fn_json_struct": fn_json_struct,
     "hist_value_buckets": hist_value_buckets,
     "fn_array": fn_array,
 }
 
 ORACLES = {
+    "fn_string_distance": """
+        SELECT doc_id,
+               CAST(levenshtein(source, lang) AS INTEGER) AS lev_src_lang,
+               lpad(lang, 5, '*') AS lang_padded,
+               reverse(source) AS source_rev,
+               replace(source, '-', '_') AS source_snake
+        FROM documents
+    """,
+    "upsert_latest_wins": """
+        SELECT user_id, event_type,
+               MAX(event_id) AS latest_event_id,
+               MAX_BY(ts, event_id) AS latest_ts,
+               ROUND(MAX_BY(value, event_id), 4) AS latest_value,
+               COUNT(*) AS n_versions
+        FROM events
+        GROUP BY user_id, event_type
+    """,
     "fn_higher_order": """
         SELECT vec_id,
                CAST(LEN(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.5))
