@@ -53,6 +53,7 @@ HEADLINE = [
     "sim_topk_ivf_kmeans",
     "tfidf_top_terms",
     "contamination_ngram",
+    "pipeline_end_to_end",
     "grouped_zscore_window",
     "text_stats",
 ]

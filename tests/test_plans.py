@@ -236,3 +236,15 @@ def test_blocklist_and_contamination_broadcast_the_small_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     plan = formatted_plan(contamination_ngram(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, f"eval grams must broadcast:\n{plan}"
+
+
+def test_pipeline_end_to_end_two_shuffles_no_join(spark, sf_dir):
+    """The whole normalize→dedup→filter→shard composition must stay two
+    exchanges (dedup hash, shard stats) with no join back to the corpus
+    — min_by carries the survivor rows through the dedup aggregate."""
+    from flink_kafka_replicator_spark.functions.corpus import pipeline_end_to_end
+
+    df = pipeline_end_to_end(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, f"pipeline must not join back:\n{plan}"
+    assert exchange_count(df) == 2, f"expected exactly two shuffles:\n{plan}"
