@@ -208,6 +208,29 @@ def upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-data tolerance for schema-on-read: parse a payload column
+    where a third of the rows are deliberately truncated to invalid
+    JSON. from_json yields NULL for bad rows (never a job kill — the
+    one-bad-record-in-100TB property), counted per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    # event_id % 3 == 0 rows lose their closing brace → invalid JSON
+    dirty = F.when(
+        F.col("event_id") % 3 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(dirty, "k INT")
+    return (
+        ev.select("event_type", parsed.getField("k").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("k").alias("n_parsed"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_failed"),
+        )
+    )
+
+
 QUERIES = {
     "fn_higher_order": fn_higher_order,
     "fn_regexp": fn_regexp,
@@ -218,6 +241,7 @@ QUERIES = {
     "fn_math": fn_math,
     "fn_json": fn_json,
     "fn_string_distance": fn_string_distance,
+    "fn_json_malformed": fn_json_malformed,
     "upsert_latest_wins": upsert_latest_wins,
     "fn_json_struct": fn_json_struct,
     "hist_value_buckets": hist_value_buckets,
@@ -225,6 +249,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_json_malformed": """
+        WITH dirty AS (
+            SELECT event_type,
+                   CASE WHEN event_id % 3 = 0
+                        THEN substring(props, 1, length(props) - 1)
+                        ELSE props END AS p
+            FROM events
+        ), parsed AS (
+            SELECT event_type,
+                   CASE WHEN json_valid(p)
+                        THEN CAST(json_extract_string(p, '$.k') AS INTEGER)
+                        ELSE NULL END AS k
+            FROM dirty
+        )
+        SELECT event_type,
+               COUNT(*) AS n_rows,
+               COUNT(k) AS n_parsed,
+               SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_failed
+        FROM parsed
+        GROUP BY event_type
+    """,
     "fn_string_distance": """
         SELECT doc_id,
                CAST(levenshtein(source, lang) AS INTEGER) AS lev_src_lang,

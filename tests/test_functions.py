@@ -255,3 +255,41 @@ def test_stratified_sample_is_seeded_and_proportional(spark, sf_dir):
     for lang in ("de", "fr", "es", "zh"):
         assert got[lang] == base[lang], f"{lang} stratum must be kept whole"
     assert 0.3 * base["en"] <= got["en"] <= 0.7 * base["en"]
+
+
+def test_doc_chunk_reassembles_to_original(spark, sf_dir):
+    """Chunk invariants: stride-40/width-50 chunks must cover every
+    token, overlap by exactly 10, and reassemble to the original
+    document (first stride tokens of each chunk + the tail of the
+    last)."""
+    from flink_kafka_replicator_spark.functions.corpus import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        doc_chunk,
+    )
+    from flink_kafka_replicator_spark.io import load_table
+
+    chunks = doc_chunk(spark, sf_dir).collect()
+    originals = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(50)
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        if r["doc_id"] in originals:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(originals)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        toks = originals[doc_id]
+        assert rows[0]["chunk_id"] == 0
+        rebuilt: list[str] = []
+        for r in rows[:-1]:
+            ctoks = r["chunk_text"].split(" ")
+            assert len(ctoks) == min(CHUNK_TOKENS, len(toks) - r["chunk_id"] * CHUNK_STRIDE)
+            rebuilt.extend(ctoks[:CHUNK_STRIDE])
+        rebuilt.extend(rows[-1]["chunk_text"].split(" "))
+        assert rebuilt == toks, f"doc {doc_id} does not reassemble"
