@@ -105,6 +105,9 @@ def prepare(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.coalescePartitions.enabled",
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.legacy.parquet.nanosAsLong",
+        # runtime-settable: Arrow-accelerates the driver's toPandas()
+        # in the correctness gate (mapInPandas uses Arrow regardless)
+        "spark.sql.execution.arrow.pyspark.enabled",
     ):
         spark.conf.set(k, ENGINE_CONFS[k])
     _ship_package(spark)

@@ -196,3 +196,25 @@ def test_asof_at_100x_linear(spark, big100_dir):
     assert t_big < t_small * COPIES100 * 3, (
         f"superlinear: {t_big:.1f}s vs {t_small:.1f}s"
     )
+
+
+def test_corpus_ops_at_100x_linear(spark, big100_dir):
+    """tfidf / decontamination / the end-to-end pipeline at 100× docs.
+    Contamination is the interesting one: the eval side grows with the
+    corpus here (1% of docs), so this also bounds the broadcast-side
+    growth; a real benchmark set is fixed-size."""
+    from flink_kafka_replicator_spark.functions.corpus import (
+        contamination_ngram,
+        pipeline_end_to_end,
+        tfidf_top_terms,
+    )
+
+    for q in (tfidf_top_terms, contamination_ngram, pipeline_end_to_end):
+        t_small = _timed(q(spark, SRC))
+        t0 = time.perf_counter()
+        n_big = q(spark, big100_dir).count()
+        t_big = time.perf_counter() - t0
+        print(f"\n{q.__name__} 1x: {t_small:.1f}s; 100x: {t_big:.1f}s/{n_big} rows")
+        assert t_big < max(t_small, 0.2) * COPIES100 * 3, (
+            f"{q.__name__} superlinear: {t_big:.1f}s vs {t_small:.1f}s"
+        )
