@@ -78,7 +78,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     each map task emits ≤ k rows per doc before the shuffle).
 
     The df table is vocabulary-sized — orders of magnitude smaller than
-    the corpus — so Catalyst/AQE broadcasts it in the score join.
+    the corpus — so Catalyst/AQE broadcasts it in the score join. The
+    corpus-size N is a one-scalar count() at plan build (a bounded
+    aggregate, not a data-plane collect; a production pipeline caches
+    it with the table metadata).
     Scores floor-quantize at 6 decimals before ordering so both
     engines rank identical numbers (ln may differ in the last ulp)."""
     d = load_table(spark, sf_dir, "documents")

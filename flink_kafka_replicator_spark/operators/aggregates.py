@@ -85,12 +85,27 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the GK/KLL-style sketch
+    (percentile_approx, accuracy=1000) — the mergeable-sketch path a
+    100 TB percentile needs (exact percentile sorts every group).
+    Rows-only for the driver (sketch internals differ across engines);
+    pytest pins the rank-error bound against the exact percentile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95_approx"),
+        F.count("*").alias("n_items"),
+    )
+
+
 QUERIES = {
     "agg_stats": agg_stats,
     "agg_hash_groupby": agg_hash_groupby,
     "agg_distinct": agg_distinct,
     "agg_rollup": agg_rollup,
     "agg_approx_distinct": agg_approx_distinct,
+    "agg_percentile_approx": agg_percentile_approx,
 }
 
 ORACLES = {

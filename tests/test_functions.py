@@ -293,3 +293,34 @@ def test_doc_chunk_reassembles_to_original(spark, sf_dir):
             rebuilt.extend(ctoks[:CHUNK_STRIDE])
         rebuilt.extend(rows[-1]["chunk_text"].split(" "))
         assert rebuilt == toks, f"doc {doc_id} does not reassemble"
+
+
+def test_percentile_approx_within_rank_error(spark, sf_dir):
+    """percentile_approx(accuracy=1000) must land within the documented
+    rank error (~1/accuracy) of the exact percentile: compare the
+    approx VALUE against exact percentiles at p ± 2/accuracy — the
+    approx answer must sit inside that value bracket per group."""
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.operators.aggregates import (
+        agg_percentile_approx,
+    )
+
+    eps = 2.0 / 1000
+    approx = {
+        r["l_returnflag"]: (r["p50_approx"], r["p95_approx"])
+        for r in agg_percentile_approx(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    for p_lo, p_hi, idx in ((0.5 - eps, 0.5 + eps, 0), (0.95 - eps, 0.95 + eps, 1)):
+        brackets = {
+            r["l_returnflag"]: (r["lo"], r["hi"])
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                F.expr(f"percentile(l_extendedprice, {p_lo})").alias("lo"),
+                F.expr(f"percentile(l_extendedprice, {p_hi})").alias("hi"),
+            )
+            .collect()
+        }
+        for flag, (lo, hi) in brackets.items():
+            got = approx[flag][idx]
+            assert lo <= got <= hi, f"{flag} p{idx}: {got} outside [{lo}, {hi}]"

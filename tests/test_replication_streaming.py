@@ -296,3 +296,32 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
         .collect()
     )
     assert batch[0].n_events == 4, "fixture sanity: batch sees the late row"
+
+
+def test_metrics_listener_counts_every_replicated_row(spark, tmp_path, envelope_dir):
+    """The progress listener must account for every input row of a
+    replication run (the Flink-dashboard-equivalent observability)."""
+    import time as _time
+
+    from flink_kafka_replicator_spark.streaming.metrics import (
+        ReplicationMetricsListener,
+    )
+
+    listener = ReplicationMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        cfg = ReplicateConfig(topics=".*")
+        q = start_file_replication(
+            spark, cfg, envelope_dir, str(tmp_path / "m_out"), str(tmp_path / "m_ck")
+        )
+        q.awaitTermination(120)
+        # listener events are delivered asynchronously after termination
+        for _ in range(50):
+            if listener.total_rows >= 50:
+                break
+            _time.sleep(0.2)
+        assert listener.total_rows == 50, f"saw {listener.total_rows} rows"
+        assert listener.total_batches >= 1
+        assert listener.throughput_rows_per_sec() > 0
+    finally:
+        spark.streams.removeListener(listener)
