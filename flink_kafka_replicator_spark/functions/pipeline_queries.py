@@ -98,6 +98,64 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CC_MAX_ITERS = 10
+
+
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: the step that
+    turns dedup PAIRS into dedup CLUSTERS, so a canonical survivor
+    (min doc_id per component) can be kept and the rest dropped — the
+    actual deletion decision of a dedup pipeline.
+
+    Distributed min-label propagation: every node starts labeled with
+    itself; each round, a node adopts the min label among itself and
+    its neighbors (edges both directions → one join + one min-agg per
+    round); the driver polls a scalar changed-count and stops at the
+    fixed point. Near-dup components are shallow (dup clusters, not
+    social graphs), so convergence takes O(component diameter) ≤ a few
+    rounds; CC_MAX_ITERS bounds the loop and each round's label table
+    is pinned (materialize_small) so lineage stays flat. Only docs that
+    appear in some pair participate — singletons are trivially their
+    own cluster and would dominate the output without adding signal.
+
+    The oracle recomputes components via a recursive CTE over the
+    BRUTE-FORCE pair graph, so a match re-verifies LSH recall AND the
+    propagation fixed point (integer labels: no float parity risk)."""
+    pairs = dedup_fuzzy_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = materialize_small(
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        ).distinct()
+    )
+    labels = edges.select(F.col("doc_a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(CC_MAX_ITERS):
+        neigh = (
+            edges.join(labels, edges.doc_a == labels.node)
+            .groupBy(F.col("doc_b").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("chg"),
+            )
+        )
+        new_labels = materialize_small(new_labels)
+        changed = new_labels.filter(F.col("chg")).count()
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signature, 4×16-bit band blocking,
     hamming distance ≤ 8 verification."""
@@ -617,6 +675,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_fuzzy_minhash": dedup_fuzzy_minhash,
+    "dedup_cluster_cc": dedup_cluster_cc,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -706,6 +765,32 @@ _KMEANS_ORACLE = f"""
 
 
 ORACLES = {
+    "dedup_cluster_cc": r"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+            FROM t
+        ),
+        p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+        ),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+        n AS (SELECT DISTINCT a AS node FROM e),
+        reach(node, r) AS (
+            SELECT node, node FROM n
+            UNION
+            SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node
+        )
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    """,
     "sim_topk_ivf_kmeans": _KMEANS_ORACLE,
     "sim_topk_cosine": f"""
         SELECT vec_id,
