@@ -26,6 +26,10 @@ IMAGE_META_SCHEMA = (
     "doc_id bigint, width int, height int, channels int, format string"
 )
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_hash string"
+AUDIO_META_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples int, duration_ms bigint,"
+    " n_windows int"
+)
 
 
 def with_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -87,6 +91,43 @@ def decode_image_meta(df: DataFrame, use_fake_codec: bool = True) -> DataFrame:
             )
 
     return df.mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+def decode_audio_meta(df: DataFrame, use_fake_codec: bool = True) -> DataFrame:
+    """Audio decode → metadata (sample rate, sample count, duration,
+    1024-sample analysis-window count). Same stance as the image path:
+    real codecs (soundfile/librosa) are absent in this container, so the
+    decode is a deterministic fake keyed off the payload digest; the
+    Arrow batching, schema, and integer arithmetic are the real
+    plumbing a PCM pipeline uses."""
+    if not use_fake_codec:
+        raise NotImplementedError(
+            "real audio codecs (soundfile/librosa) are not available in "
+            "this environment; pass use_fake_codec=True for the stub"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        def fake(blob: bytes) -> tuple[int, int, int, int]:
+            d = _hl.sha256(blob).digest()
+            sr = 8000 * (1 + d[0] % 6)  # 8k..48k
+            ns = len(blob) // 2  # 16-bit PCM
+            return sr, ns, ns * 1000 // sr, ns // 1024
+
+        for pdf in batches:
+            metas = [fake(bytes(b)) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.Series([m[0] for m in metas], dtype="int32"),
+                    "n_samples": pd.Series([m[1] for m in metas], dtype="int32"),
+                    "duration_ms": pd.Series([m[2] for m in metas], dtype="int64"),
+                    "n_windows": pd.Series([m[3] for m in metas], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(decode, AUDIO_META_SCHEMA)
 
 
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:

@@ -667,6 +667,12 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_meta(multimodal.with_blob(d), use_fake_codec=True)
 
 
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-codec audio decode (real codecs stubbed; plumbing real)."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_audio_meta(multimodal.with_blob(d), use_fake_codec=True)
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return multimodal.sample_frames(multimodal.with_blob(d))
@@ -695,6 +701,7 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "multimodal_meta": multimodal_meta,
     "multimodal_image_meta": multimodal_image_meta,
+    "multimodal_audio_meta": multimodal_audio_meta,
     "multimodal_frame_sample": multimodal_frame_sample,
 }
 
@@ -965,6 +972,20 @@ ORACLES = {
     # The fake codec is deterministic byte arithmetic over sha256/md5, and
     # documents.text is pure ASCII (char ops == byte ops), so DuckDB can
     # replay it exactly — the oracle checks the whole mapInPandas path.
+    "multimodal_audio_meta": """
+        WITH a AS (
+            SELECT doc_id, LENGTH(text) AS n_bytes,
+                   8000 * (1 + ('0x' || substr(sha256(text), 1, 2))::BIGINT % 6)
+                       AS sr
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(sr AS INTEGER) AS sample_rate,
+               CAST(n_bytes // 2 AS INTEGER) AS n_samples,
+               (n_bytes // 2) * 1000 // sr AS duration_ms,
+               CAST((n_bytes // 2) // 1024 AS INTEGER) AS n_windows
+        FROM a
+    """,
     "multimodal_image_meta": """
         WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents)
         SELECT doc_id,
