@@ -156,6 +156,21 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final verdict: per near-dup cluster, the
+    canonical survivor (min doc_id) and how many docs it replaces —
+    what actually gets kept vs dropped. Pure aggregation over the
+    connected-components labels; integer-only output."""
+    cc = dedup_cluster_cc(spark, sf_dir)
+    return cc.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_members"),
+        F.sum(F.when(F.col("doc_id") != F.col("cluster_id"), 1).otherwise(0)).alias(
+            "n_dropped"
+        ),
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signature, 4×16-bit band blocking,
     hamming distance ≤ 8 verification."""
@@ -682,6 +697,7 @@ QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_fuzzy_minhash": dedup_fuzzy_minhash,
     "dedup_cluster_cc": dedup_cluster_cc,
+    "dedup_survivors": dedup_survivors,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -772,6 +788,38 @@ _KMEANS_ORACLE = f"""
 
 
 ORACLES = {
+    "dedup_survivors": r"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+            FROM t
+        ),
+        p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+        ),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+        n AS (SELECT DISTINCT a AS node FROM e),
+        reach(node, r) AS (
+            SELECT node, node FROM n
+            UNION
+            SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node
+        ),
+        cc AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+        SELECT cluster_id,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_members,
+               SUM(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END) AS n_dropped
+        FROM cc
+        GROUP BY cluster_id
+    """,
     "dedup_cluster_cc": r"""
         WITH RECURSIVE t AS (
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents

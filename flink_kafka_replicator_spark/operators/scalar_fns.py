@@ -231,6 +231,27 @@ def fn_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: offsets, month boundaries, day-of-week, and day
+    deltas (dayofweek is 1=Sunday in Spark; DuckDB's dow is 0=Sunday —
+    the oracle shifts accordingly)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ship = F.to_date("l_shipdate")
+    iso = "yyyy-MM-dd"
+    # date outputs serialize as ISO strings: Spark DATE arrives in pandas
+    # as datetime.date while DuckDB DATE arrives as datetime64 — strings
+    # compare deterministically in the driver's hash
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format(F.date_add(ship, 30), iso).alias("ship_plus_30"),
+        F.date_format(F.last_day(ship), iso).alias("month_end"),
+        F.dayofweek(ship).alias("dow"),
+        F.datediff(F.lit("1998-01-01").cast("date"), ship).alias("days_to_98"),
+        F.date_format(F.trunc(ship, "quarter"), iso).alias("quarter_start"),
+    )
+
+
 QUERIES = {
     "fn_higher_order": fn_higher_order,
     "fn_regexp": fn_regexp,
@@ -242,6 +263,7 @@ QUERIES = {
     "fn_json": fn_json,
     "fn_string_distance": fn_string_distance,
     "fn_json_malformed": fn_json_malformed,
+    "fn_date_arith": fn_date_arith,
     "upsert_latest_wins": upsert_latest_wins,
     "fn_json_struct": fn_json_struct,
     "hist_value_buckets": hist_value_buckets,
@@ -249,6 +271,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_date_arith": """
+        SELECT l_orderkey, l_linenumber,
+               strftime(CAST(l_shipdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS ship_plus_30,
+               strftime(last_day(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS month_end,
+               CAST(dayofweek(l_shipdate) + 1 AS INTEGER) AS dow,
+               CAST(datediff('day', CAST(l_shipdate AS DATE), DATE '1998-01-01') AS INTEGER)
+                   AS days_to_98,
+               strftime(date_trunc('quarter', CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS quarter_start
+        FROM lineitem
+    """,
     "fn_json_malformed": """
         WITH dirty AS (
             SELECT event_type,

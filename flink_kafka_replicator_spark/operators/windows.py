@@ -87,15 +87,42 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 5-row moving average per user over event time — the
+    smoothing window with an explicit ROWS frame both before AND after
+    the current row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("ma5"),
+        F.count("*").over(w).alias("frame_n"),
+    )
+
+
 QUERIES = {
     "window_rank": window_rank,
     "window_running_sum": window_running_sum,
     "window_lag_delta": window_lag_delta,
     "window_range_frame": window_range_frame,
     "topk_orders": topk_orders,
+    "window_moving_avg": window_moving_avg,
 }
 
 ORACLES = {
+    "window_moving_avg": """
+        SELECT event_id, user_id,
+               ROUND(AVG(value) OVER w, 4) AS ma5,
+               COUNT(*) OVER w AS frame_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+    """,
     "window_rank": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn
         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
