@@ -104,3 +104,33 @@ def left_outer_interval_join_clicks_to_views(
         "view_ts",
         "view_value",
     )
+
+
+def semi_interval_join_clicks_with_views(
+    clicks: DataFrame,
+    views: DataFrame,
+    watermark: str = "10 minutes",
+    max_gap: str = "5 minutes",
+) -> DataFrame:
+    """Left-SEMI interval join: clicks that had at least one view by the
+    same user within the window — existence only, no pair expansion.
+    At scale this is the cheap variant: the state store still holds both
+    sides within the watermark bound, but the output never multiplies a
+    click by its N matching views (an attribution EXISTS check, not an
+    attribution TABLE)."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    return c.join(
+        v,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {max_gap}")),
+        "left_semi",
+    ).select(F.col("c_user").alias("user_id"), "click_id", "click_ts")

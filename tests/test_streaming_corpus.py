@@ -1,0 +1,92 @@
+"""Streaming end-to-end corpus build: the batch pipeline_end_to_end
+composition, run incrementally — documents arrive as a stream, get
+normalized + content-hashed, deduped with watermark-bounded state,
+quality-filtered, and appended to the content-hash-sharded corpus via
+foreachBatch. Two sequential availableNow runs against one checkpoint
+prove the incremental property: re-delivered and cross-batch duplicate
+docs are dropped by the stateful dedup, new docs land in their shards."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flink_kafka_replicator_spark.sinks import with_shard
+
+SCHEMA = "doc_id bigint, text string, lang string, event_ts timestamp"
+BASE = dt.datetime(2024, 1, 1)
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the birds sing in the tall green trees "
+    "outside the old farm house every morning before the sun rises"
+)
+SHORT = "too short"
+
+
+def _docs(spec):
+    # spec: (doc_id, text, minutes_offset)
+    return [
+        Row(doc_id=i, text=t, lang="en", event_ts=BASE + dt.timedelta(minutes=m))
+        for i, t, m in spec
+    ]
+
+
+def _normalize(df):
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.select(
+        "doc_id", "event_ts", norm.alias("text"),
+        F.md5(norm).alias("content_hash"),
+    )
+
+
+def test_streaming_corpus_pipeline_dedups_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = tmp_path / "corpus"
+    ck = str(tmp_path / "ck")
+
+    def run(rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+        def write_corpus(df, epoch_id):
+            kept = df.filter(F.size(F.split("text", " ")) >= 20)
+            (
+                with_shard(kept)
+                .write.mode("append")
+                .partitionBy("shard")
+                .parquet(str(out))
+            )
+
+        q = (
+            _normalize(spark.readStream.schema(SCHEMA).parquet(src))
+            .withWatermark("event_ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["content_hash"])
+            .writeStream.foreachBatch(write_corpus)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: a good doc, an exact dup of it (different id), a too-short doc
+    run(_docs([(1, GOOD, 0), (2, GOOD, 1), (3, SHORT, 2)]))
+    first = spark.read.parquet(str(out))
+    assert [r.doc_id for r in first.collect()] == [1], (
+        "dup dropped by state, short dropped by quality"
+    )
+
+    # run 2 (same checkpoint): the SAME doc re-delivered again + a new one
+    run(_docs([(4, GOOD, 5), (5, GOOD + " with a genuinely new ending", 6)]))
+    got = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
+    assert got == [1, 5], f"cross-batch dedup failed: {got}"
+    # sharding is content-addressed: the surviving docs sit in their shard
+    shards = {r.doc_id: r.shard for r in spark.read.parquet(str(out)).collect()}
+    assert all(0 <= s < 16 for s in shards.values())

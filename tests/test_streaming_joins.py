@@ -98,3 +98,33 @@ def test_left_outer_interval_join_emits_unmatched_after_watermark(spark, tmp_pat
     got = {(r.click_id, r.view_id) for r in spark.read.parquet(out).collect()}
     assert (10, 1) in got, f"matched pair missing: {got}"
     assert (12, None) in got, f"unmatched click not emitted: {got}"
+
+
+def test_semi_interval_join_no_pair_expansion(spark, tmp_path):
+    """Left-semi: a click with N matching views emits exactly one row;
+    a click with none emits nothing."""
+    from flink_kafka_replicator_spark.streaming.joins import (
+        semi_interval_join_clicks_with_views,
+    )
+
+    clicks_dir, views_dir = str(tmp_path / "clicks"), str(tmp_path / "views")
+    # user 1 click t=120 has TWO views in range (t=0, t=100); click t=900
+    # has none; user 3 click has no views at all
+    _write(spark, views_dir, _rows([(1, 0, 1), (2, 100, 1), (4, 0, 2)]))
+    _write(spark, clicks_dir, _rows([(10, 120, 1), (11, 900, 1), (12, 600, 3)]))
+
+    clicks = spark.readStream.schema(SCHEMA).parquet(clicks_dir)
+    views = spark.readStream.schema(SCHEMA).parquet(views_dir)
+    out = str(tmp_path / "semi_out")
+    q = (
+        semi_interval_join_clicks_with_views(clicks, views)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "semi_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r.click_id for r in spark.read.parquet(out).collect()]
+    assert got == [10], f"semi join must emit one row per matched click: {got}"
