@@ -654,6 +654,26 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_per_group_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling: take the 3 docs per language
+    whose md5(doc_id || salt) sorts lowest — reproducible downsampling
+    with no RNG state, stable under re-runs and input reordering (the
+    property a resumable 100 TB sampling job needs; sample_stratified
+    is the seeded-RNG fractional counterpart). md5 is engine-portable,
+    so unlike the RNG path this one is fully oracle-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|corpus-v1")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", h.alias("sample_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "doc_id", "sample_key", F.col("rn").cast("int").alias("rank"))
+    )
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sampling by language: downsample the dominant
     strata (the corpus-rebalancing move before training). Bernoulli
@@ -714,6 +734,7 @@ QUERIES = {
     "embedding_centroids": embedding_centroids,
     "corpus_shard_assign": corpus_shard_assign,
     "text_normalize": text_normalize,
+    "sample_per_group_hash": sample_per_group_hash,
     "sample_stratified": sample_stratified,
     "multimodal_meta": multimodal_meta,
     "multimodal_image_meta": multimodal_image_meta,
@@ -788,6 +809,18 @@ _KMEANS_ORACLE = f"""
 
 
 ORACLES = {
+    "sample_per_group_hash": """
+        SELECT lang, doc_id, sample_key, CAST(rn AS INT) AS rank FROM (
+            SELECT lang, doc_id,
+                   md5(CAST(doc_id AS VARCHAR) || '|corpus-v1') AS sample_key,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || '|corpus-v1') ASC,
+                                doc_id ASC
+                   ) AS rn
+            FROM documents)
+        WHERE rn <= 3
+    """,
     "dedup_survivors": r"""
         WITH RECURSIVE t AS (
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents
