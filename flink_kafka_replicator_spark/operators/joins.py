@@ -128,6 +128,65 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Binned range join: 1000 overlapping price bands, width 110 over
+# [0, 110_000). Bucket width = band span, so every band covers at most
+# two buckets and every fact row probes exactly one bucket.
+N_BANDS = 1000
+BAND_W = 110.0
+
+
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join at fact scale: when the interval side is too big to
+    broadcast, a nested-loop join is O(rows × bands). The scale-correct
+    plan BINS the range dimension: each band explodes into the fixed
+    buckets it covers, each fact row computes its single bucket, the
+    bucket equi-join prunes candidates to O(1) per row, and the exact
+    BETWEEN predicate refines. This compiles to a plain shuffled
+    hash/sort-merge equi-join — no BNLJ, no cartesian — and scales as
+    rows, not rows × bands.
+
+    Bands are generated with spark.range (a JVM LocalTableScan-style
+    range, not a Python RDD); band i covers [i*110, i*110 + 165) so
+    consecutive bands overlap — rows can match 1-2 bands, proving the
+    join is genuinely non-equi."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.range(N_BANDS).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * BAND_W).alias("lo"),
+        (F.col("id") * BAND_W + BAND_W * 1.5).alias("hi"),
+    )
+    # band → every bucket index its [lo, hi) span touches
+    b = bands.select(
+        "band_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / BAND_W).cast("long"),
+                F.floor((F.col("hi") - 0.000001) / BAND_W).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    f = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.floor(F.col("l_extendedprice") / BAND_W).cast("long").alias("bucket"),
+    )
+    return (
+        f.join(b, "bucket")
+        .filter(
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi"))
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )
+
+
 QUERIES = {
     "join_inner": join_inner,
     "join_broadcast": join_broadcast,
@@ -136,11 +195,26 @@ QUERIES = {
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_range": join_range,
+    "join_range_binned": join_range_binned,
 }
 
 _BAND_VALUES = ", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in PRICE_BANDS)
 
 ORACLES = {
+    "join_range_binned": """
+        WITH bands AS (
+            SELECT CAST(i AS INTEGER) AS band_id,
+                   i * 110.0 AS lo,
+                   i * 110.0 + 165.0 AS hi
+            FROM range(0, 1000) t(i)
+        )
+        SELECT band_id,
+               COUNT(*) AS n_items,
+               ROUND(SUM(l_extendedprice), 4) AS sum_price
+        FROM lineitem l JOIN bands b
+          ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+        GROUP BY band_id
+    """,
     "join_inner": """
         SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
         FROM orders JOIN customer ON o_custkey = c_custkey

@@ -286,3 +286,15 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_binned_range_join_is_equi_join(spark, sf_dir):
+    """The binned range join must compile to a bucket EQUI-join with the
+    BETWEEN refine as a post-join filter — never a nested-loop over
+    rows × bands."""
+    from flink_kafka_replicator_spark.operators.joins import join_range_binned
+
+    plan = formatted_plan(join_range_binned(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan), plan
