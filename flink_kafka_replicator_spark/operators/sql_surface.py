@@ -241,6 +241,23 @@ def sql_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 """)
 
 
+def explode_outer_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer explode: rows whose filtered array is EMPTY still survive
+    with a NULL element (explode would silently drop them — the classic
+    row-loss bug in 1→N fan-outs). Filters each embedding to its
+    strongly-positive components; vectors with none keep one null row."""
+    e = load_table(spark, sf_dir, "embeddings")
+    strong = F.filter(
+        F.col("embedding"), lambda x: x.cast("double") > F.lit(2.5)
+    )
+    return e.select(
+        "vec_id",
+        F.explode_outer(strong).alias("strong_component"),
+    ).select(
+        "vec_id", F.round(F.col("strong_component").cast("double"), 4).alias("strong_component")
+    )
+
+
 QUERIES = {
     "agg_grouping_sets": agg_grouping_sets,
     "sql_q7_volume_shipping": sql_q7_volume_shipping,
@@ -254,9 +271,21 @@ QUERIES = {
     "pivot_status": pivot_status,
     "agg_percentiles": agg_percentiles,
     "explode_embeddings": explode_embeddings,
+    "explode_outer_embeddings": explode_outer_embeddings,
 }
 
 ORACLES = {
+    "explode_outer_embeddings": """
+        WITH f AS (
+            SELECT vec_id,
+                   list_filter(CAST(embedding AS DOUBLE[]), x -> x > 2.5) AS strong
+            FROM embeddings
+        )
+        SELECT vec_id,
+               CASE WHEN len(strong) = 0 THEN NULL
+                    ELSE ROUND(u.x, 4) END AS strong_component
+        FROM f LEFT JOIN LATERAL (SELECT unnest(strong) AS x) u ON TRUE
+    """,
     "sql_q7_volume_shipping": """
         SELECT n1.n_name AS supp_nation,
                n2.n_name AS cust_nation,

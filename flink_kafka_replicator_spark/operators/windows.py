@@ -105,6 +105,25 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count over a running window. Spark rejects
+    COUNT(DISTINCT) OVER; the canonical workaround is
+    size(collect_set() OVER) — set state is bounded by the distinct
+    cardinality inside the frame (event types here: ≤5), so it scales;
+    for high-cardinality columns the HLL-sketch aggregate is the move."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_so_far"),
+    )
+
+
 QUERIES = {
     "window_rank": window_rank,
     "window_running_sum": window_running_sum,
@@ -112,9 +131,18 @@ QUERIES = {
     "window_range_frame": window_range_frame,
     "topk_orders": topk_orders,
     "window_moving_avg": window_moving_avg,
+    "window_distinct_count": window_distinct_count,
 }
 
 ORACLES = {
+    "window_distinct_count": """
+        SELECT event_id, user_id,
+               CAST(COUNT(DISTINCT event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS INTEGER) AS n_types_so_far
+        FROM events
+    """,
     "window_moving_avg": """
         SELECT event_id, user_id,
                ROUND(AVG(value) OVER w, 4) AS ma5,
