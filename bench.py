@@ -6,10 +6,11 @@ Prints ONE JSON line:
 
 Each query executes fully via the noop datasource writer (no driver
 collect, no pandas conversion — measures the Spark plan, not the
-transfer). Each query runs twice and reports the best time: the first
+transfer). Each query runs three times and reports the best time: the first
 run pays one-off janino/whole-stage-codegen compilation (~0.5-1s per
-distinct plan), which amortizes to zero on any real workload — the
-steady-state number is the one that predicts 100 TB behavior.
+distinct plan), which amortizes to zero on any real workload, and the
+minimum of the remaining runs damps same-box noise — the steady-state
+number is the one that predicts 100 TB behavior.
 """
 
 from __future__ import annotations
@@ -78,7 +79,7 @@ def main() -> None:
         if fn is None:
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             run_once(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
