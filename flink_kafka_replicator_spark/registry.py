@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators import (
     advanced,
     aggregates,
+    data_quality,
     joins,
     replication,
     reshape,
@@ -58,6 +59,7 @@ _MODULES = [
     # reshape conveniences; reshape rotates in next round.
     pipeline_queries,
     corpus,
+    data_quality,
     reshape,
 ]
 
