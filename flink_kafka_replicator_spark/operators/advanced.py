@@ -205,16 +205,48 @@ def resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change log → SCD2 dimension history: each (user, event_type)
+    change event becomes a versioned row with [valid_from, valid_to)
+    and a current-row flag — the MERGE-less construction (Spark has no
+    MERGE INTO without a lakehouse format): one window pass, valid_to =
+    lead(ts), no join, no union. Rebuilding history from the full log
+    this way is idempotent, which is what replaces transactional MERGE
+    at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
 QUERIES = {
     "join_asof": join_asof,
     "topk_per_group": topk_per_group,
     "agg_salted_skew": agg_salted_skew,
     "gap_fill_locf": gap_fill_locf,
     "resample_ohlc": resample_ohlc,
+    "scd2_history": scd2_history,
     "window_ntile": window_ntile,
 }
 
 ORACLES = {
+    "scd2_history": """
+        SELECT user_id, event_type,
+               ROUND(value, 4) AS attr_value,
+               ts AS valid_from,
+               LEAD(ts) OVER w AS valid_to,
+               CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+               LEAD(ts) OVER w IS NULL AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC)
+    """,
     "resample_ohlc": """
         SELECT event_type,
                date_trunc('hour', ts) AS hour,
