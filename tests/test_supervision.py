@@ -103,3 +103,86 @@ def test_supervisor_startup_errors_are_fatal(spark, tmp_path):
     with pytest.raises(ValueError):
         supervise(bad_start, max_restarts=4, restart_delay_s=0.01)
     assert calls["n"] == 1
+
+
+def test_supervised_exactly_once_replication_no_duplicates(spark, tmp_path):
+    """Supervision + idempotence ledger together: the exactly-once file
+    replication dies mid-run (poisoned writer), the supervisor restarts
+    it against the same checkpoint, and the output contains every input
+    row exactly once — the full crash-recovery story of the reference's
+    EXACTLY_ONCE mode."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from flink_kafka_replicator_spark.model import KAFKA_MESSAGE
+    from flink_kafka_replicator_spark.streaming.exactly_once import (
+        IdempotentBatchSink,
+        ParquetBatchWriter,
+    )
+    from flink_kafka_replicator_spark.streaming.replicate import (
+        ReplicateConfig,
+        build_replication,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            topic=f"t-{i % 2}",
+            partition=i % 2,
+            offset=i,
+            timestamp=base + dt.timedelta(seconds=i),
+            key=f"k{i}".encode(),
+            value=f"v{i}".encode(),
+            headers=[Row(key="h", value=b"x")],
+        )
+        for i in range(30)
+    ]
+    src = str(tmp_path / "src")
+    # three files → three micro-batches with maxFilesPerTrigger=1
+    for j in range(3):
+        spark.createDataFrame(rows[j * 10 : (j + 1) * 10], KAFKA_MESSAGE).coalesce(
+            1
+        ).write.parquet(f"{src}/f{j}")
+
+    out = str(tmp_path / "out")
+    poison = tmp_path / "poison"
+    poison.touch()
+
+    class PoisonedOnceWriter(ParquetBatchWriter):
+        def write(self, df, batch_id):
+            if batch_id >= 1 and poison.exists():
+                poison.unlink()
+                raise RuntimeError("sink died mid-run")
+            super().write(df, batch_id)
+
+    sink = IdempotentBatchSink(
+        PoisonedOnceWriter(out), ledger_dir=str(tmp_path / "ledger")
+    )
+
+    def start():
+        cfg = ReplicateConfig(topics=".*")
+        df = build_replication(
+            spark,
+            cfg,
+            source_df=spark.readStream.schema(KAFKA_MESSAGE)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src),
+        )
+        return (
+            df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    from flink_kafka_replicator_spark.streaming.supervision import supervise
+
+    restarts = supervise(start, max_restarts=4, restart_delay_s=0.05)
+    assert restarts == 1
+    got = spark.read.parquet(out)
+    keys = sorted(bytes(r["key"]).decode() for r in got.collect())
+    assert keys == sorted(f"k{i}" for i in range(30)), (
+        "restart + ledger must deliver every row exactly once"
+    )
