@@ -99,6 +99,31 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg/hll_union_agg): per-group sketches estimated, plus
+    the cross-group UNION re-estimated — the incremental pattern a
+    100 TB pipeline needs (sketch each day/partition once, union
+    later; never re-scan history for a new rollup). Rows-only for the
+    driver (sketch internals are engine-specific); pytest pins the
+    estimates against exact counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.count("*").alias("n_items"),
+    )
+    per_group = sk.select(
+        "l_returnflag",
+        F.hll_sketch_estimate("sk").alias("distinct_est"),
+        "n_items",
+    )
+    total = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_est"),
+        F.sum("n_items").alias("n_items"),
+    ).select(F.lit("__union__").alias("l_returnflag"), "distinct_est", "n_items")
+    return per_group.unionByName(total)
+
+
 QUERIES = {
     "agg_stats": agg_stats,
     "agg_hash_groupby": agg_hash_groupby,
@@ -106,6 +131,7 @@ QUERIES = {
     "agg_rollup": agg_rollup,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_percentile_approx": agg_percentile_approx,
+    "agg_hll_sketch_union": agg_hll_sketch_union,
 }
 
 ORACLES = {

@@ -324,3 +324,29 @@ def test_percentile_approx_within_rank_error(spark, sf_dir):
         for flag, (lo, hi) in brackets.items():
             got = approx[flag][idx]
             assert lo <= got <= hi, f"{flag} p{idx}: {got} outside [{lo}, {hi}]"
+
+
+def test_hll_sketch_union_estimates_within_bound(spark, sf_dir):
+    """Mergeable-sketch invariant: per-group estimates AND the unioned
+    estimate land within 5% of the exact distinct counts — union must
+    not degrade accuracy beyond the HLL bound."""
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.operators.aggregates import (
+        agg_hll_sketch_union,
+    )
+
+    est = {
+        r["l_returnflag"]: r["distinct_est"]
+        for r in agg_hll_sketch_union(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("n"))
+        .collect()
+    }
+    exact["__union__"] = li.select("l_partkey").distinct().count()
+    for k, ex in exact.items():
+        rel = abs(est[k] - ex) / ex
+        assert rel <= 0.05, f"{k}: est {est[k]} vs exact {ex} ({rel:.2%})"
