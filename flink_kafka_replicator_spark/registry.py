@@ -159,7 +159,10 @@ def all_oracles() -> dict[str, str]:
         if dup:
             raise ValueError(f"duplicate oracle ids {dup} in {m.__name__}")
         out.update(m.ORACLES)
-    unknown = set(out) - set(all_queries())
+    qorder = {q: i for i, q in enumerate(all_queries())}
+    unknown = set(out) - set(qorder)
     if unknown:
         raise ValueError(f"oracles without queries: {unknown}")
-    return {q: out[q] for q in _ordered(list(out))}
+    # follow the queries() ordering exactly — the dicts' module-internal
+    # insertion orders differ, and the driver's cap walks queries()
+    return {q: out[q] for q in sorted(out, key=lambda q: qorder[q])}
