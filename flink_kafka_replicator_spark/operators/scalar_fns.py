@@ -252,6 +252,22 @@ def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed CSV parsing (from_csv with a declared schema) — the
+    delimited-text sibling of fn_json_struct. The CSV line is
+    synthesized from columns so the oracle can verify the round trip
+    against ground truth rather than another parser."""
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat_ws(",", F.col("event_id"), F.col("event_type"), F.col("user_id"))
+    parsed = F.from_csv(line, F.lit("id BIGINT, etype STRING, uid BIGINT"))
+    return ev.select(
+        "event_id",
+        parsed.getField("id").alias("csv_id"),
+        parsed.getField("etype").alias("csv_type"),
+        parsed.getField("uid").alias("csv_uid"),
+    )
+
+
 QUERIES = {
     "fn_higher_order": fn_higher_order,
     "fn_regexp": fn_regexp,
@@ -264,6 +280,7 @@ QUERIES = {
     "fn_string_distance": fn_string_distance,
     "fn_json_malformed": fn_json_malformed,
     "fn_date_arith": fn_date_arith,
+    "fn_csv_parse": fn_csv_parse,
     "upsert_latest_wins": upsert_latest_wins,
     "fn_json_struct": fn_json_struct,
     "hist_value_buckets": hist_value_buckets,
@@ -271,6 +288,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_csv_parse": """
+        SELECT event_id,
+               event_id AS csv_id,
+               event_type AS csv_type,
+               user_id AS csv_uid
+        FROM events
+    """,
     "fn_date_arith": """
         SELECT l_orderkey, l_linenumber,
                strftime(CAST(l_shipdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS ship_plus_30,
