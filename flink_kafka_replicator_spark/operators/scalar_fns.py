@@ -268,6 +268,43 @@ def fn_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed XML parsing — Spark 4's built-in from_xml with a declared
+    schema (the third schema-on-read modality after JSON and CSV). The
+    document is synthesized from columns so the oracle verifies the
+    round trip against ground truth."""
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit("<e><id>"), F.col("event_id"),
+        F.lit("</id><t>"), F.col("event_type"),
+        F.lit("</t></e>"),
+    )
+    parsed = F.from_xml(doc, F.lit("id BIGINT, t STRING"))
+    return ev.select(
+        "event_id",
+        parsed.getField("id").alias("xml_id"),
+        parsed.getField("t").alias("xml_type"),
+    )
+
+
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: a v1 extract (no discount column) and a
+    v2 extract (with it) combine via unionByName(allowMissingColumns) —
+    v1 rows null-pad the new column instead of failing the job, the
+    ingestion property that lets a 100 TB corpus evolve in place."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v1 = li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey", "l_linenumber", F.round("l_extendedprice", 4).alias("price")
+    )
+    v2 = li.filter(F.col("l_linenumber") == 2).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 4).alias("price"),
+        F.round("l_discount", 4).alias("discount"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
 QUERIES = {
     "fn_higher_order": fn_higher_order,
     "fn_regexp": fn_regexp,
@@ -281,6 +318,8 @@ QUERIES = {
     "fn_json_malformed": fn_json_malformed,
     "fn_date_arith": fn_date_arith,
     "fn_csv_parse": fn_csv_parse,
+    "fn_xml_parse": fn_xml_parse,
+    "union_schema_evolution": union_schema_evolution,
     "upsert_latest_wins": upsert_latest_wins,
     "fn_json_struct": fn_json_struct,
     "hist_value_buckets": hist_value_buckets,
@@ -288,6 +327,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_xml_parse": """
+        SELECT event_id, event_id AS xml_id, event_type AS xml_type
+        FROM events
+    """,
+    "union_schema_evolution": """
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_extendedprice, 4) AS price,
+               CAST(NULL AS DOUBLE) AS discount
+        FROM lineitem WHERE l_linenumber = 1
+        UNION ALL
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_extendedprice, 4), ROUND(l_discount, 4)
+        FROM lineitem WHERE l_linenumber = 2
+    """,
     "fn_csv_parse": """
         SELECT event_id,
                event_id AS csv_id,

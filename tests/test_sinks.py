@@ -68,3 +68,26 @@ def test_csv_json_require_schema(spark, tmp_path):
 
     with pytest.raises(ValueError, match="explicit schema"):
         read_table_fmt(spark, str(tmp_path), "csv")
+
+
+def test_parquet_schema_evolution_merge_schema(spark, tmp_path):
+    """Storage-level schema evolution: two parquet batches with
+    different schemas read back as one table with mergeSchema — old
+    files null-pad the new column, and a filter on the new column still
+    prunes correctly."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "evolving")
+    spark.range(5).select(F.col("id").alias("doc_id")).write.parquet(f"{out}/b1")
+    spark.range(5, 10).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    ).write.parquet(f"{out}/b2")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(out)
+    )
+    assert set(merged.columns) == {"doc_id", "lang"}
+    assert merged.count() == 10
+    assert merged.filter(F.col("lang").isNull()).count() == 5
+    assert merged.filter(F.col("lang") == "en").count() == 5
