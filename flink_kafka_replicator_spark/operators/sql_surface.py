@@ -217,6 +217,29 @@ def sql_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 """)
 
 
+def sql_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with few
+    orders — an uncorrelated scalar subquery (global average) plus a
+    CORRELATED scalar COUNT subquery in one query, both decorrelated by
+    Catalyst into joins (no per-row subquery loops). The synthetic data
+    gives every customer orders, so the reference's NOT EXISTS becomes
+    a count threshold to keep the result non-trivial."""
+    _register(spark, sf_dir, "customer", "orders")
+    return spark.sql("""
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_custs,
+               ROUND(SUM(c.c_acctbal), 4) AS total_bal
+        FROM customer c
+        WHERE c.c_acctbal > (
+                SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
+              )
+          AND (
+                SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey
+              ) < 8
+        GROUP BY c.c_mktsegment
+""")
+
+
 def sql_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: large-volume orders via IN over a HAVING
     subquery — Catalyst rewrites the IN to a left-semi join against the
@@ -263,6 +286,7 @@ QUERIES = {
     "sql_q7_volume_shipping": sql_q7_volume_shipping,
     "sql_q10_returned_items": sql_q10_returned_items,
     "sql_q18_large_orders": sql_q18_large_orders,
+    "sql_q22_idle_rich_customers": sql_q22_idle_rich_customers,
     "sql_q3_shipping_priority": sql_q3_shipping_priority,
     "sql_q5_local_supplier": sql_q5_local_supplier,
     "sql_having_cte": sql_having_cte,
@@ -299,6 +323,19 @@ ORACLES = {
         JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
         WHERE (n1.n_nationkey, n2.n_nationkey) IN ((0, 1), (1, 0))
         GROUP BY n1.n_name, n2.n_name, CAST(YEAR(l.l_shipdate) AS INT)
+""",
+    "sql_q22_idle_rich_customers": """
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_custs,
+               ROUND(SUM(c.c_acctbal), 4) AS total_bal
+        FROM customer c
+        WHERE c.c_acctbal > (
+                SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
+              )
+          AND (
+                SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey
+              ) < 8
+        GROUP BY c.c_mktsegment
 """,
     "sql_q10_returned_items": """
         SELECT c.c_custkey,
