@@ -298,3 +298,27 @@ def test_binned_range_join_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan
     assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan), plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A fact table partitioned on the join key must get a runtime
+    dynamicpruning PartitionFilter from the dim side's selective filter
+    — whole partitions skipped at execution, the partition-level
+    counterpart of the bloom-filter row pruning."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_replicator_spark.io import load_table
+
+    ev = load_table(spark, sf_dir := "/root/testdata/sf0.001", "events")
+    ev.write.partitionBy("event_type").parquet(str(tmp_path / "fact"))
+    ev.select("event_type").distinct().withColumn(
+        "weight", F.length("event_type").cast("double")
+    ).write.parquet(str(tmp_path / "dim"))
+
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("weight") > 4.5)
+    j = fact.join(dim, "event_type").select("event_id", "weight")
+    plan = formatted_plan(j)
+    assert "dynamicpruning" in plan.lower(), (
+        f"no dynamic partition pruning injected:\n{plan[:2000]}"
+    )
