@@ -99,3 +99,64 @@ def test_dedup_is_idempotent(spark, spec):
     twice = once.dropDuplicates(["topic", "key"])
     assert sorted(map(_key, once.collect())) == sorted(map(_key, twice.collect()))
     assert once.count() == df.select("topic", "key").distinct().count()
+
+
+# -- text-pipeline properties ------------------------------------------------
+
+_norm_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(
+            list("abcXYZ019 .,!?-_/\\\"'\t\né中")
+        ),
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_norm_texts)
+def test_text_normalize_is_idempotent(spark, texts):
+    """normalize(normalize(x)) == normalize(x) — the canonicalization
+    must be a fixed point, or dedup hashes drift between passes. Runs
+    the REAL column expression on generated (unicode, punctuated,
+    whitespace-heavy) strings."""
+    from pyspark.sql import functions as F
+
+    def norm(col):
+        return F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " "),
+                r"\s+",
+                " ",
+            )
+        )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    rows = df.select(
+        norm(F.col("t")).alias("once"),
+        norm(norm(F.col("t"))).alias("twice"),
+    ).collect()
+    for r in rows:
+        assert r["once"] == r["twice"], f"not a fixed point: {r}"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_norm_texts)
+def test_shingle_count_bound(spark, texts):
+    """Shingling invariant on arbitrary text: the distinct word-3-gram
+    count is ≥ 1 and ≤ max(tokens - 2, 1) — the construction never
+    drops a document on pathological input (empty strings, unicode,
+    runs of whitespace)."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_replicator_spark.functions.similarity import word_shingles
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    rows = df.select(
+        F.size(F.split("t", " ")).alias("n_toks"),
+        F.size(word_shingles("t")).alias("n_sh"),
+    ).collect()
+    for r in rows:
+        assert 1 <= r["n_sh"] <= max(r["n_toks"] - 2, 1), dict(r.asDict())
