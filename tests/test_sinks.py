@@ -91,3 +91,37 @@ def test_parquet_schema_evolution_merge_schema(spark, tmp_path):
     assert merged.count() == 10
     assert merged.filter(F.col("lang").isNull()).count() == 5
     assert merged.filter(F.col("lang") == "en").count() == 5
+
+
+def test_format_helpers_round_trip_all_formats(spark, tmp_path, sf_dir):
+    """write_table_fmt/read_table_fmt round-trip the orders table through
+    every supported format; csv/json require the explicit schema (no
+    silent inference pass over 100 TB)."""
+    import pytest as _pytest
+
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.sources.files import (
+        SUPPORTED_FORMATS,
+        read_table_fmt,
+        write_table_fmt,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    want = {(r[0], r[1], round(r[2], 4)) for r in o.collect()}
+    for fmt in SUPPORTED_FORMATS:
+        path = str(tmp_path / fmt)
+        write_table_fmt(o, path, fmt)
+        back = read_table_fmt(
+            spark,
+            path,
+            fmt,
+            schema=None if fmt in ("parquet", "orc") else o.schema,
+        )
+        got = {(r[0], r[1], round(r[2], 4)) for r in back.collect()}
+        assert got == want, f"{fmt} round trip lost rows"
+    with _pytest.raises(ValueError):
+        read_table_fmt(spark, str(tmp_path / "csv"), "csv")  # schema required
+    with _pytest.raises(ValueError):
+        write_table_fmt(o, str(tmp_path / "x"), "avro")  # unsupported
