@@ -322,3 +322,17 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), (
         f"no dynamic partition pruning injected:\n{plan[:2000]}"
     )
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
+    """Tiny shuffle outputs must coalesce at runtime: 32 configured
+    shuffle partitions collapse to far fewer AQE-read partitions for a
+    small aggregate — the knob that keeps task overhead from dominating
+    when a filter makes a 100 TB stage small."""
+    df = agg_hash_groupby(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "coalesced" in plan or "AQEShuffleRead" in plan, (
+        f"no adaptive shuffle read:\n{plan[:1500]}"
+    )
+    n = df.rdd.getNumPartitions()
+    assert n < 32, f"AQE should coalesce the tiny shuffle, got {n} partitions"
