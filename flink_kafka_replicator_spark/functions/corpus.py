@@ -290,8 +290,8 @@ ORACLES = {
         )
         SELECT ('0x' || substr(h, 1, 4))::BIGINT % 16 AS shard,
                COUNT(*) AS n_docs,
-               SUM(n_tokens) AS total_tokens,
-               SUM(q_e4) AS sum_quality_e4
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(q_e4) AS BIGINT) AS sum_quality_e4
         FROM kept
         GROUP BY 1
     """,
@@ -336,7 +336,8 @@ ORACLES = {
         WHERE rn <= 3
     """,
     "filter_blocklist": f"""
-        SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents
         WHERE source NOT IN ({_BLOCKED})
           AND NOT regexp_matches(text, 'FORBIDDEN_MARKER')

@@ -849,7 +849,7 @@ ORACLES = {
         SELECT cluster_id,
                MIN(doc_id) AS keep_doc_id,
                COUNT(*) AS n_members,
-               SUM(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END) AS n_dropped
+               CAST(SUM(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
         FROM cc
         GROUP BY cluster_id
     """,
@@ -951,7 +951,7 @@ ORACLES = {
     "corpus_shard_assign": """
         SELECT ('0x' || substr(md5(text), 1, 4))::BIGINT % 16 AS shard,
                COUNT(*) AS n_docs,
-               SUM(LENGTH(text)) AS total_chars
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
         FROM documents
         GROUP BY 1
     """,

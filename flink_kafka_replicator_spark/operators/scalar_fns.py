@@ -375,7 +375,7 @@ ORACLES = {
         SELECT event_type,
                COUNT(*) AS n_rows,
                COUNT(k) AS n_parsed,
-               SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_failed
+               CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
         FROM parsed
         GROUP BY event_type
     """,

@@ -45,6 +45,17 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     assert len(got) == len(want), f"row count: spark={len(got)} duckdb={len(want)}"
     for c in got.columns:
         g, w = got[c].to_numpy(), want[c].to_numpy()
+        # The driver's value-hash is dtype-sensitive: an integer column on
+        # one side and float on the other (e.g. DuckDB HUGEINT SUM →
+        # float64 via pandas) hash-mismatches even when 2 == 2.0. Predict
+        # that here instead of letting Python == paper over it.
+        kinds = {g.dtype.kind, w.dtype.kind}
+        if kinds & {"i", "u"} and "f" in kinds:
+            raise AssertionError(
+                f"dtype-kind mismatch in column {c!r}: spark={g.dtype} "
+                f"duckdb={w.dtype} — integer vs float hashes differently in "
+                f"the driver; CAST the oracle aggregate (e.g. AS BIGINT)"
+            )
         if g.dtype.kind == "f" or w.dtype.kind == "f":
             g = g.astype(np.float64)
             w = w.astype(np.float64)
