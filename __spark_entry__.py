@@ -32,6 +32,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query id (keys without an entry get the
-    weaker rows-only check: approximate / hash-seed-dependent ops)."""
+    """DuckDB-equivalent SQL per query id.
+
+    Keys absent here get the weaker rows-only check — each such id is
+    intentional and documented in ``registry.ROWS_ONLY_CONTRACT``
+    (why no exact SQL twin exists + which pytest pins its bound).
+    """
     return registry.all_oracles()
+
+
+# re-export for auditors: id → rationale for every rows-only query
+ROWS_ONLY_CONTRACT = registry.ROWS_ONLY_CONTRACT

@@ -7,6 +7,8 @@ rows-only, with pytest covering their invariants instead.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -101,27 +103,18 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ITERS = 10
 
 
-def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the near-dup pair graph: the step that
-    turns dedup PAIRS into dedup CLUSTERS, so a canonical survivor
-    (min doc_id per component) can be kept and the rest dropped — the
-    actual deletion decision of a dedup pipeline.
+def cc_label_propagation(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Distributed min-label propagation over an undirected pair graph.
 
-    Distributed min-label propagation: every node starts labeled with
+    ``pairs`` has columns (doc_a, doc_b). Every node starts labeled with
     itself; each round, a node adopts the min label among itself and
     its neighbors (edges both directions → one join + one min-agg per
     round); the driver polls a scalar changed-count and stops at the
-    fixed point. Near-dup components are shallow (dup clusters, not
-    social graphs), so convergence takes O(component diameter) ≤ a few
-    rounds; CC_MAX_ITERS bounds the loop and each round's label table
-    is pinned (materialize_small) so lineage stays flat. Only docs that
-    appear in some pair participate — singletons are trivially their
-    own cluster and would dominate the output without adding signal.
-
-    The oracle recomputes components via a recursive CTE over the
-    BRUTE-FORCE pair graph, so a match re-verifies LSH recall AND the
-    propagation fixed point (integer labels: no float parity risk)."""
-    pairs = dedup_fuzzy_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    fixed point. Convergence takes O(component diameter) rounds; each
+    round's label table is pinned (materialize_small) so lineage stays
+    flat. Exhausting ``max_iters`` while labels are still moving RAISES
+    — at scale a silent exit here keeps wrong clusters and the dedup
+    stage deletes the wrong documents, so non-convergence must be loud."""
     edges = materialize_small(
         pairs.union(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -130,7 +123,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("doc_a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(CC_MAX_ITERS):
+    for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.doc_a == labels.node)
             .groupBy(F.col("doc_b").alias("node"))
@@ -151,7 +144,51 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
-    return labels.select(
+    else:
+        raise RuntimeError(
+            f"connected-components did not converge within {max_iters} rounds "
+            f"({changed} labels still changing): a component's diameter exceeds "
+            "the iteration bound — raise max_iters (silently keeping these "
+            "labels would cluster, and delete, the wrong documents)"
+        )
+    return labels
+
+
+# labels are deterministic per (session, data dir); memoize like
+# _MODEL_CACHE so dedup_survivors reuses the labels dedup_cluster_cc
+# already computed instead of re-running the whole LSH+CC pipeline —
+# the two queries were the most expensive pair in the correctness gate.
+_CC_LABEL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    cached = _CC_LABEL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    pairs = dedup_fuzzy_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize: the fixed-point labels are final data, not a lazy
+    # plan — pinning them makes every downstream reuse O(|labels|)
+    labels = materialize_small(cc_label_propagation(pairs))
+    _CC_LABEL_CACHE[key] = labels
+    return labels
+
+
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: the step that
+    turns dedup PAIRS into dedup CLUSTERS, so a canonical survivor
+    (min doc_id per component) can be kept and the rest dropped — the
+    actual deletion decision of a dedup pipeline.
+
+    Propagation mechanics + convergence guard: cc_label_propagation.
+    Only docs that appear in some pair participate — singletons are
+    trivially their own cluster and would dominate the output without
+    adding signal.
+
+    The oracle recomputes components via a recursive CTE over the
+    BRUTE-FORCE pair graph, so a match re-verifies LSH recall AND the
+    propagation fixed point (integer labels: no float parity risk)."""
+    return _cc_labels(spark, sf_dir).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
@@ -160,7 +197,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's final verdict: per near-dup cluster, the
     canonical survivor (min doc_id) and how many docs it replaces —
     what actually gets kept vs dropped. Pure aggregation over the
-    connected-components labels; integer-only output."""
+    (memoized) connected-components labels; integer-only output."""
     cc = dedup_cluster_cc(spark, sf_dir)
     return cc.groupBy("cluster_id").agg(
         F.min("doc_id").alias("keep_doc_id"),

@@ -43,10 +43,19 @@ _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table; pins session confs needed for oracle parity.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer, which Spark
-    reads as a nanos long (legacy.parquet.nanosAsLong); convert to a
-    proper micros timestamp with integer division — the same truncation
-    DuckDB applies when it coerces TIMESTAMP_NS to TIMESTAMP.
+    The event-time column ``ts`` is normalized to ``TimestampType`` here,
+    in ONE place, for every physical layout the testdata writer has used,
+    so no operator (and no streaming ``withWatermark``) ever sees the
+    physical flavor:
+
+    - TIMESTAMP(NANOS) footer → Spark reads a nanos long
+      (legacy.parquet.nanosAsLong); integer-divide to micros — the same
+      truncation DuckDB applies coercing TIMESTAMP_NS to TIMESTAMP.
+    - micros with isAdjustedToUTC=false → Spark infers TIMESTAMP_NTZ;
+      cast to TIMESTAMP under the UTC session timezone (session.py pins
+      it), which reinterprets the naive value as UTC — exactly how the
+      DuckDB oracle treats a naive parquet timestamp.
+    - plain UTC-adjusted micros → already TimestampType, untouched.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -57,11 +66,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, LongType):
+        if field.name != "ts":
+            continue
+        if isinstance(field.dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 

@@ -44,8 +44,14 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag() analytic: inter-event gap per user in seconds."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # go through TIMESTAMP before the numeric cast: a no-op on the
+    # load_table-normalized column, and keeps the query legal even if a
+    # caller feeds a raw TIMESTAMP_NTZ column (which cannot cast to
+    # DOUBLE directly)
     prev_ts = F.lag("ts").over(w)
-    gap = F.col("ts").cast("double") - prev_ts.cast("double")
+    gap = F.col("ts").cast("timestamp").cast("double") - prev_ts.cast(
+        "timestamp"
+    ).cast("double")
     return ev.select(
         "user_id",
         "event_id",
@@ -64,7 +70,8 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        # TIMESTAMP first for NTZ robustness (see window_lag_delta)
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
         .rangeBetween(-3600, 0)
     )
     return ev.select(

@@ -88,15 +88,47 @@ CONTRACT_IDS: tuple[str, ...] = (
 )
 
 
+# Ids whose historical driver rows are known-stale (earned against a
+# previous generation of the testdata and broken by a later one): rank
+# them FIRST in the registry so the next driver round re-earns a fresh
+# row, regardless of the seen-set. Round 4: the two window queries whose
+# r1 greens predate the NTZ testdata regeneration (VERDICT r3 task 2).
+FORCE_RECHECK_IDS: tuple[str, ...] = (
+    "window_lag_delta",
+    "window_range_frame",
+)
+
+
+def _testdata_mtime() -> float:
+    """Newest mtime of any file under the testdata root (0.0 if absent).
+
+    Used to invalidate driver-seen status: a CORRECTNESS_r*.json written
+    BEFORE the testdata was last regenerated proves nothing about the
+    current data, so its rows must not keep an id out of the re-check
+    rotation (the r3 regeneration silently broke two stale-green ids).
+    """
+    newest = 0.0
+    root = os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(dirpath, f)))
+            except OSError:
+                continue
+    return newest
+
+
 @functools.lru_cache(maxsize=1)
 def _driver_seen_ids() -> frozenset[str]:
-    """Ids with a PASSING row in any prior round's CORRECTNESS_r*.json.
+    """Ids with a still-valid PASSING row in a prior CORRECTNESS_r*.json.
 
     A passing row (hash_match true, or a rows-only record whose only
     "error" is the intentional ``no_oracle``) means the driver already
     verified that query, so it yields the cap slot to an id that has
     never been driver-checked. A FAILED row does not count as seen —
     the id re-enters the cap so the fix earns a green row next round.
+    A result file older than the testdata's newest file is skipped
+    entirely: its greens were earned against data that no longer exists.
 
     Pinned for reproducibility: the result is computed once per process
     (a result file appearing mid-run cannot reorder the registry between
@@ -109,9 +141,12 @@ def _driver_seen_ids() -> frozenset[str]:
     if env is not None:
         return frozenset(s for s in (p.strip() for p in env.split(",")) if s)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data_mtime = _testdata_mtime()
     seen: set[str] = set()
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
         try:
+            if os.path.getmtime(path) < data_mtime:
+                continue  # predates the current testdata generation
             with open(path, encoding="utf-8") as fh:
                 data = json.load(fh)
         except (OSError, ValueError):
@@ -149,11 +184,17 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
 
 def _ordered(ids: list[str]) -> list[str]:
     seen = _driver_seen_ids()
+    force_pos = {q: i for i, q in enumerate(FORCE_RECHECK_IDS)}
     contract_pos = {q: i for i, q in enumerate(CONTRACT_IDS)}
     prio_pos = {q: i for i, q in enumerate(PRIORITY_EXTENSION_IDS)}
     base_pos = {q: i for i, q in enumerate(ids)}
 
     def key(q: str) -> tuple[int, int, int, int]:
+        # known-stale ids outrank everything: their historical greens are
+        # invalid and they'd otherwise sit behind 60+ contract/priority
+        # ids, beyond the driver's cap, forever
+        if q in force_pos:
+            return (-1, 0, 0, force_pos[q])
         # never-driver-verified first, regardless of contract membership:
         # the judge grades the cumulative union of rounds, so re-checking
         # an already-green contract id costs a never-checked id its slot
@@ -165,6 +206,48 @@ def _ordered(ids: list[str]) -> list[str]:
         return (never_seen_rank, 1, 0, pos)
 
     return sorted(ids, key=key)
+
+
+# The rows-only contract: every registry id WITHOUT an oracle_sql entry
+# must appear here with (a) why no exact SQL twin can exist and (b) the
+# pytest that pins its correctness bound instead — so a driver row of
+# err="no_oracle" reads as an intentional design decision, not a gap.
+# test_registry.py asserts these keys equal the oracle-less registry ids.
+ROWS_ONLY_CONTRACT: dict[str, str] = {
+    "agg_approx_distinct": (
+        "HLL approximation — estimates differ per engine; the ±5% bound vs "
+        "exact COUNT(DISTINCT) is pinned by "
+        "tests/test_functions.py::test_approx_distinct_within_hll_error_bound"
+    ),
+    "agg_percentile_approx": (
+        "GK-sketch approximate percentiles — engine-specific estimates; the "
+        "documented rank-error bound is pinned by "
+        "tests/test_functions.py::test_percentile_approx_within_rank_error"
+    ),
+    "agg_hll_sketch_union": (
+        "Spark HLL sketch binary + union has no DuckDB equivalent; estimate "
+        "accuracy is pinned by "
+        "tests/test_functions.py::test_hll_sketch_union_estimates_within_bound"
+    ),
+    "dedup_simhash": (
+        "signatures derive from Spark's xxhash64 — not reproducible in "
+        "DuckDB SQL; signature invariants are pinned by "
+        "tests/test_functions.py::test_simhash_invariants and 10x/100x "
+        "linearity by tests/test_scale_smoke.py"
+    ),
+    "dedup_ngram_jaccard": (
+        "the UNthresholded candidate-pair set depends on xxhash64 minhash "
+        "banding (the thresholded variant dedup_fuzzy_minhash matches a "
+        "brute-force oracle exactly); Jaccard arithmetic bounds are pinned "
+        "by tests/test_functions.py::test_jaccard_bounds"
+    ),
+    "sample_stratified": (
+        "sampleBy draws from Spark's seeded RNG — per-row membership is "
+        "engine-specific; seed-determinism and per-stratum proportionality "
+        "are pinned by tests/test_functions.py::"
+        "test_stratified_sample_is_seeded_and_proportional"
+    ),
+}
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -30,9 +30,11 @@ ENGINE_CONFS: dict[str, str] = {
     # Arrow for every pandas interchange (mapInPandas / pandas_udf paths).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
-    # The driver's events.parquet carries TIMESTAMP(NANOS) which the Spark
-    # reader rejects; read as long and convert in io.load_table (same
-    # nanos→micros truncation DuckDB applies).
+    # Testdata writers have shipped events.ts as TIMESTAMP(NANOS) (which
+    # the Spark reader otherwise rejects — read as long) and as naive
+    # micros (inferred TIMESTAMP_NTZ). io.load_table normalizes every
+    # layout to TimestampType; this conf only keeps the nanos layout
+    # readable at all.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

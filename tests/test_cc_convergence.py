@@ -1,0 +1,60 @@
+"""Connected-components robustness (VERDICT r3 tasks 3 & 4).
+
+At 100 TB a silently-unconverged label table clusters — and therefore
+deletes — the wrong documents, so exhausting the iteration bound must
+raise, and the fixed-point labels must be computed once per (session,
+dataset), not once per query that consumes them.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from flink_kafka_replicator_spark.functions.pipeline_queries import (
+    _cc_labels,
+    cc_label_propagation,
+    dedup_cluster_cc,
+    dedup_survivors,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _path_graph(spark, n):
+    """A path 0-1-2-…-(n-1): diameter n-1, the worst case for min-label
+    propagation (label 0 travels one hop per round)."""
+    return spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
+    )
+
+
+def test_cc_raises_on_non_convergence(spark):
+    pairs = _path_graph(spark, 15)  # diameter 14 > 10 rounds
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cc_label_propagation(pairs, max_iters=10)
+
+
+def test_cc_converges_given_enough_rounds(spark):
+    pairs = _path_graph(spark, 15)
+    labels = cc_label_propagation(pairs, max_iters=20)
+    got = {(r.node, r.label) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(15)}, "one component, min label 0"
+
+
+def test_cc_labels_memoized_per_session_and_dir(spark):
+    a = _cc_labels(spark, SF_DIR)
+    b = _cc_labels(spark, SF_DIR)
+    assert a is b, "labels must be computed once and reused"
+
+
+def test_survivors_consistent_with_clusters(spark):
+    """dedup_survivors is a pure aggregation over the memoized labels:
+    member counts per cluster must equal the label table's group sizes."""
+    cc = {r.doc_id: r.cluster_id for r in dedup_cluster_cc(spark, SF_DIR).collect()}
+    surv = {r.cluster_id: r.n_members for r in dedup_survivors(spark, SF_DIR).collect()}
+    from collections import Counter
+
+    sizes = Counter(cc.values())
+    assert surv == dict(sizes)

@@ -22,10 +22,22 @@ def test_contract_ids_all_registered_and_driver_covered():
     assert not uncovered, f"contract ids with no driver row past the cap: {uncovered}"
 
 
+def test_force_recheck_ids_rank_first():
+    """Known-stale ids (greens earned against regenerated-away testdata)
+    must occupy the very head of the registry so the next driver round
+    re-earns fresh rows — they'd otherwise hide behind 60+ contract and
+    priority ids, beyond the cap, forever."""
+    qs = list(registry.all_queries())
+    assert qs[: len(registry.FORCE_RECHECK_IDS)] == list(registry.FORCE_RECHECK_IDS)
+
+
 def test_never_seen_ids_fill_the_cap_first():
     """A never-driver-checked id must never sort after an id that
-    already holds a CORRECTNESS row — the drain-to-zero property."""
-    qs = list(registry.all_queries())
+    already holds a CORRECTNESS row — the drain-to-zero property.
+    (FORCE_RECHECK ids are exempt: they rank first by design even
+    though they hold stale rows.)"""
+    force = set(registry.FORCE_RECHECK_IDS)
+    qs = [q for q in registry.all_queries() if q not in force]
     seen = registry._driver_seen_ids()
     first_seen_idx = next((i for i, q in enumerate(qs) if q in seen), len(qs))
     late = [q for q in qs[first_seen_idx:] if q not in seen]
@@ -50,10 +62,11 @@ def test_oracles_subset_of_queries_and_same_order():
 
 def test_unverified_ids_outrank_verified_extensions():
     """Any id with no CORRECTNESS row must sort before every verified
-    non-contract id — the rotation property."""
+    non-contract id — the rotation property (FORCE_RECHECK ids exempt,
+    they pin the head)."""
     qs = list(registry.all_queries())
     seen = registry._driver_seen_ids()
-    contract = set(registry.CONTRACT_IDS)
+    contract = set(registry.CONTRACT_IDS) | set(registry.FORCE_RECHECK_IDS)
     tail = [q for q in qs if q not in contract]
     first_seen_idx = next(
         (i for i, q in enumerate(tail) if q in seen), len(tail)
@@ -61,3 +74,53 @@ def test_unverified_ids_outrank_verified_extensions():
     assert all(q in seen for q in tail[first_seen_idx:]), (
         "an unverified extension sorts after a verified one"
     )
+
+
+def test_rows_only_contract_matches_oracle_gaps():
+    """Every registered id without an oracle must carry a documented
+    rows-only rationale, and no documented id may silently grow an
+    oracle (the rationale would then be stale)."""
+    qs = set(registry.all_queries())
+    oracleless = qs - set(registry.all_oracles())
+    assert oracleless == set(registry.ROWS_ONLY_CONTRACT), (
+        f"undocumented rows-only ids: {oracleless - set(registry.ROWS_ONLY_CONTRACT)}; "
+        f"stale contract entries: {set(registry.ROWS_ONLY_CONTRACT) - oracleless}"
+    )
+    for qid, why in registry.ROWS_ONLY_CONTRACT.items():
+        assert "tests/" in why, f"{qid}: rationale must name the pinning pytest"
+
+
+def test_stale_correctness_files_are_ignored(tmp_path, monkeypatch):
+    """A CORRECTNESS file older than the newest testdata file proves
+    nothing about the current data: its rows must not mark ids seen."""
+    import json
+    import os
+    import time
+
+    data_dir = tmp_path / "testdata"
+    data_dir.mkdir()
+    (data_dir / "events.parquet").write_bytes(b"x")
+    monkeypatch.setenv("SPARK_GRAFT_TESTDATA_ROOT", str(data_dir))
+    monkeypatch.delenv("SPARK_GRAFT_SEEN_IDS", raising=False)
+
+    # build a fake repo root with one stale + one fresh result file
+    repo = tmp_path / "repo" / "pkg"
+    repo.mkdir(parents=True)
+    row = {"hash_match": True, "spark_rows": 1, "err": None}
+    stale = tmp_path / "repo" / "CORRECTNESS_r01.json"
+    stale.write_text(json.dumps({"stale_id": row}))
+    old = time.time() - 3600
+    os.utime(stale, (old, old))
+    fresh = tmp_path / "repo" / "CORRECTNESS_r02.json"
+    fresh.write_text(json.dumps({"fresh_id": row}))
+
+    monkeypatch.setattr(
+        registry.os.path, "abspath", lambda p: str(repo / "registry.py")
+    )
+    registry._driver_seen_ids.cache_clear()
+    try:
+        seen = registry._driver_seen_ids()
+        assert "fresh_id" in seen
+        assert "stale_id" not in seen, "stale-file rows must be invalidated"
+    finally:
+        registry._driver_seen_ids.cache_clear()
