@@ -253,6 +253,139 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns, lowercase-ASCII common subset of Java regex and RE2 so
+# the Spark plan and the DuckDB oracle match byte-for-byte. Production
+# pattern packs are locale-specific; the operator shape (count → chained
+# redact → verify hash) is the scale-relevant part.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"\b555-[0-9]{4}\b"
+PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus: count then scrub
+    emails / phone numbers / IP addresses, emit the redacted hash so
+    downstream dedup runs on clean text.
+
+    The synthetic corpus carries no PII, so the fixture deterministically
+    injects it from doc_id (same pattern as fn_csv_parse/fn_xml_parse:
+    synthesize → operate → verify); the operator under test is the
+    regexp_count + chained regexp_replace pipeline — all JVM built-ins,
+    map-side only, no shuffle: at 100 TB this runs at scan speed."""
+    d = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+    )
+    staged = d.select("doc_id", injected.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IP,
+        "<IP>",
+    )
+    return staged.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(PII_PHONE)).cast("int").alias("n_phones"),
+        F.regexp_count(F.col("t"), F.lit(PII_IP)).cast("int").alias("n_ips"),
+        F.length(redacted).cast("int").alias("clean_len"),
+        F.md5(redacted).alias("clean_hash"),
+    )
+
+
+def corpus_mix_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: downsample every language to the size of the
+    smallest one — the domain/language-rebalance step of training-data
+    prep (the general target-share case is the same plan with a
+    per-group quota join instead of a global min).
+
+    Deterministic: docs are md5-ranked within their language (the
+    portable order sample_per_group_hash established) and the quota is
+    the min per-lang count. Plan: one lang-keyed window shuffle + a
+    two-row-stage agg broadcast — the quota is a scalar, never a
+    driver-side collect."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    quota = d.groupBy("lang").agg(F.count("*").alias("n")).agg(
+        F.min("n").alias("min_n")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    ranked = d.select("doc_id", "lang").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(quota))
+        .filter(F.col("rn") <= F.col("min_n"))
+        .select("doc_id", "lang", F.col("rn").cast("int").alias("rank_in_lang"))
+    )
+
+
+PACK_BUDGET_TOKENS = 512
+
+
+def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): lay the corpus out as one
+    deterministic token stream per language and cut it into
+    PACK_BUDGET_TOKENS training sequences — each doc gets the pack id
+    where it STARTS and its token offset inside that pack. This is the
+    exact bookkeeping a fixed-context trainer needs to pack short docs
+    without padding waste.
+
+    One window shuffle (lang-keyed running sum over the md5 order);
+    integer arithmetic end-to-end, so cross-engine parity is exact. At
+    100 TB the same plan runs per shard instead of per lang — swap the
+    partition key."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return staged.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr(f"cum_before div {PACK_BUDGET_TOKENS}").alias("pack_id"),
+        (F.col("cum_before") % PACK_BUDGET_TOKENS)
+        .cast("int")
+        .alias("pack_offset"),
+    )
+
+
 QUERIES = {
     "doc_chunk": doc_chunk,
     "tfidf_top_terms": tfidf_top_terms,
@@ -260,6 +393,9 @@ QUERIES = {
     "top_terms_per_lang": top_terms_per_lang,
     "contamination_ngram": contamination_ngram,
     "pipeline_end_to_end": pipeline_end_to_end,
+    "doc_pii_scrub": doc_pii_scrub,
+    "corpus_mix_equalize": corpus_mix_equalize,
+    "pack_token_sequences": pack_token_sequences,
 }
 
 _STOP = ", ".join(f"'{w}'" for w in text.STOPWORDS)
@@ -356,6 +492,72 @@ ORACLES = {
                                          ORDER BY n DESC, term ASC) AS rn
             FROM counts)
         WHERE rn <= 5
+    """,
+    "doc_pii_scrub": f"""
+        WITH staged AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example.com'
+                        || CASE WHEN doc_id % 3 = 0
+                                THEN ' call 555-'
+                                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                                ELSE '' END
+                        || CASE WHEN doc_id % 5 = 0
+                                THEN ' host 10.0.'
+                                     || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                                ELSE '' END AS t
+            FROM documents
+        ), red AS (
+            SELECT doc_id, t,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '{PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{PII_PHONE}', '<PHONE>', 'g'),
+                       '{PII_IP}', '<IP>', 'g') AS r
+            FROM staged
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS INT) AS n_phones,
+               CAST(len(regexp_extract_all(t, '{PII_IP}')) AS INT) AS n_ips,
+               CAST(LENGTH(r) AS INT) AS clean_len,
+               md5(r) AS clean_hash
+        FROM red
+    """,
+    "corpus_mix_equalize": """
+        WITH q AS (
+            SELECT MIN(n) AS min_n
+            FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1)
+        ), ranked AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ) AS rn
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(rn AS INT) AS rank_in_lang
+        FROM ranked, q
+        WHERE rn <= min_n
+    """,
+    "pack_token_sequences": f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ), staged AS (
+            SELECT doc_id, lang, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY h ASC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM toks
+        )
+        SELECT doc_id, lang,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(cum_before // {PACK_BUDGET_TOKENS} AS BIGINT) AS pack_id,
+               CAST(cum_before % {PACK_BUDGET_TOKENS} AS INT) AS pack_offset
+        FROM staged
     """,
     "contamination_ngram": f"""
         WITH t AS (

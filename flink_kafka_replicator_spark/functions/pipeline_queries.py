@@ -569,6 +569,70 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(e, cents, probe_ids)
 
 
+KNN_K = 3
+
+
+def knn_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN self-join: every vector's top-KNN_K nearest neighbors among
+    vectors sharing its IVF cell — the per-document neighbor list
+    semantic dedup and clustering pipelines consume (the sim_topk_*
+    queries answer ONE query vector; this answers all of them).
+
+    Shape: the explode-agg assignment (same codegen'd SUM machinery as
+    sim_topk_ivf — no join, one vec_id shuffle) keys every vector by its
+    nearest-centroid cell; the neighbor search is then an EQUI-join on
+    the cell id (Σ cell² work, never |V|²), ranked per query vector by a
+    window whose WindowGroupLimit pushes the top-k below the shuffle.
+    At 100 TB the cell count k scales ~√n so cells stay bounded, and a
+    multi-probe variant (union over the P nearest cells) buys recall at
+    P× the join input — same plan, wider key.
+
+    The assignment table is MATERIALIZED before the self-join, for two
+    reasons that hold at every scale: (a) it is the IVF index's postings
+    list — the artifact a vector store persists at build time and joins
+    against at query time, not something to recompute per side; (b) the
+    argmin expression tree is O(k²) nodes, and self-joining two copies
+    of it sends Spark 4's analyzer into minutes of attribute-dedup work
+    (measured: analysis alone exceeded 200 s un-materialized, vs ~2 s
+    materialized)."""
+    from pyspark.sql import Window
+
+    cents, _ = _ivf_model(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = materialize_small(
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("vec_id")
+        .agg(*_dot_sums(cents, include_query=False))
+        .select("vec_id", *_dist_cols(cents))
+        .select("vec_id", F.expr(_argmin_case(cents)).alias("cid"))
+    )
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("vec")).join(
+        assigned, "vec_id"
+    )
+    a = v.select(F.col("vec_id").alias("qid"), F.col("vec").alias("vec_a"), "cid")
+    b = v.select(F.col("vec_id").alias("nid"), F.col("vec").alias("vec_b"), "cid")
+    scored = (
+        a.join(b, "cid")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cos_sim",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
 # ------------------------------------------------------------ text analysis
 
 
@@ -762,6 +826,7 @@ QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
     "sim_topk_ivf": sim_topk_ivf,
     "sim_topk_ivf_kmeans": sim_topk_ivf_kmeans,
+    "knn_ivf_join": knn_ivf_join,
     "text_stats": text_stats,
     "lang_breakdown": lang_breakdown,
     "text_quality": text_quality,
@@ -846,6 +911,24 @@ _KMEANS_ORACLE = f"""
 
 
 ORACLES = {
+    "knn_ivf_join": f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        c AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 16),
+        asg AS {_duck_asg('v', 'c')},
+        pairs AS (
+            SELECT a.vec_id AS qid, b.vec_id AS nid,
+                   ROUND({_duck_cos('a.vec', 'b.vec')}, 4) AS cos_sim
+            FROM asg a JOIN asg b USING (cid)
+            WHERE a.vec_id <> b.vec_id
+        )
+        SELECT qid AS vec_id, nid AS neighbor_id, cos_sim,
+               CAST(rn AS INT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) AS rn
+            FROM pairs)
+        WHERE rn <= {KNN_K}
+    """,
     "sample_per_group_hash": """
         SELECT lang, doc_id, sample_key, CAST(rn AS INT) AS rank FROM (
             SELECT lang, doc_id,

@@ -226,6 +226,44 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_SECONDS = 600
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT sessionization (gaps-and-islands): assign every event its
+    per-user session sequence number — the batch face of session_window
+    that keeps event granularity (stream_session only emits per-session
+    aggregates; training pipelines need the session id ON each event to
+    build per-session examples).
+
+    Two stacked windows over ONE user_id shuffle: lag(ts) flags session
+    starts (gap > SESSION_GAP_SECONDS), a running sum of flags numbers
+    the sessions. Spark evaluates both window batches in the same
+    exchange — no second shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull()
+        | (
+            F.col("ts").cast("double") - prev.cast("double")
+            > float(SESSION_GAP_SECONDS)
+        ),
+        1,
+    ).otherwise(0)
+    flagged = ev.select("user_id", "event_id", "ts", new_s.alias("new_s"))
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("new_s").over(wc).cast("int").alias("session_seq"),
+    )
+
+
 QUERIES = {
     "join_asof": join_asof,
     "topk_per_group": topk_per_group,
@@ -234,6 +272,7 @@ QUERIES = {
     "resample_ohlc": resample_ohlc,
     "scd2_history": scd2_history,
     "window_ntile": window_ntile,
+    "sessionize_events": sessionize_events,
 }
 
 ORACLES = {
@@ -319,5 +358,22 @@ ORACLES = {
         FROM orders
         WINDOW w AS (PARTITION BY o_orderpriority
                      ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    "sessionize_events": f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR EPOCH(ts) - EPOCH(LAG(ts) OVER w)
+                                > {SESSION_GAP_SECONDS}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        )
+        SELECT user_id, event_id,
+               CAST(SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS INTEGER) AS session_seq
+        FROM flagged
     """,
 }

