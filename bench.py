@@ -57,6 +57,11 @@ HEADLINE = [
     "pipeline_end_to_end",
     "grouped_zscore_window",
     "text_stats",
+    # round-4 additions
+    "knn_ivf_join",
+    "sessionize_events",
+    "pack_token_sequences",
+    "doc_pii_scrub",
 ]
 
 

@@ -336,3 +336,61 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
     )
     n = df.rdd.getNumPartitions()
     assert n < 32, f"AQE should coalesce the tiny shuffle, got {n} partitions"
+
+
+def test_pii_scrub_is_shuffle_free_codegen(spark, sf_dir):
+    """PII redaction must run at scan speed: pure map-side projections,
+    no Exchange, inside whole-stage codegen."""
+    from flink_kafka_replicator_spark.functions.corpus import doc_pii_scrub
+    from flink_kafka_replicator_spark.plans import codegen_stage_count
+
+    df = doc_pii_scrub(spark, sf_dir)
+    assert exchange_count(df) == 0, formatted_plan(df)[:1500]
+    assert codegen_stage_count(df) >= 1, "scrub projection left codegen"
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    """Sequence packing is one lang-keyed window shuffle — the running
+    sum must not add a second Exchange."""
+    from flink_kafka_replicator_spark.functions.corpus import pack_token_sequences
+
+    df = pack_token_sequences(spark, sf_dir)
+    assert exchange_count(df) == 1, formatted_plan(df)[:1500]
+
+
+def test_sessionize_two_windows_share_one_shuffle(spark, sf_dir):
+    """The lag-flag window and the running-sum window use the same
+    partitioning+ordering, so Spark must evaluate both in a single
+    user_id Exchange (two Window nodes, one Exchange)."""
+    from flink_kafka_replicator_spark.operators.advanced import sessionize_events
+
+    df = sessionize_events(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert exchange_count(df) == 1, plan[:1500]
+    assert plan.count("Window") >= 2
+
+
+def test_mix_equalize_quota_is_broadcast_scalar(spark, sf_dir):
+    """The per-lang quota must arrive as a broadcast 1-row build side,
+    never a shuffled join or cartesian against the ranked corpus."""
+    from flink_kafka_replicator_spark.functions.corpus import corpus_mix_equalize
+
+    df = corpus_mix_equalize(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_join_is_equi_join_with_group_limit(spark, sf_dir):
+    """The k-NN self-join must be an equi-join on the IVF cell id (never
+    a cartesian/BNLJ pair explosion), and the per-vector top-k must push
+    a WindowGroupLimit below the final window."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import knn_ivf_join
+
+    df = knn_ivf_join(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan[:1500]
+    assert "WindowGroupLimit" in plan
