@@ -101,6 +101,26 @@ def test_gap_fill_and_lateral_at_10x(spark, big_dir):
     assert t_gap < 60 and t_lat < 60, f"gap {t_gap:.1f}s lateral {t_lat:.1f}s"
 
 
+def test_round4_ops_at_10x(spark, big_dir):
+    """sessionize / pack / PII scrub are window- or map-shaped: strictly
+    linear at 10×. knn_ivf_join is O(n²/k) BY DESIGN with the fixed
+    16-cell test quantizer — its scale contract is that k grows with n
+    (√n cells keeps cell size bounded), so it is bounded here rather
+    than asserted linear."""
+    from flink_kafka_replicator_spark.functions.corpus import (
+        doc_pii_scrub,
+        pack_token_sequences,
+    )
+    from flink_kafka_replicator_spark.operators.advanced import sessionize_events
+
+    for q in (sessionize_events, pack_token_sequences, doc_pii_scrub):
+        t_small = _timed(q(spark, SRC))
+        t_big = _timed(q(spark, big_dir))
+        assert t_big < max(t_small, 0.2) * COPIES * 3, (
+            f"{q.__name__} superlinear at 10x: {t_big:.1f}s vs {t_small:.1f}s"
+        )
+
+
 # ----------------------------------------------------------------- 100×
 # A corpus-realistic 100× of sf0.1 (≈ sf10): documents get a per-copy
 # token salt so each copy has its own vocabulary — the original corpus's
