@@ -677,6 +677,38 @@ def knn_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the neighbor lists: majority label among
+    each vector's KNN_K nearest in-cell neighbors (ties → smallest
+    label) — the label-propagation / auto-labeling step a curation
+    pipeline runs on top of the ANN index.
+
+    Pure composition: knn_ivf_join (already bucketed and materialized)
+    → join neighbor labels → per-query vote via count + WindowGroupLimit.
+    The label join keys on neighbor_id — at scale the label table is a
+    column of the same store, so this is a co-partitioned or broadcast
+    join, never a second ANN pass."""
+    from pyspark.sql import Window
+
+    nn = knn_ivf_join(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("vec_id", "n_label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("votes").desc(), F.col("n_label").asc()
+    )
+    return (
+        votes.withColumn("vrn", F.row_number().over(w))
+        .filter(F.col("vrn") == 1)
+        .select("vec_id", F.col("n_label").alias("pred_label"), "votes")
+    )
+
+
 # ------------------------------------------------------------ text analysis
 
 
@@ -871,6 +903,7 @@ QUERIES = {
     "sim_topk_ivf": sim_topk_ivf,
     "sim_topk_ivf_kmeans": sim_topk_ivf_kmeans,
     "knn_ivf_join": knn_ivf_join,
+    "knn_label_vote": knn_label_vote,
     "text_stats": text_stats,
     "lang_breakdown": lang_breakdown,
     "text_quality": text_quality,
@@ -954,8 +987,9 @@ _KMEANS_ORACLE = f"""
 """
 
 
-ORACLES = {
-    "knn_ivf_join": f"""
+# Shared CTE chain for the knn family: IVF cell assignment → in-cell
+# pairs → per-query top-k (same tie-breaks as the Spark window).
+_KNN_ORACLE_CORE = f"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         c AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 16),
         asg AS {_duck_asg('v', 'c')},
@@ -964,14 +998,35 @@ ORACLES = {
                    ROUND({_duck_cos('a.vec', 'b.vec')}, 4) AS cos_sim
             FROM asg a JOIN asg b USING (cid)
             WHERE a.vec_id <> b.vec_id
+        ),
+        topk AS (
+            SELECT qid, nid, cos_sim, rn
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) AS rn
+                FROM pairs)
+            WHERE rn <= {KNN_K}
         )
+"""
+
+ORACLES = {
+    "knn_ivf_join": f"""
+        {_KNN_ORACLE_CORE}
         SELECT qid AS vec_id, nid AS neighbor_id, cos_sim,
                CAST(rn AS INT) AS rank
-        FROM (
-            SELECT *, ROW_NUMBER() OVER (
-                       PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) AS rn
-            FROM pairs)
-        WHERE rn <= {KNN_K}
+        FROM topk
+    """,
+    "knn_label_vote": f"""
+        {_KNN_ORACLE_CORE}
+        SELECT vec_id, pred_label, votes FROM (
+            SELECT t.qid AS vec_id, e.label AS pred_label,
+                   COUNT(*) AS votes,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY t.qid
+                       ORDER BY COUNT(*) DESC, e.label ASC) AS vrn
+            FROM topk t JOIN embeddings e ON e.vec_id = t.nid
+            GROUP BY t.qid, e.label)
+        WHERE vrn = 1
     """,
     "sample_per_group_hash": """
         SELECT lang, doc_id, sample_key, CAST(rn AS INT) AS rank FROM (
