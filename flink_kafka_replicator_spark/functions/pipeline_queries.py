@@ -101,6 +101,82 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-corpus) near-dedup: which NEW docs near-match a
+    doc already in the index? The ingestion-time shape every growing
+    corpus needs — new batch vs existing index, NOT the self-join.
+
+    Scale shape: the index side's band keys are computed once at index
+    build and persisted (here recomputed — the fixture has no stored
+    index); the join is bipartite on band_key, so work is
+    Σ |new_bucket|·|old_bucket|, never |new|·|old|; candidate pairs are
+    verified with exact Jaccard on shingles computed once per candidate
+    doc (left-semi prune, same as the self-join path). Old/new split is
+    doc_id parity — a stand-in for the batch boundary.
+
+    Oracle: brute-force cross-corpus all-pairs Jaccard — a match proves
+    the bipartite LSH loses nothing at test scale."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    b_old = banded_minhash(old, "doc_id", "text").select(
+        F.col("doc_id").alias("old_id"), "band_key"
+    )
+    b_new = banded_minhash(new, "doc_id", "text").select(
+        F.col("doc_id").alias("new_id"), "band_key"
+    )
+    cand = broadcast(
+        materialize_small(b_new.join(b_old, "band_key").select("new_id", "old_id").distinct())
+    )
+    ids = cand.select(
+        F.explode(F.array("new_id", "old_id")).alias("doc_id")
+    ).distinct()
+    sh = broadcast(
+        materialize_small(
+            shingle_pipeline(d.join(broadcast(ids), "doc_id", "left_semi"), "doc_id", "text")
+        )
+    )
+    a = sh.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_n"))
+    b = sh.select(F.col("doc_id").alias("old_id"), F.col("shingles").alias("sh_o"))
+    return (
+        cand.join(a, "new_id")
+        .join(b, "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            F.round(jaccard(F.col("sh_n"), F.col("sh_o")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# deterministic content-hash split: buckets 0-97 train, 98 val, 99 test
+SPLIT_BUCKETS = 100
+
+
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment from a content-stable
+    hash of the doc id — reproducible across runs and engines, immune to
+    row order and partitioning, and stable as the corpus grows (a doc
+    never migrates between splits). Map-side only: scan-speed at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
+        .cast("bigint")
+        % SPLIT_BUCKETS
+    )
+    staged = d.select("doc_id", "lang", bucket.alias("bucket"))
+    return staged.select(
+        "doc_id",
+        "lang",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.when(F.col("bucket") < 98, "train")
+        .when(F.col("bucket") == 98, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 CC_MAX_ITERS = 10
 
 
@@ -893,6 +969,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_fuzzy_minhash": dedup_fuzzy_minhash,
+    "dedup_incremental": dedup_incremental,
+    "corpus_split_assign": corpus_split_assign,
     "dedup_cluster_cc": dedup_cluster_cc,
     "dedup_survivors": dedup_survivors,
     "dedup_simhash": dedup_simhash,
@@ -1153,6 +1231,34 @@ ORACLES = {
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                     / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+    """,
+    "dedup_incremental": r"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+            FROM t
+        )
+        SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+               ROUND(CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(n.sh, o.sh))), 4) AS jaccard
+        FROM s n JOIN s o ON n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+        WHERE ROUND(CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(n.sh, o.sh))), 4) >= 0.5
+    """,
+    "corpus_split_assign": """
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 100 AS INT) AS bucket,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 100 < 98 THEN 'train'
+                    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 100 = 98 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
     """,
     "embedding_centroids": """
         SELECT u.cluster_id,

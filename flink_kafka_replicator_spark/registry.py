@@ -181,7 +181,8 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "top_terms_per_lang", "contamination_ngram",
     # round-4 additions: the LLM-pipeline surface the judge audits first
     "knn_ivf_join", "knn_label_vote", "doc_pii_scrub", "corpus_mix_equalize",
-    "pack_token_sequences", "sessionize_events",
+    "pack_token_sequences", "sessionize_events", "dedup_incremental",
+    "corpus_split_assign",
 )
 
 
