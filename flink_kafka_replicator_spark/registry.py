@@ -180,7 +180,8 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "doc_chunk", "tfidf_top_terms", "filter_blocklist",
     "top_terms_per_lang", "contamination_ngram",
     # round-4 additions: the LLM-pipeline surface the judge audits first
-    "knn_ivf_join", "knn_label_vote", "doc_pii_scrub", "corpus_mix_equalize",
+    "knn_ivf_join", "knn_ivf_multiprobe", "knn_label_vote",
+    "doc_pii_scrub", "corpus_mix_equalize",
     "pack_token_sequences", "sessionize_events", "dedup_incremental",
     "corpus_split_assign",
 )

@@ -90,6 +90,28 @@ def test_pack_offsets_respect_budget_and_chain(spark):
             cum += r.n_tokens
 
 
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe candidates are a superset of single-probe's, so for
+    every query vector the rank-r multiprobe score must be >= the rank-r
+    single-probe score — probing more cells can only improve recall."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        knn_ivf_multiprobe,
+    )
+
+    single = defaultdict(dict)
+    for r in knn_ivf_join(spark, SF_DIR).collect():
+        single[r.vec_id][r.rank] = r.cos_sim
+    multi = defaultdict(dict)
+    for r in knn_ivf_multiprobe(spark, SF_DIR).collect():
+        multi[r.vec_id][r.rank] = r.cos_sim
+    assert set(single) <= set(multi), "multiprobe lost query vectors"
+    for q, ranks in single.items():
+        for rank, s in ranks.items():
+            assert multi[q].get(rank, float("-inf")) >= s, (
+                f"q {q} rank {rank}: multiprobe {multi[q].get(rank)} < single {s}"
+            )
+
+
 def test_knn_neighbors_stay_in_cell_and_rank_correctly(spark):
     """Per query vector: at most KNN_K neighbors, ranks dense from 1,
     scores non-increasing with rank, and no self-pairs."""
