@@ -59,6 +59,8 @@ HEADLINE = [
     "text_stats",
     # round-4 additions
     "knn_ivf_join",
+    "knn_ivf_multiprobe",
+    "dedup_incremental",
     "sessionize_events",
     "pack_token_sequences",
     "doc_pii_scrub",

@@ -394,3 +394,27 @@ def test_knn_join_is_equi_join_with_group_limit(spark, sf_dir):
         "BroadcastHashJoin" in plan
     ), plan[:1500]
     assert "WindowGroupLimit" in plan
+
+
+def test_incremental_dedup_is_bipartite_equi_join(spark, sf_dir):
+    """Cross-corpus LSH must join new-batch band keys against index band
+    keys as an equi-join — never a cross product of the two corpora."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        dedup_incremental,
+    )
+
+    plan = formatted_plan(dedup_incremental(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multiprobe_knn_stays_equi_join(spark, sf_dir):
+    """Probing two cells widens the join input but must not change the
+    join strategy: still an equi-join on the cell id."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        knn_ivf_multiprobe,
+    )
+
+    plan = formatted_plan(knn_ivf_multiprobe(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
