@@ -93,6 +93,10 @@ def main() -> None:
         timings[qid] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # the headline set grows round over round; r2_subset_total keeps a
+    # fixed-basket number comparable against BENCH_r02/r03 (the first 27
+    # headline ids) so a larger set never reads as a regression
+    r2_subset = round(sum(timings[q] for q in HEADLINE[:27] if q in timings), 3)
     print(
         json.dumps(
             {
@@ -100,6 +104,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
+                "r2_subset_total": r2_subset,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
