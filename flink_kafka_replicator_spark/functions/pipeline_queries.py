@@ -114,8 +114,17 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc (left-semi prune, same as the self-join path). Old/new split is
     doc_id parity — a stand-in for the batch boundary.
 
+    Degenerate band keys (boilerplate shingles landing thousands of docs
+    in one bucket) are dropped on BOTH sides before the join — the same
+    MAX_BUCKET hygiene lsh_candidate_pairs applies to the self-join;
+    without it one hot key makes the bipartite join quadratic. At scale
+    the index side's key counts are precomputed index statistics, not a
+    per-batch aggregate.
+
     Oracle: brute-force cross-corpus all-pairs Jaccard — a match proves
-    the bipartite LSH loses nothing at test scale."""
+    the bipartite LSH (including the cap) loses nothing at test scale."""
+    from .similarity import MAX_BUCKET
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     old = d.filter(F.col("doc_id") % 2 == 0)
     new = d.filter(F.col("doc_id") % 2 == 1)
@@ -125,6 +134,20 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_new = banded_minhash(new, "doc_id", "text").select(
         F.col("doc_id").alias("new_id"), "band_key"
     )
+    ok_old = (
+        b_old.groupBy("band_key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= MAX_BUCKET)
+        .select("band_key")
+    )
+    ok_new = (
+        b_new.groupBy("band_key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= MAX_BUCKET)
+        .select("band_key")
+    )
+    b_old = b_old.join(ok_old, "band_key", "left_semi")
+    b_new = b_new.join(ok_new, "band_key", "left_semi")
     cand = broadcast(
         materialize_small(b_new.join(b_old, "band_key").select("new_id", "old_id").distinct())
     )
