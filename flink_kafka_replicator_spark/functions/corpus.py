@@ -320,7 +320,14 @@ def corpus_mix_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable order sample_per_group_hash established) and the quota is
     the min per-lang count. Plan: one lang-keyed window shuffle + a
     two-row-stage agg broadcast — the quota is a scalar, never a
-    driver-side collect."""
+    driver-side collect.
+
+    Scale note: exact per-group ranking sorts each language inside one
+    window partition — fine while groups fit a task, but a 20 TB
+    language does not. The 100 TB form replaces rank <= quota with the
+    hash-threshold test md5(doc_id) < quota/group_count (constant-time,
+    shuffle-free, ~exact at large counts); the exact-rank form here is
+    what makes the result oracle-checkable."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")

@@ -239,7 +239,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two stacked windows over ONE user_id shuffle: lag(ts) flags session
     starts (gap > SESSION_GAP_SECONDS), a running sum of flags numbers
     the sessions. Spark evaluates both window batches in the same
-    exchange — no second shuffle."""
+    exchange — no second shuffle.
+
+    Skew note: a window partition is one user's full history, so a
+    pathological hot key (one user = billions of events) serializes on
+    one task. Sessionization cannot be salted (the running sum is
+    order-dependent across the whole key); the scale mitigation is
+    time-range pre-splitting (sessionize per day, then merge boundary
+    sessions) — the same trade Flink's keyed session windows make."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     prev = F.lag("ts").over(w)
