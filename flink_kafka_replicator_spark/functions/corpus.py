@@ -362,21 +362,31 @@ def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic end-to-end, so cross-engine parity is exact. At
     100 TB the same plan runs per shard instead of per lang — swap the
     partition key."""
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         "lang",
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
-        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    return pack_assign(toks, budget=PACK_BUDGET_TOKENS)
+
+
+def pack_assign(toks: DataFrame, budget: int = PACK_BUDGET_TOKENS) -> DataFrame:
+    """Core packing bookkeeping over any (doc_id, lang, n_tokens) frame —
+    split out of pack_token_sequences so property tests can drive it
+    with synthetic token counts (docs longer than the budget, zero-token
+    docs, single-doc groups)."""
+    from pyspark.sql import Window
+
+    staged0 = toks.select(
+        "doc_id", "lang", "n_tokens", F.md5(F.col("doc_id").cast("string")).alias("h")
     )
     w = (
         Window.partitionBy("lang")
         .orderBy(F.col("h").asc(), F.col("doc_id").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    staged = toks.select(
+    staged = staged0.select(
         "doc_id",
         "lang",
         "n_tokens",
@@ -386,8 +396,8 @@ def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.expr(f"cum_before div {PACK_BUDGET_TOKENS}").alias("pack_id"),
-        (F.col("cum_before") % PACK_BUDGET_TOKENS)
+        F.expr(f"cum_before div {budget}").alias("pack_id"),
+        (F.col("cum_before") % budget)
         .cast("int")
         .alias("pack_offset"),
     )

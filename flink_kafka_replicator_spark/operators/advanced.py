@@ -247,14 +247,22 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-dependent across the whole key); the scale mitigation is
     time-range pre-splitting (sessionize per day, then merge boundary
     sessions) — the same trade Flink's keyed session windows make."""
-    ev = load_table(spark, sf_dir, "events")
+    return sessionize(
+        load_table(spark, sf_dir, "events"), gap_seconds=SESSION_GAP_SECONDS
+    )
+
+
+def sessionize(ev: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
+    """Core gaps-and-islands over any (user_id, event_id, ts) frame —
+    split out of sessionize_events so property tests can drive it with
+    synthetic boundary cases (gap exactly == gap_seconds, ts ties)."""
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     prev = F.lag("ts").over(w)
     new_s = F.when(
         prev.isNull()
         | (
             F.col("ts").cast("double") - prev.cast("double")
-            > float(SESSION_GAP_SECONDS)
+            > float(gap_seconds)
         ),
         1,
     ).otherwise(0)

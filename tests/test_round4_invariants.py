@@ -127,3 +127,91 @@ def test_knn_neighbors_stay_in_cell_and_rank_correctly(spark):
         assert [r for r, _ in rs] == list(range(1, len(rs) + 1))
         sims = [s for _, s in rs]
         assert all(a >= b for a, b in zip(sims, sims[1:])), f"q {q}: {sims}"
+
+
+# ------------------------------------------------ property-based (hypothesis)
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HSET = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_HSET)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),              # user
+            st.integers(0, 2000),           # ts offset seconds (incl 600 boundary)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_sessionize_matches_python_reference(spark, events):
+    """Gaps-and-islands vs an independent Python fold, including gap ==
+    exactly 600 s (must NOT split — the predicate is strictly greater)
+    and duplicate timestamps (tie-broken by event_id)."""
+    import datetime as dt
+
+    from flink_kafka_replicator_spark.operators.advanced import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, i, base + dt.timedelta(seconds=s)) for i, (u, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = {
+        (r.user_id, r.event_id): r.session_seq
+        for r in sessionize(df, gap_seconds=600).collect()
+    }
+    want = {}
+    by_user = {}
+    for u, i, ts in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
+        prev = by_user.get(u)
+        if prev is None or (ts - prev[0]).total_seconds() > 600:
+            seq = (prev[1] if prev else 0) + 1
+        else:
+            seq = prev[1]
+        by_user[u] = (ts, seq)
+        want[(u, i)] = seq
+    assert got == want
+
+
+@settings(**_HSET)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),              # lang id
+            st.integers(0, 1500),           # n_tokens (0, and > budget of 512)
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_pack_assign_matches_python_reference(spark, docs):
+    """Concat-and-chunk bookkeeping vs an independent Python cumsum,
+    including zero-token docs and docs longer than the budget."""
+    import hashlib
+
+    from flink_kafka_replicator_spark.functions.corpus import pack_assign
+
+    rows = [(i, f"l{lang}", n) for i, (lang, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens int")
+    got = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in pack_assign(df, budget=512).collect()
+    }
+    want = {}
+    by_lang = {}
+    for doc_id, lang, n in sorted(
+        rows, key=lambda r: (r[1], hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+    ):
+        cum = by_lang.get(lang, 0)
+        want[doc_id] = (cum // 512, cum % 512)
+        by_lang[lang] = cum + n
+    assert got == want
