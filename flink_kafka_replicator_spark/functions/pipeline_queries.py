@@ -730,13 +730,26 @@ def knn_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The assignment table comes from the shared, materialized
     :func:`_knn_assignment` (the persisted IVF postings-list artifact —
     see there for why materialization is also an analyzer necessity)."""
-    from pyspark.sql import Window
+    return _knn_topk(spark, _knn_incell_scored(spark, sf_dir))
 
+
+def _knn_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, vec, nrm, cid): the double-cast vectors joined to the
+    materialized assignment."""
     e = load_table(spark, sf_dir, "embeddings")
     assigned = _knn_assignment(spark, sf_dir).select("vec_id", "nrm", "cid")
-    v = e.select("vec_id", as_double(F.col("embedding")).alias("vec")).join(
+    return e.select("vec_id", as_double(F.col("embedding")).alias("vec")).join(
         assigned, "vec_id"
     )
+
+
+def _knn_incell_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All directed in-primary-cell pairs with their rounded cosine.
+
+    Cosine is symmetric: fold each unordered pair ONCE (qid < nid), then
+    explode both directions for the per-query ranking — halves the
+    dominant dot-fold work for the price of a shuffle-free Generate."""
+    v = _knn_vectors(spark, sf_dir)
     a = v.select(
         F.col("vec_id").alias("qid"), F.col("vec").alias("vec_a"),
         F.col("nrm").alias("nrm_a"), "cid",
@@ -745,9 +758,6 @@ def knn_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("nid"), F.col("vec").alias("vec_b"),
         F.col("nrm").alias("nrm_b"), "cid",
     )
-    # cosine is symmetric: fold each unordered pair ONCE (qid < nid),
-    # then explode both directions for the per-query ranking — halves
-    # the dominant dot-fold work for the price of a shuffle-free Generate
     half = (
         a.join(b, "cid")
         .filter(F.col("qid") < F.col("nid"))
@@ -761,7 +771,7 @@ def knn_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    scored = half.select(
+    return half.select(
         F.explode(
             F.array(
                 F.struct(
@@ -781,6 +791,13 @@ def knn_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.n").alias("nid"),
         F.col("p.cos_sim").alias("cos_sim"),
     )
+
+
+def _knn_topk(spark: SparkSession, scored: DataFrame) -> DataFrame:
+    """Per-query top-KNN_K over (qid, nid, cos_sim) with the oracle's
+    (cos_sim DESC, nid ASC) tie-break."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -808,10 +825,13 @@ def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     primary assignment used (a masked least + first-match scan over the
     bound d_<cid> columns — tie-broken by cell id, mirroring the
     oracle's (dist ASC, cid ASC) ROW_NUMBER). The pair join is still a
-    pure equi-join: exploded (query, probe-cell) rows against the index
-    side's primary cell."""
-    from pyspark.sql import Window
-
+    pure equi-join: (query, probe-2-cell) rows against the index side's
+    primary cell. The primary-cell pairs are NOT recomputed — they are
+    the same symmetric in-cell set knn_ivf_join folds (each unordered
+    pair once), and a query's probe-2 neighbors are disjoint from its
+    primary-cell neighbors (every index vector lives in exactly one
+    cell), so the union has no duplicates and the extra fold work is
+    only the probe-2 candidates."""
     cents, _ = _ivf_model(spark, sf_dir)
     asg = _knn_assignment(spark, sf_dir)
     cids = [cid for cid, _, _ in cents]
@@ -825,30 +845,19 @@ def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         + " ".join(f"WHEN cid <> {c} AND d_{c} = d2 THEN {c}" for c in cids)
         + " END"
     )
-    probes = (
-        asg.withColumn("d2", F.expr(masked_least))
-        .select("vec_id", "nrm", "cid", F.expr(cid2_case).alias("cid2"))
-        .select(
-            "vec_id",
-            "nrm",
-            F.explode(F.array("cid", "cid2")).alias("pcid"),
-        )
+    probe2 = asg.withColumn("d2", F.expr(masked_least)).select(
+        "vec_id", F.expr(cid2_case).alias("pcid")
     )
-    e = load_table(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", as_double(F.col("embedding")).alias("vec"))
-    q = probes.join(v, "vec_id").select(
+    v = _knn_vectors(spark, sf_dir)
+    q = probe2.join(v.select("vec_id", "vec", "nrm"), "vec_id").select(
         F.col("vec_id").alias("qid"), F.col("nrm").alias("nrm_a"),
         F.col("vec").alias("vec_a"), "pcid",
     )
-    b = (
-        asg.select("vec_id", "nrm", "cid")
-        .join(v, "vec_id")
-        .select(
-            F.col("vec_id").alias("nid"), F.col("nrm").alias("nrm_b"),
-            F.col("vec").alias("vec_b"), F.col("cid").alias("pcid"),
-        )
+    b = v.select(
+        F.col("vec_id").alias("nid"), F.col("nrm").alias("nrm_b"),
+        F.col("vec").alias("vec_b"), F.col("cid").alias("pcid"),
     )
-    scored = (
+    p2_scored = (
         q.join(b, "pcid")
         .filter(F.col("qid") != F.col("nid"))
         .select(
@@ -861,17 +870,8 @@ def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= KNN_K)
-        .select(
-            F.col("qid").alias("vec_id"),
-            F.col("nid").alias("neighbor_id"),
-            "cos_sim",
-            F.col("rn").cast("int").alias("rank"),
-        )
-    )
+    scored = _knn_incell_scored(spark, sf_dir).unionByName(p2_scored)
+    return _knn_topk(spark, scored)
 
 
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
