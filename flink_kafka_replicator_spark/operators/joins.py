@@ -187,6 +187,52 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_fuzzy_lev1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join: customer-name pairs within
+    edit distance 1, via deletion-neighborhood blocking (the FastSS
+    family): each name contributes itself plus every delete-one-char
+    variant as blocking keys; any two strings within edit distance 1
+    share at least one key (substitution → same deletion variant;
+    insert/delete → one side's full string equals the other's variant),
+    so recall is EXACT — unlike LSH there is no probabilistic miss.
+
+    Scale shape: O(n·L) blocking keys instead of O(n²) comparisons; the
+    candidate join is a pure equi-join on the key; the cheap levenshtein
+    verify runs only on bucket-mates. At 100 TB the key table is the
+    persisted match index. The brute-force oracle proves the exact
+    recall claim at test scale."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    keys = c.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.expr(
+                "array_union(array(c_name),"
+                " transform(sequence(1, length(c_name)),"
+                "  i -> concat(substring(c_name, 1, i-1),"
+                "              substring(c_name, i+1, length(c_name)))))"
+            )
+        ).alias("k"),
+    )
+    a = keys.select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"), "k"
+    )
+    b = keys.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"), "k"
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("lev"),
+        )
+        .dropDuplicates(["key_a", "key_b"])
+    )
+
+
 QUERIES = {
     "join_inner": join_inner,
     "join_broadcast": join_broadcast,
@@ -196,11 +242,18 @@ QUERIES = {
     "join_anti": join_anti,
     "join_range": join_range,
     "join_range_binned": join_range_binned,
+    "join_fuzzy_lev1": join_fuzzy_lev1,
 }
 
 _BAND_VALUES = ", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in PRICE_BANDS)
 
 ORACLES = {
+    "join_fuzzy_lev1": """
+        SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS lev
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
     "join_range_binned": """
         WITH bands AS (
             SELECT CAST(i AS INTEGER) AS band_id,

@@ -183,7 +183,7 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "knn_ivf_join", "knn_ivf_multiprobe", "knn_label_vote",
     "doc_pii_scrub", "corpus_mix_equalize",
     "pack_token_sequences", "sessionize_events", "dedup_incremental",
-    "corpus_split_assign",
+    "corpus_split_assign", "join_fuzzy_lev1",
 )
 
 

@@ -418,3 +418,13 @@ def test_multiprobe_knn_stays_equi_join(spark, sf_dir):
     plan = formatted_plan(knn_ivf_multiprobe(spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_fuzzy_join_blocks_never_cross_joins(spark, sf_dir):
+    """Deletion-neighborhood fuzzy matching must candidate-generate via
+    an equi-join on the blocking key — never an all-pairs comparison."""
+    from flink_kafka_replicator_spark.operators.joins import join_fuzzy_lev1
+
+    plan = formatted_plan(join_fuzzy_lev1(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
