@@ -27,8 +27,10 @@ from flink_kafka_replicator_spark.session import get_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: the heaviest representative per operator family.
-HEADLINE = [
+# The frozen r2-era basket: NEVER reorder or insert into this tuple —
+# r2_subset_total sums exactly these ids so BENCH_r02/r03 stay
+# comparable across rounds regardless of how HEADLINE grows.
+R2_BASKET: tuple[str, ...] = (
     "agg_hash_groupby",
     "agg_rollup",
     "join_inner",
@@ -57,6 +59,11 @@ HEADLINE = [
     "pipeline_end_to_end",
     "grouped_zscore_window",
     "text_stats",
+)
+
+# Headline set: the heaviest representative per operator family.
+# Append new rounds' queries HERE (not to R2_BASKET).
+HEADLINE = list(R2_BASKET) + [
     # round-4 additions
     "knn_ivf_join",
     "knn_ivf_multiprobe",
@@ -94,9 +101,9 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # the headline set grows round over round; r2_subset_total keeps a
-    # fixed-basket number comparable against BENCH_r02/r03 (the first 27
-    # headline ids) so a larger set never reads as a regression
-    r2_subset = round(sum(timings[q] for q in HEADLINE[:27] if q in timings), 3)
+    # fixed-basket number comparable against BENCH_r02/r03 so a larger
+    # set never reads as a regression
+    r2_subset = round(sum(timings[q] for q in R2_BASKET if q in timings), 3)
     print(
         json.dumps(
             {

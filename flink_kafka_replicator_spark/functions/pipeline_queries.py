@@ -215,6 +215,8 @@ def cc_label_propagation(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     flat. Exhausting ``max_iters`` while labels are still moving RAISES
     — at scale a silent exit here keeps wrong clusters and the dedup
     stage deletes the wrong documents, so non-convergence must be loud."""
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     edges = materialize_small(
         pairs.union(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -260,6 +262,18 @@ def cc_label_propagation(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
 # the two queries were the most expensive pair in the correctness gate.
 _CC_LABEL_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# Checkpoint-backed caches own materialized executor blocks (unlike the
+# lazy-plan _TABLE_CACHE), so a long-lived session iterating many data
+# dirs (test tmp_paths, scale-smoke fixtures) must not grow them without
+# bound; past the cap, drop everything and let the next call rebuild.
+_MATERIALIZED_CACHE_MAX = 64
+
+
+def _cache_put(cache: dict, key, value) -> None:
+    if len(cache) >= _MATERIALIZED_CACHE_MAX:
+        cache.clear()
+    cache[key] = value
+
 
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
@@ -270,7 +284,7 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize: the fixed-point labels are final data, not a lazy
     # plan — pinning them makes every downstream reuse O(|labels|)
     labels = materialize_small(cc_label_propagation(pairs))
-    _CC_LABEL_CACHE[key] = labels
+    _cache_put(_CC_LABEL_CACHE, key, labels)
     return labels
 
 
@@ -708,7 +722,7 @@ def _knn_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_argmin_case(cents)).alias("cid"),
         )
     )
-    _KNN_ASSIGN_CACHE[key] = out
+    _cache_put(_KNN_ASSIGN_CACHE, key, out)
     return out
 
 

@@ -93,29 +93,80 @@ CONTRACT_IDS: tuple[str, ...] = (
 # them FIRST in the registry so the next driver round re-earns a fresh
 # row, regardless of the seen-set. Round 4: the two window queries whose
 # r1 greens predate the NTZ testdata regeneration (VERDICT r3 task 2).
+# The pin RETIRES ITSELF: once an id earns a green row in a round after
+# FORCE_RECHECK_SINCE_ROUND, it rejoins the normal rotation and stops
+# spending head-of-cap slots.
 FORCE_RECHECK_IDS: tuple[str, ...] = (
     "window_lag_delta",
     "window_range_frame",
 )
+FORCE_RECHECK_SINCE_ROUND = 3
+
+
+def _green_ids_in(path: str) -> set[str]:
+    """Ids with a passing row (hash-match, or intentional rows-only) in
+    one CORRECTNESS_r*.json file."""
+    out: set[str] = set()
+    try:
+        with open(path, encoding="utf-8") as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return out
+    if not isinstance(data, dict):
+        return out
+    for k, v in data.items():
+        if not isinstance(v, dict):
+            continue
+        if v.get("hash_match") is True or (
+            v.get("err") == "no_oracle" and v.get("spark_rows") is not None
+        ):
+            out.add(k)
+    return out
+
+
+@functools.lru_cache(maxsize=1)
+def _rechecked_ids() -> frozenset[str]:
+    """Ids holding a green row earned AFTER the staleness event — i.e.
+    in a CORRECTNESS_r{N}.json with N > FORCE_RECHECK_SINCE_ROUND. Such
+    an id's FORCE_RECHECK pin has served its purpose and expires."""
+    import re as _re
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        m = _re.match(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        if not m or int(m.group(1)) <= FORCE_RECHECK_SINCE_ROUND:
+            continue
+        seen |= _green_ids_in(path)
+    return frozenset(seen)
 
 
 def _testdata_mtime() -> float:
-    """Newest mtime of any file under the testdata root (0.0 if absent).
+    """OLDEST mtime of any file under the testdata root (0.0 if absent).
 
     Used to invalidate driver-seen status: a CORRECTNESS_r*.json written
     BEFORE the testdata was last regenerated proves nothing about the
     current data, so its rows must not keep an id out of the re-check
     rotation (the r3 regeneration silently broke two stale-green ids).
+
+    The oldest file (not the newest) is the right reference: a FULL
+    regeneration rewrites every file, so the oldest mtime IS the regen
+    time — while a single stray file appearing later must not discard
+    every round's greens and re-spend the whole driver cap. (Partial
+    regens slip past this heuristic; FORCE_RECHECK_IDS is the explicit
+    lever for that case. Checkout-time mtime refreshes can also mask
+    staleness — same fallback.)
     """
-    newest = 0.0
+    oldest = 0.0
     root = os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
     for dirpath, _dirs, files in os.walk(root):
         for f in files:
             try:
-                newest = max(newest, os.path.getmtime(os.path.join(dirpath, f)))
+                m = os.path.getmtime(os.path.join(dirpath, f))
             except OSError:
                 continue
-    return newest
+            oldest = m if oldest == 0.0 else min(oldest, m)
+    return oldest
 
 
 @functools.lru_cache(maxsize=1)
@@ -147,20 +198,9 @@ def _driver_seen_ids() -> frozenset[str]:
         try:
             if os.path.getmtime(path) < data_mtime:
                 continue  # predates the current testdata generation
-            with open(path, encoding="utf-8") as fh:
-                data = json.load(fh)
-        except (OSError, ValueError):
+        except OSError:
             continue
-        if not isinstance(data, dict):
-            continue
-        for k, v in data.items():
-            if not isinstance(v, dict):
-                continue
-            passed = v.get("hash_match") is True or (
-                v.get("err") == "no_oracle" and v.get("spark_rows") is not None
-            )
-            if passed:
-                seen.add(k)
+        seen |= _green_ids_in(path)
     return frozenset(seen)
 
 
@@ -189,7 +229,10 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
 
 def _ordered(ids: list[str]) -> list[str]:
     seen = _driver_seen_ids()
-    force_pos = {q: i for i, q in enumerate(FORCE_RECHECK_IDS)}
+    rechecked = _rechecked_ids()
+    force_pos = {
+        q: i for i, q in enumerate(FORCE_RECHECK_IDS) if q not in rechecked
+    }
     contract_pos = {q: i for i, q in enumerate(CONTRACT_IDS)}
     prio_pos = {q: i for i, q in enumerate(PRIORITY_EXTENSION_IDS)}
     base_pos = {q: i for i, q in enumerate(ids)}
@@ -197,7 +240,8 @@ def _ordered(ids: list[str]) -> list[str]:
     def key(q: str) -> tuple[int, int, int, int]:
         # known-stale ids outrank everything: their historical greens are
         # invalid and they'd otherwise sit behind 60+ contract/priority
-        # ids, beyond the driver's cap, forever
+        # ids, beyond the driver's cap, forever. A pin expires once the
+        # id re-earns a post-staleness green row (_rechecked_ids).
         if q in force_pos:
             return (-1, 0, 0, force_pos[q])
         # never-driver-verified first, regardless of contract membership:

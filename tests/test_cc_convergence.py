@@ -58,3 +58,8 @@ def test_survivors_consistent_with_clusters(spark):
 
     sizes = Counter(cc.values())
     assert surv == dict(sizes)
+
+
+def test_cc_rejects_nonpositive_iteration_budget(spark):
+    with pytest.raises(ValueError, match="max_iters"):
+        cc_label_propagation(_path_graph(spark, 3), max_iters=0)

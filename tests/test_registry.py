@@ -26,9 +26,36 @@ def test_force_recheck_ids_rank_first():
     """Known-stale ids (greens earned against regenerated-away testdata)
     must occupy the very head of the registry so the next driver round
     re-earns fresh rows — they'd otherwise hide behind 60+ contract and
-    priority ids, beyond the cap, forever."""
+    priority ids, beyond the cap, forever. A pin expires once the id
+    holds a green row from a round after the staleness event."""
+    active = [
+        q for q in registry.FORCE_RECHECK_IDS if q not in registry._rechecked_ids()
+    ]
     qs = list(registry.all_queries())
-    assert qs[: len(registry.FORCE_RECHECK_IDS)] == list(registry.FORCE_RECHECK_IDS)
+    assert qs[: len(active)] == active
+
+
+def test_force_recheck_pin_expires_after_fresh_green(tmp_path, monkeypatch):
+    """Once a forced id earns a green row in a post-staleness round, it
+    must rejoin the normal rotation instead of pinning the head."""
+    import json
+
+    repo = tmp_path / "repo" / "pkg"
+    repo.mkdir(parents=True)
+    row = {"hash_match": True, "spark_rows": 1, "err": None}
+    (tmp_path / "repo" / "CORRECTNESS_r04.json").write_text(
+        json.dumps({registry.FORCE_RECHECK_IDS[0]: row})
+    )
+    monkeypatch.setattr(
+        registry.os.path, "abspath", lambda p: str(repo / "registry.py")
+    )
+    registry._rechecked_ids.cache_clear()
+    try:
+        rechecked = registry._rechecked_ids()
+        assert registry.FORCE_RECHECK_IDS[0] in rechecked
+        assert registry.FORCE_RECHECK_IDS[1] not in rechecked
+    finally:
+        registry._rechecked_ids.cache_clear()
 
 
 def test_never_seen_ids_fill_the_cap_first():
