@@ -47,14 +47,28 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The verified (pair, jaccard) table is the near-dup index artifact a
+# production pipeline builds once and consumes many times; four queries
+# consume it here (fuzzy threshold, unthresholded jaccard, clusters,
+# survivors), so it is memoized per (session, dataset) like _cc_labels.
+_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _minhash_candidates_with_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared MinHash-LSH pipeline: shingle → 16 minhashes (one xxhash64
     per shingle + affine permutations) → 8 bands → bucket-local pair
     expansion → exact-Jaccard verification of the (tiny) candidate set.
 
     The candidate pair table is broadcast for the verify joins, so the
-    documents table is scanned, not shuffled, in that phase.
+    documents table is scanned, not shuffled, in that phase. The final
+    verified table is materialized and memoized — it is candidate-sized
+    (bounded by the LSH bucket cap), and every downstream consumer then
+    reads the pinned result instead of re-running the banding pipeline.
     """
+    ck = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    cached = _PAIR_CACHE.get(ck)
+    if cached is not None:
+        return cached
     d = load_table(spark, sf_dir, "documents")
     banded = banded_minhash(d, "doc_id", "text")
     # The candidate table is tiny but feeds three differently-keyed
@@ -79,7 +93,7 @@ def _minhash_candidates_with_jaccard(spark: SparkSession, sf_dir: str) -> DataFr
     )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
+    out = materialize_small(
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -88,6 +102,8 @@ def _minhash_candidates_with_jaccard(spark: SparkSession, sf_dir: str) -> DataFr
             F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
         )
     )
+    _cache_put(_PAIR_CACHE, ck, out)
+    return out
 
 
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -54,12 +54,26 @@ def _timed(df) -> float:
     return time.perf_counter() - t0
 
 
+def _clear_artifact_caches():
+    """Linearity ratios need COLD builds on both sides: drop the
+    memoized index artifacts (minhash pair table, CC labels, knn
+    assignment) so a prior test's warm cache can't make the small-scale
+    denominator ~0 and fail the big-side bound spuriously."""
+    from flink_kafka_replicator_spark.functions import pipeline_queries as pq
+
+    pq._PAIR_CACHE.clear()
+    pq._CC_LABEL_CACHE.clear()
+    pq._KNN_ASSIGN_CACHE.clear()
+
+
 def test_minhash_scales_linearly(spark, big_dir):
     from flink_kafka_replicator_spark.functions.pipeline_queries import (
         dedup_fuzzy_minhash,
     )
 
+    _clear_artifact_caches()
     small = _timed(dedup_fuzzy_minhash(spark, SRC))
+    _clear_artifact_caches()
     big = _timed(dedup_fuzzy_minhash(spark, big_dir))
     assert big < small * COPIES * 3, (
         f"minhash at 10x took {big:.1f}s vs {small:.1f}s at 1x — superlinear"
@@ -174,8 +188,10 @@ def test_minhash_at_100x_linear_no_pair_blowup(spark, big100_dir):
         dedup_fuzzy_minhash,
     )
 
+    _clear_artifact_caches()
     t_small = _timed(dedup_fuzzy_minhash(spark, SRC))
     n_small = dedup_fuzzy_minhash(spark, SRC).count()
+    _clear_artifact_caches()
     t0 = time.perf_counter()
     n_big = dedup_fuzzy_minhash(spark, big100_dir).count()
     t_big = time.perf_counter() - t0
