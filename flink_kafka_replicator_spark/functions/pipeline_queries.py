@@ -61,9 +61,10 @@ def _minhash_candidates_with_jaccard(spark: SparkSession, sf_dir: str) -> DataFr
 
     The candidate pair table is broadcast for the verify joins, so the
     documents table is scanned, not shuffled, in that phase. The final
-    verified table is materialized and memoized — it is candidate-sized
-    (bounded by the LSH bucket cap), and every downstream consumer then
-    reads the pinned result instead of re-running the banding pipeline.
+    DataFrame is memoized LAZY: its expensive inputs (banding → pairs,
+    candidate shingles) are already checkpoint-pinned, so a warm call
+    re-runs only the cheap broadcast verify joins — while the returned
+    plan keeps the live join structure the plan-shape tests inspect.
     """
     ck = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
     cached = _PAIR_CACHE.get(ck)
@@ -93,7 +94,7 @@ def _minhash_candidates_with_jaccard(spark: SparkSession, sf_dir: str) -> DataFr
     )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    out = materialize_small(
+    out = (
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .select(

@@ -63,6 +63,11 @@ def test_regex_source_selection_pushdown(spark, sf_dir):
 
 
 def test_lsh_pipelines_have_no_cartesian_product(spark, sf_dir):
+    # clear the memoized pair artifact so the assertion inspects the
+    # LIVE build plan, not a collapsed scan of the cached checkpoint
+    from flink_kafka_replicator_spark.functions import pipeline_queries as pq
+
+    pq._PAIR_CACHE.clear()
     for q in (dedup_fuzzy_minhash, sim_topk_ivf):
         plan = formatted_plan(q(spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{q.__name__} regressed to cartesian"
