@@ -71,6 +71,14 @@ HEADLINE = list(R2_BASKET) + [
     "sessionize_events",
     "pack_token_sequences",
     "doc_pii_scrub",
+    # round-5 additions: the most join-intensive registry plans (SQL
+    # heavyweights + the iterative CC pipeline) and the two scale-safe
+    # variants that replaced the lang-window bottlenecks
+    "sql_q5_local_supplier",
+    "sql_q18_large_orders",
+    "dedup_cluster_cc",
+    "corpus_mix_equalize_hash",
+    "pack_token_sequences_sharded",
 ]
 
 
@@ -82,6 +90,13 @@ def main() -> None:
     queries = all_queries()
     spark = get_session(app_name="fkr-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # the fixed-basket number is only comparable across rounds if every
+    # basket id actually ran — a rename/removal must fail loudly, not
+    # silently shrink r2_subset_total into an apples-to-oranges figure
+    missing = [q for q in R2_BASKET if q not in queries]
+    if missing:
+        raise SystemExit(f"R2_BASKET ids missing from registry: {missing}")
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     flagship = queries["agg_hash_groupby"]
@@ -103,7 +118,12 @@ def main() -> None:
     # the headline set grows round over round; r2_subset_total keeps a
     # fixed-basket number comparable against BENCH_r02/r03 so a larger
     # set never reads as a regression
-    r2_subset = round(sum(timings[q] for q in R2_BASKET if q in timings), 3)
+    r2_basket_timed = [q for q in R2_BASKET if q in timings]
+    if len(r2_basket_timed) != len(R2_BASKET):
+        raise SystemExit(
+            f"r2 basket incomplete: missing {sorted(set(R2_BASKET) - set(timings))}"
+        )
+    r2_subset = round(sum(timings[q] for q in r2_basket_timed), 3)
     print(
         json.dumps(
             {
@@ -113,6 +133,7 @@ def main() -> None:
                 "queries": timings,
                 "n_queries": len(timings),
                 "r2_subset_total": r2_subset,
+                "r2_subset_n": len(r2_basket_timed),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -288,6 +288,16 @@ _MATERIALIZED_CACHE_MAX = 64
 
 def _cache_put(cache: dict, key, value) -> None:
     if len(cache) >= _MATERIALIZED_CACHE_MAX:
+        # the evicted entries hold eagerly-materialized blocks
+        # (localCheckpoint); release them best-effort rather than
+        # leaving reclamation to the ContextCleaner's GC pace
+        for old in cache.values():
+            unpersist = getattr(old, "unpersist", None)
+            if callable(unpersist):
+                try:
+                    unpersist()
+                except Exception:
+                    pass  # a dead session's blocks are already gone
         cache.clear()
     cache[key] = value
 

@@ -206,11 +206,16 @@ def join_fuzzy_lev1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_name",
         F.explode(
+            # the empty-string guard matters on arbitrary inputs:
+            # sequence(1, 0) is DESCENDING [1, 0], so an empty name
+            # would emit junk variant keys (harmless here only because
+            # the levenshtein verify filters them — don't rely on that)
             F.expr(
                 "array_union(array(c_name),"
-                " transform(sequence(1, length(c_name)),"
-                "  i -> concat(substring(c_name, 1, i-1),"
-                "              substring(c_name, i+1, length(c_name)))))"
+                " if(length(c_name) = 0, cast(array() as array<string>),"
+                "  transform(sequence(1, length(c_name)),"
+                "   i -> concat(substring(c_name, 1, i-1),"
+                "               substring(c_name, i+1, length(c_name))))))"
             )
         ).alias("k"),
     )

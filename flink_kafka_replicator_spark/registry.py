@@ -103,6 +103,23 @@ FORCE_RECHECK_IDS: tuple[str, ...] = (
 FORCE_RECHECK_SINCE_ROUND = 3
 
 
+def _repo_root() -> str:
+    """Repo root containing the CORRECTNESS_r*.json result files.
+
+    A seam: tests monkeypatch THIS (not ``os.path.abspath``, which is
+    process-global shared state) to point the scanners at a fixture
+    directory."""
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _round_of(path: str) -> int | None:
+    """Round number N of a CORRECTNESS_r{N}.json path, else None."""
+    import re as _re
+
+    m = _re.match(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+    return int(m.group(1)) if m else None
+
+
 def _green_ids_in(path: str) -> set[str]:
     """Ids with a passing row (hash-match, or intentional rows-only) in
     one CORRECTNESS_r*.json file."""
@@ -129,16 +146,33 @@ def _rechecked_ids() -> frozenset[str]:
     """Ids holding a green row earned AFTER the staleness event — i.e.
     in a CORRECTNESS_r{N}.json with N > FORCE_RECHECK_SINCE_ROUND. Such
     an id's FORCE_RECHECK pin has served its purpose and expires."""
-    import re as _re
-
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
-        m = _re.match(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
-        if not m or int(m.group(1)) <= FORCE_RECHECK_SINCE_ROUND:
+    for path in sorted(glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
+        n = _round_of(path)
+        if n is None or n <= FORCE_RECHECK_SINCE_ROUND:
             continue
         seen |= _green_ids_in(path)
     return frozenset(seen)
+
+
+@functools.lru_cache(maxsize=1)
+def _last_green_round() -> dict[str, int]:
+    """id → highest round N whose CORRECTNESS_r{N}.json holds a green
+    row for it. Drives the stale-rotation ordering in ``_ordered``:
+    among already-verified ids, the one whose NEWEST driver evidence is
+    oldest re-checks first, so rows earned against long-gone testdata
+    generations get refreshed instead of sitting green forever behind
+    the cap. (No testdata-mtime filter here on purpose — even a
+    pre-regeneration row tells us WHEN the id was last looked at, which
+    is exactly the staleness signal.) Never mutated after build."""
+    rounds: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
+        n = _round_of(path)
+        if n is None:
+            continue
+        for q in _green_ids_in(path):
+            rounds[q] = max(rounds.get(q, 0), n)
+    return rounds
 
 
 def _testdata_mtime() -> float:
@@ -178,8 +212,10 @@ def _driver_seen_ids() -> frozenset[str]:
     verified that query, so it yields the cap slot to an id that has
     never been driver-checked. A FAILED row does not count as seen —
     the id re-enters the cap so the fix earns a green row next round.
-    A result file older than the testdata's newest file is skipped
-    entirely: its greens were earned against data that no longer exists.
+    A result file older than the testdata's OLDEST file (the
+    regeneration time — a full regen rewrites every file, so the oldest
+    mtime marks it; see _testdata_mtime) is skipped entirely: its
+    greens were earned against data that no longer exists.
 
     Pinned for reproducibility: the result is computed once per process
     (a result file appearing mid-run cannot reorder the registry between
@@ -191,7 +227,7 @@ def _driver_seen_ids() -> frozenset[str]:
     env = os.environ.get("SPARK_GRAFT_SEEN_IDS")
     if env is not None:
         return frozenset(s for s in (p.strip() for p in env.split(",")) if s)
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo_root = _repo_root()
     data_mtime = _testdata_mtime()
     seen: set[str] = set()
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
@@ -230,12 +266,21 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
 def _ordered(ids: list[str]) -> list[str]:
     seen = _driver_seen_ids()
     rechecked = _rechecked_ids()
+    last_round = _last_green_round()
     force_pos = {
         q: i for i, q in enumerate(FORCE_RECHECK_IDS) if q not in rechecked
     }
     contract_pos = {q: i for i, q in enumerate(CONTRACT_IDS)}
     prio_pos = {q: i for i, q in enumerate(PRIORITY_EXTENSION_IDS)}
     base_pos = {q: i for i, q in enumerate(ids)}
+
+    def group_pos(q: str) -> tuple[int, int]:
+        """(contract-vs-extension, position) tie-break within a tier."""
+        if q in contract_pos:
+            return (0, contract_pos[q])
+        rank = prio_pos.get(q)
+        pos = rank if rank is not None else len(PRIORITY_EXTENSION_IDS) + base_pos[q]
+        return (1, pos)
 
     def key(q: str) -> tuple[int, int, int, int]:
         # known-stale ids outrank everything: their historical greens are
@@ -244,15 +289,18 @@ def _ordered(ids: list[str]) -> list[str]:
         # id re-earns a post-staleness green row (_rechecked_ids).
         if q in force_pos:
             return (-1, 0, 0, force_pos[q])
+        grp, pos = group_pos(q)
         # never-driver-verified first, regardless of contract membership:
         # the judge grades the cumulative union of rounds, so re-checking
         # an already-green contract id costs a never-checked id its slot
-        never_seen_rank = 0 if q not in seen else 1
-        if q in contract_pos:
-            return (never_seen_rank, 0, 0, contract_pos[q])
-        rank = prio_pos.get(q)
-        pos = rank if rank is not None else len(PRIORITY_EXTENSION_IDS) + base_pos[q]
-        return (never_seen_rank, 1, 0, pos)
+        if q not in seen:
+            return (0, 0, grp, pos)
+        # seen ids re-check STALEST-FIRST: order by the round of their
+        # newest green row, so evidence earned against a long-gone
+        # testdata generation (r1/r2 rows predating the r3 regeneration)
+        # rotates back under the cap before anything re-verified last
+        # round — each round refreshes the stalest slice of the surface.
+        return (1, last_round.get(q, 0), grp, pos)
 
     return sorted(ids, key=key)
 

@@ -40,15 +40,13 @@ def test_force_recheck_pin_expires_after_fresh_green(tmp_path, monkeypatch):
     must rejoin the normal rotation instead of pinning the head."""
     import json
 
-    repo = tmp_path / "repo" / "pkg"
+    repo = tmp_path / "repo"
     repo.mkdir(parents=True)
     row = {"hash_match": True, "spark_rows": 1, "err": None}
-    (tmp_path / "repo" / "CORRECTNESS_r04.json").write_text(
+    (repo / "CORRECTNESS_r04.json").write_text(
         json.dumps({registry.FORCE_RECHECK_IDS[0]: row})
     )
-    monkeypatch.setattr(
-        registry.os.path, "abspath", lambda p: str(repo / "registry.py")
-    )
+    monkeypatch.setattr(registry, "_repo_root", lambda: str(repo))
     registry._rechecked_ids.cache_clear()
     try:
         rechecked = registry._rechecked_ids()
@@ -118,8 +116,9 @@ def test_rows_only_contract_matches_oracle_gaps():
 
 
 def test_stale_correctness_files_are_ignored(tmp_path, monkeypatch):
-    """A CORRECTNESS file older than the newest testdata file proves
-    nothing about the current data: its rows must not mark ids seen."""
+    """A CORRECTNESS file older than the testdata's OLDEST file (the
+    regeneration time — a full regen rewrites every file) proves nothing
+    about the current data: its rows must not mark ids seen."""
     import json
     import os
     import time
@@ -131,19 +130,17 @@ def test_stale_correctness_files_are_ignored(tmp_path, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_SEEN_IDS", raising=False)
 
     # build a fake repo root with one stale + one fresh result file
-    repo = tmp_path / "repo" / "pkg"
+    repo = tmp_path / "repo"
     repo.mkdir(parents=True)
     row = {"hash_match": True, "spark_rows": 1, "err": None}
-    stale = tmp_path / "repo" / "CORRECTNESS_r01.json"
+    stale = repo / "CORRECTNESS_r01.json"
     stale.write_text(json.dumps({"stale_id": row}))
     old = time.time() - 3600
     os.utime(stale, (old, old))
-    fresh = tmp_path / "repo" / "CORRECTNESS_r02.json"
+    fresh = repo / "CORRECTNESS_r02.json"
     fresh.write_text(json.dumps({"fresh_id": row}))
 
-    monkeypatch.setattr(
-        registry.os.path, "abspath", lambda p: str(repo / "registry.py")
-    )
+    monkeypatch.setattr(registry, "_repo_root", lambda: str(repo))
     registry._driver_seen_ids.cache_clear()
     try:
         seen = registry._driver_seen_ids()
@@ -151,3 +148,63 @@ def test_stale_correctness_files_are_ignored(tmp_path, monkeypatch):
         assert "stale_id" not in seen, "stale-file rows must be invalidated"
     finally:
         registry._driver_seen_ids.cache_clear()
+
+
+def test_seen_ids_rotate_stalest_driver_row_first():
+    """Among already-verified ids, the registry must order re-checks by
+    the round of their newest green row (oldest first): an id whose last
+    driver evidence is r1/r2 — earned before the r3 testdata
+    regeneration — gets a cap slot before one re-verified last round.
+    Runs against the REAL repo result files, so this is the live
+    guarantee the driver's next run inherits."""
+    seen = registry._driver_seen_ids()
+    last = registry._last_green_round()
+    force = set(registry.FORCE_RECHECK_IDS)
+    qs = [q for q in registry.all_queries() if q in seen and q not in force]
+    rounds = [last.get(q, 0) for q in qs]
+    assert rounds == sorted(rounds), (
+        "seen ids are not ordered stalest-driver-row-first: "
+        + ", ".join(f"{q}:r{r}" for q, r in zip(qs, rounds))
+    )
+
+
+def test_stale_rotation_fills_cap_with_oldest_rows(tmp_path, monkeypatch):
+    """End-to-end over a synthetic result-file history: ids last green in
+    r1 must sort before ids re-verified in r4, never-seen ids before
+    both, and FORCE_RECHECK pins (unexpired) before everything."""
+    import json
+
+    repo = tmp_path / "repo"
+    repo.mkdir(parents=True)
+    row = {"hash_match": True, "spark_rows": 1, "err": None}
+    r1 = {q: row for q in ("sql_q5_local_supplier", "agg_cube", "join_asof")}
+    r4 = {q: row for q in ("scan_events", "knn_ivf_join")}
+    (repo / "CORRECTNESS_r01.json").write_text(json.dumps(r1))
+    (repo / "CORRECTNESS_r04.json").write_text(json.dumps(r4))
+    monkeypatch.setattr(registry, "_repo_root", lambda: str(repo))
+    monkeypatch.setenv(
+        "SPARK_GRAFT_SEEN_IDS",
+        ",".join(sorted(set(r1) | set(r4))),
+    )
+    registry._driver_seen_ids.cache_clear()
+    registry._rechecked_ids.cache_clear()
+    registry._last_green_round.cache_clear()
+    try:
+        qs = list(registry.all_queries())
+        pos = {q: i for i, q in enumerate(qs)}
+        # never-seen (everything else) precedes all seen ids
+        seen_ids = set(r1) | set(r4)
+        first_seen = min(pos[q] for q in seen_ids)
+        assert all(pos[q] >= first_seen for q in seen_ids)
+        never_seen_max = max(
+            i for i, q in enumerate(qs) if q not in seen_ids
+        )
+        assert never_seen_max < first_seen, (
+            "a seen id sorted before a never-seen id"
+        )
+        # r1-green ids all precede r4-green ids
+        assert max(pos[q] for q in r1) < min(pos[q] for q in r4)
+    finally:
+        registry._driver_seen_ids.cache_clear()
+        registry._rechecked_ids.cache_clear()
+        registry._last_green_round.cache_clear()
