@@ -347,6 +347,57 @@ def corpus_mix_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 13 hex chars = 52 bits: the largest md5 prefix whose integer value is
+# EXACTLY representable as an IEEE double (2^52), so the hash-fraction
+# division below is exact in both engines and the keep/drop comparison
+# can never straddle a rounding difference.
+_MIX_HASH_HEX = 13
+_MIX_HASH_DEN = float(16 ** _MIX_HASH_HEX)
+
+
+def corpus_mix_equalize_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing, the 100 TB form: downsample every language to
+    ~the smallest one's size via a HASH-THRESHOLD test instead of the
+    exact per-group rank window corpus_mix_equalize uses.
+
+    A doc is kept iff frac(md5(doc_id)) < min_n/n_lang — the same
+    smallest-hash-first order the exact variant ranks by, applied as a
+    constant-time per-row predicate. Plan: one k-row count aggregate
+    (map-side partials; at scale these are catalog statistics) broadcast
+    back, then a map-side filter — no window, no per-group sort, no task
+    ever holds a language. A 20 TB language costs the same as a 20 MB
+    one: this is the scale-safe replacement for the exact-rank
+    variant's single-task-per-language bottleneck.
+
+    Per-lang counts land within O(sqrt(n)) of the quota rather than
+    exactly on it — the trade every hash sampler makes. Deterministic
+    and content-stable (a doc never flips as the corpus grows), and
+    oracle-EXACT despite the approximation: md5 is bit-identical across
+    engines and the 52-bit fraction (see _MIX_HASH_HEX) divides exactly,
+    so DuckDB replays the identical keep set."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    quota = counts.agg(F.min("n_lang").alias("min_n"))
+    frac = counts.crossJoin(F.broadcast(quota)).select(
+        "lang",
+        (F.col("min_n").cast("double") / F.col("n_lang")).alias("keep_frac"),
+    )
+    hfrac = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, _MIX_HASH_HEX),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(_MIX_HASH_DEN)
+    )
+    return (
+        d.select("doc_id", "lang", hfrac.alias("hfrac"))
+        .join(F.broadcast(frac), "lang")
+        .filter(F.col("hfrac") < F.col("keep_frac"))
+        .select("doc_id", "lang")
+    )
+
+
 PACK_BUDGET_TOKENS = 512
 
 
@@ -360,8 +411,8 @@ def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One window shuffle (lang-keyed running sum over the md5 order);
     integer arithmetic end-to-end, so cross-engine parity is exact. At
-    100 TB the same plan runs per shard instead of per lang — swap the
-    partition key."""
+    100 TB the same plan runs per shard instead of per lang — that
+    variant is pack_token_sequences_sharded."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -371,30 +422,70 @@ def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_assign(toks, budget=PACK_BUDGET_TOKENS)
 
 
-def pack_assign(toks: DataFrame, budget: int = PACK_BUDGET_TOKENS) -> DataFrame:
-    """Core packing bookkeeping over any (doc_id, lang, n_tokens) frame —
+def pack_token_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, the 100 TB form: the identical concat-and-chunk
+    bookkeeping as pack_token_sequences, but the token stream is laid
+    out per (lang, shard) — shard being the same content-stable
+    md5(text) bucket corpus_shard_assign / sinks.with_shard write by —
+    instead of per language.
+
+    Why this is the scale shape: a lang-keyed window caps parallelism at
+    n_langs and puts a whole language in ONE task (r4's known
+    bottleneck); keying by (lang, shard) multiplies parallelism by the
+    shard count and bounds every window partition at corpus/shards,
+    which the shard count is chosen to keep task-sized. Pack ids are
+    local to their (lang, shard) stream — exactly what a trainer
+    consuming per-shard output files expects, and the pack-boundary
+    invariants inside every shard are the same as the single-stream
+    form (property-pinned in tests/test_round5_invariants.py).
+
+    Still one window shuffle, integer arithmetic end-to-end,
+    oracle-exact."""
+    from ..sinks import with_shard
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = with_shard(d).select(
+        "doc_id",
+        "lang",
+        F.col("shard").cast("int").alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    return pack_assign(toks, budget=PACK_BUDGET_TOKENS, keys=("lang", "shard"))
+
+
+def pack_assign(
+    toks: DataFrame,
+    budget: int = PACK_BUDGET_TOKENS,
+    keys: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Core packing bookkeeping over any (doc_id, *keys, n_tokens) frame —
     split out of pack_token_sequences so property tests can drive it
     with synthetic token counts (docs longer than the budget, zero-token
-    docs, single-doc groups)."""
+    docs, single-doc groups). ``keys`` is the stream-partitioning key:
+    ("lang",) for the per-language layout, ("lang", "shard") for the
+    scale-safe per-shard layout — the bookkeeping is identical, only
+    the window key changes."""
     from pyspark.sql import Window
 
+    key_cols = list(keys)
     staged0 = toks.select(
-        "doc_id", "lang", "n_tokens", F.md5(F.col("doc_id").cast("string")).alias("h")
+        "doc_id", *key_cols, "n_tokens",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy(*key_cols)
         .orderBy(F.col("h").asc(), F.col("doc_id").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     staged = staged0.select(
         "doc_id",
-        "lang",
+        *key_cols,
         "n_tokens",
         F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before"),
     )
     return staged.select(
         "doc_id",
-        "lang",
+        *key_cols,
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.expr(f"cum_before div {budget}").alias("pack_id"),
         (F.col("cum_before") % budget)
@@ -412,7 +503,9 @@ QUERIES = {
     "pipeline_end_to_end": pipeline_end_to_end,
     "doc_pii_scrub": doc_pii_scrub,
     "corpus_mix_equalize": corpus_mix_equalize,
+    "corpus_mix_equalize_hash": corpus_mix_equalize_hash,
     "pack_token_sequences": pack_token_sequences,
+    "pack_token_sequences_sharded": pack_token_sequences_sharded,
 }
 
 _STOP = ", ".join(f"'{w}'" for w in text.STOPWORDS)
@@ -556,6 +649,20 @@ ORACLES = {
         FROM ranked, q
         WHERE rn <= min_n
     """,
+    "corpus_mix_equalize_hash": f"""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1
+        ), q AS (
+            SELECT MIN(n_lang) AS min_n FROM counts
+        ), frac AS (
+            SELECT lang, CAST(min_n AS DOUBLE) / n_lang AS keep_frac
+            FROM counts, q
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN frac USING (lang)
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, {_MIX_HASH_HEX}))::BIGINT
+              / {_MIX_HASH_DEN!r} < keep_frac
+    """,
     "pack_token_sequences": f"""
         WITH toks AS (
             SELECT doc_id, lang,
@@ -571,6 +678,27 @@ ORACLES = {
             FROM toks
         )
         SELECT doc_id, lang,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(cum_before // {PACK_BUDGET_TOKENS} AS BIGINT) AS pack_id,
+               CAST(cum_before % {PACK_BUDGET_TOKENS} AS INT) AS pack_offset
+        FROM staged
+    """,
+    "pack_token_sequences_sharded": f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 16 AS INT) AS shard,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ), staged AS (
+            SELECT doc_id, lang, shard, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang, shard ORDER BY h ASC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM toks
+        )
+        SELECT doc_id, lang, shard,
                CAST(n_tokens AS BIGINT) AS n_tokens,
                CAST(cum_before // {PACK_BUDGET_TOKENS} AS BIGINT) AS pack_id,
                CAST(cum_before % {PACK_BUDGET_TOKENS} AS INT) AS pack_offset

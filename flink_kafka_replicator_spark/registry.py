@@ -260,6 +260,9 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "doc_pii_scrub", "corpus_mix_equalize",
     "pack_token_sequences", "sessionize_events", "dedup_incremental",
     "corpus_split_assign", "join_fuzzy_lev1",
+    # round-5 additions: the scale-safe replacements for the two
+    # lang-window bottlenecks (VERDICT r4 "What's wrong" 1-2)
+    "corpus_mix_equalize_hash", "pack_token_sequences_sharded",
 )
 
 

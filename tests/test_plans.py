@@ -386,6 +386,40 @@ def test_mix_equalize_quota_is_broadcast_scalar(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_mix_equalize_hash_is_window_free(spark, sf_dir):
+    """The scale-safe mixture equalizer must contain NO window and no
+    per-group sort — the whole point vs the exact-rank variant is that
+    the keep/drop decision is a map-side predicate, so a 20 TB language
+    never lands in one task. The per-lang keep-fraction table arrives
+    broadcast."""
+    from flink_kafka_replicator_spark.functions.corpus import (
+        corpus_mix_equalize_hash,
+    )
+
+    df = corpus_mix_equalize_hash(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_pack_sharded_single_exchange_on_composite_key(spark, sf_dir):
+    """Shard-keyed packing keeps the single-window-shuffle shape but
+    must partition by (lang, shard) so no task ever holds a whole
+    language — the hashpartitioning key must carry shard."""
+    from flink_kafka_replicator_spark.functions.corpus import (
+        pack_token_sequences_sharded,
+    )
+
+    df = pack_token_sequences_sharded(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert exchange_count(df) == 1, plan[:1500]
+    m = re.search(r"hashpartitioning\(([^)]*)\)", plan)
+    assert m and "shard" in m.group(1) and "lang" in m.group(1), (
+        m.group(0) if m else plan[:1500]
+    )
+
+
 def test_knn_join_is_equi_join_with_group_limit(spark, sf_dir):
     """The k-NN self-join must be an equi-join on the IVF cell id (never
     a cartesian/BNLJ pair explosion), and the per-vector top-k must push
