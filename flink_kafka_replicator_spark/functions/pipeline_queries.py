@@ -721,8 +721,13 @@ _KNN_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def _knn_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized per-vector assignment: norm, all centroid distances,
-    and the argmin cell id. Materialization also matters mechanically:
-    the argmin tree is O(k²) nodes and self-joining two live copies of
+    the argmin cell id, AND the second-nearest cell id (``pcid``, the
+    probe-2 target — tie-broken by cell id like the oracle's
+    (dist ASC, cid ASC) ROW_NUMBER). Both cell columns belong in the
+    same persisted postings-list artifact: computing pcid here means
+    multiprobe's analyzer never re-walks the masked-least/CASE tree
+    per query build. Materialization also matters mechanically: the
+    argmin tree is O(k²) nodes and self-joining two live copies of
     it sends Spark 4's analyzer into minutes of attribute-dedup work
     (measured: analysis alone exceeded 200 s un-materialized, ~2 s
     materialized)."""
@@ -732,6 +737,17 @@ def _knn_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
     cents, _ = _ivf_model(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
+    cids = [cid for cid, _, _ in cents]
+    masked_least = (
+        "least("
+        + ", ".join(f"if(cid = {c}, cast(null as double), d_{c})" for c in cids)
+        + ")"
+    )
+    cid2_case = (
+        "CASE "
+        + " ".join(f"WHEN cid <> {c} AND d_{c} = d2 THEN {c}" for c in cids)
+        + " END"
+    )
     # the assignment agg already folds the self-dot; carry sqrt(selfdot)
     # so pair scorers run ONE dot fold per pair instead of three — the
     # fold is the same position-ordered SUM as the oracle's
@@ -748,6 +764,9 @@ def _knn_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.col(f"d_{cid}") for cid, _, _ in cents],
             F.expr(_argmin_case(cents)).alias("cid"),
         )
+        .withColumn("d2", F.expr(masked_least))
+        .withColumn("pcid", F.expr(cid2_case))
+        .drop("d2")
     )
     _cache_put(_KNN_ASSIGN_CACHE, key, out)
     return out
@@ -774,44 +793,120 @@ def knn_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_topk(spark, _knn_incell_scored(spark, sf_dir))
 
 
-def _knn_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, vec, nrm, cid): the double-cast vectors joined to the
-    materialized assignment."""
+# The column-layout vector store: (vec_id, nrm, cid, x1..xD) with each
+# dimension a primitive double column — materialized alongside the
+# assignment because every pair scorer reads it, and because a live
+# 64-alias × 3-layer plan costs the analyzer ~2 s PER QUERY BUILD while
+# a checkpoint scan's bound attributes cost nothing.
+_KNN_VEC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _knn_vectors(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    """((vec_id, nrm, cid, x1..xD), D): the vectors joined to the
+    materialized assignment, as per-DIMENSION double columns rather
+    than an array (materialized — see _KNN_VEC_CACHE). The column
+    layout is what makes the pair scorer fast: unrolled_product_sum
+    over primitive columns stays entirely in whole-stage codegen (see
+    similarity.unrolled_product_sum for the measured alternatives). D
+    comes from the quantizer model artifact — embedding width is fixed
+    per store."""
+    dim = len(_ivf_model(spark, sf_dir)[0][0][1])
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    cached = _KNN_VEC_CACHE.get(key)
+    if cached is not None:
+        return cached, dim
     e = load_table(spark, sf_dir, "embeddings")
     assigned = _knn_assignment(spark, sf_dir).select("vec_id", "nrm", "cid")
-    return e.select("vec_id", as_double(F.col("embedding")).alias("vec")).join(
-        assigned, "vec_id"
+    out = materialize_small(
+        e.selectExpr(
+            "vec_id",
+            *[
+                f"cast(element_at(embedding, {i}) as double) as x{i}"
+                for i in range(1, dim + 1)
+            ],
+        ).join(assigned, "vec_id")
     )
+    _cache_put(_KNN_VEC_CACHE, key, out)
+    return out, dim
 
 
-def _knn_incell_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All directed in-primary-cell pairs with their rounded cosine.
+def _knn_pair_sides(
+    v: DataFrame, dim: int, b_cell_col: str = "cid"
+) -> tuple[DataFrame, DataFrame]:
+    """The two join sides of a pair scorer over the per-dim layout:
+    query side (qid, nrm_a, cid, ax1..axD), index side
+    (nid, nrm_b, {b_cell_col}, bx1..bxD). selectExpr keeps each side
+    at ONE py4j round-trip — per-Column aliasing of 64 dims was a
+    measurable slice of every query build."""
+    a = v.selectExpr(
+        "vec_id as qid", "nrm as nrm_a", "cid",
+        *[f"x{i} as ax{i}" for i in range(1, dim + 1)],
+    )
+    b = v.selectExpr(
+        "vec_id as nid", "nrm as nrm_b", f"cid as {b_cell_col}",
+        *[f"x{i} as bx{i}" for i in range(1, dim + 1)],
+    )
+    return a, b
 
-    Cosine is symmetric: fold each unordered pair ONCE (qid < nid), then
-    explode both directions for the per-query ranking — halves the
-    dominant dot-fold work for the price of a shuffle-free Generate."""
-    v = _knn_vectors(spark, sf_dir)
-    a = v.select(
-        F.col("vec_id").alias("qid"), F.col("vec").alias("vec_a"),
-        F.col("nrm").alias("nrm_a"), "cid",
-    )
-    b = v.select(
-        F.col("vec_id").alias("nid"), F.col("vec").alias("vec_b"),
-        F.col("nrm").alias("nrm_b"), "cid",
-    )
-    half = (
+
+# The folded in-primary-cell half-pair scores (qid < nid, one cosine per
+# unordered pair): the session's pairwise-score index artifact. Built
+# once per (session, dataset) and shared by knn_ivf_join,
+# knn_ivf_multiprobe (whose primary-cell candidates are exactly this
+# set) and knn_label_vote (via knn_ivf_join) — a vector store persists
+# these scores next to the postings list for the same reason. Without
+# the memo, multiprobe re-ran the entire in-cell fold on top of its own
+# probe-2 work (the r4 bench's most expensive query).
+_KNN_SCORED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _knn_incell_half_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY build plan of the half-pair score artifact — split out so
+    plan tests can pin the build's equi-join shape (the materialized
+    artifact's lineage is truncated, as any persisted index's is).
+
+    The pair cosine is an unrolled product-sum over per-dim primitive
+    columns — bit-identical to the HOF fold but fully codegen'd (the
+    fold was the dominant cost of the whole knn family)."""
+    from .similarity import unrolled_product_sum
+
+    v, dim = _knn_vectors(spark, sf_dir)
+    a, b = _knn_pair_sides(v, dim)
+    return (
         a.join(b, "cid")
         .filter(F.col("qid") < F.col("nid"))
         .select(
             "qid",
             "nid",
             F.round(
-                dot(F.col("vec_a"), F.col("vec_b"))
+                unrolled_product_sum("ax", "bx", dim)
                 / (F.col("nrm_a") * F.col("nrm_b")),
                 4,
             ).alias("cos_sim"),
         )
     )
+
+
+def _knn_incell_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each unordered in-primary-cell pair folded ONCE (qid < nid) with
+    its rounded cosine, materialized (see _KNN_SCORED_CACHE)."""
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    cached = _KNN_SCORED_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = materialize_small(_knn_incell_half_plan(spark, sf_dir))
+    _cache_put(_KNN_SCORED_CACHE, key, out)
+    return out
+
+
+def _knn_incell_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All directed in-primary-cell pairs with their rounded cosine.
+
+    Cosine is symmetric: fold each unordered pair ONCE (qid < nid, the
+    shared _knn_incell_half artifact), then explode both directions for
+    the per-query ranking — halves the dominant dot-fold work for the
+    price of a shuffle-free Generate."""
+    half = _knn_incell_half(spark, sf_dir)
     return half.select(
         F.explode(
             F.array(
@@ -862,41 +957,26 @@ def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~P without touching the index layout). Neighbor lists are supersets
     of knn_ivf_join's, pinned by a pytest invariant.
 
-    The probe-2 cell comes from the SAME materialized distance table the
-    primary assignment used (a masked least + first-match scan over the
-    bound d_<cid> columns — tie-broken by cell id, mirroring the
-    oracle's (dist ASC, cid ASC) ROW_NUMBER). The pair join is still a
-    pure equi-join: (query, probe-2-cell) rows against the index side's
-    primary cell. The primary-cell pairs are NOT recomputed — they are
-    the same symmetric in-cell set knn_ivf_join folds (each unordered
-    pair once), and a query's probe-2 neighbors are disjoint from its
-    primary-cell neighbors (every index vector lives in exactly one
-    cell), so the union has no duplicates and the extra fold work is
-    only the probe-2 candidates."""
-    cents, _ = _ivf_model(spark, sf_dir)
-    asg = _knn_assignment(spark, sf_dir)
-    cids = [cid for cid, _, _ in cents]
-    masked_least = (
-        "least("
-        + ", ".join(f"if(cid = {c}, cast(null as double), d_{c})" for c in cids)
-        + ")"
-    )
-    cid2_case = (
-        "CASE "
-        + " ".join(f"WHEN cid <> {c} AND d_{c} = d2 THEN {c}" for c in cids)
-        + " END"
-    )
-    probe2 = asg.withColumn("d2", F.expr(masked_least)).select(
-        "vec_id", F.expr(cid2_case).alias("pcid")
-    )
-    v = _knn_vectors(spark, sf_dir)
-    q = probe2.join(v.select("vec_id", "vec", "nrm"), "vec_id").select(
-        F.col("vec_id").alias("qid"), F.col("nrm").alias("nrm_a"),
-        F.col("vec").alias("vec_a"), "pcid",
-    )
-    b = v.select(
-        F.col("vec_id").alias("nid"), F.col("nrm").alias("nrm_b"),
-        F.col("vec").alias("vec_b"), F.col("cid").alias("pcid"),
+    The probe-2 cell is the ``pcid`` column of the SAME materialized
+    postings-list artifact the primary assignment lives in (computed at
+    index build by a masked least + first-match scan over the bound
+    d_<cid> columns — tie-broken by cell id, mirroring the oracle's
+    (dist ASC, cid ASC) ROW_NUMBER). The pair join is still a pure
+    equi-join: (query, probe-2-cell) rows against the index side's
+    primary cell. The primary-cell pairs are NOT recomputed — they read
+    from the shared materialized _knn_incell_half artifact knn_ivf_join
+    folds (each unordered pair once), and a query's probe-2 neighbors
+    are disjoint from its primary-cell neighbors (every index vector
+    lives in exactly one cell), so the union has no duplicates and the
+    extra fold work is only the probe-2 candidates."""
+    from .similarity import unrolled_product_sum
+
+    probe2 = _knn_assignment(spark, sf_dir).select("vec_id", "pcid")
+    v, dim = _knn_vectors(spark, sf_dir)
+    _, b = _knn_pair_sides(v, dim, b_cell_col="pcid")
+    q = probe2.join(v.drop("cid"), "vec_id").selectExpr(
+        "vec_id as qid", "nrm as nrm_a", "pcid",
+        *[f"x{i} as ax{i}" for i in range(1, dim + 1)],
     )
     p2_scored = (
         q.join(b, "pcid")
@@ -905,7 +985,7 @@ def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "nid",
             F.round(
-                dot(F.col("vec_a"), F.col("vec_b"))
+                unrolled_product_sum("ax", "bx", dim)
                 / (F.col("nrm_a") * F.col("nrm_b")),
                 4,
             ).alias("cos_sim"),

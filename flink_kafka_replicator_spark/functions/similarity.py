@@ -36,6 +36,24 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def unrolled_product_sum(a_prefix: str, b_prefix: str, dim: int) -> Column:
+    """((0.0 + a1*b1) + a2*b2) + … over per-dimension primitive columns
+    ``{a_prefix}1..{dim}`` / ``{b_prefix}1..{dim}`` — bit-identical to
+    :func:`dot`'s left-associative fold (and DuckDB's
+    list_dot_product; SQL ``+`` parses left-associative), but plain
+    codegen'd double arithmetic. Measured ~1.5× faster than the
+    aggregate() HOF on the knn pair-scoring path, and ~5× faster than
+    unrolled element_at over a transform'd array (which re-materializes
+    the cast array per access). Built as ONE parsed expression string —
+    a Column-object chain of 64 ops costs ~200 py4j round-trips per
+    query build, which dominated the bench. The D suffix keeps the
+    seed literal on the DOUBLE path (a bare 0.0 parses as DECIMAL).
+    Use when the vector width is statically known and the vectors can
+    be projected to columns before the join."""
+    terms = "".join(f" + {a_prefix}{i}*{b_prefix}{i}" for i in range(1, dim + 1))
+    return F.expr(f"0.0D{terms}")
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
