@@ -157,6 +157,21 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") <= MAX_BUCKET)
         .select("band_key")
     )
+    return _bipartite_verify(d, _bipartite_candidates(b_new, b_old, ok_old))
+
+
+def _bipartite_candidates(
+    b_new: DataFrame, b_old: DataFrame, ok_old: DataFrame
+) -> DataFrame:
+    """Distinct (new_id, old_id) LSH candidates from a bipartite band-key
+    join, with mega-bucket hygiene on both sides. ``ok_old`` is the set
+    of index-side band keys already known to be under MAX_BUCKET — an
+    aggregate here (self-contained path) or precomputed index statistics
+    (``dedup_incremental_indexed``); the NEW side's keys are always
+    counted per batch, which is cheap because a batch is small. Kept
+    lazy so plan tests can inspect the aggregate structure."""
+    from .similarity import MAX_BUCKET
+
     ok_new = (
         b_new.groupBy("band_key")
         .agg(F.count("*").alias("n"))
@@ -165,9 +180,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b_old = b_old.join(ok_old, "band_key", "left_semi")
     b_new = b_new.join(ok_new, "band_key", "left_semi")
-    cand = broadcast(
-        materialize_small(b_new.join(b_old, "band_key").select("new_id", "old_id").distinct())
-    )
+    return b_new.join(b_old, "band_key").select("new_id", "old_id").distinct()
+
+
+def _bipartite_verify(d: DataFrame, cand_lazy: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of bipartite candidates: pin the (tiny)
+    candidate table, shingle each distinct candidate doc once via a
+    left-semi prune of the corpus, and broadcast-join the two sides."""
+    cand = broadcast(materialize_small(cand_lazy))
     ids = cand.select(
         F.explode(F.array("new_id", "old_id")).alias("doc_id")
     ).distinct()
@@ -188,6 +208,57 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+# (session appId, sf_dir) → on-disk minhash index artifact for the even-
+# doc_id "already ingested" half. Built once per session like a real
+# index build job; every later batch reads it.
+_MINHASH_INDEX_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _minhash_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from ..sinks import write_minhash_index
+
+    ck = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    got = _MINHASH_INDEX_DIRS.get(ck)
+    if got is not None:
+        return got
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tempfile.mkdtemp(prefix="fkr_minhash_index_")
+    write_minhash_index(d.filter(F.col("doc_id") % 2 == 0), out)
+    _MINHASH_INDEX_DIRS[ck] = out
+    return out
+
+
+def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_incremental`` against a PERSISTED index artifact — the
+    shape a production ingestion pipeline actually runs batch after
+    batch. The index side's band table and its band-key statistics come
+    from ``sinks.write_minhash_index`` (built once per session here, at
+    index-build time in production); per-batch work therefore runs ZERO
+    aggregation over the index: hot-band hygiene for the old side is a
+    pushed ``n <= MAX_BUCKET`` filter on the tiny stats parquet
+    (test_round5_invariants pins one count-aggregate total — the new
+    batch's own — and the pushed filter), and the index participates
+    only through the bipartite band_key equi-join plus the candidate
+    text fetch. Results are identical to ``dedup_incremental`` (same
+    oracle SQL; equality also pytest-pinned)."""
+    from .similarity import MAX_BUCKET
+    from ..sinks import read_minhash_index
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    bands_old, stats_old = read_minhash_index(
+        spark, _minhash_index_dir(spark, sf_dir)
+    )
+    b_old = bands_old.select(F.col("doc_id").alias("old_id"), "band_key")
+    ok_old = stats_old.filter(F.col("n") <= MAX_BUCKET).select("band_key")
+    b_new = banded_minhash(new, "doc_id", "text").select(
+        F.col("doc_id").alias("new_id"), "band_key"
+    )
+    return _bipartite_verify(d, _bipartite_candidates(b_new, b_old, ok_old))
 
 
 # deterministic content-hash split: buckets 0-97 train, 98 val, 99 test
@@ -1212,6 +1283,7 @@ QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_fuzzy_minhash": dedup_fuzzy_minhash,
     "dedup_incremental": dedup_incremental,
+    "dedup_incremental_indexed": dedup_incremental_indexed,
     "corpus_split_assign": corpus_split_assign,
     "dedup_cluster_cc": dedup_cluster_cc,
     "dedup_survivors": dedup_survivors,
@@ -1503,6 +1575,25 @@ ORACLES = {
                     / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
     """,
     "dedup_incremental": r"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+            FROM t
+        )
+        SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+               ROUND(CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(n.sh, o.sh))), 4) AS jaccard
+        FROM s n JOIN s o ON n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+        WHERE ROUND(CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(n.sh, o.sh))), 4) >= 0.5
+    """,
+    # identical semantics to dedup_incremental — only the physical source
+    # of the index side (persisted artifact vs recompute) differs
+    "dedup_incremental_indexed": r"""
         WITH t AS (
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         ),

@@ -261,8 +261,10 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "pack_token_sequences", "sessionize_events", "dedup_incremental",
     "corpus_split_assign", "join_fuzzy_lev1",
     # round-5 additions: the scale-safe replacements for the two
-    # lang-window bottlenecks (VERDICT r4 "What's wrong" 1-2)
+    # lang-window bottlenecks (VERDICT r4 "What's wrong" 1-2), and the
+    # persisted-index ingestion shape (VERDICT r4 next-round task 4)
     "corpus_mix_equalize_hash", "pack_token_sequences_sharded",
+    "dedup_incremental_indexed",
 )
 
 

@@ -54,3 +54,56 @@ def read_corpus_shard(spark: SparkSession, out_dir: str, shard: int) -> DataFram
     directory listing to that shard (PartitionFilters in the scan — a
     1/n_shards IO reduction that tests assert)."""
     return spark.read.parquet(out_dir).filter(F.col("shard") == shard)
+
+
+# ------------------------------------------------------------ near-dup index
+
+BANDS_SUBDIR = "bands"
+BAND_STATS_SUBDIR = "band_stats"
+
+
+def write_minhash_index(
+    df: DataFrame, out_dir: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Persist the near-dup index artifact: the banded-minhash table
+    ``(id, band_key)`` PLUS per-band-key occurrence counts.
+
+    The statistics are the point. Incremental dedup joins each new batch
+    against this index on ``band_key``, and LSH hygiene must drop
+    degenerate hot keys on BOTH sides — but re-counting the index side's
+    keys per ingested batch is an aggregate over the (huge, static)
+    index. Writing the counts once at build time turns that into a
+    pushed ``n <= MAX_BUCKET`` filter on a tiny stats parquet: per-batch
+    work then touches the index only through the bipartite equi-join.
+
+    The stats are aggregated from the PERSISTED band files (read-back,
+    not the in-memory plan) so they describe exactly what a later reader
+    sees, even if the banding expression changes between versions.
+    """
+    spark = df.sparkSession
+    bands_path = f"{out_dir}/{BANDS_SUBDIR}"
+    from .functions.similarity import banded_minhash
+
+    (
+        banded_minhash(df, id_col, text_col)
+        .select(F.col(id_col), "band_key")
+        .write.mode("overwrite")
+        .parquet(bands_path)
+    )
+    (
+        spark.read.parquet(bands_path)
+        .groupBy("band_key")
+        .agg(F.count("*").alias("n"))
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/{BAND_STATS_SUBDIR}")
+    )
+
+
+def read_minhash_index(
+    spark: SparkSession, out_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(bands, band_stats) from a persisted minhash index artifact."""
+    return (
+        spark.read.parquet(f"{out_dir}/{BANDS_SUBDIR}"),
+        spark.read.parquet(f"{out_dir}/{BAND_STATS_SUBDIR}"),
+    )

@@ -189,3 +189,81 @@ def test_pack_assign_sharded_matches_python_reference(spark, docs):
         want[doc_id] = (cum // 512, cum % 512)
         by_stream[(lang, shard)] = cum + n
     assert got == want
+
+
+# -------------------------------------------- dedup_incremental_indexed
+
+
+def test_dedup_incremental_indexed_matches_unindexed(spark):
+    """The persisted-index path is a physical rewrite only: identical
+    (new_id, old_id, jaccard) rows to the self-contained bipartite
+    dedup on the same old/new split."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        dedup_incremental,
+        dedup_incremental_indexed,
+    )
+
+    base = {tuple(r) for r in dedup_incremental(spark, SF_DIR).collect()}
+    idx = {tuple(r) for r in dedup_incremental_indexed(spark, SF_DIR).collect()}
+    assert idx == base
+    assert base, "fixture must contain at least one cross-batch near-dup"
+
+
+def test_dedup_incremental_indexed_runs_no_aggregate_over_index(spark):
+    """THE point of the artifact: the per-batch candidate plan counts
+    band keys for the NEW batch only — the index side's hygiene comes
+    from the persisted statistics as a pushed `n <= MAX_BUCKET` parquet
+    filter, never a count-aggregate over the index's band table."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        _bipartite_candidates,
+        _minhash_index_dir,
+    )
+    from flink_kafka_replicator_spark.functions.similarity import (
+        MAX_BUCKET,
+        banded_minhash,
+    )
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.plans.explain import formatted_plan
+    from flink_kafka_replicator_spark.sinks import read_minhash_index
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    b_new = banded_minhash(new, "doc_id", "text").select(
+        F.col("doc_id").alias("new_id"), "band_key"
+    )
+
+    # indexed path: ok_old is a filter over the persisted stats parquet
+    bands_old, stats_old = read_minhash_index(
+        spark, _minhash_index_dir(spark, SF_DIR)
+    )
+    indexed = formatted_plan(
+        _bipartite_candidates(
+            b_new,
+            bands_old.select(F.col("doc_id").alias("old_id"), "band_key"),
+            stats_old.filter(F.col("n") <= MAX_BUCKET).select("band_key"),
+        )
+    )
+
+    # self-contained path: ok_old is a count-aggregate over the old half
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    b_old = banded_minhash(old, "doc_id", "text").select(
+        F.col("doc_id").alias("old_id"), "band_key"
+    )
+    ok_old_agg = (
+        b_old.groupBy("band_key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= MAX_BUCKET)
+        .select("band_key")
+    )
+    unindexed = formatted_plan(_bipartite_candidates(b_new, b_old, ok_old_agg))
+
+    n_idx, n_self = indexed.count("count(1)"), unindexed.count("count(1)")
+    assert n_idx > 0, "the new batch's own hygiene count must remain"
+    assert n_idx == n_self // 2, (
+        f"indexed plan must drop the index-side aggregate: {n_idx} vs {n_self}"
+    )
+    assert "LessThanOrEqual(n," in indexed, (
+        "MAX_BUCKET must reach the stats parquet scan as a pushed filter"
+    )
