@@ -1,0 +1,747 @@
+"""TPC-H query-shape completion: the 16 queries not already carried by
+``sql_surface.py`` (q3, q5, q7, q10, q18, q22 live there).
+
+The driver's synthetic tables are TPC-H-ish, not TPC-H: there is no
+``partsupp`` table, and lineitem lacks commit/receipt dates, ship modes
+and instructions; part lacks mfgr/container. Each query here keeps the
+REFERENCE SHAPE (the join graph, the correlation structure, the
+aggregate form — what stresses the optimizer) and adapts the predicates
+to the columns that exist; every adaptation is stated in the docstring.
+Where TPC-H needs partsupp, the distinct ``(l_partkey, l_suppkey)``
+pairs of lineitem stand in — the same many-to-many part↔supplier
+relationship, derived instead of stored.
+
+All queries run through ``spark.sql`` (temp views): the point of this
+module is exercising Catalyst's SQL planner — join reordering, subquery
+decorrelation, semi-join rewrites — not hand-built DataFrame chains.
+Oracles are the same SQL in DuckDB dialect (datediff/YEAR spelled per
+engine).
+
+Scale notes (100 TB): every query is dims-broadcast + fact-shuffle;
+the correlated subqueries decorrelate to aggregates + joins (no per-row
+re-evaluation — plan-pinned for q17/q21 in tests/test_plans.py); the
+derived-partsupp CTE is one distinct over lineitem's two join columns,
+a map-side-combinable shuffle that a real deployment would materialize
+once (see sinks.write_minhash_index for the same artifact pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table
+
+
+def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# Derived part↔supplier relationship: stands in for the absent partsupp.
+_PS_CTE = """
+        ps AS (
+            SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+            FROM lineitem
+        )
+"""
+
+
+def sql_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 verbatim shape: full-scan pricing summary — the
+    map-side-combine stress test (8 aggregates over 2 group keys; at
+    100 TB the partial aggregation must collapse each task to ~6 rows
+    before the exchange, which Spark's hash aggregate does)."""
+    _register(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+def sql_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part best supplier in a region via a
+    CORRELATED scalar-min subquery over the part↔supplier relationship.
+    Adaptation: partsupp → distinct lineitem pairs; min supply cost →
+    min supplier account balance (the correlation structure — re-joining
+    supplier/nation/region inside the subquery — is what Q2 tests)."""
+    _register(
+        spark, sf_dir, "part", "supplier", "lineitem", "nation", "region"
+    )
+    return spark.sql(
+        f"""
+        WITH {_PS_CTE}
+        SELECT ROUND(s.s_acctbal, 4) AS s_acctbal,
+               s.s_name,
+               n.n_name,
+               p.p_partkey,
+               p.p_name
+        FROM part p
+        JOIN ps         ON p.p_partkey = ps.ps_partkey
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE p.p_size = 15
+          AND r.r_name = 'EUROPE'
+          AND s.s_acctbal = (
+                SELECT MIN(s2.s_acctbal)
+                FROM ps ps2
+                JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+                JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+                JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+                WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+              )
+        ORDER BY s_acctbal DESC, n.n_name ASC, s.s_name ASC, p.p_partkey ASC
+        LIMIT 100
+        """
+    )
+
+
+def sql_q4_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts over orders having at least
+    one problem lineitem, via EXISTS (Catalyst rewrites to a left-semi
+    join — one pass over lineitem, no per-order probes). Adaptation: the
+    absent commit/receipt dates → 'shipped more than 60 days after the
+    order date' as the lateness predicate."""
+    _register(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 verbatim shape: the pure-pushdown query — every filter
+    reaches the parquet scan (shipdate range, discount band, quantity
+    cap) and one scalar comes back. The 100 TB shape is scan-bound with
+    zero shuffle beyond the final partial-sum collect."""
+    _register(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+def sql_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's share of regional order volume per
+    year — the 8-table join (nation twice) with a conditional-sum ratio.
+    Adaptation: p_type values are single words here ('ECONOMY'); the
+    measured nation is NATION_5 (synthetic names)."""
+    _register(
+        spark, sf_dir, "part", "supplier", "lineitem", "orders",
+        "customer", "nation", "region",
+    )
+    return spark.sql(
+        """
+        SELECT o_year,
+               ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                     / SUM(volume), 4) AS mkt_share
+        FROM (
+            SELECT YEAR(o.o_orderdate) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   n2.n_name AS nation
+            FROM part p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+            JOIN region r   ON n1.n_regionkey = r.r_regionkey
+            JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+            WHERE r.r_name = 'AMERICA'
+              AND p.p_type = 'ECONOMY'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        ) all_nations
+        GROUP BY o_year
+        """
+    )
+
+
+def sql_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year for a part
+    family matched by substring. Adaptation: ps_supplycost is absent →
+    cost modeled as 60% of p_retailprice per unit (keeps the
+    part-join-dependent profit expression the optimizer must push
+    through the 5-way join)."""
+    _register(
+        spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation"
+    )
+    return spark.sql(
+        """
+        SELECT nation,
+               o_year,
+               ROUND(SUM(amount), 4) AS sum_profit
+        FROM (
+            SELECT n.n_name AS nation,
+                   YEAR(o.o_orderdate) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity AS amount
+            FROM part p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            WHERE p.p_name LIKE '%red%'
+        ) profit
+        GROUP BY nation, o_year
+        """
+    )
+
+
+def sql_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value for one nation's
+    suppliers, kept only when above a global-threshold scalar subquery
+    (HAVING vs an uncorrelated aggregate — Catalyst evaluates the
+    subquery once and broadcasts the scalar). Adaptation: partsupp
+    availqty/supplycost → summed lineitem quantity × p_retailprice."""
+    _register(spark, sf_dir, "lineitem", "supplier", "nation", "part")
+    return spark.sql(
+        """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+            FROM lineitem
+            GROUP BY l_partkey, l_suppkey
+        ),
+        natps AS (
+            SELECT ps.l_partkey, ps.qty * p.p_retailprice AS value
+            FROM ps
+            JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            JOIN part p     ON ps.l_partkey = p.p_partkey
+            WHERE n.n_name = 'NATION_3'
+        )
+        SELECT l_partkey AS p_partkey,
+               ROUND(SUM(value), 4) AS stock_value
+        FROM natps
+        GROUP BY l_partkey
+        HAVING SUM(value) > (SELECT SUM(value) * 0.005 FROM natps)
+        """
+    )
+
+
+def sql_q12_late_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-category counts of high- vs low-priority
+    orders among one year's shipments. Adaptation: l_shipmode is absent
+    → the category is the shipping-delay bucket (days between order and
+    ship date), which keeps the CASE-pivoted conditional aggregation."""
+    _register(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT CASE WHEN DATEDIFF(l.l_shipdate, o.o_orderdate) > 75 THEN 'VERY_LATE'
+                    WHEN DATEDIFF(l.l_shipdate, o.o_orderdate) > 45 THEN 'LATE'
+                    ELSE 'ON_TIME' END AS ship_bucket,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1
+        """
+    )
+
+
+def sql_q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the customer-order-count histogram — LEFT OUTER
+    join with a join-side filter (customers with zero qualifying orders
+    must survive with count 0), then a second aggregation over the
+    counts. Adaptation: the o_comment NOT LIKE filter → excluding
+    '4-NOT SPECIFIED' priority orders."""
+    _register(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                              AND o.o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c.c_custkey
+        ) c_orders
+        GROUP BY c_count
+        """
+    )
+
+
+def sql_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type revenue share for one month — a
+    conditional-sum ratio over the part join. Adaptation: p_type here is
+    a single word, so the test is equality with 'PROMO' rather than
+    LIKE 'PROMO%'."""
+    _register(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                      THEN l.l_extendedprice * (1 - l.l_discount)
+                                      ELSE 0 END)
+                     / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+        """
+    )
+
+
+def sql_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 verbatim shape: quarter revenue per supplier (the view
+    in the spec → a CTE), then the supplier(s) hitting the max via an
+    uncorrelated scalar subquery over the same CTE. Catalyst evaluates
+    the CTE twice (no automatic CTE materialization) — at scale you'd
+    pin it; the test-scale plan keeps both evaluations partial-agg'd."""
+    _register(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(
+        """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s
+        JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """
+    )
+
+
+def sql_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type, size)
+    for parts outside an excluded family, minus suppliers matching a
+    NOT IN subquery. Adaptation: partsupp → distinct lineitem pairs;
+    the 'customer complaints' comment filter → negative account
+    balance."""
+    _register(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(
+        f"""
+        WITH {_PS_CTE}
+        SELECT p.p_brand,
+               p.p_type,
+               p.p_size,
+               COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+        FROM ps
+        JOIN part p ON p.p_partkey = ps.ps_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+          AND ps.ps_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        """
+    )
+
+
+def sql_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders far below a part's typical
+    quantity — the CORRELATED average subquery (per-part AVG compared
+    row-by-row; Catalyst decorrelates to one aggregate + join, pinned in
+    test_plans). Adaptation: p_container is absent → brand + small size
+    select the part family; /7.0 spreads over the seven ship years."""
+    _register(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#3'
+          AND p.p_size < 10
+          AND l.l_quantity < (
+                SELECT 0.5 * AVG(l2.l_quantity)
+                FROM lineitem l2
+                WHERE l2.l_partkey = p.p_partkey
+              )
+        """
+    )
+
+
+def sql_q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides — the disjunction must still let the common
+    p_partkey equi-join plan as a join (not a filtered cartesian;
+    asserted in test_plans). Adaptation: container/shipmode legs →
+    brand × size-range × quantity-band legs."""
+    _register(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+        """
+    )
+
+
+def sql_q20_promotion_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation with meaningful volume
+    in a part family over a year — IN over a grouped HAVING subquery
+    (left-semi join after rewrite), nation filter on the outer side.
+    Adaptation: partsupp availability → total shipped quantity > 100."""
+    _register(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_7'
+          AND s.s_suppkey IN (
+                SELECT l.l_suppkey
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE p.p_name LIKE 'red%'
+                  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                GROUP BY l.l_suppkey
+                HAVING SUM(l.l_quantity) > 100
+              )
+        """
+    )
+
+
+def sql_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone held up multi-supplier
+    orders — the EXISTS + NOT EXISTS double correlation over the same
+    fact table (the hardest decorrelation in the suite; both rewrite to
+    semi/anti joins, asserted in test_plans). Adaptation: the absent
+    receipt/commit dates → 'shipped >75 days after order date' as the
+    lateness predicate, correlated through the outer orders row."""
+    _register(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
+    return spark.sql(
+        """
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+        JOIN nation n    ON s.s_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+          AND n.n_name = 'NATION_2'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 75 DAY
+          AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > o.o_orderdate + INTERVAL 75 DAY
+              )
+        GROUP BY s.s_name
+        """
+    )
+
+
+QUERIES = {
+    "sql_q1_pricing_summary": sql_q1_pricing_summary,
+    "sql_q2_min_cost_supplier": sql_q2_min_cost_supplier,
+    "sql_q4_priority_late": sql_q4_priority_late,
+    "sql_q6_forecast_revenue": sql_q6_forecast_revenue,
+    "sql_q8_market_share": sql_q8_market_share,
+    "sql_q9_product_profit": sql_q9_product_profit,
+    "sql_q11_important_stock": sql_q11_important_stock,
+    "sql_q12_late_buckets": sql_q12_late_buckets,
+    "sql_q13_cust_distribution": sql_q13_cust_distribution,
+    "sql_q14_promo_revenue": sql_q14_promo_revenue,
+    "sql_q15_top_supplier": sql_q15_top_supplier,
+    "sql_q16_supplier_cnt": sql_q16_supplier_cnt,
+    "sql_q17_small_qty_revenue": sql_q17_small_qty_revenue,
+    "sql_q19_disjunctive_pred": sql_q19_disjunctive_pred,
+    "sql_q20_promotion_supplier": sql_q20_promotion_supplier,
+    "sql_q21_waiting_supplier": sql_q21_waiting_supplier,
+}
+
+ORACLES = {
+    "sql_q1_pricing_summary": """
+        SELECT l_returnflag,
+               l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "sql_q2_min_cost_supplier": """
+        WITH ps AS (
+            SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+            FROM lineitem
+        )
+        SELECT ROUND(s.s_acctbal, 4) AS s_acctbal,
+               s.s_name,
+               n.n_name,
+               p.p_partkey,
+               p.p_name
+        FROM part p
+        JOIN ps         ON p.p_partkey = ps.ps_partkey
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE p.p_size = 15
+          AND r.r_name = 'EUROPE'
+          AND s.s_acctbal = (
+                SELECT MIN(s2.s_acctbal)
+                FROM ps ps2
+                JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+                JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+                JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+                WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+              )
+        ORDER BY s_acctbal DESC, n.n_name ASC, s.s_name ASC, p.p_partkey ASC
+        LIMIT 100
+    """,
+    "sql_q4_priority_late": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              )
+        GROUP BY o_orderpriority
+    """,
+    "sql_q6_forecast_revenue": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "sql_q8_market_share": """
+        SELECT o_year,
+               ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                     / SUM(volume), 4) AS mkt_share
+        FROM (
+            SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   n2.n_name AS nation
+            FROM part p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+            JOIN region r   ON n1.n_regionkey = r.r_regionkey
+            JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+            WHERE r.r_name = 'AMERICA'
+              AND p.p_type = 'ECONOMY'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        ) all_nations
+        GROUP BY o_year
+    """,
+    "sql_q9_product_profit": """
+        SELECT nation,
+               o_year,
+               ROUND(SUM(amount), 4) AS sum_profit
+        FROM (
+            SELECT n.n_name AS nation,
+                   CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity AS amount
+            FROM part p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            WHERE p.p_name LIKE '%red%'
+        ) profit
+        GROUP BY nation, o_year
+    """,
+    "sql_q11_important_stock": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+            FROM lineitem
+            GROUP BY l_partkey, l_suppkey
+        ),
+        natps AS (
+            SELECT ps.l_partkey, ps.qty * p.p_retailprice AS value
+            FROM ps
+            JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            JOIN part p     ON ps.l_partkey = p.p_partkey
+            WHERE n.n_name = 'NATION_3'
+        )
+        SELECT l_partkey AS p_partkey,
+               ROUND(SUM(value), 4) AS stock_value
+        FROM natps
+        GROUP BY l_partkey
+        HAVING SUM(value) > (SELECT SUM(value) * 0.005 FROM natps)
+    """,
+    "sql_q12_late_buckets": """
+        SELECT CASE WHEN DATEDIFF('day', o.o_orderdate, l.l_shipdate) > 75 THEN 'VERY_LATE'
+                    WHEN DATEDIFF('day', o.o_orderdate, l.l_shipdate) > 45 THEN 'LATE'
+                    ELSE 'ON_TIME' END AS ship_bucket,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1
+    """,
+    "sql_q13_cust_distribution": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                              AND o.o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c.c_custkey
+        ) c_orders
+        GROUP BY c_count
+    """,
+    "sql_q14_promo_revenue": """
+        SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                      THEN l.l_extendedprice * (1 - l.l_discount)
+                                      ELSE 0 END)
+                     / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    "sql_q15_top_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s
+        JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    "sql_q16_supplier_cnt": """
+        WITH ps AS (
+            SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+            FROM lineitem
+        )
+        SELECT p.p_brand,
+               p.p_type,
+               p.p_size,
+               COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+        FROM ps
+        JOIN part p ON p.p_partkey = ps.ps_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+          AND ps.ps_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    "sql_q17_small_qty_revenue": """
+        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#3'
+          AND p.p_size < 10
+          AND l.l_quantity < (
+                SELECT 0.5 * AVG(l2.l_quantity)
+                FROM lineitem l2
+                WHERE l2.l_partkey = p.p_partkey
+              )
+    """,
+    "sql_q19_disjunctive_pred": """
+        SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "sql_q20_promotion_supplier": """
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_7'
+          AND s.s_suppkey IN (
+                SELECT l.l_suppkey
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE p.p_name LIKE 'red%'
+                  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                GROUP BY l.l_suppkey
+                HAVING SUM(l.l_quantity) > 100
+              )
+    """,
+    "sql_q21_waiting_supplier": """
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+        JOIN nation n    ON s.s_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+          AND n.n_name = 'NATION_2'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 75 DAY
+          AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > o.o_orderdate + INTERVAL 75 DAY
+              )
+        GROUP BY s.s_name
+    """,
+}

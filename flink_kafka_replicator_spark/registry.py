@@ -40,6 +40,7 @@ from .operators import (
     setops,
     sql_surface,
     streaming_batch,
+    tpch,
     windows,
 )
 
@@ -53,6 +54,7 @@ _MODULES = [
     setops,
     scalar_fns,
     sql_surface,
+    tpch,
     advanced,
     streaming_batch,
     # pipeline_queries ahead of reshape: with ~13 unverified-extension

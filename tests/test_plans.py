@@ -475,3 +475,61 @@ def test_fuzzy_join_blocks_never_cross_joins(spark, sf_dir):
     plan = formatted_plan(join_fuzzy_lev1(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------------- tpch shapes
+
+
+def test_tpch_q17_decorrelates_per_part_avg(spark, sf_dir):
+    """The correlated `l_quantity < 0.5*AVG(...) per part` subquery must
+    decorrelate into one aggregate + equi-join — a per-row subquery (or
+    a nested-loop fallback) would re-scan lineitem per outer row."""
+    from flink_kafka_replicator_spark.operators.tpch import (
+        sql_q17_small_qty_revenue,
+    )
+
+    plan = formatted_plan(sql_q17_small_qty_revenue(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "avg(" in plan, "decorrelated per-part average aggregate missing"
+
+
+def test_tpch_q19_disjunction_keeps_equi_join(spark, sf_dir):
+    """OR-of-ANDs across both join sides must not break the shared
+    p_partkey equi-join into a filtered cross product."""
+    from flink_kafka_replicator_spark.operators.tpch import (
+        sql_q19_disjunctive_pred,
+    )
+
+    plan = formatted_plan(sql_q19_disjunctive_pred(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q21_exists_rewrites_to_semi_and_anti(spark, sf_dir):
+    """EXISTS and NOT EXISTS over the same fact table must both rewrite
+    to join forms (semi/anti), never correlated re-evaluation."""
+    from flink_kafka_replicator_spark.operators.tpch import (
+        sql_q21_waiting_supplier,
+    )
+
+    plan = formatted_plan(sql_q21_waiting_supplier(spark, sf_dir))
+    assert "LeftSemi" in plan, "EXISTS must become a left-semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS must become a left-anti join"
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q6_filters_all_reach_scan(spark, sf_dir):
+    """Q6 is the pushdown benchmark: shipdate, discount and quantity
+    predicates must ALL reach the parquet scan, and only the four used
+    columns may be read."""
+    from flink_kafka_replicator_spark.operators.tpch import (
+        sql_q6_forecast_revenue,
+    )
+
+    df = sql_q6_forecast_revenue(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    plan = formatted_plan(df)
+    assert "l_returnflag" not in plan, "column pruning lost"
