@@ -183,10 +183,19 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     """Spark 4 transformWithStateInPandas: typed ValueState slots persist
     across micro-batches and across a query restart on the same
     checkpoint (RocksDB state store provider)."""
+    # Documented-impossible in this container: the TWS state protocol is
+    # protobuf-framed (pyspark.sql.streaming.proto.StateMessage_pb2 does
+    # `from google.protobuf import ...` and raises ModuleNotFoundError:
+    # "No module named 'google'"), the protobuf wheel is not baked in,
+    # and the environment forbids pip/apt installs. The test un-skips
+    # itself the moment a deployment provides protobuf — no code change
+    # needed.
     pytest.importorskip(
         "google.protobuf",
-        reason="transformWithState's state protocol needs protobuf, "
-        "not present in this container",
+        reason="transformWithState's state protocol needs protobuf "
+        "(pyspark.sql.streaming.proto.StateMessage_pb2 → "
+        "ModuleNotFoundError: No module named 'google'); absent in this "
+        "container and installs are unavailable",
     )
     from flink_kafka_replicator_spark.streaming.transform_state import (
         rocksdb_state_conf,
