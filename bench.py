@@ -79,6 +79,13 @@ HEADLINE = list(R2_BASKET) + [
     "dedup_cluster_cc",
     "corpus_mix_equalize_hash",
     "pack_token_sequences_sharded",
+    # round-5 TPC-H completion: the heaviest of the 16 new shapes (full
+    # scan agg, widest join, double-decorrelation) + the persisted-index
+    # ingestion path
+    "sql_q1_pricing_summary",
+    "sql_q9_product_profit",
+    "sql_q21_waiting_supplier",
+    "dedup_incremental_indexed",
 ]
 
 

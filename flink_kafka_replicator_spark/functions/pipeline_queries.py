@@ -1133,6 +1133,49 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/C4-style filters):
+    duplicate 3-gram fraction and the most-frequent-token share of each
+    document.
+
+    The 3-gram ratio is pure array arithmetic — map-side, scan-speed.
+    The top-token share needs a per-(doc, token) histogram: explode →
+    two combine-friendly aggregates keyed by doc_id, both shuffles
+    partial-aggregated (a doc's token rows collapse to its distinct
+    tokens map-side). The per-doc scalars ride through the explode as
+    grouping keys, so no join-back is needed. At 100 TB doc_id is
+    unique per row — maximal-cardinality keys, no skew."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    )
+    staged = d.select(
+        "doc_id",
+        F.round(
+            1.0
+            - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+            4,
+        ).alias("dup_3gram_ratio"),
+        F.size(toks).alias("n_tokens"),
+        F.explode(toks).alias("tok"),
+    )
+    return (
+        staged.groupBy("doc_id", "dup_3gram_ratio", "n_tokens", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "dup_3gram_ratio", "n_tokens")
+        .agg(F.max("c").alias("max_c"))
+        .select(
+            "doc_id",
+            "dup_3gram_ratio",
+            F.round(F.col("max_c").cast("double") / F.col("n_tokens"), 4).alias(
+                "top_token_ratio"
+            ),
+        )
+    )
+
+
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -1300,6 +1343,7 @@ QUERIES = {
     "text_stats": text_stats,
     "lang_breakdown": lang_breakdown,
     "text_quality": text_quality,
+    "text_repetition_ratio": text_repetition_ratio,
     "lang_id_ngram": lang_id_ngram,
     "token_count_bpe": token_count_bpe,
     "doc_fingerprint": doc_fingerprint,
@@ -1686,6 +1730,29 @@ ORACLES = {
                ROUND(AVG(n_chars), 4)       AS avg_chars
         FROM documents
         GROUP BY lang
+    """,
+    "text_repetition_ratio": r"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   [array_to_string(toks[i:i+2], ' ')
+                    for i in generate_series(1, greatest(len(toks) - 2, 1))] AS sh,
+                   len(toks) AS n_tokens
+            FROM t
+        ),
+        cnt AS (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+            GROUP BY doc_id, tok
+        ),
+        mx AS (SELECT doc_id, MAX(c) AS max_c FROM cnt GROUP BY doc_id)
+        SELECT g.doc_id,
+               ROUND(1.0 - CAST(len(list_distinct(g.sh)) AS DOUBLE) / len(g.sh),
+                     4) AS dup_3gram_ratio,
+               ROUND(CAST(mx.max_c AS DOUBLE) / g.n_tokens, 4) AS top_token_ratio
+        FROM g JOIN mx USING (doc_id)
     """,
     "text_quality": f"""
         WITH t AS (

@@ -1,0 +1,157 @@
+"""Event-stream product analytics: ordered funnels and retention
+cohorts over the ``events`` table.
+
+The reference replicates event streams but cannot analyze them
+(SURVEY.md §2.4); these are the two query shapes every event pipeline
+grows next, and both are deliberately single-shuffle designs:
+
+- ``funnel_stages``: ordered view → click → purchase conversion. Each
+  stage timestamp is a conditional MIN window over the SAME user_id
+  partition, so the three chained Window nodes and the final per-user
+  collapse all share ONE hash-partitioning on user_id — Catalyst
+  inserts a single Exchange (plan-pinned in tests/test_plans.py). The
+  ordering constraint (a click only counts AFTER the first view) is
+  what makes this a funnel rather than three independent mins.
+- ``retention_cohorts``: users bucketed by first-activity date, counted
+  by (cohort, week-offset) activity. One user_id shuffle to anchor the
+  cohort + one small shuffle over (cohort, offset) pairs whose
+  cardinality is days × weeks, independent of user count.
+
+At 100 TB user_id is high-cardinality and roughly uniform (device/user
+ids), so the single user-keyed exchange scales linearly; there is no
+per-user driver loop and no skewed 5-value partition key anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered-funnel summary: first view, first click after
+    that view, first purchase after that click, and the furthest stage
+    reached. Events before the prior stage's timestamp do NOT count —
+    the funnel is ordered, not a bag of mins."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = e.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_purchase", t_purchase)
+    return (
+        staged.groupBy("user_id")
+        .agg(
+            F.max("t_view").alias("t_view"),
+            F.max("t_click").alias("t_click"),
+            F.max("t_purchase").alias("t_purchase"),
+        )
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), "purchase")
+            .when(F.col("t_click").isNotNull(), "click")
+            .when(F.col("t_view").isNotNull(), "view")
+            .otherwise("none")
+            .alias("stage"),
+        )
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users cohorted by first-activity
+    date, active-user counts per (cohort_date, week offset). Offsets
+    are whole weeks since the user's own first event (datediff/7 — no
+    ISO-week boundary artifacts)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    anchored = e.withColumn("first_ts", F.min("ts").over(w))
+    # cohort_date is a midnight TIMESTAMP, not a DATE: Spark DATE arrives
+    # driver-side as python date objects while DuckDB DATE arrives as
+    # datetime64 — same values, different dtype kind, which the driver's
+    # schema/hash compare rightly flags. Midnight timestamps agree.
+    return (
+        anchored.select(
+            F.date_trunc("DAY", "first_ts").alias("cohort_date"),
+            (
+                F.datediff(F.to_date("ts"), F.to_date("first_ts"))
+                / F.lit(7)
+            ).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_date", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+    )
+
+
+QUERIES = {
+    "funnel_stages": funnel_stages,
+    "retention_cohorts": retention_cohorts,
+}
+
+ORACLES = {
+    "funnel_stages": """
+        WITH v AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_view,
+                   event_type, ts
+            FROM events
+        ),
+        c AS (
+            SELECT user_id, t_view,
+                   MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_click,
+                   event_type, ts
+            FROM v
+        ),
+        p AS (
+            SELECT user_id, t_view, t_click,
+                   MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_purchase
+            FROM c
+        )
+        SELECT user_id,
+               MAX(t_view) AS t_view,
+               MAX(t_click) AS t_click,
+               MAX(t_purchase) AS t_purchase,
+               CASE WHEN MAX(t_purchase) IS NOT NULL THEN 'purchase'
+                    WHEN MAX(t_click) IS NOT NULL THEN 'click'
+                    WHEN MAX(t_view) IS NOT NULL THEN 'view'
+                    ELSE 'none' END AS stage
+        FROM p
+        GROUP BY user_id
+    """,
+    "retention_cohorts": """
+        WITH anchored AS (
+            SELECT user_id, ts,
+                   MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+            FROM events
+        )
+        SELECT CAST(CAST(first_ts AS DATE) AS TIMESTAMP) AS cohort_date,
+               -- FLOOR before the cast: DuckDB casts double→int with
+               -- round-to-nearest, Spark truncates; offsets are >= 0 so
+               -- floor == truncate
+               CAST(FLOOR(DATEDIFF('day', CAST(first_ts AS DATE),
+                                   CAST(ts AS DATE)) / 7.0) AS INT) AS week_offset,
+               COUNT(DISTINCT user_id) AS n_active_users
+        FROM anchored
+        GROUP BY 1, 2
+    """,
+}

@@ -33,6 +33,7 @@ from .operators import (
     advanced,
     aggregates,
     data_quality,
+    events_funnel,
     joins,
     replication,
     reshape,
@@ -63,6 +64,7 @@ _MODULES = [
     # reshape conveniences; reshape rotates in next round.
     pipeline_queries,
     corpus,
+    events_funnel,
     data_quality,
     reshape,
 ]
@@ -267,6 +269,8 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     # persisted-index ingestion shape (VERDICT r4 next-round task 4)
     "corpus_mix_equalize_hash", "pack_token_sequences_sharded",
     "dedup_incremental_indexed",
+    # round-5 widening: event-stream analytics + repetition quality
+    "funnel_stages", "retention_cohorts", "text_repetition_ratio",
 )
 
 

@@ -56,6 +56,17 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
                 f"duckdb={w.dtype} — integer vs float hashes differently in "
                 f"the driver; CAST the oracle aggregate (e.g. AS BIGINT)"
             )
+        # Same trap for DATE columns: Spark DATE lands as python date
+        # objects (kind 'O'), DuckDB DATE as datetime64 (kind 'M') — the
+        # astype below would silently equate them, but the driver's hash
+        # does not. Emit midnight TIMESTAMPs on both sides instead.
+        if kinds == {"M", "O"}:
+            raise AssertionError(
+                f"dtype-kind mismatch in column {c!r}: spark={g.dtype} "
+                f"duckdb={w.dtype} — a DATE on one side vs TIMESTAMP on the "
+                f"other hashes differently in the driver; cast both to "
+                f"TIMESTAMP (midnight) or both to DATE"
+            )
         if g.dtype.kind == "f" or w.dtype.kind == "f":
             g = g.astype(np.float64)
             w = w.astype(np.float64)

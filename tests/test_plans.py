@@ -533,3 +533,30 @@ def test_tpch_q6_filters_all_reach_scan(spark, sf_dir):
         assert col in pushed, f"{col} not pushed: {pushed}"
     plan = formatted_plan(df)
     assert "l_returnflag" not in plan, "column pruning lost"
+
+
+# ----------------------------------------------------------- event funnels
+
+
+def test_funnel_single_user_exchange(spark, sf_dir):
+    """The three chained stage windows AND the final per-user collapse
+    must all ride ONE hash-partitioning on user_id — a second exchange
+    would mean the funnel re-shuffles per stage."""
+    from flink_kafka_replicator_spark.operators.events_funnel import (
+        funnel_stages,
+    )
+
+    df = funnel_stages(spark, sf_dir)
+    assert exchange_count(df) == 1, formatted_plan(df)
+
+
+def test_retention_two_exchanges(spark, sf_dir):
+    """Retention = the user_id anchor shuffle plus the (cohort, offset)
+    count-distinct; anything more means the cohort derivation re-keyed
+    unnecessarily."""
+    from flink_kafka_replicator_spark.operators.events_funnel import (
+        retention_cohorts,
+    )
+
+    df = retention_cohorts(spark, sf_dir)
+    assert exchange_count(df) <= 2, formatted_plan(df)
