@@ -1098,6 +1098,105 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed evaluation sample for ANN quality measurement: eval never scans
+# all |V|² pairs — ground truth is exact only for this bounded query set
+KNN_EVAL_SAMPLE = 50
+
+
+def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: recall@k of the IVF neighbor lists against
+    EXACT brute-force top-k, for a fixed bounded query sample — the
+    measurement loop every production ANN deployment runs after (re)
+    building an index.
+
+    Scale shape: ground truth costs |sample|×|V| scored pairs via a
+    broadcast of the (bounded) sample over the column-layout vector
+    store — map-side, no shuffle of the index, linear in corpus size.
+    The IVF side reads the SAME materialized in-cell pair artifact the
+    knn queries share (zero recompute). Recall joins are per-(query,
+    neighbor) equi-joins on a sample-sized table.
+
+    Oracle: DuckDB replays both the exact and IVF top-k with identical
+    (cos DESC, nid ASC) tie-breaks, so recall matches exactly."""
+    from .similarity import unrolled_product_sum
+
+    v, dim = _knn_vectors(spark, sf_dir)
+    a, b = _knn_pair_sides(v, dim, b_cell_col="bcid")
+    sample = a.filter(F.col("qid") < KNN_EVAL_SAMPLE).drop("cid")
+    truth_scored = (
+        broadcast(sample)
+        .join(b.drop("bcid"), F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                unrolled_product_sum("ax", "bx", dim)
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    truth = _knn_topk(spark, truth_scored).select(
+        "vec_id", "neighbor_id"
+    )
+    ivf = knn_ivf_join(spark, sf_dir).filter(
+        F.col("vec_id") < KNN_EVAL_SAMPLE
+    ).select("vec_id", "neighbor_id")
+    hits = truth.join(ivf, ["vec_id", "neighbor_id"], "left_semi")
+    return (
+        truth.groupBy("vec_id")
+        .agg(F.count("*").alias("k"))
+        .join(
+            hits.groupBy("vec_id").agg(F.count("*").alias("n_hits")),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("k"), 4
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absmax int8 quantization of the embedding column — the storage
+    transform a 100 TB vector store applies before indexing (4× smaller,
+    one scale per vector). Pure per-row array arithmetic: map-side,
+    shuffle-free, whole-stage codegen.
+
+    Quantized values are defined as floor(x·127/absmax + 0.5) (integer
+    half-up, unambiguous in both engines — engine round() half-even vs
+    half-up would drift); the vector is emitted CSV-serialized (the
+    repo's convention for array outputs in oracle-checked queries) plus
+    an L1 checksum."""
+    e = load_table(spark, sf_dir, "embeddings")
+    staged = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).select(
+        "vec_id",
+        "v",
+        F.expr("greatest(array_max(transform(v, x -> abs(x))), 1e-12d)").alias("mx"),
+    ).select(
+        "vec_id",
+        "mx",
+        F.expr(
+            "transform(v, x -> cast(floor(x * 127.0d / mx + 0.5d) as int))"
+        ).alias("q"),
+    )
+    return staged.select(
+        "vec_id",
+        F.round(F.col("mx") / 127.0, 6).alias("scale"),
+        F.array_join("q", ",").alias("q_csv"),
+        F.expr(
+            "cast(aggregate(q, 0L, (acc, x) -> acc + abs(x)) as bigint)"
+        ).alias("q_l1"),
+    )
+
+
 # ------------------------------------------------------------ text analysis
 
 
@@ -1340,6 +1439,8 @@ QUERIES = {
     "knn_ivf_join": knn_ivf_join,
     "knn_ivf_multiprobe": knn_ivf_multiprobe,
     "knn_label_vote": knn_label_vote,
+    "knn_recall_eval": knn_recall_eval,
+    "embedding_quantize_int8": embedding_quantize_int8,
     "text_stats": text_stats,
     "lang_breakdown": lang_breakdown,
     "text_quality": text_quality,
@@ -1479,6 +1580,49 @@ ORACLES = {
                        PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) AS rn
             FROM pairs)
         WHERE rn <= {KNN_K}
+    """,
+    "knn_recall_eval": f"""
+        {_KNN_ORACLE_CORE},
+        truth AS (
+            SELECT qid, nid FROM (
+                SELECT a.vec_id AS qid, b.vec_id AS nid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY ROUND({_duck_cos('a.vec', 'b.vec')}, 4) DESC,
+                                    b.vec_id ASC) AS rn
+                FROM v a JOIN v b ON a.vec_id <> b.vec_id
+                WHERE a.vec_id < {KNN_EVAL_SAMPLE})
+            WHERE rn <= {KNN_K}
+        ),
+        ivf AS (SELECT qid, nid FROM topk WHERE qid < {KNN_EVAL_SAMPLE})
+        SELECT t.qid AS vec_id,
+               CAST(COUNT(i.nid) AS BIGINT) AS n_hits,
+               ROUND(CAST(COUNT(i.nid) AS DOUBLE) / COUNT(*), 4) AS recall_at_k
+        FROM truth t
+        LEFT JOIN ivf i ON t.qid = i.qid AND t.nid = i.nid
+        GROUP BY t.qid
+    """,
+    "embedding_quantize_int8": """
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ),
+        m AS (
+            SELECT vec_id, vec,
+                   greatest(list_max(list_transform(vec, x -> abs(x))), 1e-12)
+                       AS mx
+            FROM v
+        ),
+        q AS (
+            SELECT vec_id, mx,
+                   list_transform(vec,
+                       x -> CAST(FLOOR(x * 127.0 / mx + 0.5) AS INT)) AS qq
+            FROM m
+        )
+        SELECT vec_id,
+               ROUND(mx / 127.0, 6) AS scale,
+               array_to_string(qq, ',') AS q_csv,
+               CAST(list_sum(list_transform(qq, x -> abs(x))) AS BIGINT) AS q_l1
+        FROM q
     """,
     "knn_label_vote": f"""
         {_KNN_ORACLE_CORE}

@@ -131,6 +131,23 @@ def window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank + cume_dist of each
+    customer's balance within its market segment. Ordered by the VALUE
+    alone (no tiebreak key) on purpose — both functions are defined over
+    peer groups, so equal balances must share a result; that makes them
+    deterministic under any row order, unlike row_number."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 4).alias("c_acctbal"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
 QUERIES = {
     "window_rank": window_rank,
     "window_running_sum": window_running_sum,
@@ -139,6 +156,7 @@ QUERIES = {
     "topk_orders": topk_orders,
     "window_moving_avg": window_moving_avg,
     "window_distinct_count": window_distinct_count,
+    "window_cume_dist": window_cume_dist,
 }
 
 ORACLES = {
@@ -198,5 +216,14 @@ ORACLES = {
         FROM orders
         ORDER BY o_totalprice DESC, o_orderkey ASC
         LIMIT 20
+    """,
+    "window_cume_dist": """
+        SELECT c_custkey,
+               c_mktsegment,
+               ROUND(c_acctbal, 4) AS c_acctbal,
+               ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 4) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC)
     """,
 }

@@ -269,8 +269,10 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     # persisted-index ingestion shape (VERDICT r4 next-round task 4)
     "corpus_mix_equalize_hash", "pack_token_sequences_sharded",
     "dedup_incremental_indexed",
-    # round-5 widening: event-stream analytics + repetition quality
+    # round-5 widening: event-stream analytics + repetition quality +
+    # ANN eval harness + int8 vector-store quantization + dist windows
     "funnel_stages", "retention_cohorts", "text_repetition_ratio",
+    "knn_recall_eval", "embedding_quantize_int8", "window_cume_dist",
 )
 
 
