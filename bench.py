@@ -124,13 +124,11 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # the headline set grows round over round; r2_subset_total keeps a
     # fixed-basket number comparable against BENCH_r02/r03 so a larger
-    # set never reads as a regression
-    r2_basket_timed = [q for q in R2_BASKET if q in timings]
-    if len(r2_basket_timed) != len(R2_BASKET):
-        raise SystemExit(
-            f"r2 basket incomplete: missing {sorted(set(R2_BASKET) - set(timings))}"
-        )
-    r2_subset = round(sum(timings[q] for q in r2_basket_timed), 3)
+    # set never reads as a regression. Indexing timings[q] directly (no
+    # membership filter) is the loud-failure path: the registry check
+    # above plus HEADLINE ⊇ R2_BASKET guarantee every basket id was
+    # timed, and a KeyError here beats a silently shrunken basket.
+    r2_subset = round(sum(timings[q] for q in R2_BASKET), 3)
     print(
         json.dumps(
             {
@@ -140,7 +138,7 @@ def main() -> None:
                 "queries": timings,
                 "n_queries": len(timings),
                 "r2_subset_total": r2_subset,
-                "r2_subset_n": len(r2_basket_timed),
+                "r2_subset_n": len(R2_BASKET),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -242,6 +242,8 @@ _MINHASH_INDEX_DIRS: dict[tuple[str, str], str] = {}
 
 
 def _minhash_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
     import tempfile
 
     from ..sinks import write_minhash_index
@@ -252,6 +254,9 @@ def _minhash_index_dir(spark: SparkSession, sf_dir: str) -> str:
         return got
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     out = tempfile.mkdtemp(prefix="fkr_minhash_index_")
+    # session-lifetime artifact, process-lifetime cleanup: without this,
+    # every (session, dataset) pair leaves an orphaned index dir in /tmp
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     write_minhash_index(d.filter(F.col("doc_id") % 2 == 0), out)
     _MINHASH_INDEX_DIRS[ck] = out
     return out
@@ -384,16 +389,14 @@ _MATERIALIZED_CACHE_MAX = 64
 
 def _cache_put(cache: dict, key, value) -> None:
     if len(cache) >= _MATERIALIZED_CACHE_MAX:
-        # the evicted entries hold eagerly-materialized blocks
-        # (localCheckpoint); release them best-effort rather than
-        # leaving reclamation to the ContextCleaner's GC pace
-        for old in cache.values():
-            unpersist = getattr(old, "unpersist", None)
-            if callable(unpersist):
-                try:
-                    unpersist()
-                except Exception:
-                    pass  # a dead session's blocks are already gone
+        # Drop the references only. The evicted entries hold
+        # eagerly-materialized blocks (checkpoint/localCheckpoint), but
+        # actively unpersisting them here would invalidate DataFrames a
+        # caller may still hold — a checkpoint has truncated lineage, so
+        # once its blocks are gone the data is unrecoverable, not
+        # recomputable. Reclamation is the ContextCleaner's job: it
+        # frees the blocks when the underlying RDDs become unreachable,
+        # which dropping these references enables.
         cache.clear()
     cache[key] = value
 
@@ -1270,20 +1273,32 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping keys, so no join-back is needed. At 100 TB doc_id is
     unique per row — maximal-cardinality keys, no skew."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    grams = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
-        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
-    )
-    staged = d.select(
-        "doc_id",
-        F.round(
-            1.0
-            - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
-            4,
-        ).alias("dup_3gram_ratio"),
-        F.size(toks).alias("n_tokens"),
-        F.explode(toks).alias("tok"),
+    # bind tokens, then grams, to real columns before use: a HOF lambda
+    # re-evaluates a non-foldable subexpression per element, so building
+    # grams from split(text) inline would re-split the text once per
+    # 3-gram position (O(n·len) per doc), and using the grams expression
+    # twice (distinct + total) would materialize it twice
+    staged = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+                " i -> concat_ws(' ', slice(toks, i, 3)))"
+            ).alias("grams"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                1.0
+                - F.size(F.array_distinct("grams")).cast("double")
+                / F.size("grams"),
+                4,
+            ).alias("dup_3gram_ratio"),
+            F.size("toks").alias("n_tokens"),
+            F.explode("toks").alias("tok"),
+        )
     )
     return (
         staged.groupBy("doc_id", "dup_3gram_ratio", "n_tokens", "tok")
@@ -1572,6 +1587,29 @@ _KNN_ORACLE_CORE = f"""
         )
 """
 
+# one oracle, two physical plans: dedup_incremental and its persisted-
+# index twin are the same computation, so they must verify against the
+# SAME SQL (a fix applied to one but not the other would silently let
+# the supposedly identical queries drift)
+_DEDUP_INCREMENTAL_ORACLE = r"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+            FROM t
+        )
+        SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+               ROUND(CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(n.sh, o.sh))), 4) AS jaccard
+        FROM s n JOIN s o ON n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+        WHERE ROUND(CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(n.sh, o.sh))), 4) >= 0.5
+    """
+
+
 ORACLES = {
     "knn_ivf_join": f"""
         {_KNN_ORACLE_CORE}
@@ -1787,42 +1825,8 @@ ORACLES = {
         WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                     / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
     """,
-    "dedup_incremental": r"""
-        WITH t AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        ),
-        s AS (
-            SELECT doc_id,
-                   list_distinct([array_to_string(toks[i:i+2], ' ')
-                                  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
-            FROM t
-        )
-        SELECT n.doc_id AS new_id, o.doc_id AS old_id,
-               ROUND(CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
-                     / len(list_distinct(list_concat(n.sh, o.sh))), 4) AS jaccard
-        FROM s n JOIN s o ON n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
-        WHERE ROUND(CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
-                    / len(list_distinct(list_concat(n.sh, o.sh))), 4) >= 0.5
-    """,
-    # identical semantics to dedup_incremental — only the physical source
-    # of the index side (persisted artifact vs recompute) differs
-    "dedup_incremental_indexed": r"""
-        WITH t AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        ),
-        s AS (
-            SELECT doc_id,
-                   list_distinct([array_to_string(toks[i:i+2], ' ')
-                                  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
-            FROM t
-        )
-        SELECT n.doc_id AS new_id, o.doc_id AS old_id,
-               ROUND(CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
-                     / len(list_distinct(list_concat(n.sh, o.sh))), 4) AS jaccard
-        FROM s n JOIN s o ON n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
-        WHERE ROUND(CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
-                    / len(list_distinct(list_concat(n.sh, o.sh))), 4) >= 0.5
-    """,
+    "dedup_incremental": _DEDUP_INCREMENTAL_ORACLE,
+    "dedup_incremental_indexed": _DEDUP_INCREMENTAL_ORACLE,
     "corpus_split_assign": """
         SELECT doc_id, lang,
                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

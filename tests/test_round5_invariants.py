@@ -11,6 +11,7 @@ equivalence of the sharded bookkeeping to an independent Python fold.
 from __future__ import annotations
 
 import hashlib
+import os
 from collections import defaultdict
 
 from flink_kafka_replicator_spark.functions.corpus import (
@@ -22,7 +23,7 @@ from flink_kafka_replicator_spark.functions.corpus import (
     pack_token_sequences_sharded,
 )
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 # ------------------------------------------------ corpus_mix_equalize_hash
