@@ -1,0 +1,95 @@
+"""Streaming ingestion near-dedup against a persisted minhash index.
+
+The production shape of incremental dedup: documents arrive as a
+stream, and every micro-batch is checked against the corpus' on-disk
+LSH index artifact (``sinks.write_minhash_index`` — band table +
+band-key statistics) before admission. This is the streaming face of
+``dedup_incremental_indexed``: identical candidate generation and
+verification (the same ``_bipartite_candidates`` / ``_bipartite_verify``
+helpers), driven by ``foreachBatch`` so each micro-batch runs the exact
+batch plan — zero aggregation over the index side, hot-band hygiene via
+the persisted stats, candidates verified with exact Jaccard.
+
+``foreachBatch`` (not a stream-static join) is deliberate: the verify
+phase pins small intermediates (checkpoint + broadcast), which only a
+batch plan may do; and the near-dup PAIRS output is an append-only
+side table, the natural foreachBatch sink. Exactly-once here comes from
+the streaming checkpoint + idempotent overwrite of each batch's
+directory partition (the same recipe as the sharded corpus sink).
+
+At scale: per batch the index contributes one equi-join probe (band_key)
+and one pushed-filter stats read; batch-side work is linear in batch
+size. The index itself grows OFFLINE (re-run write_minhash_index or
+append band deltas) — admitting a batch does not mutate the index,
+which is what keeps replays idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sinks import read_minhash_index
+from ..functions.similarity import MAX_BUCKET, banded_minhash
+
+
+def dedup_batch_against_index(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    index_dir: str,
+    text_lookup: DataFrame,
+) -> DataFrame:
+    """One batch's near-dup pairs (new_id, old_id, jaccard ≥ 0.5)
+    against the persisted index. ``text_lookup`` resolves doc_id → text
+    for candidate verification (the corpus store plus the batch)."""
+    from ..functions.pipeline_queries import (
+        _bipartite_candidates,
+        _bipartite_verify,
+    )
+
+    bands_old, stats_old = read_minhash_index(spark, index_dir)
+    b_old = bands_old.select(F.col("doc_id").alias("old_id"), "band_key")
+    ok_old = stats_old.filter(F.col("n") <= MAX_BUCKET).select("band_key")
+    b_new = banded_minhash(batch_df, "doc_id", "text").select(
+        F.col("doc_id").alias("new_id"), "band_key"
+    )
+    return _bipartite_verify(
+        text_lookup, _bipartite_candidates(b_new, b_old, ok_old)
+    )
+
+
+def start_streaming_dedup_against_index(
+    spark: SparkSession,
+    source_df: DataFrame,
+    index_dir: str,
+    index_corpus_df: DataFrame,
+    out_dir: str,
+    checkpoint_location: str,
+    available_now: bool = True,
+):
+    """Stream (doc_id, text) rows; per micro-batch, append the batch's
+    near-dup pairs vs the index to ``out_dir`` (partitioned by batch id
+    with dynamic overwrite, so a replayed batch rewrites its own
+    partition instead of duplicating pairs)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        lookup = batch_df.select("doc_id", "text").union(
+            index_corpus_df.select("doc_id", "text")
+        )
+        pairs = dedup_batch_against_index(spark, batch_df, index_dir, lookup)
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        source_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_location)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,92 @@
+"""Streaming dedup-against-index: micro-batched ingestion produces the
+SAME near-dup pairs as the batch ``dedup_incremental`` on the same
+old/new split, and a re-run against the same checkpoint is a no-op
+(idempotent batch-partition overwrite)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from flink_kafka_replicator_spark.functions.pipeline_queries import (
+    dedup_incremental,
+)
+from flink_kafka_replicator_spark.io import load_table
+from flink_kafka_replicator_spark.sinks import write_minhash_index
+from flink_kafka_replicator_spark.streaming.dedup_ingest import (
+    start_streaming_dedup_against_index,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+SCHEMA = "doc_id bigint, text string"
+
+
+def _run(spark, tmp_path, src):
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = start_streaming_dedup_against_index(
+        spark,
+        stream,
+        index_dir=str(tmp_path / "index"),
+        index_corpus_df=load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 2 == 0),
+        out_dir=str(tmp_path / "pairs"),
+        checkpoint_location=str(tmp_path / "ck"),
+        available_now=True,
+    )
+    q.awaitTermination(180)
+
+
+def test_streaming_dedup_matches_batch_and_replays_idempotently(
+    spark, tmp_path
+):
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    write_minhash_index(old, str(tmp_path / "index"))
+
+    # the incoming stream: the odd half split across two files → two
+    # micro-batches under maxFilesPerTrigger=1
+    src = str(tmp_path / "incoming")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    new.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    new.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+
+    _run(spark, tmp_path, src)
+
+    got = {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    want = {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in dedup_incremental(spark, SF_DIR).collect()
+    }
+    assert got == want, (
+        f"stream/batch divergence: only_stream={got - want} "
+        f"only_batch={want - got}"
+    )
+    assert want, "fixture must contain at least one cross-batch near-dup"
+
+    n_batches = (
+        spark.read.parquet(str(tmp_path / "pairs"))
+        .select("batch_id")
+        .distinct()
+        .count()
+    )
+    assert n_batches >= 1
+
+    # same checkpoint, same source: nothing new to process; the pair
+    # table must be unchanged (no duplicated appends)
+    _run(spark, tmp_path, src)
+    again = {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    assert again == want
