@@ -64,6 +64,9 @@ def _clear_artifact_caches():
     pq._PAIR_CACHE.clear()
     pq._CC_LABEL_CACHE.clear()
     pq._KNN_ASSIGN_CACHE.clear()
+    pq._KNN_VEC_CACHE.clear()
+    pq._KNN_SCORED_CACHE.clear()
+    pq._BAND_CACHE.clear()
 
 
 def test_minhash_scales_linearly(spark, big_dir):
@@ -133,6 +136,43 @@ def test_round4_ops_at_10x(spark, big_dir):
         assert t_big < max(t_small, 0.2) * COPIES * 3, (
             f"{q.__name__} superlinear at 10x: {t_big:.1f}s vs {t_small:.1f}s"
         )
+
+
+def test_round5_ops_at_10x(spark, big_dir):
+    """Round-5 additions: funnel/retention are single-user_id-shuffle
+    windows, repetition is explode + combine-friendly aggregates,
+    incremental dedup is the bipartite LSH — all ~linear at 10×.
+    TPC-H q1 is the map-side-combine benchmark."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        dedup_incremental,
+        text_repetition_ratio,
+    )
+    from flink_kafka_replicator_spark.operators.events_funnel import (
+        funnel_stages,
+        retention_cohorts,
+    )
+    from flink_kafka_replicator_spark.operators.tpch import (
+        sql_q1_pricing_summary,
+    )
+
+    for q in (
+        funnel_stages,
+        retention_cohorts,
+        text_repetition_ratio,
+        sql_q1_pricing_summary,
+    ):
+        t_small = _timed(q(spark, SRC))
+        t_big = _timed(q(spark, big_dir))
+        assert t_big < max(t_small, 0.2) * COPIES * 3, (
+            f"{q.__name__} superlinear at 10x: {t_big:.1f}s vs {t_small:.1f}s"
+        )
+    _clear_artifact_caches()
+    t_small = _timed(dedup_incremental(spark, SRC))
+    _clear_artifact_caches()
+    t_big = _timed(dedup_incremental(spark, big_dir))
+    assert t_big < max(t_small, 0.2) * COPIES * 3, (
+        f"dedup_incremental superlinear at 10x: {t_big:.1f}s vs {t_small:.1f}s"
+    )
 
 
 # ----------------------------------------------------------------- 100×
@@ -246,6 +286,26 @@ def test_corpus_ops_at_100x_linear(spark, big100_dir):
     )
 
     for q in (tfidf_top_terms, contamination_ngram, pipeline_end_to_end):
+        t_small = _timed(q(spark, SRC))
+        t0 = time.perf_counter()
+        n_big = q(spark, big100_dir).count()
+        t_big = time.perf_counter() - t0
+        print(f"\n{q.__name__} 1x: {t_small:.1f}s; 100x: {t_big:.1f}s/{n_big} rows")
+        assert t_big < max(t_small, 0.2) * COPIES100 * 3, (
+            f"{q.__name__} superlinear: {t_big:.1f}s vs {t_small:.1f}s"
+        )
+
+
+def test_funnel_retention_at_100x_linear(spark, big100_dir):
+    """Funnel/retention at 100× events AND 100× distinct users (the
+    copies offset user_id): the single user-keyed exchange must scale
+    with rows, not blow up with key count."""
+    from flink_kafka_replicator_spark.operators.events_funnel import (
+        funnel_stages,
+        retention_cohorts,
+    )
+
+    for q in (funnel_stages, retention_cohorts):
         t_small = _timed(q(spark, SRC))
         t0 = time.perf_counter()
         n_big = q(spark, big100_dir).count()
