@@ -83,9 +83,48 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-entity anomaly detection: median/MAD outlier counts of
+    each user's event values (|x − med| > 3·1.4826·MAD, the normal-
+    consistent robust z-score). The per-ENTITY grouping is the scale
+    design: user_id is high-cardinality with bounded per-group size, so
+    exact percentiles stay cheap per group — a 5-value key (event_type)
+    would buffer a fifth of the corpus per group instead.
+
+    Shape: two chained percentile windows (median, then MAD over the
+    bound median) + the final per-user collapse, all sharing ONE user_id
+    exchange — the funnel_stages pattern."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    w = Window.partitionBy("user_id")
+    d1 = e.withColumn("med", F.expr("percentile(value, 0.5D)").over(w))
+    d2 = d1.withColumn(
+        "mad", F.expr("percentile(abs(value - med), 0.5D)").over(w)
+    )
+    return (
+        d2.groupBy("user_id", "med", "mad")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                (F.abs(F.col("value") - F.col("med"))
+                 > 3 * 1.4826 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+        )
+    )
+
+
 QUERIES = {
     "dq_referential_integrity": dq_referential_integrity,
     "dq_profile": dq_profile,
+    "dq_outlier_mad": dq_outlier_mad,
 }
 
 ORACLES = {
@@ -127,5 +166,27 @@ ORACLES = {
         UNION ALL SELECT 'max_price', CAST(max_price AS VARCHAR) FROM a
         UNION ALL SELECT 'min_date', CAST(min_date AS VARCHAR) FROM a
         UNION ALL SELECT 'max_date', CAST(max_date AS VARCHAR) FROM a
+    """,
+    "dq_outlier_mad": """
+        WITH m AS (
+            SELECT user_id, value,
+                   quantile_cont(value, 0.5)
+                       OVER (PARTITION BY user_id) AS med
+            FROM events
+        ),
+        d AS (
+            SELECT user_id, value, med,
+                   quantile_cont(abs(value - med), 0.5)
+                       OVER (PARTITION BY user_id) AS mad
+            FROM m
+        )
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               ROUND(med, 4) AS med,
+               ROUND(mad, 4) AS mad,
+               CAST(SUM(CASE WHEN abs(value - med) > 3 * 1.4826 * mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM d
+        GROUP BY user_id, med, mad
     """,
 }

@@ -560,3 +560,14 @@ def test_retention_two_exchanges(spark, sf_dir):
 
     df = retention_cohorts(spark, sf_dir)
     assert exchange_count(df) <= 2, formatted_plan(df)
+
+
+def test_mad_outlier_single_user_exchange(spark, sf_dir):
+    """Median and MAD windows plus the final per-user collapse share one
+    user_id hash-partitioning (the funnel_stages pattern)."""
+    from flink_kafka_replicator_spark.operators.data_quality import (
+        dq_outlier_mad,
+    )
+
+    df = dq_outlier_mad(spark, sf_dir)
+    assert exchange_count(df) == 1, formatted_plan(df)
