@@ -100,9 +100,37 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining: the 20 most common 3-step event-type paths
+    across all users' ordered histories. Trigrams come from two LEAD
+    windows over each user's (ts, event_id)-ordered stream — the same
+    single user_id exchange as the funnel — then a tiny (≤ |types|³ ≈
+    125 keys) count aggregate and a TakeOrderedAndProject top-k. The
+    n-gram-over-sequences shape behind next-event prediction features
+    and UX path analysis."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    ).filter(F.col("step3").isNotNull())
+    return (
+        staged.groupBy(
+            F.col("event_type").alias("step1"), "step2", "step3"
+        )
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(
+            F.col("n_paths").desc(), "step1", "step2", "step3"
+        )
+        .limit(20)
+    )
+
+
 QUERIES = {
     "funnel_stages": funnel_stages,
     "retention_cohorts": retention_cohorts,
+    "event_trigrams": event_trigrams,
 }
 
 ORACLES = {
@@ -153,5 +181,20 @@ ORACLES = {
                COUNT(DISTINCT user_id) AS n_active_users
         FROM anchored
         GROUP BY 1, 2
+    """,
+    "event_trigrams": """
+        WITH staged AS (
+            SELECT event_type AS step1,
+                   LEAD(event_type, 1) OVER w AS step2,
+                   LEAD(event_type, 2) OVER w AS step3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        )
+        SELECT step1, step2, step3, COUNT(*) AS n_paths
+        FROM staged
+        WHERE step3 IS NOT NULL
+        GROUP BY step1, step2, step3
+        ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
+        LIMIT 20
     """,
 }

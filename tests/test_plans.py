@@ -571,3 +571,16 @@ def test_mad_outlier_single_user_exchange(spark, sf_dir):
 
     df = dq_outlier_mad(spark, sf_dir)
     assert exchange_count(df) == 1, formatted_plan(df)
+
+
+def test_tpch_q2_correlated_min_decorrelates(spark, sf_dir):
+    """The per-part MIN subquery (which re-joins supplier/nation/region)
+    must decorrelate into an aggregate + equi-join."""
+    from flink_kafka_replicator_spark.operators.tpch import (
+        sql_q2_min_cost_supplier,
+    )
+
+    plan = formatted_plan(sql_q2_min_cost_supplier(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "min(" in plan
