@@ -398,6 +398,47 @@ def corpus_mix_equalize_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# temperature-sampling exponent: p_lang ∝ n_lang^MIX_ALPHA (mT5's 0.3).
+# α=1 keeps the natural mixture, α=0 degenerates to full equalization.
+MIX_ALPHA = 0.3
+
+
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (the mT5/XLM-R scheme):
+    target language probabilities p_l ∝ n_l^α flatten the natural
+    distribution without fully equalizing it. Filter-only sampling can
+    only DOWN-sample, so the budget is chosen to saturate the most
+    protected language: keep_frac_l = (n_min/n_l)^(1-α) — the smallest
+    language keeps 100%, big languages shrink with exponent 1-α, and
+    α sweeps continuously from natural mixture (1) to the equalizer (0),
+    whose hash-threshold plan this shares (same window-free shape:
+    k-row count aggregate broadcast back + map-side md5-fraction
+    predicate; no task ever holds a language)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    quota = counts.agg(F.min("n_lang").alias("min_n"))
+    frac = counts.crossJoin(F.broadcast(quota)).select(
+        "lang",
+        F.pow(
+            F.col("min_n").cast("double") / F.col("n_lang"), 1.0 - MIX_ALPHA
+        ).alias("keep_frac"),
+    )
+    hfrac = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, _MIX_HASH_HEX),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(_MIX_HASH_DEN)
+    )
+    return (
+        d.select("doc_id", "lang", hfrac.alias("hfrac"))
+        .join(F.broadcast(frac), "lang")
+        .filter(F.col("hfrac") < F.col("keep_frac"))
+        .select("doc_id", "lang")
+    )
+
+
 PACK_BUDGET_TOKENS = 512
 
 
@@ -504,6 +545,7 @@ QUERIES = {
     "doc_pii_scrub": doc_pii_scrub,
     "corpus_mix_equalize": corpus_mix_equalize,
     "corpus_mix_equalize_hash": corpus_mix_equalize_hash,
+    "corpus_mix_temperature": corpus_mix_temperature,
     "pack_token_sequences": pack_token_sequences,
     "pack_token_sequences_sharded": pack_token_sequences_sharded,
 }
@@ -656,6 +698,22 @@ ORACLES = {
             SELECT MIN(n_lang) AS min_n FROM counts
         ), frac AS (
             SELECT lang, CAST(min_n AS DOUBLE) / n_lang AS keep_frac
+            FROM counts, q
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN frac USING (lang)
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, {_MIX_HASH_HEX}))::BIGINT
+              / {_MIX_HASH_DEN!r} < keep_frac
+    """,
+    "corpus_mix_temperature": f"""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1
+        ), q AS (
+            SELECT MIN(n_lang) AS min_n FROM counts
+        ), frac AS (
+            SELECT lang,
+                   POWER(CAST(min_n AS DOUBLE) / n_lang, 1.0 - {MIX_ALPHA})
+                       AS keep_frac
             FROM counts, q
         )
         SELECT d.doc_id, d.lang

@@ -273,7 +273,7 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     # ANN eval harness + int8 vector-store quantization + dist windows
     "funnel_stages", "retention_cohorts", "text_repetition_ratio",
     "knn_recall_eval", "embedding_quantize_int8", "window_cume_dist",
-    "dq_outlier_mad", "event_trigrams",
+    "dq_outlier_mad", "event_trigrams", "corpus_mix_temperature",
 )
 
 

@@ -268,3 +268,46 @@ def test_dedup_incremental_indexed_runs_no_aggregate_over_index(spark):
     assert "LessThanOrEqual(n," in indexed, (
         "MAX_BUCKET must reach the stats parquet scan as a pushed filter"
     )
+
+
+# ------------------------------------------------ corpus_mix_temperature
+
+
+def test_mix_temperature_keep_fractions(spark):
+    """Temperature sampling must (a) keep the smallest language in full,
+    (b) keep MORE of every language than full equalization (α>0 flattens
+    less than α=0), and (c) land each language's kept count within a
+    binomial concentration band of n_min^(1-α)·n_l^α."""
+    from flink_kafka_replicator_spark.functions.corpus import (
+        MIX_ALPHA,
+        corpus_mix_temperature,
+    )
+    from flink_kafka_replicator_spark.io import load_table
+
+    kept = defaultdict(set)
+    for r in corpus_mix_temperature(spark, SF_DIR).collect():
+        kept[r.lang].add(r.doc_id)
+    raw = defaultdict(set)
+    for r in load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang"
+    ).collect():
+        raw[r.lang].add(r.doc_id)
+    n_min = min(len(v) for v in raw.values())
+    smallest = min(raw, key=lambda k: len(raw[k]))
+    assert kept[smallest] == raw[smallest], "smallest lang must survive whole"
+    eq_kept = defaultdict(int)
+    from flink_kafka_replicator_spark.functions.corpus import (
+        corpus_mix_equalize_hash,
+    )
+
+    for r in corpus_mix_equalize_hash(spark, SF_DIR).collect():
+        eq_kept[r.lang] += 1
+    for lang, docs in raw.items():
+        want = (n_min ** (1 - MIX_ALPHA)) * (len(docs) ** MIX_ALPHA)
+        bound = 4 * want**0.5
+        assert abs(len(kept[lang]) - want) <= bound, (
+            f"{lang}: kept {len(kept[lang])}, want ~{want:.0f} ±{bound:.0f}"
+        )
+        assert len(kept[lang]) >= eq_kept[lang], (
+            f"{lang}: temperature (α={MIX_ALPHA}) kept fewer than equalize"
+        )

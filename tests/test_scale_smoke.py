@@ -237,7 +237,7 @@ def test_minhash_at_100x_linear_no_pair_blowup(spark, big100_dir):
     t_big = time.perf_counter() - t0
     print(f"\nminhash 1x: {t_small:.1f}s/{n_small} pairs; "
           f"100x: {t_big:.1f}s/{n_big} pairs")
-    assert t_big < t_small * COPIES100 * 3, (
+    assert t_big < max(t_small, 0.2) * COPIES100 * 3, (
         f"superlinear: {t_big:.1f}s vs {t_small:.1f}s at 1x"
     )
     # pair structure must scale with the corpus (no bucket blowup): each
@@ -256,7 +256,7 @@ def test_simhash_at_100x_linear(spark, big100_dir):
     n_big = dedup_simhash(spark, big100_dir).count()
     t_big = time.perf_counter() - t0
     print(f"\nsimhash 1x: {t_small:.1f}s; 100x: {t_big:.1f}s/{n_big} pairs")
-    assert t_big < t_small * COPIES100 * 3, (
+    assert t_big < max(t_small, 0.2) * COPIES100 * 3, (
         f"superlinear: {t_big:.1f}s vs {t_small:.1f}s"
     )
 
@@ -269,7 +269,7 @@ def test_asof_at_100x_linear(spark, big100_dir):
     n_big = join_asof(spark, big100_dir).count()
     t_big = time.perf_counter() - t0
     print(f"\nasof 1x: {t_small:.1f}s; 100x: {t_big:.1f}s/{n_big} rows")
-    assert t_big < t_small * COPIES100 * 3, (
+    assert t_big < max(t_small, 0.2) * COPIES100 * 3, (
         f"superlinear: {t_big:.1f}s vs {t_small:.1f}s"
     )
 
