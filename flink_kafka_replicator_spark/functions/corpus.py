@@ -413,7 +413,13 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     α sweeps continuously from natural mixture (1) to the equalizer (0),
     whose hash-threshold plan this shares (same window-free shape:
     k-row count aggregate broadcast back + map-side md5-fraction
-    predicate; no task ever holds a language)."""
+    predicate; no task ever holds a language).
+
+    Cross-engine note: keep_frac comes from pow(), which may differ
+    between JVM and C libm in the last ulp — a doc flips only if its
+    52-bit hash fraction lands within ~1e-16 of the threshold
+    (probability ≈ n_docs·1e-16, negligible; the oracle parity run is
+    the empirical check)."""
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
     quota = counts.agg(F.min("n_lang").alias("min_n"))

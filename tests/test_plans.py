@@ -584,3 +584,17 @@ def test_tpch_q2_correlated_min_decorrelates(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "min(" in plan
+
+
+def test_knn_recall_truth_broadcasts_the_bounded_sample(spark, sf_dir):
+    """The ONLY sanctioned nested-loop in the repo: ground truth for
+    recall eval is |sample| x |corpus| by definition, and the bounded
+    sample side must be the broadcast build side (map-side, linear in
+    corpus). The IVF side stays artifact-fed — no second ANN pass."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        knn_recall_eval,
+    )
+
+    plan = formatted_plan(knn_recall_eval(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, "truth side must broadcast the sample"
+    assert "CartesianProduct" not in plan
