@@ -86,6 +86,10 @@ HEADLINE = list(R2_BASKET) + [
     "sql_q9_product_profit",
     "sql_q21_waiting_supplier",
     "dedup_incremental_indexed",
+    # round-5 widening: the event-analytics family representative (all
+    # share the single-user_id-exchange window pattern)
+    "funnel_stages",
+    "dq_outlier_mad",
 ]
 
 
