@@ -90,6 +90,7 @@ HEADLINE = list(R2_BASKET) + [
     # share the single-user_id-exchange window pattern)
     "funnel_stages",
     "dq_outlier_mad",
+    "embedding_pq_encode",
 ]
 
 

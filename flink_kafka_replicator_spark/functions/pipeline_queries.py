@@ -1189,6 +1189,73 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# product-quantization geometry: 64 dims → PQ_M subspaces of PQ_SUBDIM,
+# PQ_K codes per subspace (codebook = the first PQ_K vectors' subvectors,
+# the same fixed-seed convention as the IVF quantizer _ivf_model)
+PQ_M = 8
+PQ_SUBDIM = 8
+PQ_K = 16
+
+
+def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode — the compression step of an IVF-PQ
+    vector index (each vector → PQ_M one-byte codes + a reconstruction
+    error, a 64× storage cut here). Completes the vector-store family:
+    IVF cells (coarse), PQ codes (fine), int8 (flat), recall eval.
+
+    Per subspace m, a vector's code is the L2-argmin over the PQ_K
+    codebook entries, tie-broken by code id — computed relationally:
+    vectors × broadcast codebook × exploded subspace (the m·k distance
+    evaluations per vector that DEFINE PQ encode, all map-side), then
+    one (vec_id, m)-keyed top-1 window (WindowGroupLimit) and a per-vec
+    collapse. Distances are the same left-assoc HOF fold both engines
+    replay; argmin separation between random centroids is ≫ ulp, the
+    same argument the knn/IVF oracles rest on."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    cb = v.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
+    )
+    dist2 = F.expr(
+        f"aggregate(zip_with(slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+        f"                   slice(cvec, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+        f"                   (a, b) -> (a - b) * (a - b)),"
+        f" 0D, (acc, x) -> acc + x)"
+    )
+    cand = (
+        v.join(broadcast(cb))
+        .select(
+            "vec_id",
+            "cid",
+            "v",
+            "cvec",
+            F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("m"),
+        )
+        .select("vec_id", "m", "cid", dist2.alias("d2"))
+    )
+    # argmin via min_by over a (d2, cid) struct, NOT a top-1 window: the
+    # aggregate partial-combines map-side, so the exchange carries one
+    # row per (vec, subspace) instead of all m·k candidate rows — the
+    # difference between shuffling n·8 and n·128 rows at scale. The
+    # lexicographic struct order IS the (d2 ASC, cid ASC) tie-break.
+    best = cand.groupBy("vec_id", "m").agg(
+        F.expr("min_by(cid, struct(d2, cid))").alias("cid"),
+        F.min("d2").alias("d2"),
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(m, cid))), p -> p.cid)"),
+                ",",
+            ).alias("codes_csv"),
+            F.round(F.sum("d2"), 4).alias("pq_err"),
+        )
+    )
+
+
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Absmax int8 quantization of the embedding column — the storage
     transform a 100 TB vector store applies before indexing (4× smaller,
@@ -1481,6 +1548,7 @@ QUERIES = {
     "knn_label_vote": knn_label_vote,
     "knn_recall_eval": knn_recall_eval,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "embedding_pq_encode": embedding_pq_encode,
     "text_stats": text_stats,
     "lang_breakdown": lang_breakdown,
     "text_quality": text_quality,
@@ -1664,6 +1732,39 @@ ORACLES = {
         FROM truth t
         LEFT JOIN ivf i ON t.qid = i.qid AND t.nid = i.nid
         GROUP BY t.qid
+    """,
+    "embedding_pq_encode": f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ),
+        cb AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {PQ_K}),
+        cand AS (
+            SELECT a.vec_id, t.m, c.cid,
+                   list_reduce(
+                       list_transform(
+                           generate_series(1, {PQ_SUBDIM}),
+                           j -> (a.vec[t.m * {PQ_SUBDIM} + j]
+                                 - c.cvec[t.m * {PQ_SUBDIM} + j])
+                              * (a.vec[t.m * {PQ_SUBDIM} + j]
+                                 - c.cvec[t.m * {PQ_SUBDIM} + j])),
+                       (acc, x) -> acc + x) AS d2
+            FROM v a
+            CROSS JOIN cb c
+            CROSS JOIN (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m) t
+        ),
+        best AS (
+            SELECT vec_id, m, cid, d2 FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY vec_id, m
+                           ORDER BY d2 ASC, cid ASC) AS rn
+                FROM cand)
+            WHERE rn = 1
+        )
+        SELECT vec_id,
+               array_to_string(list(cid ORDER BY m), ',') AS codes_csv,
+               ROUND(SUM(d2), 4) AS pq_err
+        FROM best
+        GROUP BY vec_id
     """,
     "embedding_quantize_int8": """
         WITH v AS (

@@ -598,3 +598,18 @@ def test_knn_recall_truth_broadcasts_the_bounded_sample(spark, sf_dir):
     plan = formatted_plan(knn_recall_eval(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan, "truth side must broadcast the sample"
     assert "CartesianProduct" not in plan
+
+
+def test_pq_encode_partial_aggregates_no_window(spark, sf_dir):
+    """PQ encode's m·k distance table must collapse through a map-side
+    combinable min_by aggregate (partial+final), never a top-1 window —
+    the exchange carries n·M rows, not n·M·K; the codebook side is the
+    sanctioned broadcast nested-loop (16 bounded rows)."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        embedding_pq_encode,
+    )
+
+    plan = formatted_plan(embedding_pq_encode(spark, sf_dir))
+    assert "WindowGroupLimit" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
+    assert "CartesianProduct" not in plan
