@@ -1197,35 +1197,39 @@ PQ_SUBDIM = 8
 PQ_K = 16
 
 
-def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization encode — the compression step of an IVF-PQ
-    vector index (each vector → PQ_M one-byte codes + a reconstruction
-    error, a 64× storage cut here). Completes the vector-store family:
-    IVF cells (coarse), PQ codes (fine), int8 (flat), recall eval.
-
-    Per subspace m, a vector's code is the L2-argmin over the PQ_K
-    codebook entries, tie-broken by code id — computed relationally:
-    vectors × broadcast codebook × exploded subspace (the m·k distance
-    evaluations per vector that DEFINE PQ encode, all map-side), then
-    one (vec_id, m)-keyed top-1 window (WindowGroupLimit) and a per-vec
-    collapse. Distances are the same left-assoc HOF fold both engines
-    replay; argmin separation between random centroids is ≫ ulp, the
-    same argument the knn/IVF oracles rest on."""
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, cvec) — the PQ_K fixed-seed codebook vectors."""
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
-    cb = v.filter(F.col("vec_id") < PQ_K).select(
+    return v.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
     )
-    dist2 = F.expr(
-        f"aggregate(zip_with(slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
-        f"                   slice(cvec, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
-        f"                   (a, b) -> (a - b) * (a - b)),"
-        f" 0D, (acc, x) -> acc + x)"
+
+
+_PQ_SUBDIST = (
+    f"aggregate(zip_with(slice({{a}}, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+    f"                   slice({{b}}, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+    f"                   (x, y) -> (x - y) * (x - y)),"
+    f" 0D, (acc, x) -> acc + x)"
+)
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, cid, d2): each vector's per-subspace code — the PQ
+    code table an IVF-PQ index persists. The m·k distance table comes
+    from a broadcast codebook × exploded subspace (map-side by
+    definition of PQ); the argmin collapses through a map-combinable
+    min_by over a (d2, cid) struct, NOT a top-1 window — the exchange
+    carries one row per (vec, subspace), n·M rows instead of n·M·K.
+    The lexicographic struct order IS the (d2 ASC, cid ASC) tie-break."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
     cand = (
-        v.join(broadcast(cb))
+        v.join(broadcast(_pq_codebook(spark, sf_dir)))
         .select(
             "vec_id",
             "cid",
@@ -1233,19 +1237,33 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cvec",
             F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("m"),
         )
-        .select("vec_id", "m", "cid", dist2.alias("d2"))
+        .select(
+            "vec_id",
+            "m",
+            "cid",
+            F.expr(_PQ_SUBDIST.format(a="v", b="cvec")).alias("d2"),
+        )
     )
-    # argmin via min_by over a (d2, cid) struct, NOT a top-1 window: the
-    # aggregate partial-combines map-side, so the exchange carries one
-    # row per (vec, subspace) instead of all m·k candidate rows — the
-    # difference between shuffling n·8 and n·128 rows at scale. The
-    # lexicographic struct order IS the (d2 ASC, cid ASC) tie-break.
-    best = cand.groupBy("vec_id", "m").agg(
+    return cand.groupBy("vec_id", "m").agg(
         F.expr("min_by(cid, struct(d2, cid))").alias("cid"),
         F.min("d2").alias("d2"),
     )
+
+
+def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode — the compression step of an IVF-PQ
+    vector index (each vector → PQ_M one-byte codes + a reconstruction
+    error, a 64× storage cut here). Completes the vector-store family:
+    IVF cells (coarse), PQ codes (fine), int8 (flat), recall eval.
+
+    Per subspace m, a vector's code is the L2-argmin over the PQ_K
+    codebook entries, tie-broken by code id (see _pq_codes for the
+    map-combinable plan). Distances are the same left-assoc HOF fold
+    both engines replay; argmin separation between random centroids is
+    ≫ ulp, the same argument the knn/IVF oracles rest on."""
     return (
-        best.groupBy("vec_id")
+        _pq_codes(spark, sf_dir)
+        .groupBy("vec_id")
         .agg(
             F.array_join(
                 F.expr("transform(array_sort(collect_list(struct(m, cid))), p -> p.cid)"),
@@ -1253,6 +1271,44 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("codes_csv"),
             F.round(F.sum("d2"), 4).alias("pq_err"),
         )
+    )
+
+
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search via asymmetric distance computation (ADC) — the query
+    side of an IVF-PQ index: the query builds a PQ_M×PQ_K look-up table
+    of subspace distances to the codebook ONCE, and every coded vector's
+    approximate distance is just Σ_m lut[m][code_m] — no vector data is
+    touched at query time, only the (tiny) code table.
+
+    Plan: the LUT is codebook × subspace (PQ_M·PQ_K = 128 rows,
+    broadcast); the code table joins it on (m, cid) map-side, collapses
+    per vector with a partial-combined SUM, and the top-10 compiles to
+    TakeOrderedAndProject. At 100 TB the query-time working set is the
+    code table (M bytes/vector), the defining economy of PQ."""
+    q = query_vec_col()
+    lut = (
+        _pq_codebook(spark, sf_dir)
+        .select(
+            "cid",
+            "cvec",
+            F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("m"),
+            q.alias("qv"),
+        )
+        .select(
+            "m",
+            "cid",
+            F.expr(_PQ_SUBDIST.format(a="qv", b="cvec")).alias("qd2"),
+        )
+    )
+    return (
+        _pq_codes(spark, sf_dir)
+        .select("vec_id", "m", "cid")
+        .join(broadcast(lut), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("qd2"), 4).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
     )
 
 
@@ -1549,6 +1605,7 @@ QUERIES = {
     "knn_recall_eval": knn_recall_eval,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_pq_encode": embedding_pq_encode,
+    "knn_pq_adc": knn_pq_adc,
     "text_stats": text_stats,
     "lang_breakdown": lang_breakdown,
     "text_quality": text_quality,
@@ -1732,6 +1789,53 @@ ORACLES = {
         FROM truth t
         LEFT JOIN ivf i ON t.qid = i.qid AND t.nid = i.nid
         GROUP BY t.qid
+    """,
+    "knn_pq_adc": f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ),
+        cb AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {PQ_K}),
+        cand AS (
+            SELECT a.vec_id, t.m, c.cid,
+                   list_reduce(
+                       list_transform(
+                           generate_series(1, {PQ_SUBDIM}),
+                           j -> (a.vec[t.m * {PQ_SUBDIM} + j]
+                                 - c.cvec[t.m * {PQ_SUBDIM} + j])
+                              * (a.vec[t.m * {PQ_SUBDIM} + j]
+                                 - c.cvec[t.m * {PQ_SUBDIM} + j])),
+                       (acc, x) -> acc + x) AS d2
+            FROM v a
+            CROSS JOIN cb c
+            CROSS JOIN (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m) t
+        ),
+        codes AS (
+            SELECT vec_id, m, cid FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY vec_id, m
+                           ORDER BY d2 ASC, cid ASC) AS rn
+                FROM cand)
+            WHERE rn = 1
+        ),
+        lut AS (
+            SELECT t.m, c.cid,
+                   list_reduce(
+                       list_transform(
+                           generate_series(1, {PQ_SUBDIM}),
+                           j -> (({_QV})[t.m * {PQ_SUBDIM} + j]
+                                 - c.cvec[t.m * {PQ_SUBDIM} + j])
+                              * (({_QV})[t.m * {PQ_SUBDIM} + j]
+                                 - c.cvec[t.m * {PQ_SUBDIM} + j])),
+                       (acc, x) -> acc + x) AS qd2
+            FROM cb c
+            CROSS JOIN (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m) t
+        )
+        SELECT codes.vec_id,
+               ROUND(SUM(lut.qd2), 4) AS adc_dist
+        FROM codes JOIN lut USING (m, cid)
+        GROUP BY codes.vec_id
+        ORDER BY adc_dist ASC, codes.vec_id ASC
+        LIMIT 10
     """,
     "embedding_pq_encode": f"""
         WITH v AS (
