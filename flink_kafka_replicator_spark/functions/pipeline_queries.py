@@ -1438,6 +1438,41 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score (the CCNet recipe, one model class
+    down): mean negative log-probability of each document's tokens under
+    the corpus' own unigram LM. High values = rare-token-heavy docs
+    (gibberish, boilerplate soup); the standard cheap stand-in for an LM
+    perplexity filter.
+
+    Shape: one explode → global token-count aggregate (the unigram
+    model — vocabulary-sized, broadcast back), then a map-side logprob
+    join and a per-doc combine-friendly mean. At 100 TB the vocab table
+    is the model artifact a real pipeline persists; n_corpus_tokens is
+    a scalar aggregate, not a collect. ln() is floor-quantized at 1e-6
+    before averaging (the tfidf_top_terms parity pattern — engines' ln
+    may differ in the last ulp)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    total = vocab.agg(F.sum("n_tok").alias("n_corpus_tokens"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.expr(
+            "floor(ln(cast(n_tok as double) / n_corpus_tokens) * 1000000.0D)"
+            " / 1000000.0D"
+        ).alias("logp"),
+    )
+    return (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(-F.avg("logp"), 4).alias("avg_neg_logp"),
+        )
+    )
+
+
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -1610,6 +1645,7 @@ QUERIES = {
     "lang_breakdown": lang_breakdown,
     "text_quality": text_quality,
     "text_repetition_ratio": text_repetition_ratio,
+    "doc_unigram_logprob": doc_unigram_logprob,
     "lang_id_ngram": lang_id_ngram,
     "token_count_bpe": token_count_bpe,
     "doc_fingerprint": doc_fingerprint,
@@ -2108,6 +2144,25 @@ ORACLES = {
                ROUND(AVG(n_chars), 4)       AS avg_chars
         FROM documents
         GROUP BY lang
+    """,
+    "doc_unigram_logprob": """
+        WITH toks AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        vocab AS (SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok),
+        total AS (SELECT SUM(n_tok) AS n_corpus_tokens FROM vocab),
+        lp AS (
+            SELECT tok,
+                   FLOOR(LN(CAST(n_tok AS DOUBLE) / n_corpus_tokens)
+                         * 1000000.0) / 1000000.0 AS logp
+            FROM vocab, total
+        )
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND(-AVG(lp.logp), 4) AS avg_neg_logp
+        FROM toks t JOIN lp USING (tok)
+        GROUP BY t.doc_id
     """,
     "text_repetition_ratio": r"""
         WITH t AS (
