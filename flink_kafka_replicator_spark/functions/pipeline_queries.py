@@ -1286,14 +1286,27 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     per vector with a partial-combined SUM, and the top-10 compiles to
     TakeOrderedAndProject. At 100 TB the query-time working set is the
     code table (M bytes/vector), the defining economy of PQ."""
-    q = query_vec_col()
-    lut = (
+    return (
+        _pq_codes(spark, sf_dir)
+        .select("vec_id", "m", "cid")
+        .join(broadcast(_pq_query_lut(spark, sf_dir)), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("qd2"), 4).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def _pq_query_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(m, cid, qd2): the query vector's PQ_M×PQ_K subspace-distance
+    look-up table — 128 rows, built once per search and broadcast."""
+    return (
         _pq_codebook(spark, sf_dir)
         .select(
             "cid",
             "cvec",
             F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("m"),
-            q.alias("qv"),
+            query_vec_col().alias("qv"),
         )
         .select(
             "m",
@@ -1301,10 +1314,35 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_PQ_SUBDIST.format(a="qv", b="cvec")).alias("qd2"),
         )
     )
+
+
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ search — the production ANN read path, composed
+    end-to-end from this engine's own index artifacts: the coarse
+    quantizer picks the query's IVF_N_PROBE cells (driver arithmetic on
+    the loaded 16-vector model, `_ivf_model`), the materialized postings
+    list (`_knn_assignment`) yields those cells' members, and scoring is
+    pure ADC over the persisted PQ code table — at query time neither
+    the probe filter nor the scorer touches a full-width vector.
+
+    Plan: membership is a left-semi join against the cell-pruned
+    assignment; the 128-row LUT broadcasts into a map-side equi-join on
+    (m, code); the per-vector sum partial-combines; top-10 compiles to
+    TakeOrderedAndProject. Work ∝ (probed fraction of corpus)·PQ_M
+    rows of code-table IO — the IVF recall/cost dial times the PQ
+    compression, which is the entire point of the combination."""
+    _, probe_ids = _ivf_model(spark, sf_dir)
+    members = (
+        _knn_assignment(spark, sf_dir)
+        .select("vec_id", "cid")
+        .filter(F.col("cid").isin(*probe_ids))
+        .select("vec_id")
+    )
     return (
         _pq_codes(spark, sf_dir)
+        .join(members, "vec_id", "left_semi")
         .select("vec_id", "m", "cid")
-        .join(broadcast(lut), ["m", "cid"])
+        .join(broadcast(_pq_query_lut(spark, sf_dir)), ["m", "cid"])
         .groupBy("vec_id")
         .agg(F.round(F.sum("qd2"), 4).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
@@ -1641,6 +1679,7 @@ QUERIES = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_pq_encode": embedding_pq_encode,
     "knn_pq_adc": knn_pq_adc,
+    "knn_ivf_pq": knn_ivf_pq,
     "text_stats": text_stats,
     "lang_breakdown": lang_breakdown,
     "text_quality": text_quality,
@@ -1825,6 +1864,73 @@ ORACLES = {
         FROM truth t
         LEFT JOIN ivf i ON t.qid = i.qid AND t.nid = i.nid
         GROUP BY t.qid
+    """,
+    "knn_ivf_pq": f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ),
+        cb AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {PQ_K}),
+        asg AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT v.vec_id, c.cid AS centroid_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY (1 - {_duck_cos('v.vec', 'c.cvec')}) ASC,
+                                    c.cid ASC) AS rn
+                FROM v CROSS JOIN cb c)
+            WHERE rn = 1
+        ),
+        probe AS (
+            SELECT cid AS centroid_id FROM cb
+            ORDER BY (1 - {_duck_cos('cvec', _QV)}) ASC, cid ASC
+            LIMIT 4
+        ),
+        members AS (
+            SELECT a.vec_id FROM asg a JOIN probe p USING (centroid_id)
+        ),
+        cand AS (
+            SELECT a.vec_id, t.m, c.cid,
+                   list_reduce(
+                       list_transform(
+                           generate_series(1, {PQ_SUBDIM}),
+                           j -> (a.vec[t.m * {PQ_SUBDIM} + j]
+                                 - c.cvec[t.m * {PQ_SUBDIM} + j])
+                              * (a.vec[t.m * {PQ_SUBDIM} + j]
+                                 - c.cvec[t.m * {PQ_SUBDIM} + j])),
+                       (acc, x) -> acc + x) AS d2
+            FROM v a
+            CROSS JOIN cb c
+            CROSS JOIN (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m) t
+        ),
+        codes AS (
+            SELECT vec_id, m, cid FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY vec_id, m
+                           ORDER BY d2 ASC, cid ASC) AS rn
+                FROM cand)
+            WHERE rn = 1
+        ),
+        lut AS (
+            SELECT t.m, c.cid,
+                   list_reduce(
+                       list_transform(
+                           generate_series(1, {PQ_SUBDIM}),
+                           j -> (({_QV})[t.m * {PQ_SUBDIM} + j]
+                                 - c.cvec[t.m * {PQ_SUBDIM} + j])
+                              * (({_QV})[t.m * {PQ_SUBDIM} + j]
+                                 - c.cvec[t.m * {PQ_SUBDIM} + j])),
+                       (acc, x) -> acc + x) AS qd2
+            FROM cb c
+            CROSS JOIN (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m) t
+        )
+        SELECT codes.vec_id,
+               ROUND(SUM(lut.qd2), 4) AS adc_dist
+        FROM codes
+        JOIN lut USING (m, cid)
+        JOIN members USING (vec_id)
+        GROUP BY codes.vec_id
+        ORDER BY adc_dist ASC, codes.vec_id ASC
+        LIMIT 10
     """,
     "knn_pq_adc": f"""
         WITH v AS (
