@@ -1216,14 +1216,26 @@ _PQ_SUBDIST = (
 )
 
 
+# The PQ code table is the persisted half of an IVF-PQ index: encode
+# writes it once, every search reads it. Memoized+materialized per
+# (session, dataset) exactly like _knn_assignment — without the memo
+# each of the three PQ queries re-ran the full n·M·K distance build.
+_PQ_CODES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, m, cid, d2): each vector's per-subspace code — the PQ
-    code table an IVF-PQ index persists. The m·k distance table comes
-    from a broadcast codebook × exploded subspace (map-side by
-    definition of PQ); the argmin collapses through a map-combinable
-    min_by over a (d2, cid) struct, NOT a top-1 window — the exchange
-    carries one row per (vec, subspace), n·M rows instead of n·M·K.
-    The lexicographic struct order IS the (d2 ASC, cid ASC) tie-break."""
+    code table an IVF-PQ index persists (materialized, see cache note).
+    The m·k distance table comes from a broadcast codebook × exploded
+    subspace (map-side by definition of PQ); the argmin collapses
+    through a map-combinable min_by over a (d2, cid) struct, NOT a
+    top-1 window — the exchange carries one row per (vec, subspace),
+    n·M rows instead of n·M·K. The lexicographic struct order IS the
+    (d2 ASC, cid ASC) tie-break."""
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    cached = _PQ_CODES_CACHE.get(key)
+    if cached is not None:
+        return cached
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
@@ -1244,10 +1256,14 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_PQ_SUBDIST.format(a="v", b="cvec")).alias("d2"),
         )
     )
-    return cand.groupBy("vec_id", "m").agg(
-        F.expr("min_by(cid, struct(d2, cid))").alias("cid"),
-        F.min("d2").alias("d2"),
+    out = materialize_small(
+        cand.groupBy("vec_id", "m").agg(
+            F.expr("min_by(cid, struct(d2, cid))").alias("cid"),
+            F.min("d2").alias("d2"),
+        )
     )
+    _cache_put(_PQ_CODES_CACHE, key, out)
+    return out
 
 
 def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1286,9 +1302,17 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     per vector with a partial-combined SUM, and the top-10 compiles to
     TakeOrderedAndProject. At 100 TB the query-time working set is the
     code table (M bytes/vector), the defining economy of PQ."""
+    return _adc_topk(spark, sf_dir, _pq_codes(spark, sf_dir))
+
+
+def _adc_topk(spark: SparkSession, sf_dir: str, codes: DataFrame) -> DataFrame:
+    """The one ADC scorer both PQ search variants share: broadcast the
+    query LUT, equi-join on (m, code), partial-combined per-vector SUM,
+    deterministic top-10. Any change to rounding/tie-breaks/join keys
+    lands in exactly one place (and its two oracle twins compose the
+    same shared SQL fragments)."""
     return (
-        _pq_codes(spark, sf_dir)
-        .select("vec_id", "m", "cid")
+        codes.select("vec_id", "m", "cid")
         .join(broadcast(_pq_query_lut(spark, sf_dir)), ["m", "cid"])
         .groupBy("vec_id")
         .agg(F.round(F.sum("qd2"), 4).alias("adc_dist"))
@@ -1338,15 +1362,8 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cid").isin(*probe_ids))
         .select("vec_id")
     )
-    return (
-        _pq_codes(spark, sf_dir)
-        .join(members, "vec_id", "left_semi")
-        .select("vec_id", "m", "cid")
-        .join(broadcast(_pq_query_lut(spark, sf_dir)), ["m", "cid"])
-        .groupBy("vec_id")
-        .agg(F.round(F.sum("qd2"), 4).alias("adc_dist"))
-        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
-        .limit(10)
+    return _adc_topk(
+        spark, sf_dir, _pq_codes(spark, sf_dir).join(members, "vec_id", "left_semi")
     )
 
 
@@ -1810,6 +1827,62 @@ _DEDUP_INCREMENTAL_ORACLE = r"""
     """
 
 
+# Shared PQ oracle fragments: ONE definition of the code table and the
+# query LUT, composed by all three PQ oracles (encode, ADC, IVF-PQ) so
+# the SQL twins cannot drift from each other.
+_PQ_ORACLE_BASE = f"""
+        v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ),
+        cb AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {PQ_K}),
+        cand AS (
+            SELECT a.vec_id, t.m, c.cid,
+                   list_reduce(
+                       list_transform(
+                           generate_series(1, {PQ_SUBDIM}),
+                           j -> (a.vec[t.m * {PQ_SUBDIM} + j]
+                                 - c.cvec[t.m * {PQ_SUBDIM} + j])
+                              * (a.vec[t.m * {PQ_SUBDIM} + j]
+                                 - c.cvec[t.m * {PQ_SUBDIM} + j])),
+                       (acc, x) -> acc + x) AS d2
+            FROM v a
+            CROSS JOIN cb c
+            CROSS JOIN (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m) t
+        ),
+        codes AS (
+            SELECT vec_id, m, cid, d2 FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY vec_id, m
+                           ORDER BY d2 ASC, cid ASC) AS rn
+                FROM cand)
+            WHERE rn = 1
+        ),
+        lut AS (
+            SELECT t.m, c.cid,
+                   list_reduce(
+                       list_transform(
+                           generate_series(1, {PQ_SUBDIM}),
+                           j -> (({_QV})[t.m * {PQ_SUBDIM} + j]
+                                 - c.cvec[t.m * {PQ_SUBDIM} + j])
+                              * (({_QV})[t.m * {PQ_SUBDIM} + j]
+                                 - c.cvec[t.m * {PQ_SUBDIM} + j])),
+                       (acc, x) -> acc + x) AS qd2
+            FROM cb c
+            CROSS JOIN (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m) t
+        )
+"""
+
+_PQ_ADC_SELECT = """
+        SELECT codes.vec_id,
+               ROUND(SUM(lut.qd2), 4) AS adc_dist
+        FROM codes
+        JOIN lut USING (m, cid)
+        {extra_join}
+        GROUP BY codes.vec_id
+        ORDER BY adc_dist ASC, codes.vec_id ASC
+        LIMIT 10
+"""
+
 ORACLES = {
     "knn_ivf_join": f"""
         {_KNN_ORACLE_CORE}
@@ -1865,151 +1938,45 @@ ORACLES = {
         LEFT JOIN ivf i ON t.qid = i.qid AND t.nid = i.nid
         GROUP BY t.qid
     """,
+    # the coarse quantizer (IVF centroids/probes) and the PQ codebook are
+    # separate models with separate size knobs — the oracle derives each
+    # from its own constant so tuning one cannot silently desync the twin
     "knn_ivf_pq": f"""
-        WITH v AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        WITH {_PQ_ORACLE_BASE},
+        ivfc AS (
+            SELECT vec_id AS centroid_id, vec AS cvec FROM v
+            WHERE vec_id < {IVF_N_CENTROIDS}
         ),
-        cb AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {PQ_K}),
         asg AS (
             SELECT vec_id, centroid_id FROM (
-                SELECT v.vec_id, c.cid AS centroid_id,
+                SELECT v.vec_id, c.centroid_id,
                        ROW_NUMBER() OVER (
                            PARTITION BY v.vec_id
                            ORDER BY (1 - {_duck_cos('v.vec', 'c.cvec')}) ASC,
-                                    c.cid ASC) AS rn
-                FROM v CROSS JOIN cb c)
+                                    c.centroid_id ASC) AS rn
+                FROM v CROSS JOIN ivfc c)
             WHERE rn = 1
         ),
         probe AS (
-            SELECT cid AS centroid_id FROM cb
-            ORDER BY (1 - {_duck_cos('cvec', _QV)}) ASC, cid ASC
-            LIMIT 4
+            SELECT centroid_id FROM ivfc
+            ORDER BY (1 - {_duck_cos('cvec', _QV)}) ASC, centroid_id ASC
+            LIMIT {IVF_N_PROBE}
         ),
         members AS (
             SELECT a.vec_id FROM asg a JOIN probe p USING (centroid_id)
-        ),
-        cand AS (
-            SELECT a.vec_id, t.m, c.cid,
-                   list_reduce(
-                       list_transform(
-                           generate_series(1, {PQ_SUBDIM}),
-                           j -> (a.vec[t.m * {PQ_SUBDIM} + j]
-                                 - c.cvec[t.m * {PQ_SUBDIM} + j])
-                              * (a.vec[t.m * {PQ_SUBDIM} + j]
-                                 - c.cvec[t.m * {PQ_SUBDIM} + j])),
-                       (acc, x) -> acc + x) AS d2
-            FROM v a
-            CROSS JOIN cb c
-            CROSS JOIN (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m) t
-        ),
-        codes AS (
-            SELECT vec_id, m, cid FROM (
-                SELECT *, ROW_NUMBER() OVER (
-                           PARTITION BY vec_id, m
-                           ORDER BY d2 ASC, cid ASC) AS rn
-                FROM cand)
-            WHERE rn = 1
-        ),
-        lut AS (
-            SELECT t.m, c.cid,
-                   list_reduce(
-                       list_transform(
-                           generate_series(1, {PQ_SUBDIM}),
-                           j -> (({_QV})[t.m * {PQ_SUBDIM} + j]
-                                 - c.cvec[t.m * {PQ_SUBDIM} + j])
-                              * (({_QV})[t.m * {PQ_SUBDIM} + j]
-                                 - c.cvec[t.m * {PQ_SUBDIM} + j])),
-                       (acc, x) -> acc + x) AS qd2
-            FROM cb c
-            CROSS JOIN (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m) t
         )
-        SELECT codes.vec_id,
-               ROUND(SUM(lut.qd2), 4) AS adc_dist
-        FROM codes
-        JOIN lut USING (m, cid)
-        JOIN members USING (vec_id)
-        GROUP BY codes.vec_id
-        ORDER BY adc_dist ASC, codes.vec_id ASC
-        LIMIT 10
+        {_PQ_ADC_SELECT.format(extra_join="JOIN members USING (vec_id)")}
     """,
     "knn_pq_adc": f"""
-        WITH v AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
-        ),
-        cb AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {PQ_K}),
-        cand AS (
-            SELECT a.vec_id, t.m, c.cid,
-                   list_reduce(
-                       list_transform(
-                           generate_series(1, {PQ_SUBDIM}),
-                           j -> (a.vec[t.m * {PQ_SUBDIM} + j]
-                                 - c.cvec[t.m * {PQ_SUBDIM} + j])
-                              * (a.vec[t.m * {PQ_SUBDIM} + j]
-                                 - c.cvec[t.m * {PQ_SUBDIM} + j])),
-                       (acc, x) -> acc + x) AS d2
-            FROM v a
-            CROSS JOIN cb c
-            CROSS JOIN (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m) t
-        ),
-        codes AS (
-            SELECT vec_id, m, cid FROM (
-                SELECT *, ROW_NUMBER() OVER (
-                           PARTITION BY vec_id, m
-                           ORDER BY d2 ASC, cid ASC) AS rn
-                FROM cand)
-            WHERE rn = 1
-        ),
-        lut AS (
-            SELECT t.m, c.cid,
-                   list_reduce(
-                       list_transform(
-                           generate_series(1, {PQ_SUBDIM}),
-                           j -> (({_QV})[t.m * {PQ_SUBDIM} + j]
-                                 - c.cvec[t.m * {PQ_SUBDIM} + j])
-                              * (({_QV})[t.m * {PQ_SUBDIM} + j]
-                                 - c.cvec[t.m * {PQ_SUBDIM} + j])),
-                       (acc, x) -> acc + x) AS qd2
-            FROM cb c
-            CROSS JOIN (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m) t
-        )
-        SELECT codes.vec_id,
-               ROUND(SUM(lut.qd2), 4) AS adc_dist
-        FROM codes JOIN lut USING (m, cid)
-        GROUP BY codes.vec_id
-        ORDER BY adc_dist ASC, codes.vec_id ASC
-        LIMIT 10
+        WITH {_PQ_ORACLE_BASE}
+        {_PQ_ADC_SELECT.format(extra_join="")}
     """,
     "embedding_pq_encode": f"""
-        WITH v AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
-        ),
-        cb AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {PQ_K}),
-        cand AS (
-            SELECT a.vec_id, t.m, c.cid,
-                   list_reduce(
-                       list_transform(
-                           generate_series(1, {PQ_SUBDIM}),
-                           j -> (a.vec[t.m * {PQ_SUBDIM} + j]
-                                 - c.cvec[t.m * {PQ_SUBDIM} + j])
-                              * (a.vec[t.m * {PQ_SUBDIM} + j]
-                                 - c.cvec[t.m * {PQ_SUBDIM} + j])),
-                       (acc, x) -> acc + x) AS d2
-            FROM v a
-            CROSS JOIN cb c
-            CROSS JOIN (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m) t
-        ),
-        best AS (
-            SELECT vec_id, m, cid, d2 FROM (
-                SELECT *, ROW_NUMBER() OVER (
-                           PARTITION BY vec_id, m
-                           ORDER BY d2 ASC, cid ASC) AS rn
-                FROM cand)
-            WHERE rn = 1
-        )
+        WITH {_PQ_ORACLE_BASE}
         SELECT vec_id,
                array_to_string(list(cid ORDER BY m), ',') AS codes_csv,
                ROUND(SUM(d2), 4) AS pq_err
-        FROM best
+        FROM codes
         GROUP BY vec_id
     """,
     "embedding_quantize_int8": """

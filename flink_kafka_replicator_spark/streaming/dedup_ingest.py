@@ -17,6 +17,17 @@ side table, the natural foreachBatch sink. Exactly-once here comes from
 the streaming checkpoint + idempotent overwrite of each batch's
 directory partition (the same recipe as the sharded corpus sink).
 
+One deliberate batching dependence: the NEW side's MAX_BUCKET hygiene
+is counted per micro-batch (a streaming job cannot know a band key's
+whole-corpus arrival count in advance), so a band key that is hot in
+aggregate but cool per batch keeps its pairs here while the one-shot
+batch run would drop them. That makes the streaming output a superset
+of the batch result whenever such keys exist — equality holds exactly
+when no new-side key straddles the cap across batch boundaries (true
+of the test fixture, asserted there). The INDEX side has no such
+dependence: its hygiene reads the persisted stats, identical every
+batch.
+
 At scale: per batch the index contributes one equi-join probe (band_key)
 and one pushed-filter stats read; batch-side work is linear in batch
 size. The index itself grows OFFLINE (re-run write_minhash_index or

@@ -74,13 +74,19 @@ def test_streaming_dedup_matches_batch_and_replays_idempotently(
     )
     assert want, "fixture must contain at least one cross-batch near-dup"
 
+    # the fixture writes two files under maxFilesPerTrigger=1, so the
+    # cross-batch path MUST have run as two micro-batches — ==1 would
+    # mean the scenario this test exists for silently stopped happening.
+    # (Stream/batch equality above also relies on the fixture having no
+    # new-side band key that is hot in aggregate but cool per batch —
+    # see dedup_ingest's batching note.)
     n_batches = (
         spark.read.parquet(str(tmp_path / "pairs"))
         .select("batch_id")
         .distinct()
         .count()
     )
-    assert n_batches >= 1
+    assert n_batches == 2, f"expected two micro-batches, saw {n_batches}"
 
     # same checkpoint, same source: nothing new to process; the pair
     # table must be unchanged (no duplicated appends)
