@@ -67,6 +67,7 @@ def _clear_artifact_caches():
     pq._KNN_VEC_CACHE.clear()
     pq._KNN_SCORED_CACHE.clear()
     pq._BAND_CACHE.clear()
+    pq._PQ_CODES_CACHE.clear()
 
 
 def test_minhash_scales_linearly(spark, big_dir):
