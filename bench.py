@@ -91,6 +91,7 @@ HEADLINE = list(R2_BASKET) + [
     "funnel_stages",
     "dq_outlier_mad",
     "embedding_pq_encode",
+    "knn_ivf_pq_refined",
 ]
 
 

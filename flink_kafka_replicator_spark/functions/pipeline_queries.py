@@ -1305,19 +1305,21 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adc_topk(spark, sf_dir, _pq_codes(spark, sf_dir))
 
 
-def _adc_topk(spark: SparkSession, sf_dir: str, codes: DataFrame) -> DataFrame:
-    """The one ADC scorer both PQ search variants share: broadcast the
+def _adc_topk(
+    spark: SparkSession, sf_dir: str, codes: DataFrame, k: int = 10
+) -> DataFrame:
+    """The one ADC scorer all PQ search variants share: broadcast the
     query LUT, equi-join on (m, code), partial-combined per-vector SUM,
-    deterministic top-10. Any change to rounding/tie-breaks/join keys
-    lands in exactly one place (and its two oracle twins compose the
-    same shared SQL fragments)."""
+    deterministic top-k. Any change to rounding/tie-breaks/join keys
+    lands in exactly one place (and the oracle twins compose the same
+    shared SQL fragments)."""
     return (
         codes.select("vec_id", "m", "cid")
         .join(broadcast(_pq_query_lut(spark, sf_dir)), ["m", "cid"])
         .groupBy("vec_id")
         .agg(F.round(F.sum("qd2"), 4).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
-        .limit(10)
+        .limit(k)
     )
 
 
@@ -1355,6 +1357,12 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject. Work ∝ (probed fraction of corpus)·PQ_M
     rows of code-table IO — the IVF recall/cost dial times the PQ
     compression, which is the entire point of the combination."""
+    return _adc_topk(spark, sf_dir, _ivf_pruned_codes(spark, sf_dir))
+
+
+def _ivf_pruned_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ code table restricted to the query's probed IVF cells —
+    the exact row set an IVF-PQ search reads."""
     _, probe_ids = _ivf_model(spark, sf_dir)
     members = (
         _knn_assignment(spark, sf_dir)
@@ -1362,9 +1370,44 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cid").isin(*probe_ids))
         .select("vec_id")
     )
-    return _adc_topk(
-        spark, sf_dir, _pq_codes(spark, sf_dir).join(members, "vec_id", "left_semi")
+    return _pq_codes(spark, sf_dir).join(members, "vec_id", "left_semi")
+
+
+PQ_REFINE_SHORTLIST = 50
+
+
+def knn_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage three of the production ANN read path (probe → ADC →
+    REFINE): the ADC scan over the probed cells produces a
+    PQ_REFINE_SHORTLIST-deep shortlist from codes alone, and only those
+    R vectors' full-width embeddings are fetched for exact re-ranking —
+    quantization error can reorder near-ties, so real deployments always
+    re-rank a small multiple of k exactly. At 100 TB the full-width
+    fetch is R point lookups, not a scan; here it is a broadcast
+    semi-prune of the embeddings table (same shape).
+
+    Output: exact cosine top-10 of the shortlist, with the ADC distance
+    carried alongside so the refinement is visible."""
+    shortlist = _adc_topk(
+        spark,
+        sf_dir,
+        _ivf_pruned_codes(spark, sf_dir),
+        k=PQ_REFINE_SHORTLIST,
     )
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = (
+        e.join(broadcast(shortlist), "vec_id")
+        .select(
+            "vec_id",
+            "adc_dist",
+            F.round(
+                cosine(as_double(F.col("embedding")), query_vec_col()), 4
+            ).alias("cos_sim"),
+        )
+    )
+    return exact.orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    ).limit(10)
 
 
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1697,6 +1740,7 @@ QUERIES = {
     "embedding_pq_encode": embedding_pq_encode,
     "knn_pq_adc": knn_pq_adc,
     "knn_ivf_pq": knn_ivf_pq,
+    "knn_ivf_pq_refined": knn_ivf_pq_refined,
     "text_stats": text_stats,
     "lang_breakdown": lang_breakdown,
     "text_quality": text_quality,
@@ -1880,7 +1924,7 @@ _PQ_ADC_SELECT = """
         {extra_join}
         GROUP BY codes.vec_id
         ORDER BY adc_dist ASC, codes.vec_id ASC
-        LIMIT 10
+        LIMIT {limit}
 """
 
 ORACLES = {
@@ -1965,11 +2009,46 @@ ORACLES = {
         members AS (
             SELECT a.vec_id FROM asg a JOIN probe p USING (centroid_id)
         )
-        {_PQ_ADC_SELECT.format(extra_join="JOIN members USING (vec_id)")}
+        {_PQ_ADC_SELECT.format(extra_join="JOIN members USING (vec_id)", limit=10)}
+    """,
+    "knn_ivf_pq_refined": f"""
+        WITH {_PQ_ORACLE_BASE},
+        ivfc AS (
+            SELECT vec_id AS centroid_id, vec AS cvec FROM v
+            WHERE vec_id < {IVF_N_CENTROIDS}
+        ),
+        asg AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT v.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY (1 - {_duck_cos('v.vec', 'c.cvec')}) ASC,
+                                    c.centroid_id ASC) AS rn
+                FROM v CROSS JOIN ivfc c)
+            WHERE rn = 1
+        ),
+        probe AS (
+            SELECT centroid_id FROM ivfc
+            ORDER BY (1 - {_duck_cos('cvec', _QV)}) ASC, centroid_id ASC
+            LIMIT {IVF_N_PROBE}
+        ),
+        members AS (
+            SELECT a.vec_id FROM asg a JOIN probe p USING (centroid_id)
+        ),
+        shortlist AS (
+            {_PQ_ADC_SELECT.format(extra_join="JOIN members USING (vec_id)",
+                                   limit=PQ_REFINE_SHORTLIST)}
+        )
+        SELECT s.vec_id,
+               s.adc_dist,
+               ROUND({_duck_cos('vv.vec', _QV)}, 4) AS cos_sim
+        FROM shortlist s JOIN v vv USING (vec_id)
+        ORDER BY cos_sim DESC, s.vec_id ASC
+        LIMIT 10
     """,
     "knn_pq_adc": f"""
         WITH {_PQ_ORACLE_BASE}
-        {_PQ_ADC_SELECT.format(extra_join="")}
+        {_PQ_ADC_SELECT.format(extra_join="", limit=10)}
     """,
     "embedding_pq_encode": f"""
         WITH {_PQ_ORACLE_BASE}

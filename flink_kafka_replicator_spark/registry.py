@@ -274,7 +274,8 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "funnel_stages", "retention_cohorts", "text_repetition_ratio",
     "knn_recall_eval", "embedding_quantize_int8", "window_cume_dist",
     "dq_outlier_mad", "event_trigrams", "corpus_mix_temperature",
-    "embedding_pq_encode", "knn_pq_adc", "knn_ivf_pq", "doc_unigram_logprob",
+    "embedding_pq_encode", "knn_pq_adc", "knn_ivf_pq", "knn_ivf_pq_refined",
+    "doc_unigram_logprob",
 )
 
 
