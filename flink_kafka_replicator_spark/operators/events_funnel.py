@@ -100,6 +100,57 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report a funnel analysis actually ships: per-stage user
+    counts with conversion from the funnel top and from the previous
+    stage. Pure composition over :func:`funnel_stages` — one extra tiny
+    aggregate (≤4 rows) and a window over those rows; the heavy lifting
+    stays the funnel's single user_id exchange. Stage order is encoded
+    explicitly (none < view < click < purchase) because conversion is
+    cumulative-from-the-top, not alphabetical."""
+    staged = funnel_stages(spark, sf_dir).select(
+        "user_id",
+        F.when(F.col("stage") == "purchase", 3)
+        .when(F.col("stage") == "click", 2)
+        .when(F.col("stage") == "view", 1)
+        .otherwise(0)
+        .alias("depth"),
+    )
+    total = staged.count()
+    counts = staged.groupBy("depth").agg(F.count("*").alias("n_users"))
+    # users at depth d reached every stage <= d: cumulative sum from the
+    # deepest stage down gives per-stage reach
+    w = (
+        Window.orderBy(F.col("depth").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    reach = counts.withColumn("n_reached", F.sum("n_users").over(w))
+    # the previous (shallower) stage's reach sits at depth-1 → ASC lag;
+    # for the shallowest emitted stage the lag is the depth-0 row when
+    # it exists, else its own reach (then everyone reached it and the
+    # ratio is a true 1.0)
+    prev = F.lag("n_reached").over(Window.orderBy(F.col("depth").asc()))
+    return (
+        reach.filter(F.col("depth") > 0)
+        .select(
+            F.col("depth").cast("int").alias("depth"),
+            F.when(F.col("depth") == 1, "view")
+            .when(F.col("depth") == 2, "click")
+            .otherwise("purchase")
+            .alias("stage"),
+            "n_reached",
+            F.round(F.col("n_reached").cast("double") / F.lit(total), 4).alias(
+                "pct_of_users"
+            ),
+            F.round(
+                F.col("n_reached").cast("double")
+                / F.coalesce(prev, F.col("n_reached")),
+                4,
+            ).alias("pct_of_prev"),
+        )
+    )
+
+
 def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence mining: the 20 most common 3-step event-type paths
     across all users' ordered histories. Trigrams come from two LEAD
@@ -129,6 +180,7 @@ def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "funnel_stages": funnel_stages,
+    "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
     "event_trigrams": event_trigrams,
 }
@@ -165,6 +217,63 @@ ORACLES = {
                     ELSE 'none' END AS stage
         FROM p
         GROUP BY user_id
+    """,
+    "funnel_conversion": """
+        WITH v AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_view,
+                   event_type, ts
+            FROM events
+        ),
+        c AS (
+            SELECT user_id, t_view,
+                   MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_click,
+                   event_type, ts
+            FROM v
+        ),
+        p AS (
+            SELECT user_id, t_view, t_click,
+                   MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_purchase
+            FROM c
+        ),
+        per_user AS (
+            SELECT user_id,
+                   CASE WHEN MAX(t_purchase) IS NOT NULL THEN 3
+                        WHEN MAX(t_click) IS NOT NULL THEN 2
+                        WHEN MAX(t_view) IS NOT NULL THEN 1
+                        ELSE 0 END AS depth
+            FROM p GROUP BY user_id
+        ),
+        counts AS (
+            SELECT depth, COUNT(*) AS n_users FROM per_user GROUP BY depth
+        ),
+        cum AS (
+            SELECT depth,
+                   SUM(n_users) OVER (
+                       ORDER BY depth DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS n_reached
+            FROM counts
+        ),
+        reach AS (
+            SELECT depth, n_reached,
+                   LAG(n_reached) OVER (ORDER BY depth ASC) AS prev_reached
+            FROM cum
+        )
+        SELECT CAST(depth AS INT) AS depth,
+               CASE WHEN depth = 1 THEN 'view'
+                    WHEN depth = 2 THEN 'click'
+                    ELSE 'purchase' END AS stage,
+               CAST(n_reached AS BIGINT) AS n_reached,
+               ROUND(CAST(n_reached AS DOUBLE)
+                     / (SELECT COUNT(*) FROM per_user), 4) AS pct_of_users,
+               ROUND(CAST(n_reached AS DOUBLE)
+                     / COALESCE(prev_reached, n_reached), 4) AS pct_of_prev
+        FROM reach
+        WHERE depth > 0
     """,
     "retention_cohorts": """
         WITH anchored AS (

@@ -273,7 +273,7 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     # ANN eval harness + int8 vector-store quantization + dist windows
     "funnel_stages", "retention_cohorts", "text_repetition_ratio",
     "knn_recall_eval", "embedding_quantize_int8", "window_cume_dist",
-    "dq_outlier_mad", "event_trigrams", "corpus_mix_temperature",
+    "dq_outlier_mad", "event_trigrams", "funnel_conversion", "corpus_mix_temperature",
     "embedding_pq_encode", "knn_pq_adc", "knn_ivf_pq", "knn_ivf_pq_refined",
     "doc_unigram_logprob",
 )
