@@ -79,9 +79,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The df table is vocabulary-sized — orders of magnitude smaller than
     the corpus — so Catalyst/AQE broadcasts it in the score join. The
-    corpus-size N is a one-scalar count() at plan build (a bounded
-    aggregate, not a data-plane collect; a production pipeline caches
-    it with the table metadata).
+    corpus-size N is derived LAZILY inside the plan: a 1-row count
+    aggregate broadcast-cross-joined onto the vocabulary-sized score
+    table (never the corpus) — no driver-side action at query build,
+    and the plan can never bake in a stale scalar.
     Scores floor-quantize at 6 decimals before ordering so both
     engines rank identical numbers (ln may differ in the last ulp)."""
     d = load_table(spark, sf_dir, "documents")
@@ -89,17 +90,23 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(text.tokens("text")).alias("term")
     ).filter(~F.col("term").isin(*text.STOPWORDS) & (F.col("term") != ""))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_docs_df = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
     df_ = toks.groupBy("term").agg(
         F.countDistinct("doc_id").alias("doc_freq")
     )
-    scored = tf.join(df_, "term").select(
-        "doc_id",
-        "term",
-        F.expr(
-            f"floor(tf * floor(ln(cast({n_docs} as double) / doc_freq) * 1000000.0D)"
-            f" / 1000000.0D * 10000.0D) / 10000.0D"
-        ).alias("tfidf"),
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs_df))
+        .select(
+            "doc_id",
+            "term",
+            F.expr(
+                "floor(tf * floor(ln(cast(n_docs as double) / doc_freq) * 1000000.0D)"
+                " / 1000000.0D * 10000.0D) / 10000.0D"
+            ).alias("tfidf"),
+        )
     )
     from pyspark.sql import Window
 

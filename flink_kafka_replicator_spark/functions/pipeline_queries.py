@@ -140,6 +140,14 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (session appId, sf_dir, variant) → the bipartite incremental-dedup
+# result. The verify stage pins two small intermediates eagerly
+# (materialize_small), so without this memo every query BUILD would
+# re-run those jobs — the zero-jobs-at-build guard
+# (tests/test_build_guard.py) pins warm builds to zero jobs.
+_INCR_RESULT_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (cross-corpus) near-dedup: which NEW docs near-match a
     doc already in the index? The ingestion-time shape every growing
@@ -165,6 +173,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bipartite LSH (including the cap) loses nothing at test scale."""
     from .similarity import MAX_BUCKET
 
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), "plain")
+    cached = _INCR_RESULT_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # banding commutes with the old/new split (it is per-document), so
     # both sides filter the shared banded-corpus artifact instead of
@@ -182,7 +194,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") <= MAX_BUCKET)
         .select("band_key")
     )
-    return _bipartite_verify(d, _bipartite_candidates(b_new, b_old, ok_old))
+    out = _bipartite_verify(d, _bipartite_candidates(b_new, b_old, ok_old))
+    _cache_put(_INCR_RESULT_CACHE, key, out)
+    return out
 
 
 def _bipartite_candidates(
@@ -278,6 +292,10 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import MAX_BUCKET
     from ..sinks import read_minhash_index
 
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), "indexed")
+    cached = _INCR_RESULT_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     new = d.filter(F.col("doc_id") % 2 == 1)
     bands_old, stats_old = read_minhash_index(
@@ -288,7 +306,9 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_new = banded_minhash(new, "doc_id", "text").select(
         F.col("doc_id").alias("new_id"), "band_key"
     )
-    return _bipartite_verify(d, _bipartite_candidates(b_new, b_old, ok_old))
+    out = _bipartite_verify(d, _bipartite_candidates(b_new, b_old, ok_old))
+    _cache_put(_INCR_RESULT_CACHE, key, out)
+    return out
 
 
 # deterministic content-hash split: buckets 0-97 train, 98 val, 99 test
@@ -481,6 +501,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_candidates_with_jaccard(spark, sf_dir)
 
 
+# (session appId, sf_dir) → hyperplane-LSH candidate-pair table
+_EMB_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH buckets + exact cosine
     verification (≥ 0.9) within buckets.
@@ -492,7 +516,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = v.select(
         "vec_id", hyperplane_bucket(F.col("vec")).alias("band_key")
     )
-    pairs = broadcast(materialize_small(lsh_candidate_pairs(bucketed, "vec_id")))
+    # candidate table memoized per (session, dataset): the eager pin
+    # otherwise re-runs at every BUILD (zero-jobs-at-build guard)
+    pk = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    pairs = _EMB_PAIR_CACHE.get(pk)
+    if pairs is None:
+        pairs = broadcast(
+            materialize_small(lsh_candidate_pairs(bucketed, "vec_id"))
+        )
+        _cache_put(_EMB_PAIR_CACHE, pk, pairs)
     # Same candidate-prune-before-verify shape as the minhash path.
     v_a = v.join(pairs, v.vec_id == pairs.id_a, "left_semi")
     v_b = v.join(pairs, v.vec_id == pairs.id_b, "left_semi")

@@ -139,6 +139,12 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (session appId, sf_dir) → pinned hourly rollup for gap_fill_locf.
+# The pin is an EAGER checkpoint, so without a memo every query build
+# would re-run its jobs (tests/test_build_guard.py).
+_HOURLY_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style gap fill + last-observation-carried-forward: a
     dense hourly grid per event_type (sequence + explode over each key's
@@ -153,15 +159,21 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline_queries; uses the reliable checkpoint dir when one is
     configured).
     """
-    ev = load_table(spark, sf_dir, "events")
-    hourly = (
-        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+    import os
+
+    ck = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    hourly = _HOURLY_CACHE.get(ck)
+    if hourly is None:
+        ev = load_table(spark, sf_dir, "events")
+        hourly = materialize_small(
+            ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
         )
-    )
-    hourly = materialize_small(hourly)
+        from ..functions.pipeline_queries import _cache_put
+
+        _cache_put(_HOURLY_CACHE, ck, hourly)
     bounds = hourly.groupBy("event_type").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
     )

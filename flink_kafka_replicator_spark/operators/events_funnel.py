@@ -116,7 +116,6 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("depth"),
     )
-    total = staged.count()
     counts = staged.groupBy("depth").agg(F.count("*").alias("n_users"))
     # users at depth d reached every stage <= d: cumulative sum from the
     # deepest stage down gives per-stage reach
@@ -124,7 +123,15 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy(F.col("depth").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    reach = counts.withColumn("n_reached", F.sum("n_users").over(w))
+    # the funnel-top denominator (ALL users, incl. depth 0) is derived
+    # lazily inside the plan: a full-window sum over the <=4-row counts
+    # table — the oracle's (SELECT COUNT(*) FROM per_user) — instead of
+    # an eager driver-side .count() that would execute the whole funnel
+    # once at build time and bake a stale literal into the plan.
+    w_all = Window.partitionBy(F.lit(1))
+    reach = counts.withColumn("n_reached", F.sum("n_users").over(w)).withColumn(
+        "total_users", F.sum("n_users").over(w_all)
+    )
     # the previous (shallower) stage's reach sits at depth-1 → ASC lag;
     # for the shallowest emitted stage the lag is the depth-0 row when
     # it exists, else its own reach (then everyone reached it and the
@@ -139,9 +146,9 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("purchase")
             .alias("stage"),
             "n_reached",
-            F.round(F.col("n_reached").cast("double") / F.lit(total), 4).alias(
-                "pct_of_users"
-            ),
+            F.round(
+                F.col("n_reached").cast("double") / F.col("total_users"), 4
+            ).alias("pct_of_users"),
             F.round(
                 F.col("n_reached").cast("double")
                 / F.coalesce(prev, F.col("n_reached")),

@@ -405,7 +405,7 @@ def sql_q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
                AND l.l_quantity BETWEEN 1 AND 11)
            OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
                AND l.l_quantity BETWEEN 10 AND 20)
-           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
                AND l.l_quantity BETWEEN 20 AND 30)
         """
     )
@@ -703,7 +703,7 @@ ORACLES = {
                AND l.l_quantity BETWEEN 1 AND 11)
            OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
                AND l.l_quantity BETWEEN 10 AND 20)
-           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
                AND l.l_quantity BETWEEN 20 AND 30)
     """,
     "sql_q20_promotion_supplier": """

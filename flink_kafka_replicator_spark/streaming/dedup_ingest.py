@@ -84,13 +84,23 @@ def start_streaming_dedup_against_index(
     partition instead of duplicating pairs)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        lookup = batch_df.select("doc_id", "text").union(
-            index_corpus_df.select("doc_id", "text")
+        # doc_id-dedup the lookup union: a streamed doc_id that already
+        # exists in the index corpus (re-ingest / replay of an indexed
+        # doc) would otherwise contribute duplicate (doc_id, text) rows
+        # and fan out the verify joins into duplicated pairs. Batch rows
+        # win arbitrarily — text is identical by doc_id contract.
+        lookup = (
+            batch_df.select("doc_id", "text")
+            .union(index_corpus_df.select("doc_id", "text"))
+            .dropDuplicates(["doc_id"])
         )
         pairs = dedup_batch_against_index(spark, batch_df, index_dir, lookup)
         (
             pairs.withColumn("batch_id", F.lit(batch_id))
-            .repartition(1)
+            # pair output is usually tiny, but a hot near-dup storm must
+            # not serialize through one task: coalesce caps file count
+            # without forcing a single-partition shuffle.
+            .coalesce(8)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
