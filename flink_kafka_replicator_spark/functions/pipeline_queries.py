@@ -47,6 +47,98 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sub-document dedup segmentation: non-overlapping PARA_TOKENS-token
+# spans stand in for paragraphs (the fixture's documents carry no
+# newline structure; a corpus with real paragraphs swaps the segmenter
+# for split(text, '\n\n') and keeps everything downstream unchanged).
+# Segments shorter than PARA_MIN_TOKENS are dropped as trivially short.
+PARA_TOKENS = 10
+PARA_MIN_TOKENS = 5
+
+
+def _paragraph_occ(d: DataFrame) -> DataFrame:
+    """(doc_id, para_hash) occurrences: whitespace tokens sliced into
+    non-overlapping PARA_TOKENS spans, short tails dropped, md5-keyed.
+    Shared by ``dedup_paragraph_exact`` and the 100x scale smoke (which
+    asserts paragraph-key cardinality grows linearly with the corpus)."""
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform("
+                    " sequence(0, greatest(cast(ceil(size(split(text, ' '))"
+                    f" / {PARA_TOKENS}.0D) as int) - 1, 0)),"
+                    f" g -> concat_ws(' ', slice(split(text, ' '),"
+                    f" g * {PARA_TOKENS} + 1, {PARA_TOKENS})))"
+                )
+            ).alias("para_idx", "para_text"),
+        )
+        .filter(F.size(F.split("para_text", " ")) >= PARA_MIN_TOKENS)
+        .select("doc_id", F.md5("para_text").alias("para_hash"))
+    )
+
+
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (the Lee et al. "Deduplicating Training
+    Data" shape at paragraph granularity): documents explode into
+    normalized fixed-span token segments, each segment occurrence is
+    marked duplicated when its content hash appears more than once
+    corpus-wide, and the report collapses back per document — paragraph
+    count, duplicated-paragraph count, how many duplicated paragraphs
+    this doc canonically owns (its doc_id is the minimum over the
+    hash's occurrences — the occurrence a dedup pass would KEEP), the
+    duplicate fraction, and the keep decision (drop docs that are
+    majority duplicated content).
+
+    Scale shape: segmentation is a per-row JVM expression (tokens →
+    non-overlapping slices → concat_ws), so the explode multiplies rows
+    by ~tokens/PARA_TOKENS but never re-reads the corpus. Duplicate
+    stats are a groupBy on md5(para_text) — partial aggregation
+    collapses hot boilerplate paragraphs map-side (the real-world skew:
+    license headers, nav bars), unlike a window over para_hash which
+    would sort entire skewed partitions. The stats table is
+    distinct-paragraph-sized; the join back is a pure equi-join on the
+    uniform md5 key (AQE skew-join covers residual hot keys), followed
+    by one doc_id-keyed collapse. Three exchanges total, all on
+    high-cardinality uniform keys; paragraph-key cardinality grows
+    linearly with the corpus (pinned by the 100x scale smoke). The
+    'keep' threshold compares 2*n_dup <= n_paras in integers — no
+    float-boundary ambiguity between engines."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    occ = _paragraph_occ(d)
+    stats = occ.groupBy("para_hash").agg(
+        F.count("*").alias("n_occ"), F.min("doc_id").alias("first_doc_id")
+    )
+    agged = (
+        occ.join(stats, "para_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias(
+                "n_dup_paras"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("n_occ") > 1)
+                    & (F.col("first_doc_id") == F.col("doc_id")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_owned_dups"),
+        )
+    )
+    return agged.select(
+        "doc_id",
+        "n_paras",
+        "n_dup_paras",
+        "n_owned_dups",
+        F.round(
+            F.col("n_dup_paras").cast("double") / F.col("n_paras"), 4
+        ).alias("dup_para_frac"),
+        (F.lit(2) * F.col("n_dup_paras") <= F.col("n_paras")).alias("keep"),
+    )
+
+
 # The verified (pair, jaccard) table is the near-dup index artifact a
 # production pipeline builds once and consumes many times; four queries
 # consume it here (fuzzy threshold, unthresholded jaccard, clusters,
@@ -1751,6 +1843,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
+    "dedup_paragraph_exact": dedup_paragraph_exact,
     "dedup_fuzzy_minhash": dedup_fuzzy_minhash,
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_indexed": dedup_incremental_indexed,
@@ -2303,6 +2396,41 @@ ORACLES = {
                COUNT(*)    AS n_copies
         FROM documents
         GROUP BY md5(text)
+    """,
+    "dedup_paragraph_exact": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        paras AS (
+            SELECT doc_id,
+                   array_to_string(
+                       t[g * {PARA_TOKENS} + 1 : g * {PARA_TOKENS} + {PARA_TOKENS}],
+                       ' ') AS para_text
+            FROM toks,
+                 UNNEST(range(GREATEST(
+                     CAST(ceil(len(t) / {PARA_TOKENS}.0) AS BIGINT), 1))) AS r(g)
+        ),
+        occ AS (
+            SELECT doc_id, md5(para_text) AS para_hash
+            FROM paras
+            WHERE len(string_split(para_text, ' ')) >= {PARA_MIN_TOKENS}
+        ),
+        stats AS (
+            SELECT para_hash, COUNT(*) AS n_occ, MIN(doc_id) AS first_doc_id
+            FROM occ GROUP BY para_hash
+        )
+        SELECT o.doc_id,
+               COUNT(*) AS n_paras,
+               CAST(SUM(CASE WHEN s.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_paras,
+               CAST(SUM(CASE WHEN s.n_occ > 1 AND s.first_doc_id = o.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_owned_dups,
+               ROUND(CAST(SUM(CASE WHEN s.n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 4) AS dup_para_frac,
+               (2 * CAST(SUM(CASE WHEN s.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT))
+                   <= COUNT(*) AS keep
+        FROM occ o JOIN stats s USING (para_hash)
+        GROUP BY o.doc_id
     """,
     "sim_cosine_scores": f"""
         SELECT vec_id,

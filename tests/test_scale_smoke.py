@@ -297,6 +297,38 @@ def test_corpus_ops_at_100x_linear(spark, big100_dir):
         )
 
 
+def test_paragraph_dedup_at_100x_linear(spark, big100_dir):
+    """Sub-document dedup at 100× docs: wall-clock ~linear AND the
+    paragraph-key cardinality (distinct md5 segment hashes — the md5
+    shuffle's key space) grows ~100×, i.e. the key domain scales with
+    the corpus instead of collapsing into hot buckets (the salted
+    copies guarantee disjoint vocabularies, exactly how fresh corpus
+    growth behaves)."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        _paragraph_occ,
+        dedup_paragraph_exact,
+    )
+    from flink_kafka_replicator_spark.io import load_table
+
+    t_small = _timed(dedup_paragraph_exact(spark, SRC))
+    t0 = time.perf_counter()
+    n_big = dedup_paragraph_exact(spark, big100_dir).count()
+    t_big = time.perf_counter() - t0
+    print(f"\nparagraph dedup 1x: {t_small:.1f}s; 100x: {t_big:.1f}s/{n_big} docs")
+    assert t_big < max(t_small, 0.2) * COPIES100 * 3, (
+        f"superlinear: {t_big:.1f}s vs {t_small:.1f}s"
+    )
+
+    def keys(sf):
+        d = load_table(spark, sf, "documents").select("doc_id", "text")
+        return _paragraph_occ(d).select("para_hash").distinct().count()
+
+    k_small, k_big = keys(SRC), keys(big100_dir)
+    assert 0.9 * COPIES100 * k_small <= k_big <= 1.1 * COPIES100 * k_small, (
+        f"paragraph-key cardinality not ~100x: {k_big} vs {k_small} at 1x"
+    )
+
+
 def test_funnel_retention_at_100x_linear(spark, big100_dir):
     """Funnel/retention at 100× events AND 100× distinct users (the
     copies offset user_id): the single user-keyed exchange must scale
