@@ -59,7 +59,37 @@ def read_corpus_shard(spark: SparkSession, out_dir: str, shard: int) -> DataFram
 # ------------------------------------------------------------ near-dup index
 
 BANDS_SUBDIR = "bands"
-BAND_STATS_SUBDIR = "band_stats"
+BAND_STATS_PREFIX = "band_stats_v"
+INDEX_META_FILE = "INDEX_META.json"
+
+
+def _index_meta_path(out_dir: str) -> str:
+    import os
+
+    return os.path.join(out_dir, INDEX_META_FILE)
+
+
+def _read_index_meta(out_dir: str) -> dict:
+    import json
+
+    with open(_index_meta_path(out_dir), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _write_index_meta(out_dir: str, meta: dict) -> None:
+    """Atomic pointer update (write-then-rename). On a local/HDFS-like
+    FS the rename is atomic; an object store deployment swaps this for
+    a conditional-put of the pointer object — the index layout itself
+    (immutable band partitions + immutable versioned stats dirs) needs
+    no stronger primitive than the single pointer swap."""
+    import json
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=out_dir, prefix=".meta_", suffix=".tmp")
+    with os.fdopen(fd, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, _index_meta_path(out_dir))
 
 
 def write_minhash_index(
@@ -76,6 +106,18 @@ def write_minhash_index(
     pushed ``n <= MAX_BUCKET`` filter on a tiny stats parquet: per-batch
     work then touches the index only through the bipartite equi-join.
 
+    Layout (append-able, see ``append_minhash_delta``):
+    - ``bands/delta_id=K/`` — band rows, hive-partitioned by the delta
+      that introduced them (the base build is delta 0); partitions are
+      immutable once committed, a replayed delta dynamically overwrites
+      only its own partition.
+    - ``band_stats_vK/`` — full merged stats as of delta K (tiny).
+    - ``INDEX_META.json`` — the atomically-swapped pointer: which stats
+      version is current and the last applied delta id. Readers prune
+      the band scan to ``delta_id <= last_delta_id``, so a crash between
+      a delta's band write and its pointer swap leaves the uncommitted
+      partition invisible.
+
     The stats are aggregated from the PERSISTED band files (read-back,
     not the in-memory plan) so they describe exactly what a later reader
     sees, even if the banding expression changes between versions.
@@ -87,7 +129,10 @@ def write_minhash_index(
     (
         banded_minhash(df, id_col, text_col)
         .select(F.col(id_col), "band_key")
+        .withColumn("delta_id", F.lit(0))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("delta_id")
         .parquet(bands_path)
     )
     (
@@ -95,15 +140,109 @@ def write_minhash_index(
         .groupBy("band_key")
         .agg(F.count("*").alias("n"))
         .write.mode("overwrite")
-        .parquet(f"{out_dir}/{BAND_STATS_SUBDIR}")
+        .parquet(f"{out_dir}/{BAND_STATS_PREFIX}0")
     )
+    _write_index_meta(out_dir, {"stats_version": 0, "last_delta_id": 0})
+
+
+def append_minhash_delta(
+    df: DataFrame,
+    out_dir: str,
+    delta_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> bool:
+    """Extend a persisted minhash index with a new document batch —
+    WITHOUT rebuilding it. Work is proportional to the DELTA (band the
+    batch, count its keys) plus one outer-merge against the tiny stats
+    table; the huge band table is never re-aggregated or rewritten.
+
+    Idempotent under replay: ``delta_id`` must be monotonically
+    increasing (a streaming batch id); a delta at or below the last
+    applied id is a no-op (returns False). A replay after a crash
+    between the band write and the pointer swap rewrites only its own
+    band partition (dynamic overwrite) and re-derives the stats from
+    the last COMMITTED version, so double-application cannot happen.
+
+    Crash-safety order: (1) band partition write, (2) merged stats
+    version write, (3) atomic pointer swap. Readers only ever see
+    pointer-committed state. Stats versions older than the previous one
+    are pruned after the swap (the previous survives one cycle so an
+    in-flight reader holding the old pointer still resolves).
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    meta = _read_index_meta(out_dir)
+    if delta_id <= meta["last_delta_id"]:
+        return False
+    spark = df.sparkSession
+    bands_path = f"{out_dir}/{BANDS_SUBDIR}"
+    from .functions.similarity import banded_minhash
+
+    (
+        banded_minhash(df, id_col, text_col)
+        .select(F.col(id_col), "band_key")
+        .withColumn("delta_id", F.lit(delta_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("delta_id")
+        .parquet(bands_path)
+    )
+    # merge: old stats FULL OUTER delta counts (counted from the
+    # persisted delta partition — read-back, like the base build)
+    delta_counts = (
+        spark.read.parquet(bands_path)
+        .filter(F.col("delta_id") == delta_id)
+        .groupBy("band_key")
+        .agg(F.count("*").alias("dn"))
+    )
+    old_stats = spark.read.parquet(
+        f"{out_dir}/{BAND_STATS_PREFIX}{meta['stats_version']}"
+    )
+    merged = (
+        old_stats.join(delta_counts, "band_key", "full_outer")
+        .select(
+            "band_key",
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            ).alias("n"),
+        )
+    )
+    merged.write.mode("overwrite").parquet(
+        f"{out_dir}/{BAND_STATS_PREFIX}{delta_id}"
+    )
+    prev_version = meta["stats_version"]
+    _write_index_meta(
+        out_dir, {"stats_version": delta_id, "last_delta_id": delta_id}
+    )
+    # prune stats versions older than the previous one
+    for path in _glob.glob(os.path.join(out_dir, f"{BAND_STATS_PREFIX}*")):
+        try:
+            v = int(os.path.basename(path)[len(BAND_STATS_PREFIX):])
+        except ValueError:
+            continue
+        if v < prev_version:
+            shutil.rmtree(path, ignore_errors=True)
+    return True
 
 
 def read_minhash_index(
     spark: SparkSession, out_dir: str
 ) -> tuple[DataFrame, DataFrame]:
-    """(bands, band_stats) from a persisted minhash index artifact."""
-    return (
-        spark.read.parquet(f"{out_dir}/{BANDS_SUBDIR}"),
-        spark.read.parquet(f"{out_dir}/{BAND_STATS_SUBDIR}"),
+    """(bands, band_stats) from a persisted minhash index artifact, at
+    its pointer-committed state: the band scan is pruned (partition
+    filter) to committed deltas, and the stats are the matching merged
+    version — a consistent snapshot even while appends are in flight."""
+    meta = _read_index_meta(out_dir)
+    bands = (
+        spark.read.parquet(f"{out_dir}/{BANDS_SUBDIR}")
+        .filter(F.col("delta_id") <= meta["last_delta_id"])
+        .drop("delta_id")
     )
+    stats = spark.read.parquet(
+        f"{out_dir}/{BAND_STATS_PREFIX}{meta['stats_version']}"
+    )
+    return bands, stats

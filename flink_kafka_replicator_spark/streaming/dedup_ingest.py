@@ -30,9 +30,13 @@ batch.
 
 At scale: per batch the index contributes one equi-join probe (band_key)
 and one pushed-filter stats read; batch-side work is linear in batch
-size. The index itself grows OFFLINE (re-run write_minhash_index or
-append band deltas) — admitting a batch does not mutate the index,
-which is what keeps replays idempotent.
+size. The index can grow two ways: OFFLINE (re-run write_minhash_index)
+or INLINE via ``extend_index=True``, which admits each batch into the
+index through ``sinks.append_minhash_delta`` (delta band partition +
+stats merge + atomic pointer swap, keyed by the streaming batch id so
+replays are no-ops) and appends the batch's text to a corpus store so
+later batches can verify candidates against earlier admissions. Either
+way, a batch's pair output never depends on uncommitted index state.
 """
 
 from __future__ import annotations
@@ -77,23 +81,47 @@ def start_streaming_dedup_against_index(
     out_dir: str,
     checkpoint_location: str,
     available_now: bool = True,
+    extend_index: bool = False,
+    corpus_store_dir: str | None = None,
 ):
     """Stream (doc_id, text) rows; per micro-batch, append the batch's
     near-dup pairs vs the index to ``out_dir`` (partitioned by batch id
     with dynamic overwrite, so a replayed batch rewrites its own
-    partition instead of duplicating pairs)."""
+    partition instead of duplicating pairs).
+
+    ``extend_index=True`` additionally ADMITS each batch into the index
+    after its pairs are emitted: ``sinks.append_minhash_delta`` with the
+    streaming batch id as the delta id (replays no-op), plus an
+    idempotent batch-partitioned text append to ``corpus_store_dir``
+    (required in this mode) so later batches can Jaccard-verify
+    candidates against earlier admissions. Pairs for batch N are always
+    computed against the index as of batch N-1 — deterministic under
+    replay because the delta for N only commits after N's pairs."""
+    if extend_index and corpus_store_dir is None:
+        raise ValueError("extend_index=True requires corpus_store_dir")
+
+    def _store_texts(spark: SparkSession) -> DataFrame | None:
+        import os
+
+        if corpus_store_dir is None or not os.path.isdir(corpus_store_dir):
+            return None
+        return spark.read.parquet(corpus_store_dir).select("doc_id", "text")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sinks import append_minhash_delta
+
         # doc_id-dedup the lookup union: a streamed doc_id that already
         # exists in the index corpus (re-ingest / replay of an indexed
         # doc) would otherwise contribute duplicate (doc_id, text) rows
         # and fan out the verify joins into duplicated pairs. Batch rows
         # win arbitrarily — text is identical by doc_id contract.
-        lookup = (
-            batch_df.select("doc_id", "text")
-            .union(index_corpus_df.select("doc_id", "text"))
-            .dropDuplicates(["doc_id"])
+        lookup = batch_df.select("doc_id", "text").union(
+            index_corpus_df.select("doc_id", "text")
         )
+        admitted = _store_texts(spark)
+        if admitted is not None:
+            lookup = lookup.union(admitted)
+        lookup = lookup.dropDuplicates(["doc_id"])
         pairs = dedup_batch_against_index(spark, batch_df, index_dir, lookup)
         (
             pairs.withColumn("batch_id", F.lit(batch_id))
@@ -106,6 +134,21 @@ def start_streaming_dedup_against_index(
             .partitionBy("batch_id")
             .parquet(out_dir)
         )
+        if extend_index:
+            # admit the batch: text first (so any index-visible doc can
+            # be verified), then the band delta. append_minhash_delta
+            # no-ops on replayed batch ids; delta 0 is the base build,
+            # so streaming batch ids map to deltas batch_id + 1.
+            (
+                batch_df.select("doc_id", "text")
+                .withColumn("batch_id", F.lit(batch_id))
+                .coalesce(8)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(corpus_store_dir)
+            )
+            append_minhash_delta(batch_df, index_dir, delta_id=batch_id + 1)
 
     writer = (
         source_df.writeStream.foreachBatch(process)

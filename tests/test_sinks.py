@@ -125,3 +125,69 @@ def test_format_helpers_round_trip_all_formats(spark, tmp_path, sf_dir):
         read_table_fmt(spark, str(tmp_path / "csv"), "csv")  # schema required
     with _pytest.raises(ValueError):
         write_table_fmt(o, str(tmp_path / "x"), "avro")  # unsupported
+
+
+def test_minhash_index_delta_append_equals_rebuild(spark, tmp_path, sf_dir):
+    """Index MAINTENANCE: appending a document batch via
+    append_minhash_delta must leave the index equivalent to a
+    from-scratch rebuild over base+batch — same band rows, same merged
+    stats — and a later batch's dedup against the delta-extended index
+    must equal its dedup against the rebuilt index, INCLUDING pairs
+    whose old side was admitted by the delta (batch-2 near-dups of
+    batch-1 docs). Replayed deltas are no-ops."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_replicator_spark.sinks import (
+        append_minhash_delta,
+        read_minhash_index,
+        write_minhash_index,
+    )
+    from flink_kafka_replicator_spark.streaming.dedup_ingest import (
+        dedup_batch_against_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 3 == 0)
+    batch1 = d.filter(F.col("doc_id") % 3 == 1)
+    batch2 = d.filter(F.col("doc_id") % 3 == 2)
+
+    inc_dir = str(tmp_path / "inc")
+    write_minhash_index(base, inc_dir)
+    assert append_minhash_delta(batch1, inc_dir, delta_id=1) is True
+
+    rebuild_dir = str(tmp_path / "rebuild")
+    write_minhash_index(base.unionByName(batch1), rebuild_dir)
+
+    def snapshot(ix):
+        bands, stats = read_minhash_index(spark, ix)
+        return (
+            {(r.doc_id, r.band_key) for r in bands.collect()},
+            {(r.band_key, r.n) for r in stats.collect()},
+        )
+
+    b_inc, s_inc = snapshot(inc_dir)
+    b_re, s_re = snapshot(rebuild_dir)
+    assert b_inc == b_re, "delta-extended band rows != rebuild"
+    assert s_inc == s_re, "merged stats != rebuild stats"
+
+    # replay of an applied delta is a no-op
+    assert append_minhash_delta(batch1, inc_dir, delta_id=1) is False
+    assert snapshot(inc_dir) == (b_inc, s_inc)
+
+    # batch 2 detects near-dups of batch-1 docs through the delta path
+    lookup = d
+    pairs_inc = {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in dedup_batch_against_index(
+            spark, batch2, inc_dir, lookup
+        ).collect()
+    }
+    pairs_re = {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in dedup_batch_against_index(
+            spark, batch2, rebuild_dir, lookup
+        ).collect()
+    }
+    assert pairs_inc == pairs_re
+    cross = {p for p in pairs_inc if p[1] % 3 == 1}
+    assert cross, "fixture must hold a batch2-vs-batch1 near-dup pair"
