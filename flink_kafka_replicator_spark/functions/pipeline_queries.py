@@ -311,7 +311,15 @@ def _bipartite_candidates(
     )
     b_old = b_old.join(ok_old, "band_key", "left_semi")
     b_new = b_new.join(ok_new, "band_key", "left_semi")
-    return b_new.join(b_old, "band_key").select("new_id", "old_id").distinct()
+    return (
+        b_new.join(b_old, "band_key")
+        # self-pair guard: the sides are disjoint in the batch queries,
+        # but a streaming replay can momentarily see its own docs on the
+        # index side; a doc must never near-dup-match itself.
+        .filter(F.col("new_id") != F.col("old_id"))
+        .select("new_id", "old_id")
+        .distinct()
+    )
 
 
 def _bipartite_verify(d: DataFrame, cand_lazy: DataFrame) -> DataFrame:

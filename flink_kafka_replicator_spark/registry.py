@@ -276,9 +276,7 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "dq_outlier_mad", "event_trigrams", "funnel_conversion", "corpus_mix_temperature",
     "embedding_pq_encode", "knn_pq_adc", "knn_ivf_pq", "knn_ivf_pq_refined",
     "doc_unigram_logprob",
-    # round-6 additions: the next capability rungs of the LLM-pipeline
-    # brief (VERDICT r5 tasks 2/4/5/7) — sub-document dedup, learned PQ,
-    # whole-family ANN recall, quality-classifier scoring
+    # round-6 addition: sub-document exact dedup (VERDICT r5 task 2)
     "dedup_paragraph_exact",
 )
 

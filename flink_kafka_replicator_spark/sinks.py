@@ -113,10 +113,14 @@ def write_minhash_index(
       only its own partition.
     - ``band_stats_vK/`` — full merged stats as of delta K (tiny).
     - ``INDEX_META.json`` — the atomically-swapped pointer: which stats
-      version is current and the last applied delta id. Readers prune
-      the band scan to ``delta_id <= last_delta_id``, so a crash between
-      a delta's band write and its pointer swap leaves the uncommitted
-      partition invisible.
+      version is current, the last applied delta id, AND the explicit
+      list of committed delta ids. Readers prune the band scan to
+      exactly the committed ids, so a crash between a delta's band
+      write and its pointer swap leaves the uncommitted partition
+      invisible — including to readers arriving after LATER deltas
+      commit (contiguity is enforced at append time, so an orphaned
+      partition can only ever be overwritten by its own replay, never
+      skipped past).
 
     The stats are aggregated from the PERSISTED band files (read-back,
     not the in-memory plan) so they describe exactly what a later reader
@@ -131,7 +135,11 @@ def write_minhash_index(
         .select(F.col(id_col), "band_key")
         .withColumn("delta_id", F.lit(0))
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+        # STATIC overwrite on the base build: wipe the whole bands dir,
+        # so rebuilding over a delta-extended index cannot leave ghost
+        # delta partitions behind (dynamic mode would only replace
+        # delta_id=0 and a stale meta-less reader could see the rest).
+        .option("partitionOverwriteMode", "static")
         .partitionBy("delta_id")
         .parquet(bands_path)
     )
@@ -142,7 +150,9 @@ def write_minhash_index(
         .write.mode("overwrite")
         .parquet(f"{out_dir}/{BAND_STATS_PREFIX}0")
     )
-    _write_index_meta(out_dir, {"stats_version": 0, "last_delta_id": 0})
+    _write_index_meta(
+        out_dir, {"stats_version": 0, "last_delta_id": 0, "delta_ids": [0]}
+    )
 
 
 def append_minhash_delta(
@@ -157,12 +167,16 @@ def append_minhash_delta(
     batch, count its keys) plus one outer-merge against the tiny stats
     table; the huge band table is never re-aggregated or rewritten.
 
-    Idempotent under replay: ``delta_id`` must be monotonically
-    increasing (a streaming batch id); a delta at or below the last
-    applied id is a no-op (returns False). A replay after a crash
-    between the band write and the pointer swap rewrites only its own
-    band partition (dynamic overwrite) and re-derives the stats from
-    the last COMMITTED version, so double-application cannot happen.
+    Idempotent under replay: ``delta_id`` must be CONTIGUOUS (a
+    streaming batch id): a delta at or below the last applied id is a
+    no-op (returns False), and a delta that would skip an id raises —
+    allowing a gap would let an orphaned band partition (written but
+    never pointer-committed) become visible once a higher delta
+    commits, with no matching counts in the merged stats. A replay
+    after a crash between the band write and the pointer swap rewrites
+    only its own band partition (dynamic overwrite) and re-derives the
+    stats from the last COMMITTED version, so double-application
+    cannot happen.
 
     Crash-safety order: (1) band partition write, (2) merged stats
     version write, (3) atomic pointer swap. Readers only ever see
@@ -177,6 +191,12 @@ def append_minhash_delta(
     meta = _read_index_meta(out_dir)
     if delta_id <= meta["last_delta_id"]:
         return False
+    if delta_id != meta["last_delta_id"] + 1:
+        raise ValueError(
+            f"append_minhash_delta: delta_id {delta_id} would skip ids "
+            f"(last committed is {meta['last_delta_id']}); delta ids must "
+            "be contiguous so uncommitted partitions stay invisible"
+        )
     spark = df.sparkSession
     bands_path = f"{out_dir}/{BANDS_SUBDIR}"
     from .functions.similarity import banded_minhash
@@ -215,8 +235,16 @@ def append_minhash_delta(
         f"{out_dir}/{BAND_STATS_PREFIX}{delta_id}"
     )
     prev_version = meta["stats_version"]
+    committed = meta.get(
+        "delta_ids", list(range(meta["last_delta_id"] + 1))
+    )
     _write_index_meta(
-        out_dir, {"stats_version": delta_id, "last_delta_id": delta_id}
+        out_dir,
+        {
+            "stats_version": delta_id,
+            "last_delta_id": delta_id,
+            "delta_ids": committed + [delta_id],
+        },
     )
     # prune stats versions older than the previous one
     for path in _glob.glob(os.path.join(out_dir, f"{BAND_STATS_PREFIX}*")):
@@ -230,19 +258,62 @@ def append_minhash_delta(
 
 
 def read_minhash_index(
-    spark: SparkSession, out_dir: str
+    spark: SparkSession, out_dir: str, max_delta_id: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """(bands, band_stats) from a persisted minhash index artifact, at
     its pointer-committed state: the band scan is pruned (partition
-    filter) to committed deltas, and the stats are the matching merged
-    version — a consistent snapshot even while appends are in flight."""
+    filter) to exactly the COMMITTED delta ids from the meta pointer,
+    and the stats are the matching merged version — a consistent
+    snapshot even while appends are in flight.
+
+    ``max_delta_id`` pins the read to an earlier committed snapshot
+    (bands with ``delta_id <= max_delta_id`` + that delta's stats
+    version). A replaying streaming batch needs this: if the driver
+    crashed after the batch's own delta committed but before the
+    streaming checkpoint did, an unpinned replay would see the batch's
+    documents in the index and band-join them with themselves. Stats
+    retention keeps the current AND previous version on disk, which is
+    exactly the one-step-back window a replay can ask for; asking
+    deeper raises with a descriptive error.
+
+    Indexes written by the pre-meta layout (a ``band_stats/`` subdir,
+    no ``INDEX_META.json``) are read via a legacy fallback; anything
+    else without a meta file raises a descriptive error rather than a
+    bare FileNotFoundError."""
+    import os
+
+    if not os.path.isfile(_index_meta_path(out_dir)):
+        legacy_stats = os.path.join(out_dir, "band_stats")
+        if os.path.isdir(legacy_stats):
+            bands = spark.read.parquet(f"{out_dir}/{BANDS_SUBDIR}")
+            if "delta_id" in bands.columns:
+                bands = bands.drop("delta_id")
+            return bands, spark.read.parquet(legacy_stats)
+        raise FileNotFoundError(
+            f"{out_dir} is not a minhash index: no {INDEX_META_FILE} and "
+            "no legacy band_stats/ layout — rebuild with "
+            "write_minhash_index"
+        )
     meta = _read_index_meta(out_dir)
+    effective = meta["last_delta_id"]
+    if max_delta_id is not None:
+        effective = min(effective, max_delta_id)
+    committed = [
+        d
+        for d in meta.get("delta_ids", list(range(meta["last_delta_id"] + 1)))
+        if d <= effective
+    ]
+    stats_path = f"{out_dir}/{BAND_STATS_PREFIX}{effective}"
+    if effective != meta["stats_version"] and not os.path.isdir(stats_path):
+        raise FileNotFoundError(
+            f"minhash index snapshot delta_id={effective} is no longer "
+            f"retained (current is {meta['stats_version']}; only the "
+            "previous version survives one append cycle) — rebuild or "
+            "read the current snapshot"
+        )
     bands = (
         spark.read.parquet(f"{out_dir}/{BANDS_SUBDIR}")
-        .filter(F.col("delta_id") <= meta["last_delta_id"])
+        .filter(F.col("delta_id").isin(committed))
         .drop("delta_id")
     )
-    stats = spark.read.parquet(
-        f"{out_dir}/{BAND_STATS_PREFIX}{meta['stats_version']}"
-    )
-    return bands, stats
+    return bands, spark.read.parquet(stats_path)

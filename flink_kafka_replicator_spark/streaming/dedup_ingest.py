@@ -53,16 +53,21 @@ def dedup_batch_against_index(
     batch_df: DataFrame,
     index_dir: str,
     text_lookup: DataFrame,
+    max_delta_id: int | None = None,
 ) -> DataFrame:
     """One batch's near-dup pairs (new_id, old_id, jaccard ≥ 0.5)
     against the persisted index. ``text_lookup`` resolves doc_id → text
-    for candidate verification (the corpus store plus the batch)."""
+    for candidate verification (the corpus store plus the batch).
+    ``max_delta_id`` pins the index read to a pre-batch snapshot —
+    see :func:`read_minhash_index` for the replay scenario it closes."""
     from ..functions.pipeline_queries import (
         _bipartite_candidates,
         _bipartite_verify,
     )
 
-    bands_old, stats_old = read_minhash_index(spark, index_dir)
+    bands_old, stats_old = read_minhash_index(
+        spark, index_dir, max_delta_id=max_delta_id
+    )
     b_old = bands_old.select(F.col("doc_id").alias("old_id"), "band_key")
     ok_old = stats_old.filter(F.col("n") <= MAX_BUCKET).select("band_key")
     b_new = banded_minhash(batch_df, "doc_id", "text").select(
@@ -95,15 +100,25 @@ def start_streaming_dedup_against_index(
     idempotent batch-partitioned text append to ``corpus_store_dir``
     (required in this mode) so later batches can Jaccard-verify
     candidates against earlier admissions. Pairs for batch N are always
-    computed against the index as of batch N-1 — deterministic under
-    replay because the delta for N only commits after N's pairs."""
+    computed against the index as of batch N-1: the read is PINNED to
+    the pre-batch snapshot (``max_delta_id=batch_id``), so even a
+    replay that runs after batch N's own delta committed (crash between
+    the delta commit and the checkpoint commit) reproduces the original
+    pairs instead of band-joining the batch with itself."""
     if extend_index and corpus_store_dir is None:
         raise ValueError("extend_index=True requires corpus_store_dir")
 
     def _store_texts(spark: SparkSession) -> DataFrame | None:
+        import glob
         import os
 
-        if corpus_store_dir is None or not os.path.isdir(corpus_store_dir):
+        # guard on COMMITTED part files, not mere directory existence: a
+        # crash can leave the store dir created but empty, and an
+        # unguarded spark.read.parquet would then fail schema inference
+        # on every replay, permanently wedging the stream.
+        if corpus_store_dir is None or not glob.glob(
+            os.path.join(corpus_store_dir, "**", "*.parquet"), recursive=True
+        ):
             return None
         return spark.read.parquet(corpus_store_dir).select("doc_id", "text")
 
@@ -122,7 +137,15 @@ def start_streaming_dedup_against_index(
         if admitted is not None:
             lookup = lookup.union(admitted)
         lookup = lookup.dropDuplicates(["doc_id"])
-        pairs = dedup_batch_against_index(spark, batch_df, index_dir, lookup)
+        # pin the index read to the PRE-batch snapshot (base build is
+        # delta 0, batch N admits delta N+1, so "as of batch N-1" is
+        # delta_id <= N): a replay of batch N after its own delta
+        # committed would otherwise band-join the batch against itself
+        # and overwrite the partition with self/intra-batch pairs the
+        # original run never emitted.
+        pairs = dedup_batch_against_index(
+            spark, batch_df, index_dir, lookup, max_delta_id=batch_id
+        )
         (
             pairs.withColumn("batch_id", F.lit(batch_id))
             # pair output is usually tiny, but a hot near-dup storm must

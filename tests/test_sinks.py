@@ -191,3 +191,123 @@ def test_minhash_index_delta_append_equals_rebuild(spark, tmp_path, sf_dir):
     assert pairs_inc == pairs_re
     cross = {p for p in pairs_inc if p[1] % 3 == 1}
     assert cross, "fixture must hold a batch2-vs-batch1 near-dup pair"
+
+
+def test_minhash_index_contiguity_and_snapshot_pinning(
+    spark, tmp_path, sf_dir
+):
+    """Crash-safety contracts of the delta layout: (1) delta ids must be
+    contiguous — a skipped id would let an orphaned (written-but-never-
+    committed) band partition become visible once a higher delta commits,
+    with no matching stats counts; (2) ``max_delta_id`` pins a read to a
+    committed pre-batch snapshot (the replaying-batch view), and asking
+    for a snapshot whose stats version was pruned raises descriptively."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flink_kafka_replicator_spark.sinks import (
+        append_minhash_delta,
+        read_minhash_index,
+        write_minhash_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 3 == 0)
+    batch1 = d.filter(F.col("doc_id") % 3 == 1)
+    batch2 = d.filter(F.col("doc_id") % 3 == 2)
+
+    ix = str(tmp_path / "ix")
+    write_minhash_index(base, ix)
+    with pytest.raises(ValueError, match="contiguous"):
+        append_minhash_delta(batch1, ix, delta_id=2)
+    assert append_minhash_delta(batch1, ix, delta_id=1) is True
+
+    # pinned read at delta 0 == the pristine base-only index (stats v0
+    # survives one append cycle by the retention contract)
+    base_ix = str(tmp_path / "base_only")
+    write_minhash_index(base, base_ix)
+
+    def snap(bands, stats):
+        return (
+            {(r.doc_id, r.band_key) for r in bands.collect()},
+            {(r.band_key, r.n) for r in stats.collect()},
+        )
+
+    assert snap(*read_minhash_index(spark, ix, max_delta_id=0)) == snap(
+        *read_minhash_index(spark, base_ix)
+    )
+
+    # after delta 2 commits, stats v0 is pruned → pinned read raises
+    assert append_minhash_delta(batch2, ix, delta_id=2) is True
+    with pytest.raises(FileNotFoundError, match="no longer retained"):
+        read_minhash_index(spark, ix, max_delta_id=0)
+    # ...but the one-step-back snapshot (delta 1) still resolves
+    bands1, _ = read_minhash_index(spark, ix, max_delta_id=1)
+    got_ids = {r.doc_id for r in bands1.select("doc_id").distinct().collect()}
+    want_ids = {
+        r.doc_id
+        for r in base.unionByName(batch1).select("doc_id").distinct().collect()
+    }
+    assert got_ids == want_ids
+
+
+def test_minhash_index_legacy_layout_fallback(spark, tmp_path, sf_dir):
+    """An index written by the pre-meta layout (band_stats/ subdir, no
+    INDEX_META.json) still reads via the fallback; a directory that is
+    not an index at all raises a descriptive error, not a bare
+    FileNotFoundError from the meta open."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flink_kafka_replicator_spark.functions.similarity import (
+        banded_minhash,
+    )
+    from flink_kafka_replicator_spark.sinks import read_minhash_index
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    legacy = str(tmp_path / "legacy")
+    b = banded_minhash(d, "doc_id", "text").select("doc_id", "band_key")
+    b.write.parquet(f"{legacy}/bands")
+    b.groupBy("band_key").agg(F.count("*").alias("n")).write.parquet(
+        f"{legacy}/band_stats"
+    )
+    bands, stats = read_minhash_index(spark, legacy)
+    assert bands.count() == b.count()
+    assert set(stats.columns) == {"band_key", "n"}
+
+    (tmp_path / "notanindex").mkdir()
+    with pytest.raises(FileNotFoundError, match="not a minhash index"):
+        read_minhash_index(spark, str(tmp_path / "notanindex"))
+
+
+def test_minhash_base_rebuild_wipes_ghost_deltas(spark, tmp_path, sf_dir):
+    """Rebuilding an index over a delta-extended one must not leave
+    ghost delta partitions: the base build statically overwrites the
+    whole bands dir, so a reader sees exactly the rebuilt corpus."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_replicator_spark.sinks import (
+        append_minhash_delta,
+        read_minhash_index,
+        write_minhash_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 3 == 0)
+    batch1 = d.filter(F.col("doc_id") % 3 == 1)
+
+    ix = str(tmp_path / "ix")
+    write_minhash_index(base, ix)
+    append_minhash_delta(batch1, ix, delta_id=1)
+    # rebuild from scratch over the SMALLER corpus: no delta-1 ghosts
+    write_minhash_index(base, ix)
+    bands, stats = read_minhash_index(spark, ix)
+    got = {r.doc_id for r in bands.select("doc_id").distinct().collect()}
+    want = {r.doc_id for r in base.select("doc_id").distinct().collect()}
+    assert got == want
+    n_band_rows = bands.count()
+    assert stats.agg(F.sum("n")).collect()[0][0] == n_band_rows

@@ -96,3 +96,121 @@ def test_streaming_dedup_matches_batch_and_replays_idempotently(
         for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
     }
     assert again == want
+
+
+def test_streaming_extend_index_3_batches_and_replayed_middle_batch(
+    spark, tmp_path
+):
+    """INLINE index growth over 3 micro-batches: (1) the delta-extended
+    index after the run equals a from-scratch rebuild over base + all
+    streamed docs; (2) later batches detect near-dups of docs ADMITTED
+    by earlier batches (the point of extend_index); (3) a REPLAY of the
+    middle batch — recomputed after the whole run, when the index
+    already contains every batch including the replayed one — yields
+    exactly the originally committed pairs, because the read is pinned
+    to the pre-batch snapshot. (3) is the failure mode the snapshot
+    pinning exists to prevent: unpinned, the replay would band-join the
+    batch with itself and emit self/intra-batch pairs."""
+    from flink_kafka_replicator_spark.sinks import read_minhash_index
+    from flink_kafka_replicator_spark.streaming.dedup_ingest import (
+        dedup_batch_against_index,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    index_dir = str(tmp_path / "index")
+    write_minhash_index(old, index_dir)
+
+    src = str(tmp_path / "incoming")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    store = str(tmp_path / "store")
+
+    def run_stream():
+        stream = spark.readStream.schema(SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = start_streaming_dedup_against_index(
+            spark,
+            stream,
+            index_dir=index_dir,
+            index_corpus_df=old,
+            out_dir=str(tmp_path / "pairs"),
+            checkpoint_location=str(tmp_path / "ck"),
+            available_now=True,
+            extend_index=True,
+            corpus_store_dir=store,
+        )
+        q.awaitTermination(240)
+
+    # first two batches land...
+    for k in (1, 3):
+        new.filter(F.col("doc_id") % 6 == k).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+    run_stream()
+
+    # ...then REPLAY the just-committed middle batch before batch 2
+    # runs — the realistic crash window (delta for batch 1 committed,
+    # checkpoint not): the index now contains batch 1 itself, and the
+    # stats retention (current + previous version) covers exactly this
+    # one-step-back snapshot. Pinned to delta_id <= 1, the recompute
+    # must reproduce the committed partition.
+    batch1_docs = (
+        spark.read.parquet(store)
+        .filter(F.col("batch_id") == 1)
+        .select("doc_id", "text")
+    )
+    lookup = (
+        batch1_docs.union(old.select("doc_id", "text"))
+        .union(spark.read.parquet(store).select("doc_id", "text"))
+        .dropDuplicates(["doc_id"])
+    )
+    replayed = {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in dedup_batch_against_index(
+            spark, batch1_docs, index_dir, lookup, max_delta_id=1
+        ).collect()
+    }
+    committed = {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in spark.read.parquet(str(tmp_path / "pairs"))
+        .filter(F.col("batch_id") == 1)
+        .collect()
+    }
+    assert replayed == committed, (
+        f"replay divergence: only_replay={replayed - committed} "
+        f"only_original={committed - replayed}"
+    )
+
+    # resume: the third batch processes against the grown index
+    new.filter(F.col("doc_id") % 6 == 5).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    run_stream()
+
+    pairs = spark.read.parquet(str(tmp_path / "pairs"))
+    assert pairs.select("batch_id").distinct().count() == 3
+
+    # (1) final index == from-scratch rebuild over base + streamed docs
+    rebuild_dir = str(tmp_path / "rebuild")
+    write_minhash_index(old.unionByName(new), rebuild_dir)
+
+    def snap(ix):
+        bands, stats = read_minhash_index(spark, ix)
+        return (
+            {(r.doc_id, r.band_key) for r in bands.collect()},
+            {(r.band_key, r.n) for r in stats.collect()},
+        )
+
+    assert snap(index_dir) == snap(rebuild_dir)
+
+    # (2) some pair's old side is an odd doc — admitted by an earlier
+    # batch's delta, invisible to the base index
+    all_pairs = {
+        (r.new_id, r.old_id, r.jaccard, r.batch_id) for r in pairs.collect()
+    }
+    assert any(p[1] % 2 == 1 for p in all_pairs), (
+        "fixture must hold a near-dup whose old side was stream-admitted"
+    )
+    # no self pairs, ever
+    assert all(p[0] != p[1] for p in all_pairs)
