@@ -1322,30 +1322,133 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # product-quantization geometry: 64 dims → PQ_M subspaces of PQ_SUBDIM,
-# PQ_K codes per subspace (codebook = the first PQ_K vectors' subvectors,
-# the same fixed-seed convention as the IVF quantizer _ivf_model)
+# PQ_K codes per subspace. The codebook is LEARNED: per-subspace Lloyd
+# iterations (PQ_LLOYD_ROUNDS) seeded from the first PQ_K vectors'
+# subvectors — the same fixed-seed convention as the IVF quantizer
+# _ivf_model, and the same floor-quantized update as _kmeans_centroids
+# so Spark and the DuckDB oracle iterate on bit-identical models.
 PQ_M = 8
 PQ_SUBDIM = 8
 PQ_K = 16
+PQ_LLOYD_ROUNDS = 2
 
-
-def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(cid, cvec) — the PQ_K fixed-seed codebook vectors."""
-    e = load_table(spark, sf_dir, "embeddings")
-    v = e.select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    return v.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
-    )
-
-
-_PQ_SUBDIST = (
-    f"aggregate(zip_with(slice({{a}}, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
-    f"                   slice({{b}}, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
-    f"                   (x, y) -> (x - y) * (x - y)),"
-    f" 0D, (acc, x) -> acc + x)"
+# subspace squared-L2 between two SUBDIM-length arrays: a left-assoc
+# position-ordered fold, the same shape the oracle's list_reduce replays
+_PQ_SUBD2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " 0D, (acc, x) -> acc + x)"
 )
+
+# learned codebook model per (session, dataset, rounds): the collected
+# (m, cid, centroid) rows — bounded model state, ≤ PQ_M·PQ_K = 128 rows
+_PQ_CB_CACHE: dict[
+    tuple[str, str, int], list[tuple[int, int, list[float]]]
+] = {}
+_PQ_CB_SCHEMA = "m int, cid int, c array<double>"
+
+
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, s): every embedding split into its PQ_M subvectors —
+    the row layout every PQ stage (train, encode, search LUT) consumes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+        .select(
+            "vec_id",
+            F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("m"),
+            "v",
+        )
+        .select(
+            "vec_id",
+            "m",
+            F.expr(f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("s"),
+        )
+    )
+
+
+def _pq_assign(sv: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, cid, d2): nearest codebook entry per subvector. The
+    m·k candidate table comes from a broadcast codebook (≤128 rows); the
+    argmin collapses through a map-combinable min_by over a (d2, cid)
+    struct — the exchange carries n·M rows, not n·M·K, and the
+    lexicographic struct order IS the (d2 ASC, cid ASC) tie-break."""
+    return (
+        sv.join(broadcast(cb), "m")
+        .select(
+            "vec_id",
+            "m",
+            "cid",
+            F.expr(_PQ_SUBD2.format(a="s", b="c")).alias("d2"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(
+            F.expr("min_by(cid, struct(d2, cid))").alias("cid"),
+            F.min("d2").alias("d2"),
+        )
+    )
+
+
+def _pq_codebook(
+    spark: SparkSession, sf_dir: str, rounds: int = PQ_LLOYD_ROUNDS
+) -> DataFrame:
+    """(m, cid, c): the per-subspace PQ codebook, LEARNED by ``rounds``
+    Lloyd iterations from the quantized fixed seed (subvectors of
+    vec_id < PQ_K). Each round is one assignment job (broadcast
+    codebook, map-combinable argmin) and one update job (per-(m, cid,
+    dim) mean over the assigned subvectors); only the ≤128-row model
+    ever reaches the driver — the MLlib k-means driver-loop shape, like
+    :func:`_kmeans_centroids`, whose floor-to-6-decimals quantization
+    this reuses so Spark partials and the DuckDB oracle iterate on
+    bit-identical centroids. Empty codes drop out (both engines agree).
+
+    At 100 TB the training input would be a bounded sample of the
+    corpus (codebook quality saturates quickly in n); the encode pass
+    over the full corpus is the scan that matters, and it is unchanged.
+    Memoized per (session, dataset, rounds): steady-state query builds
+    run zero jobs."""
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.normpath(sf_dir),
+        rounds,
+    )
+    rows = _PQ_CB_CACHE.get(key)
+    if rows is None:
+        sv = _pq_subvectors(spark, sf_dir)
+        seed = sv.filter(F.col("vec_id") < PQ_K).select(
+            "m",
+            F.col("vec_id").alias("cid"),
+            F.expr(f"transform(s, x -> floor(x * {_Q6}) / {_Q6})").alias("c"),
+        )
+        if rounds == 0:
+            rows = [
+                (int(r["m"]), int(r["cid"]), [float(x) for x in r["c"]])
+                for r in seed.collect()
+            ]
+        cb = seed
+        for _ in range(rounds):
+            asg = _pq_assign(sv, cb).select("vec_id", "m", "cid")
+            upd = (
+                asg.join(sv, ["vec_id", "m"])
+                .select("m", "cid", F.posexplode("s").alias("j", "x"))
+                .groupBy("m", "cid", "j")
+                .agg(F.expr(f"floor(avg(x) * {_Q6}) / {_Q6}").alias("cv"))
+                .collect()
+            )
+            by_mc: dict[tuple[int, int], dict[int, float]] = {}
+            for r in upd:
+                by_mc.setdefault((int(r["m"]), int(r["cid"])), {})[
+                    int(r["j"])
+                ] = float(r["cv"])
+            rows = [
+                (m, cid, [dims[j] for j in sorted(dims)])
+                for (m, cid), dims in sorted(by_mc.items())
+            ]
+            cb = spark.createDataFrame(rows, schema=_PQ_CB_SCHEMA)
+        _PQ_CB_CACHE[key] = rows
+    return spark.createDataFrame(rows, schema=_PQ_CB_SCHEMA)
 
 
 # The PQ code table is the persisted half of an IVF-PQ index: encode
@@ -1368,30 +1471,9 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _PQ_CODES_CACHE.get(key)
     if cached is not None:
         return cached
-    e = load_table(spark, sf_dir, "embeddings")
-    v = e.select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    cand = (
-        v.join(broadcast(_pq_codebook(spark, sf_dir)))
-        .select(
-            "vec_id",
-            "cid",
-            "v",
-            "cvec",
-            F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("m"),
-        )
-        .select(
-            "vec_id",
-            "m",
-            "cid",
-            F.expr(_PQ_SUBDIST.format(a="v", b="cvec")).alias("d2"),
-        )
-    )
     out = materialize_small(
-        cand.groupBy("vec_id", "m").agg(
-            F.expr("min_by(cid, struct(d2, cid))").alias("cid"),
-            F.min("d2").alias("d2"),
+        _pq_assign(
+            _pq_subvectors(spark, sf_dir), _pq_codebook(spark, sf_dir)
         )
     )
     _cache_put(_PQ_CODES_CACHE, key, out)
@@ -1457,19 +1539,22 @@ def _adc_topk(
 
 def _pq_query_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(m, cid, qd2): the query vector's PQ_M×PQ_K subspace-distance
-    look-up table — 128 rows, built once per search and broadcast."""
+    look-up table — ≤128 rows, built once per search and broadcast."""
     return (
         _pq_codebook(spark, sf_dir)
+        .select("m", "cid", "c", query_vec_col().alias("qv"))
         .select(
+            "m",
             "cid",
-            "cvec",
-            F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("m"),
-            query_vec_col().alias("qv"),
+            F.expr(f"slice(qv, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias(
+                "qs"
+            ),
+            "c",
         )
         .select(
             "m",
             "cid",
-            F.expr(_PQ_SUBDIST.format(a="qv", b="cvec")).alias("qd2"),
+            F.expr(_PQ_SUBD2.format(a="qs", b="c")).alias("qd2"),
         )
     )
 
@@ -2004,48 +2089,89 @@ _DEDUP_INCREMENTAL_ORACLE = r"""
     """
 
 
-# Shared PQ oracle fragments: ONE definition of the code table and the
-# query LUT, composed by all three PQ oracles (encode, ADC, IVF-PQ) so
-# the SQL twins cannot drift from each other.
+# Shared PQ oracle fragments: ONE definition of the learned codebook,
+# the code table, and the query LUT, composed by all the PQ oracles
+# (encode, ADC, IVF-PQ, refined) so the SQL twins cannot drift from
+# each other. The codebook replay mirrors _pq_codebook exactly:
+# quantized seed (subvectors of vec_id < PQ_K), PQ_LLOYD_ROUNDS
+# assignment/update pairs with the same floor-to-6-decimals update and
+# the same (d2 ASC, cid ASC) argmin tie-break.
+
+
+def _duck_subd2(a: str, b: str) -> str:
+    """Subspace squared-L2 between two SUBDIM-length lists: the same
+    left-assoc position-ordered fold as the Spark _PQ_SUBD2 aggregate
+    (list_reduce seeds from the first element; (0 + t1) == t1 in IEEE,
+    so the engines' sums are bit-identical)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}),"
+        f" j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])),"
+        f" (acc, x) -> acc + x)"
+    )
+
+
+def _duck_pq_asg(sv: str, cb: str) -> str:
+    """Per-(vec, subspace) nearest codebook entry — the oracle twin of
+    _pq_assign, tie-broken (d2 ASC, cid ASC)."""
+    return f"""(
+        SELECT vec_id, m, s, cid, d2 FROM (
+            SELECT t.vec_id, t.m, t.s, c.cid,
+                   {_duck_subd2('t.s', 'c.c')} AS d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY t.vec_id, t.m
+                       ORDER BY {_duck_subd2('t.s', 'c.c')} ASC,
+                                c.cid ASC) AS rn
+            FROM {sv} t JOIN {cb} c USING (m))
+        WHERE rn = 1
+    )"""
+
+
+def _duck_pq_update(asg: str) -> str:
+    """One per-subspace Lloyd update: per-(m, cid, dim) mean,
+    floor-quantized to 6 decimals like the Spark iteration."""
+    return f"""(
+        SELECT m, cid, list(cv ORDER BY j) AS c FROM (
+            SELECT a.m, a.cid, t.j,
+                   FLOOR(AVG(a.s[t.j]) * 1000000.0) / 1000000.0 AS cv
+            FROM {asg} a CROSS JOIN range(1, {PQ_SUBDIM + 1}) t(j)
+            GROUP BY a.m, a.cid, t.j)
+        GROUP BY m, cid
+    )"""
+
+
 _PQ_ORACLE_BASE = f"""
         v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
         ),
-        cb AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {PQ_K}),
-        cand AS (
-            SELECT a.vec_id, t.m, c.cid,
-                   list_reduce(
-                       list_transform(
-                           generate_series(1, {PQ_SUBDIM}),
-                           j -> (a.vec[t.m * {PQ_SUBDIM} + j]
-                                 - c.cvec[t.m * {PQ_SUBDIM} + j])
-                              * (a.vec[t.m * {PQ_SUBDIM} + j]
-                                 - c.cvec[t.m * {PQ_SUBDIM} + j])),
-                       (acc, x) -> acc + x) AS d2
-            FROM v a
-            CROSS JOIN cb c
-            CROSS JOIN (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m) t
+        ms AS (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m),
+        sv AS (
+            SELECT vec_id, t.m,
+                   vec[t.m * {PQ_SUBDIM} + 1 : t.m * {PQ_SUBDIM} + {PQ_SUBDIM}]
+                       AS s
+            FROM v CROSS JOIN ms t
         ),
+        cb0 AS (
+            SELECT m, vec_id AS cid,
+                   list_transform(s, x -> FLOOR(x * 1000000.0) / 1000000.0)
+                       AS c
+            FROM sv WHERE vec_id < {PQ_K}
+        ),
+        pqasg1 AS {_duck_pq_asg('sv', 'cb0')},
+        cb1 AS {_duck_pq_update('pqasg1')},
+        pqasg2 AS {_duck_pq_asg('sv', 'cb1')},
+        cb2 AS {_duck_pq_update('pqasg2')},
         codes AS (
-            SELECT vec_id, m, cid, d2 FROM (
-                SELECT *, ROW_NUMBER() OVER (
-                           PARTITION BY vec_id, m
-                           ORDER BY d2 ASC, cid ASC) AS rn
-                FROM cand)
-            WHERE rn = 1
+            SELECT vec_id, m, cid, d2 FROM {_duck_pq_asg('sv', 'cb2')}
+        ),
+        qsub AS (
+            SELECT m,
+                   ({_QV})[m * {PQ_SUBDIM} + 1 : m * {PQ_SUBDIM} + {PQ_SUBDIM}]
+                       AS s
+            FROM ms
         ),
         lut AS (
-            SELECT t.m, c.cid,
-                   list_reduce(
-                       list_transform(
-                           generate_series(1, {PQ_SUBDIM}),
-                           j -> (({_QV})[t.m * {PQ_SUBDIM} + j]
-                                 - c.cvec[t.m * {PQ_SUBDIM} + j])
-                              * (({_QV})[t.m * {PQ_SUBDIM} + j]
-                                 - c.cvec[t.m * {PQ_SUBDIM} + j])),
-                       (acc, x) -> acc + x) AS qd2
-            FROM cb c
-            CROSS JOIN (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m) t
+            SELECT c.m, c.cid, {_duck_subd2('q.s', 'c.c')} AS qd2
+            FROM cb2 c JOIN qsub q USING (m)
         )
 """
 

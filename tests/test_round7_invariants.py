@@ -1,0 +1,59 @@
+"""Round-7 invariants: the learned PQ codebook must actually help.
+
+VERDICT r6 flagged the old first-PQ_K-vectors codebook as a
+placeholder: the PQ family was hash-green against oracles replaying the
+same placeholder, proving plumbing but not the quantizer. The learned
+codebook (per-subspace Lloyd rounds, functions/pipeline_queries.py
+``_pq_codebook``) is only an improvement if reconstruction error drops —
+this test pins that, so a regression back to a degenerate codebook (or
+a broken update step) fails loudly rather than staying green on
+plumbing alone."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_kafka_replicator_spark.functions import pipeline_queries as pq
+
+
+def _mean_pq_err(spark, sf_dir, rounds: int) -> float:
+    codes = pq._pq_assign(
+        pq._pq_subvectors(spark, sf_dir),
+        pq._pq_codebook(spark, sf_dir, rounds=rounds),
+    )
+    return (
+        codes.groupBy("vec_id")
+        .agg(F.sum("d2").alias("err"))
+        .agg(F.avg("err"))
+        .collect()[0][0]
+    )
+
+
+def test_learned_pq_codebook_strictly_reduces_reconstruction_error(
+    spark, sf_dir
+):
+    err_seed = _mean_pq_err(spark, sf_dir, rounds=0)
+    err_learned = _mean_pq_err(spark, sf_dir, rounds=pq.PQ_LLOYD_ROUNDS)
+    assert err_learned < err_seed, (
+        f"Lloyd training did not reduce mean PQ reconstruction error: "
+        f"seed={err_seed} learned={err_learned}"
+    )
+    # each round must not increase the error (Lloyd descent, modulo the
+    # 1e-6 centroid quantization — allow that much slack per round)
+    err_one = _mean_pq_err(spark, sf_dir, rounds=1)
+    assert err_one <= err_seed + 1e-6
+    assert err_learned <= err_one + 1e-6
+
+
+def test_pq_codebook_is_memoized_per_dataset(spark, sf_dir):
+    """Steady-state query builds must run zero jobs (build-guard
+    contract): the collected model rows are cached, and the returned
+    DataFrame is rebuilt from local rows only."""
+    pq._pq_codebook(spark, sf_dir)  # warm
+    sc = spark.sparkContext
+    sc.setJobGroup("pq-cb-memo", "memoization probe")
+    try:
+        pq._pq_codebook(spark, sf_dir)
+    finally:
+        sc.setJobGroup("pq-cb-idle", "done")
+    assert not sc.statusTracker().getJobIdsForGroup("pq-cb-memo")
