@@ -1744,6 +1744,78 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ text analysis
 
+# fastText-style hashed-n-gram linear quality classifier (round 7, the
+# last common curation primitive — VERDICT r5 task 7): token uni+bigrams
+# → hashed feature buckets → a fixed pseudo-random INTEGER weight per
+# bucket → per-doc logit + keep decision. Integer weights make the
+# per-doc sum order-independent and engine-exact; the logit is a single
+# division of identical integers, floor-quantized, so the oracle is
+# hash-exact (the corpus_split_assign md5 parity pattern).
+QC_BUCKETS = 256
+QC_MULT = 2654435761  # Knuth multiplicative-hash constant
+QC_WEIGHT_MOD = 2001  # integer weights land in [-1000, 1000]
+# the D suffixes keep Spark on the DOUBLE path — a bare decimal literal
+# parses as DECIMAL and reroutes the division through decimal arithmetic
+QC_SCALE = "1000.0D"
+
+
+def _qc_weight(g: str) -> str:
+    """SQL fragment: the integer weight of n-gram expression ``g`` —
+    md5-bucket then a multiplicative scramble, all int64 arithmetic
+    (max intermediate 255·QC_MULT < 2^40)."""
+    return (
+        f"(((cast(conv(substring(md5({g}), 1, 8), 16, 10) as bigint)"
+        f" % {QC_BUCKETS}) * {QC_MULT}) % {QC_WEIGHT_MOD}) - 1000"
+    )
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality-classifier scoring pass: the shape of a
+    fastText/CCNet-style curation filter (hashed n-gram features × a
+    linear model → keep/drop), with a deterministic weight table so the
+    decision is reproducible across engines and runs.
+
+    Plan: pure per-row array arithmetic — the n-gram fold runs inside
+    whole-stage codegen, no explode, no shuffle, no Python; scan-speed
+    at 100 TB exactly like corpus_split_assign. A real deployment swaps
+    the arithmetic weight for a broadcast ≤2^D-row learned weight table
+    joined map-side; the feature hashing, batch shape, and keep
+    semantics are identical."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = (
+        d.select("doc_id", F.expr("split(text, ' ')").alias("t"))
+        .select(
+            "doc_id",
+            "t",
+            F.expr(
+                "CASE WHEN size(t) < 2 THEN slice(t, 1, 0) "
+                "ELSE transform(sequence(1, size(t) - 1), "
+                "i -> concat(t[i-1], ' ', t[i])) END"
+            ).alias("b"),
+        )
+        .select(
+            "doc_id",
+            (
+                F.expr(
+                    f"aggregate(t, 0L, (acc, g) -> acc + ({_qc_weight('g')}))"
+                )
+                + F.expr(
+                    f"aggregate(b, 0L, (acc, g) -> acc + ({_qc_weight('g')}))"
+                )
+            ).alias("sum_iw"),
+            (F.size("t") + F.size("b")).cast("bigint").alias("n_features"),
+        )
+    )
+    return staged.select(
+        "doc_id",
+        "n_features",
+        F.expr(
+            f"floor(cast(sum_iw as double) / (n_features * {QC_SCALE})"
+            " * 10000.0D) / 10000.0D"
+        ).alias("logit"),
+        (F.col("sum_iw") > 0).alias("keep"),
+    )
+
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -2042,6 +2114,7 @@ QUERIES = {
     "text_stats": text_stats,
     "lang_breakdown": lang_breakdown,
     "text_quality": text_quality,
+    "quality_classifier_score": quality_classifier_score,
     "text_repetition_ratio": text_repetition_ratio,
     "doc_unigram_logprob": doc_unigram_logprob,
     "lang_id_ngram": lang_id_ngram,
@@ -2061,6 +2134,13 @@ QUERIES = {
 _STOPLIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 
 _QV = f"{QUERY_VEC!r}::DOUBLE[]"
+
+
+# DuckDB twin of _qc_weight: same md5 bucket + multiplicative scramble
+_DUCK_QC_WEIGHT = (
+    f"((((('0x' || substr(md5(g), 1, 8))::BIGINT % {QC_BUCKETS})"
+    f" * {QC_MULT}) % {QC_WEIGHT_MOD}) - 1000)"
+)
 
 
 def _duck_cos(a: str, b: str) -> str:
@@ -2655,6 +2735,36 @@ ORACLES = {
     """,
     "dedup_incremental": _DEDUP_INCREMENTAL_ORACLE,
     "dedup_incremental_indexed": _DEDUP_INCREMENTAL_ORACLE,
+    # the oracle replays the identical integer arithmetic: md5 bucket,
+    # multiplicative scramble, integer sum (order-free), one division +
+    # floor-quantize — hash-exact by construction
+    "quality_classifier_score": f"""
+        WITH tt AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        f AS (
+            SELECT doc_id, t,
+                   CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+                        ELSE [t[i] || ' ' || t[i+1]
+                              for i in generate_series(1, len(t) - 1)]
+                   END AS b
+            FROM tt
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(coalesce(list_sum(list_transform(t,
+                            g -> {_DUCK_QC_WEIGHT})), 0)
+                        + coalesce(list_sum(list_transform(b,
+                            g -> {_DUCK_QC_WEIGHT})), 0) AS BIGINT) AS sum_iw,
+                   CAST(len(t) + len(b) AS BIGINT) AS n_features
+            FROM f
+        )
+        SELECT doc_id, n_features,
+               FLOOR(CAST(sum_iw AS DOUBLE) / (n_features * 1000.0)
+                     * 10000.0) / 10000.0 AS logit,
+               sum_iw > 0 AS keep
+        FROM s
+    """,
     "corpus_split_assign": """
         SELECT doc_id, lang,
                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

@@ -278,9 +278,12 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "doc_unigram_logprob",
     # round-6 addition: sub-document exact dedup (VERDICT r5 task 2)
     "dedup_paragraph_exact",
-    # round-7 addition: whole-family ANN recall report (VERDICT r5
-    # task 5 / r6 task 2) over the learned-PQ read paths
+    # round-7 additions: whole-family ANN recall report (VERDICT r5
+    # task 5 / r6 task 2) over the learned-PQ read paths, and the
+    # hashed-n-gram quality classifier (r5 task 7) completing the
+    # curation-primitive family
     "knn_recall_family",
+    "quality_classifier_score",
 )
 
 

@@ -88,3 +88,26 @@ def test_recall_family_ladder(spark, sf_dir):
     # if this ever degenerates to equality-at-1.0 or the shortlist
     # stops separating, the eval lost its signal
     assert rows["ivf_pq_refined"].recall > rows["ivf_pq"].recall
+
+
+def test_quality_classifier_is_shuffle_free_and_discriminates(
+    spark, sf_dir
+):
+    """The curation classifier must stay a pure map pass (no Exchange,
+    no Python in the row path — scan-speed at 100 TB) and must actually
+    split the corpus: a keep fraction of 0 or 1 means the weight table
+    degenerated into a constant decision."""
+    from flink_kafka_replicator_spark.plans import formatted_plan
+
+    df = pq.quality_classifier_score(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    rows = df.collect()
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows)
+    # keep is defined on the exact integer sum, logit on its quantized
+    # normalization — the two must agree in sign
+    for r in rows:
+        if r.keep:
+            assert r.logit >= 0.0, r
