@@ -92,6 +92,18 @@ HEADLINE = list(R2_BASKET) + [
     "dq_outlier_mad",
     "embedding_pq_encode",
     "knn_ivf_pq_refined",
+    # round-7 additions (VERDICT r6 task 3): the round-5/6 family
+    # representatives whose regressions were previously invisible,
+    # plus the two new round-7 query ids
+    "funnel_conversion",
+    "retention_cohorts",
+    "event_trigrams",
+    "doc_unigram_logprob",
+    "text_repetition_ratio",
+    "knn_ivf_pq",
+    "dedup_paragraph_exact",
+    "knn_recall_family",
+    "quality_classifier_score",
 ]
 
 

@@ -63,3 +63,44 @@ def test_survivors_consistent_with_clusters(spark):
 def test_cc_rejects_nonpositive_iteration_budget(spark):
     with pytest.raises(ValueError, match="max_iters"):
         cc_label_propagation(_path_graph(spark, 3), max_iters=0)
+
+
+def test_cc_compressed_matches_plain_and_converges_in_log_rounds(spark):
+    """The round-7 production CC path (pointer doubling): identical
+    labels to plain propagation, in O(log diameter) rounds — a
+    100-node path (diameter 99, >> CC_MAX_ITERS) must converge within
+    the default 10-round budget where plain propagation would raise."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        cc_label_propagation_compressed,
+    )
+
+    # small graph: exact same labels as the plain algorithm
+    pairs = _path_graph(spark, 15)
+    plain = {
+        (r.node, r.label)
+        for r in cc_label_propagation(pairs, max_iters=20).collect()
+    }
+    comp = {
+        (r.node, r.label)
+        for r in cc_label_propagation_compressed(
+            pairs, max_iters=10
+        ).collect()
+    }
+    assert comp == plain
+
+    # long chain: log-round convergence where plain would exhaust
+    long = _path_graph(spark, 100)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cc_label_propagation(long, max_iters=10)
+    labels = cc_label_propagation_compressed(long, max_iters=10)
+    got = {(r.node, r.label) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(100)}
+
+
+def test_cc_compressed_rejects_nonpositive_iteration_budget(spark):
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        cc_label_propagation_compressed,
+    )
+
+    with pytest.raises(ValueError, match="max_iters"):
+        cc_label_propagation_compressed(_path_graph(spark, 3), max_iters=0)

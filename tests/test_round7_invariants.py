@@ -111,3 +111,12 @@ def test_quality_classifier_is_shuffle_free_and_discriminates(
     for r in rows:
         if r.keep:
             assert r.logit >= 0.0, r
+
+
+def test_text_repetition_ratio_is_shuffle_free(spark, sf_dir):
+    """Round 7 replaced the exploded-token histogram (two shuffles)
+    with a sorted-run fold — the whole query must now be a map pass."""
+    from flink_kafka_replicator_spark.plans import formatted_plan
+
+    plan = formatted_plan(pq.text_repetition_ratio(spark, sf_dir))
+    assert "Exchange" not in plan, plan
