@@ -104,6 +104,7 @@ HEADLINE = list(R2_BASKET) + [
     "dedup_paragraph_exact",
     "knn_recall_family",
     "quality_classifier_score",
+    "quality_classifier_train",
 ]
 
 

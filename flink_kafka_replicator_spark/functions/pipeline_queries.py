@@ -1895,6 +1895,150 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bucket, f): the hashed-n-gram feature matrix the
+    classifier trains and scores on — token uni+bigrams bucketed by the
+    same md5 arithmetic as :func:`quality_classifier_score`, with
+    ``f`` the PER-MILLE bucket frequency ``(cnt·1000) div n_features``
+    (integer floor division, exact in both engines). Frequencies, not
+    raw counts: document length correlates with almost any content
+    label, and unnormalized counts let that confound dominate the
+    learned weights. One explode + one combine-friendly (doc_id,
+    bucket) count agg; at 100 TB this is the materialize-once training
+    artifact."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        "(cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint)"
+        f" % {QC_BUCKETS})"
+    )
+    return (
+        d.select("doc_id", F.expr("split(text, ' ')").alias("t"))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN size(t) < 2 THEN t "
+                "ELSE concat(t, transform(sequence(1, size(t) - 1), "
+                "i -> concat(t[i-1], ' ', t[i]))) END"
+            ).alias("feats"),
+        )
+        .select(
+            "doc_id",
+            F.size("feats").cast("bigint").alias("tot"),
+            F.explode("feats").alias("g"),
+        )
+        .select("doc_id", "tot", F.expr(bucket).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.expr("(count(*) * 1000L) div max(tot)").alias("f")
+        )
+    )
+
+
+QC_LABEL_TOKEN = "spark"
+
+
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the hashed-n-gram classifier instead of scoring with a
+    fixed table — the supervised half of the fastText recipe, as a
+    nearest-class-centroid linear model with a LEARNED decision
+    threshold, all in exact integer arithmetic. The training label is
+    content-derived and genuinely learnable from the features (y=+1
+    iff the doc contains the token ``QC_LABEL_TOKEN``, ~77%/23% in the
+    fixture; the fixture's ``lang`` column is independent of its
+    synthetic text, so a real-signal label must come from the text).
+
+    Model: w[b] = (Σ₊f[b]·1e6) div n_pos − (Σ₋f[b]·1e6) div n_neg —
+    the per-bucket difference of class-mean per-mille frequencies
+    (frequencies, not counts: doc length correlates with almost any
+    content label and would otherwise dominate). Scores s = Σ w[b]·f[b]
+    separate the classes around a non-zero operating point, so the
+    threshold is LEARNED too: θ = midpoint of the class mean scores.
+    (A full-batch perceptron was prototyped first and permanently
+    oscillates between all-positive and all-negative under unit-rate
+    batch updates — the closed-form centroid fit is the correct
+    one-pass trainer here.) Every quantity is an int64 — frequencies
+    ≤1000, weights ≤1e9, scores ≤2.6e14 — so sums are order-free and
+    training is bit-exact across engines and partitionings; `div`
+    truncates toward zero in BOTH engines (verified), so θ matches.
+
+    Output: per-doc evaluation (doc_id, label, score, theta, pred_pos,
+    correct) — verifying feature extraction, the fitted weights, the
+    fitted threshold, and inference end-to-end. Accuracy above the
+    majority-class baseline is pinned in pytest.
+
+    Plan: the feature matrix (one explode + one combine-friendly count
+    agg) is composed once; the weight fit is ONE ≤QC_BUCKETS-row
+    aggregate broadcast back map-side; scoring is one doc_id-keyed
+    partial-aggregated sum; θ is a 1-row aggregate cross-joined in. No
+    driver-side collect anywhere — the whole train+eval is one lazy
+    plan. At 100 TB: materialize the feature matrix, everything else
+    is broadcast-sized."""
+    feats = _qc_features(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.array_contains(
+                F.split(F.col("text"), " "), QC_LABEL_TOKEN
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("y"),
+    )
+    counts = labels.agg(
+        F.sum(F.when(F.col("y") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("y") > 0, 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_neg"),
+    )
+    w = (
+        feats.join(labels, "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("y") > 0, F.col("f")).otherwise(0)).alias(
+                "pos_sum"
+            ),
+            F.sum(F.when(F.col("y") < 0, F.col("f")).otherwise(0)).alias(
+                "neg_sum"
+            ),
+        )
+        .crossJoin(broadcast(counts))
+        .select(
+            "bucket",
+            F.expr(
+                "(pos_sum * 1000000L) div n_pos"
+                " - (neg_sum * 1000000L) div n_neg"
+            ).alias("w"),
+        )
+    )
+    scored = labels.join(
+        feats.join(broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("f") * F.col("w")).alias("s")),
+        "doc_id",
+    )
+    theta = scored.crossJoin(broadcast(counts)).agg(
+        F.expr(
+            "((sum(case when y > 0 then s else 0L end) div max(n_pos))"
+            " + (sum(case when y < 0 then s else 0L end) div max(n_neg)))"
+            " div 2"
+        ).alias("theta")
+    )
+    return scored.crossJoin(broadcast(theta)).select(
+        "doc_id",
+        F.col("y").alias("label"),
+        F.col("s").cast("bigint").alias("score"),
+        F.col("theta").cast("bigint").alias("theta"),
+        (F.col("s") > F.col("theta")).alias("pred_pos"),
+        ((F.col("s") > F.col("theta")) == (F.col("y") > 0)).alias(
+            "correct"
+        ),
+    )
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = text.tokens("text")
@@ -2191,6 +2335,7 @@ QUERIES = {
     "lang_breakdown": lang_breakdown,
     "text_quality": text_quality,
     "quality_classifier_score": quality_classifier_score,
+    "quality_classifier_train": quality_classifier_train,
     "text_repetition_ratio": text_repetition_ratio,
     "doc_unigram_logprob": doc_unigram_logprob,
     "lang_id_ngram": lang_id_ngram,
@@ -2840,6 +2985,73 @@ ORACLES = {
                      * 10000.0) / 10000.0 AS logit,
                sum_iw > 0 AS keep
         FROM s
+    """,
+    # replays the identical integer fit: per-mille frequency features,
+    # class-centroid-difference weights (truncating div, verified equal
+    # in both engines), midpoint threshold — order-free integer sums
+    "quality_classifier_train": f"""
+        WITH tt AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        fx AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) < 2 THEN t
+                        ELSE list_concat(t,
+                            [t[i] || ' ' || t[i+1]
+                             for i in generate_series(1, len(t) - 1)])
+                   END AS feats
+            FROM tt
+        ),
+        feat AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(g), 1, 8))::BIGINT % {QC_BUCKETS}
+                       AS bucket,
+                   (COUNT(*) * 1000) // MAX(tot) AS f
+            FROM (SELECT doc_id, len(feats) AS tot, UNNEST(feats) AS g
+                  FROM fx)
+            GROUP BY doc_id, bucket
+        ),
+        lab AS (
+            SELECT doc_id,
+                   CASE WHEN list_contains(string_split(text, ' '),
+                                           '{QC_LABEL_TOKEN}')
+                        THEN 1 ELSE -1 END AS y
+            FROM documents
+        ),
+        n AS (
+            SELECT SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS n_pos,
+                   SUM(CASE WHEN y > 0 THEN 0 ELSE 1 END) AS n_neg
+            FROM lab
+        ),
+        w AS (
+            SELECT f.bucket,
+                   (SUM(CASE WHEN l.y > 0 THEN f.f ELSE 0 END) * 1000000)
+                       // MAX(n.n_pos)
+                   - (SUM(CASE WHEN l.y < 0 THEN f.f ELSE 0 END) * 1000000)
+                       // MAX(n.n_neg) AS w
+            FROM feat f JOIN lab l USING (doc_id) CROSS JOIN n
+            GROUP BY f.bucket
+        ),
+        scored AS (
+            SELECT l.doc_id, l.y, s.s
+            FROM lab l JOIN (
+                SELECT f.doc_id, SUM(f.f * w.w) AS s
+                FROM feat f JOIN w USING (bucket)
+                GROUP BY f.doc_id
+            ) s USING (doc_id)
+        ),
+        th AS (
+            SELECT ((SUM(CASE WHEN y > 0 THEN s ELSE 0 END) // MAX(n.n_pos))
+                    + (SUM(CASE WHEN y < 0 THEN s ELSE 0 END) // MAX(n.n_neg)))
+                   // 2 AS theta
+            FROM scored CROSS JOIN n
+        )
+        SELECT sc.doc_id, CAST(sc.y AS BIGINT) AS label,
+               CAST(sc.s AS BIGINT) AS score,
+               CAST(th.theta AS BIGINT) AS theta,
+               sc.s > th.theta AS pred_pos,
+               (sc.s > th.theta) = (sc.y > 0) AS correct
+        FROM scored sc CROSS JOIN th
     """,
     "corpus_split_assign": """
         SELECT doc_id, lang,

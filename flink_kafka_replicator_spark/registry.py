@@ -284,6 +284,7 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     # curation-primitive family
     "knn_recall_family",
     "quality_classifier_score",
+    "quality_classifier_train",
 )
 
 

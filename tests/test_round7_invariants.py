@@ -120,3 +120,22 @@ def test_text_repetition_ratio_is_shuffle_free(spark, sf_dir):
 
     plan = formatted_plan(pq.text_repetition_ratio(spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_quality_classifier_train_beats_majority_baseline(spark, sf_dir):
+    """The trained classifier must encode real signal: accuracy on the
+    content-derived label must clear the majority-class baseline by a
+    margin, and the decision threshold must actually be learned (a
+    zero θ would mean the midpoint fit degenerated)."""
+    rows = pq.quality_classifier_train(spark, sf_dir).collect()
+    n = len(rows)
+    acc = sum(1 for r in rows if r.correct) / n
+    p_pos = sum(1 for r in rows if r.label > 0) / n
+    majority = max(p_pos, 1.0 - p_pos)
+    assert acc >= majority + 0.05, (
+        f"trained accuracy {acc:.4f} does not beat majority "
+        f"baseline {majority:.4f}"
+    )
+    thetas = {r.theta for r in rows}
+    assert len(thetas) == 1, "theta must be a single learned scalar"
+    assert thetas != {0}, "theta must be learned, not the default 0"
