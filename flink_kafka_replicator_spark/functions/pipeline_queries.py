@@ -1677,16 +1677,24 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _adc_topk(
-    spark: SparkSession, sf_dir: str, codes: DataFrame, k: int = 10
+    spark: SparkSession,
+    sf_dir: str,
+    codes: DataFrame,
+    k: int = 10,
+    lut: DataFrame | None = None,
 ) -> DataFrame:
     """The one ADC scorer all PQ search variants share: broadcast the
     query LUT, equi-join on (m, code), partial-combined per-vector SUM,
     deterministic top-k. Any change to rounding/tie-breaks/join keys
     lands in exactly one place (and the oracle twins compose the same
-    shared SQL fragments)."""
+    shared SQL fragments). ``lut`` overrides the session-built query
+    LUT — the persisted-index search path passes one derived from the
+    on-disk codebook."""
+    if lut is None:
+        lut = _pq_query_lut(spark, sf_dir)
     return (
         codes.select("vec_id", "m", "cid")
-        .join(broadcast(_pq_query_lut(spark, sf_dir)), ["m", "cid"])
+        .join(broadcast(lut), ["m", "cid"])
         .groupBy("vec_id")
         .agg(F.round(F.sum("qd2"), 4).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
@@ -1697,9 +1705,14 @@ def _adc_topk(
 def _pq_query_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(m, cid, qd2): the query vector's PQ_M×PQ_K subspace-distance
     look-up table — ≤128 rows, built once per search and broadcast."""
+    return _pq_lut_from(_pq_codebook(spark, sf_dir))
+
+
+def _pq_lut_from(cb: DataFrame) -> DataFrame:
+    """The query LUT derived from ANY (m, cid, c) codebook table —
+    session-built or loaded from a persisted vector index."""
     return (
-        _pq_codebook(spark, sf_dir)
-        .select("m", "cid", "c", query_vec_col().alias("qv"))
+        cb.select("m", "cid", "c", query_vec_col().alias("qv"))
         .select(
             "m",
             "cid",

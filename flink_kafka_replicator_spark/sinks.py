@@ -317,3 +317,154 @@ def read_minhash_index(
         .drop("delta_id")
     )
     return bands, spark.read.parquet(stats_path)
+
+
+# ------------------------------------------------------------ vector index
+
+VINDEX_META_FILE = "VINDEX_META.json"
+
+
+def write_vector_index(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """Persist the ANN index the session's knn/PQ queries build in
+    memory as a durable on-disk artifact — the vector-store equivalent
+    of ``write_minhash_index``:
+
+    - ``centroids/`` — the IVF coarse model (cid, cvec, nrm); ≤16 rows
+      here, O(k·dim) at any scale.
+    - ``postings/`` — the per-vector postings list (vec_id, nrm, cid,
+      pcid): the cell membership + carried norm every search prunes on.
+    - ``pq_codebook/`` — the LEARNED per-subspace Lloyd codebook
+      (m, cid, c), ≤PQ_M·PQ_K rows.
+    - ``pq_codes/`` — the per-vector PQ code table (vec_id, m, cid,
+      d2): M bytes/vector of query-time working set, the defining PQ
+      economy.
+    - ``VINDEX_META.json`` — the geometry (PQ_M/PQ_K/PQ_SUBDIM, IVF
+      centroid/probe counts); readers refuse an index whose geometry
+      does not match the running engine rather than silently searching
+      with the wrong quantizer.
+
+    A search process then needs ONLY this directory — see
+    :func:`knn_ivf_pq_from_index`, pytest-pinned byte-equal to the
+    in-session ``knn_ivf_pq``. At 100 TB this write is the index-build
+    job; searches never touch the raw embeddings again (the refined
+    path point-fetches only its shortlist)."""
+    import json
+    import os
+
+    from .functions import pipeline_queries as pq
+
+    cents, _ = pq._ivf_model(spark, sf_dir)
+    (
+        spark.createDataFrame(
+            [(cid, cvec, nrm) for cid, cvec, nrm in cents],
+            schema="cid int, cvec array<double>, nrm double",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/centroids")
+    )
+    (
+        pq._knn_assignment(spark, sf_dir)
+        .select("vec_id", "nrm", "cid", "pcid")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/postings")
+    )
+    (
+        pq._pq_codebook(spark, sf_dir)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/pq_codebook")
+    )
+    pq._pq_codes(spark, sf_dir).write.mode("overwrite").parquet(
+        f"{out_dir}/pq_codes"
+    )
+    meta = {
+        "format_version": 1,
+        "pq_m": pq.PQ_M,
+        "pq_k": pq.PQ_K,
+        "pq_subdim": pq.PQ_SUBDIM,
+        "pq_lloyd_rounds": pq.PQ_LLOYD_ROUNDS,
+        "ivf_n_centroids": pq.IVF_N_CENTROIDS,
+        "ivf_n_probe": pq.IVF_N_PROBE,
+    }
+    fd_path = os.path.join(out_dir, VINDEX_META_FILE)
+    with open(fd_path + ".tmp", "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    os.replace(fd_path + ".tmp", fd_path)
+
+
+def read_vector_index(
+    spark: SparkSession, out_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(centroids, postings, pq_codebook, pq_codes) from a persisted
+    vector index, after validating its geometry against the running
+    engine's constants — a quantizer-geometry mismatch must fail
+    loudly, not return silently-wrong neighbors."""
+    import json
+    import os
+
+    from .functions import pipeline_queries as pq
+
+    meta_path = os.path.join(out_dir, VINDEX_META_FILE)
+    if not os.path.isfile(meta_path):
+        raise FileNotFoundError(
+            f"{out_dir} is not a vector index: no {VINDEX_META_FILE} — "
+            "build with write_vector_index"
+        )
+    with open(meta_path, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    want = {
+        "pq_m": pq.PQ_M,
+        "pq_k": pq.PQ_K,
+        "pq_subdim": pq.PQ_SUBDIM,
+        "ivf_n_centroids": pq.IVF_N_CENTROIDS,
+    }
+    mismatched = {
+        k: (meta.get(k), v) for k, v in want.items() if meta.get(k) != v
+    }
+    if mismatched:
+        raise ValueError(
+            f"vector index geometry mismatch (index vs engine): "
+            f"{mismatched} — rebuild the index with the current engine"
+        )
+    return (
+        spark.read.parquet(f"{out_dir}/centroids"),
+        spark.read.parquet(f"{out_dir}/postings"),
+        spark.read.parquet(f"{out_dir}/pq_codebook"),
+        spark.read.parquet(f"{out_dir}/pq_codes"),
+    )
+
+
+def knn_ivf_pq_from_index(
+    spark: SparkSession, out_dir: str, k: int = 10
+) -> DataFrame:
+    """The full IVF-PQ search served purely from a persisted index —
+    the production read path at rest: coarse probe selection is driver
+    arithmetic on the loaded ≤16-row centroid model, membership is a
+    left-semi prune of the postings list, scoring is ADC over the
+    persisted code table with a LUT derived from the on-disk codebook.
+    No raw embedding is touched. Byte-equal to the in-session
+    ``knn_ivf_pq`` (pytest-pinned)."""
+    from pyspark.sql import functions as F2
+
+    from .functions import pipeline_queries as pq
+
+    centroids, postings, codebook, codes = read_vector_index(
+        spark, out_dir
+    )
+    cents = [
+        (int(r["cid"]), [float(x) for x in r["cvec"]], float(r["nrm"]))
+        for r in sorted(centroids.collect(), key=lambda r: r["cid"])
+    ]
+    probe_ids = pq._probe_nearest(cents)
+    members = (
+        postings.select("vec_id", "cid")
+        .filter(F2.col("cid").isin(*probe_ids))
+        .select("vec_id")
+    )
+    pruned = codes.join(members, "vec_id", "left_semi")
+    return pq._adc_topk(
+        spark, out_dir, pruned, k=k, lut=pq._pq_lut_from(codebook)
+    )

@@ -311,3 +311,47 @@ def test_minhash_base_rebuild_wipes_ghost_deltas(spark, tmp_path, sf_dir):
     assert got == want
     n_band_rows = bands.count()
     assert stats.agg(F.sum("n")).collect()[0][0] == n_band_rows
+
+
+def test_vector_index_roundtrip_and_geometry_guard(spark, sf_dir, tmp_path):
+    """The persisted vector index must serve the IVF-PQ search
+    byte-equal to the in-session path, and must refuse to search with
+    a mismatched quantizer geometry."""
+    import json
+
+    import pytest
+
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        knn_ivf_pq,
+    )
+    from flink_kafka_replicator_spark.sinks import (
+        VINDEX_META_FILE,
+        knn_ivf_pq_from_index,
+        read_vector_index,
+        write_vector_index,
+    )
+
+    ix = str(tmp_path / "vindex")
+    write_vector_index(spark, sf_dir, ix)
+
+    got = [
+        (r.vec_id, r.adc_dist)
+        for r in knn_ivf_pq_from_index(spark, ix).collect()
+    ]
+    want = [
+        (r.vec_id, r.adc_dist) for r in knn_ivf_pq(spark, sf_dir).collect()
+    ]
+    assert got == want, "from-index search != in-session search"
+
+    # not-an-index → descriptive error
+    (tmp_path / "novindex").mkdir()
+    with pytest.raises(FileNotFoundError, match="not a vector index"):
+        read_vector_index(spark, str(tmp_path / "novindex"))
+
+    # geometry mismatch → loud refusal
+    meta_path = tmp_path / "vindex" / VINDEX_META_FILE
+    meta = json.loads(meta_path.read_text())
+    meta["pq_m"] = 4
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        knn_ivf_pq_from_index(spark, ix)
