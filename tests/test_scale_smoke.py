@@ -347,3 +347,41 @@ def test_funnel_retention_at_100x_linear(spark, big100_dir):
         assert t_big < max(t_small, 0.2) * COPIES100 * 3, (
             f"{q.__name__} superlinear: {t_big:.1f}s vs {t_small:.1f}s"
         )
+
+
+def test_quality_classifier_at_100x_linear(spark, big100_dir, monkeypatch):
+    """Round-7 curation classifier at 100× docs: the scorer is a pure
+    map pass (trivially linear), and the TRAINER's model state must
+    stay corpus-size-independent — the weight table is ≤QC_BUCKETS
+    rows at any scale, so train wall-clock tracks the feature-matrix
+    scan, not the model. (The 100× fixture salts every token with a
+    per-copy suffix, so the label token is repointed at copy 0's
+    vocabulary — labels stay non-degenerate.)"""
+    from flink_kafka_replicator_spark.functions import (
+        pipeline_queries as pq,
+    )
+
+    t_small = _timed(pq.quality_classifier_score(spark, SRC))
+    t0 = time.perf_counter()
+    n_big = pq.quality_classifier_score(spark, big100_dir).count()
+    t_big = time.perf_counter() - t0
+    print(f"\nqc score 1x: {t_small:.1f}s; 100x: {t_big:.1f}s/{n_big} docs")
+    assert t_big < max(t_small, 0.2) * COPIES100 * 3
+
+    t_small = _timed(pq.quality_classifier_train(spark, SRC))
+    monkeypatch.setattr(pq, "QC_LABEL_TOKEN", "spark_0")
+    t0 = time.perf_counter()
+    big = pq.quality_classifier_train(spark, big100_dir)
+    n_big = big.count()
+    t_big = time.perf_counter() - t0
+    print(f"\nqc train 1x: {t_small:.1f}s; 100x: {t_big:.1f}s/{n_big} docs")
+    assert t_big < max(t_small, 0.2) * COPIES100 * 3
+    # model state independence: the fitted weight table never exceeds
+    # the bucket count, no matter the corpus size
+    n_w = (
+        pq._qc_features(spark, big100_dir)
+        .select("bucket")
+        .distinct()
+        .count()
+    )
+    assert n_w <= pq.QC_BUCKETS
