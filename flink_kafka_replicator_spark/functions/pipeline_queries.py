@@ -1046,6 +1046,18 @@ def _knn_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
     cents, _ = _ivf_model(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
+    out = materialize_small(_assignment_from(e, cents))
+    _cache_put(_KNN_ASSIGN_CACHE, key, out)
+    return out
+
+
+def _assignment_from(
+    e: DataFrame, cents: list[tuple[int, list[float], float]]
+) -> DataFrame:
+    """The assignment computation over ANY (vec_id, embedding) frame and
+    ANY centroid model — shared by the session path above and the
+    persisted-index delta append (which encodes new vectors with the
+    index's frozen coarse quantizer loaded from disk)."""
     cids = [cid for cid, _, _ in cents]
     masked_least = (
         "least("
@@ -1062,7 +1074,7 @@ def _knn_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold is the same position-ordered SUM as the oracle's
     # list_dot_product, so the carried norm is bit-identical to the
     # oracle's per-pair sqrt(list_dot_product(v,v)) denominators.
-    out = materialize_small(
+    return (
         e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("vec_id")
         .agg(*_dot_sums(cents, include_query=False))
@@ -1077,8 +1089,6 @@ def _knn_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pcid", F.expr(cid2_case))
         .drop("d2")
     )
-    _cache_put(_KNN_ASSIGN_CACHE, key, out)
-    return out
 
 
 def knn_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1507,7 +1517,12 @@ _PQ_CB_SCHEMA = "m int, cid int, c array<double>"
 def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, m, s): every embedding split into its PQ_M subvectors —
     the row layout every PQ stage (train, encode, search LUT) consumes."""
-    e = load_table(spark, sf_dir, "embeddings")
+    return _subvectors_of(load_table(spark, sf_dir, "embeddings"))
+
+
+def _subvectors_of(e: DataFrame) -> DataFrame:
+    """The subvector split over ANY (vec_id, embedding) frame — shared
+    by the session path and the persisted-index delta append."""
     return (
         e.select(
             "vec_id",

@@ -324,35 +324,74 @@ def read_minhash_index(
 VINDEX_META_FILE = "VINDEX_META.json"
 
 
+def _vindex_meta_path(out_dir: str) -> str:
+    import os
+
+    return os.path.join(out_dir, VINDEX_META_FILE)
+
+
+def _read_vindex_meta(out_dir: str) -> dict:
+    import json
+    import os
+
+    path = _vindex_meta_path(out_dir)
+    if not os.path.isfile(path):
+        raise FileNotFoundError(
+            f"{out_dir} is not a vector index: no {VINDEX_META_FILE} — "
+            "build with write_vector_index"
+        )
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _write_vindex_meta(out_dir: str, meta: dict) -> None:
+    import json
+    import os
+
+    path = _vindex_meta_path(out_dir)
+    with open(path + ".tmp", "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    os.replace(path + ".tmp", path)
+
+
 def write_vector_index(
-    spark: SparkSession, sf_dir: str, out_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    df: DataFrame | None = None,
 ) -> None:
     """Persist the ANN index the session's knn/PQ queries build in
     memory as a durable on-disk artifact — the vector-store equivalent
     of ``write_minhash_index``:
 
     - ``centroids/`` — the IVF coarse model (cid, cvec, nrm); ≤16 rows
-      here, O(k·dim) at any scale.
-    - ``postings/`` — the per-vector postings list (vec_id, nrm, cid,
-      pcid): the cell membership + carried norm every search prunes on.
+      here, O(k·dim) at any scale. FROZEN at base build: appends encode
+      new vectors with this quantizer, exactly how real IVF-PQ indexes
+      grow (retraining = rebuilding).
     - ``pq_codebook/`` — the LEARNED per-subspace Lloyd codebook
-      (m, cid, c), ≤PQ_M·PQ_K rows.
-    - ``pq_codes/`` — the per-vector PQ code table (vec_id, m, cid,
-      d2): M bytes/vector of query-time working set, the defining PQ
-      economy.
-    - ``VINDEX_META.json`` — the geometry (PQ_M/PQ_K/PQ_SUBDIM, IVF
-      centroid/probe counts); readers refuse an index whose geometry
-      does not match the running engine rather than silently searching
-      with the wrong quantizer.
+      (m, cid, c), ≤PQ_M·PQ_K rows. Also frozen at base build.
+    - ``postings/delta_id=K/`` — the per-vector postings list (vec_id,
+      nrm, cid, pcid), hive-partitioned by the delta that introduced
+      each vector (base build is delta 0).
+    - ``pq_codes/delta_id=K/`` — the per-vector PQ code table
+      (vec_id, m, cid, d2), same delta partitioning.
+    - ``VINDEX_META.json`` — geometry (PQ_M/PQ_K/PQ_SUBDIM, IVF
+      centroid/probe counts) + the committed-delta pointer (same
+      crash-safety contract as the minhash index: partitions first,
+      pointer swap last; readers see only pointer-committed deltas).
+      Readers refuse an index whose geometry does not match the
+      running engine rather than silently searching with the wrong
+      quantizer.
+
+    ``df`` restricts the INDEXED vectors (vec_id subset) while the
+    models still train on the full corpus — the base-index half of an
+    append test, or a partial backfill. Default: index every vector.
 
     A search process then needs ONLY this directory — see
     :func:`knn_ivf_pq_from_index`, pytest-pinned byte-equal to the
     in-session ``knn_ivf_pq``. At 100 TB this write is the index-build
     job; searches never touch the raw embeddings again (the refined
     path point-fetches only its shortlist)."""
-    import json
-    import os
-
     from .functions import pipeline_queries as pq
 
     cents, _ = pq._ivf_model(spark, sf_dir)
@@ -366,55 +405,116 @@ def write_vector_index(
         .parquet(f"{out_dir}/centroids")
     )
     (
-        pq._knn_assignment(spark, sf_dir)
-        .select("vec_id", "nrm", "cid", "pcid")
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/postings")
-    )
-    (
         pq._pq_codebook(spark, sf_dir)
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{out_dir}/pq_codebook")
     )
-    pq._pq_codes(spark, sf_dir).write.mode("overwrite").parquet(
-        f"{out_dir}/pq_codes"
+    postings = pq._knn_assignment(spark, sf_dir).select(
+        "vec_id", "nrm", "cid", "pcid"
     )
-    meta = {
-        "format_version": 1,
-        "pq_m": pq.PQ_M,
-        "pq_k": pq.PQ_K,
-        "pq_subdim": pq.PQ_SUBDIM,
-        "pq_lloyd_rounds": pq.PQ_LLOYD_ROUNDS,
-        "ivf_n_centroids": pq.IVF_N_CENTROIDS,
-        "ivf_n_probe": pq.IVF_N_PROBE,
-    }
-    fd_path = os.path.join(out_dir, VINDEX_META_FILE)
-    with open(fd_path + ".tmp", "w", encoding="utf-8") as fh:
-        json.dump(meta, fh)
-    os.replace(fd_path + ".tmp", fd_path)
+    codes = pq._pq_codes(spark, sf_dir)
+    if df is not None:
+        ids = df.select("vec_id")
+        postings = postings.join(ids, "vec_id", "left_semi")
+        codes = codes.join(ids, "vec_id", "left_semi")
+    for frame, sub in ((postings, "postings"), (codes, "pq_codes")):
+        (
+            frame.withColumn("delta_id", F.lit(0))
+            .write.mode("overwrite")
+            # static: a rebuild wipes ghost deltas (minhash precedent)
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("delta_id")
+            .parquet(f"{out_dir}/{sub}")
+        )
+    _write_vindex_meta(
+        out_dir,
+        {
+            "format_version": 2,
+            "pq_m": pq.PQ_M,
+            "pq_k": pq.PQ_K,
+            "pq_subdim": pq.PQ_SUBDIM,
+            "pq_lloyd_rounds": pq.PQ_LLOYD_ROUNDS,
+            "ivf_n_centroids": pq.IVF_N_CENTROIDS,
+            "ivf_n_probe": pq.IVF_N_PROBE,
+            "last_delta_id": 0,
+            "delta_ids": [0],
+        },
+    )
+
+
+def append_vector_delta(
+    spark: SparkSession, df: DataFrame, out_dir: str, delta_id: int
+) -> bool:
+    """Extend a persisted vector index with new (vec_id, embedding)
+    rows — WITHOUT rebuilding: the delta is assigned to cells and
+    PQ-encoded with the index's FROZEN coarse quantizer and codebook
+    (loaded from disk), and lands as one postings partition + one code
+    partition. Work ∝ |delta|; the existing index is never rewritten.
+
+    Same idempotency/crash-safety contract as
+    :func:`append_minhash_delta`: contiguous delta ids (a skipped id
+    raises; at-or-below the last commit is a no-op returning False),
+    partitions written before the atomic pointer swap, replays
+    dynamically overwrite only their own partitions. Caller contract:
+    delta vec_ids are new (an index is keyed by vec_id)."""
+    from .functions import pipeline_queries as pq
+
+    meta = _read_vindex_meta(out_dir)
+    if delta_id <= meta["last_delta_id"]:
+        return False
+    if delta_id != meta["last_delta_id"] + 1:
+        raise ValueError(
+            f"append_vector_delta: delta_id {delta_id} would skip ids "
+            f"(last committed is {meta['last_delta_id']}); delta ids "
+            "must be contiguous so uncommitted partitions stay invisible"
+        )
+    cents = [
+        (int(r["cid"]), [float(x) for x in r["cvec"]], float(r["nrm"]))
+        for r in sorted(
+            spark.read.parquet(f"{out_dir}/centroids").collect(),
+            key=lambda r: r["cid"],
+        )
+    ]
+    codebook = spark.read.parquet(f"{out_dir}/pq_codebook")
+    e = df.select("vec_id", "embedding")
+    frames = (
+        (
+            pq._assignment_from(e, cents).select(
+                "vec_id", "nrm", "cid", "pcid"
+            ),
+            "postings",
+        ),
+        (pq._pq_assign(pq._subvectors_of(e), codebook), "pq_codes"),
+    )
+    for frame, sub in frames:
+        (
+            frame.withColumn("delta_id", F.lit(delta_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("delta_id")
+            .parquet(f"{out_dir}/{sub}")
+        )
+    committed = meta.get(
+        "delta_ids", list(range(meta["last_delta_id"] + 1))
+    )
+    meta["last_delta_id"] = delta_id
+    meta["delta_ids"] = committed + [delta_id]
+    _write_vindex_meta(out_dir, meta)
+    return True
 
 
 def read_vector_index(
     spark: SparkSession, out_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """(centroids, postings, pq_codebook, pq_codes) from a persisted
-    vector index, after validating its geometry against the running
-    engine's constants — a quantizer-geometry mismatch must fail
-    loudly, not return silently-wrong neighbors."""
-    import json
-    import os
-
+    vector index at its pointer-committed state (postings/codes pruned
+    to committed delta partitions), after validating its geometry
+    against the running engine's constants — a quantizer-geometry
+    mismatch must fail loudly, not return silently-wrong neighbors."""
     from .functions import pipeline_queries as pq
 
-    meta_path = os.path.join(out_dir, VINDEX_META_FILE)
-    if not os.path.isfile(meta_path):
-        raise FileNotFoundError(
-            f"{out_dir} is not a vector index: no {VINDEX_META_FILE} — "
-            "build with write_vector_index"
-        )
-    with open(meta_path, encoding="utf-8") as fh:
-        meta = json.load(fh)
+    meta = _read_vindex_meta(out_dir)
     want = {
         "pq_m": pq.PQ_M,
         "pq_k": pq.PQ_K,
@@ -429,11 +529,22 @@ def read_vector_index(
             f"vector index geometry mismatch (index vs engine): "
             f"{mismatched} — rebuild the index with the current engine"
         )
+    committed = meta.get(
+        "delta_ids", list(range(meta["last_delta_id"] + 1))
+    )
+
+    def pruned(sub: str) -> DataFrame:
+        return (
+            spark.read.parquet(f"{out_dir}/{sub}")
+            .filter(F.col("delta_id").isin(committed))
+            .drop("delta_id")
+        )
+
     return (
         spark.read.parquet(f"{out_dir}/centroids"),
-        spark.read.parquet(f"{out_dir}/postings"),
+        pruned("postings"),
         spark.read.parquet(f"{out_dir}/pq_codebook"),
-        spark.read.parquet(f"{out_dir}/pq_codes"),
+        pruned("pq_codes"),
     )
 
 
@@ -445,10 +556,9 @@ def knn_ivf_pq_from_index(
     arithmetic on the loaded ≤16-row centroid model, membership is a
     left-semi prune of the postings list, scoring is ADC over the
     persisted code table with a LUT derived from the on-disk codebook.
-    No raw embedding is touched. Byte-equal to the in-session
-    ``knn_ivf_pq`` (pytest-pinned)."""
-    from pyspark.sql import functions as F2
-
+    No raw embedding is touched (plan-pinned). Byte-equal to the
+    in-session ``knn_ivf_pq`` (pytest-pinned), including after delta
+    appends (append-then-search equals rebuild-then-search)."""
     from .functions import pipeline_queries as pq
 
     centroids, postings, codebook, codes = read_vector_index(
@@ -461,7 +571,7 @@ def knn_ivf_pq_from_index(
     probe_ids = pq._probe_nearest(cents)
     members = (
         postings.select("vec_id", "cid")
-        .filter(F2.col("cid").isin(*probe_ids))
+        .filter(F.col("cid").isin(*probe_ids))
         .select("vec_id")
     )
     pruned = codes.join(members, "vec_id", "left_semi")

@@ -355,3 +355,72 @@ def test_vector_index_roundtrip_and_geometry_guard(spark, sf_dir, tmp_path):
     meta_path.write_text(json.dumps(meta))
     with pytest.raises(ValueError, match="geometry mismatch"):
         knn_ivf_pq_from_index(spark, ix)
+
+
+def test_vector_index_search_never_scans_embeddings(spark, sf_dir, tmp_path):
+    """The defining economy of the persisted index: the search plan
+    reads ONLY index artifacts (postings, codes, codebook) — the raw
+    embeddings table must not appear in any scan."""
+    from flink_kafka_replicator_spark.sinks import (
+        knn_ivf_pq_from_index,
+        write_vector_index,
+    )
+
+    ix = str(tmp_path / "vindex")
+    write_vector_index(spark, sf_dir, ix)
+    plan = formatted_plan(knn_ivf_pq_from_index(spark, ix))
+    assert "embeddings" not in plan, plan
+
+
+def test_vector_index_delta_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """Vector-index MAINTENANCE: appending new vectors via
+    append_vector_delta (encoded with the FROZEN on-disk quantizer)
+    must leave the index byte-equal to a full build — same postings,
+    same codes — and the from-index search must equal the in-session
+    knn_ivf_pq. Replays no-op; skipped delta ids raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        knn_ivf_pq,
+    )
+    from flink_kafka_replicator_spark.sinks import (
+        append_vector_delta,
+        knn_ivf_pq_from_index,
+        read_vector_index,
+        write_vector_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    even = e.filter(F.col("vec_id") % 2 == 0)
+    odd = e.filter(F.col("vec_id") % 2 == 1)
+
+    full_ix = str(tmp_path / "full")
+    inc_ix = str(tmp_path / "inc")
+    write_vector_index(spark, sf_dir, full_ix)
+    write_vector_index(spark, sf_dir, inc_ix, df=even)
+    with pytest.raises(ValueError, match="contiguous"):
+        append_vector_delta(spark, odd, inc_ix, delta_id=2)
+    assert append_vector_delta(spark, odd, inc_ix, delta_id=1) is True
+
+    def snap(ix):
+        _, postings, _, codes = read_vector_index(spark, ix)
+        return (
+            {tuple(r) for r in postings.collect()},
+            {tuple(r) for r in codes.collect()},
+        )
+
+    assert snap(inc_ix) == snap(full_ix), "delta-extended index != rebuild"
+
+    got = [
+        (r.vec_id, r.adc_dist)
+        for r in knn_ivf_pq_from_index(spark, inc_ix).collect()
+    ]
+    want = [
+        (r.vec_id, r.adc_dist) for r in knn_ivf_pq(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+    # replay is a no-op
+    assert append_vector_delta(spark, odd, inc_ix, delta_id=1) is False
+    assert snap(inc_ix) == snap(full_ix)
