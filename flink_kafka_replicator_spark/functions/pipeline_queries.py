@@ -1887,7 +1887,14 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the arithmetic weight for a broadcast ≤2^D-row learned weight table
     joined map-side; the feature hashing, batch shape, and keep
     semantics are identical."""
-    d = load_table(spark, sf_dir, "documents")
+    return qc_score_of(load_table(spark, sf_dir, "documents"))
+
+
+def qc_score_of(d: DataFrame) -> DataFrame:
+    """The scoring pass over ANY (doc_id, text) frame — a stateless
+    per-row map, so it composes unchanged into a streaming micro-batch
+    (the curation gate of a streaming corpus build; pytest-verified
+    stream==batch in tests/test_streaming_corpus.py)."""
     staged = (
         d.select("doc_id", F.expr("split(text, ' ')").alias("t"))
         .select(

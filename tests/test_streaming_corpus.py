@@ -90,3 +90,57 @@ def test_streaming_corpus_pipeline_dedups_across_batches(spark, tmp_path):
     # sharding is content-addressed: the surviving docs sit in their shard
     shards = {r.doc_id: r.shard for r in spark.read.parquet(str(out)).collect()}
     assert all(0 <= s < 16 for s in shards.values())
+
+
+def test_streaming_corpus_with_classifier_gate(spark, tmp_path):
+    """Round 7: the trained-classifier curation gate in the streaming
+    ingest path. The scorer is a stateless per-row map, so the stream
+    must keep EXACTLY the docs the batch scorer keeps — and the gate
+    must actually discriminate on this corpus (some kept, some
+    dropped)."""
+    import os
+
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        qc_score_of,
+    )
+    from flink_kafka_replicator_spark.io import load_table
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.coalesce(2).write.parquet(src)
+    out = str(tmp_path / "kept")
+
+    def gate(df, epoch_id):
+        scored = qc_score_of(df)
+        (
+            df.join(
+                scored.filter(F.col("keep")).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    want = {
+        r.doc_id
+        for r in qc_score_of(docs).filter(F.col("keep")).collect()
+    }
+    assert got == want, "streaming gate diverged from batch scorer"
+    n_all = docs.count()
+    assert 0 < len(want) < n_all, "gate must discriminate on the fixture"
