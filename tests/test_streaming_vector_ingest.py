@@ -1,0 +1,82 @@
+"""Streaming vector-index ingestion: micro-batched embedding arrival
+must leave the persisted index byte-equal to a full rebuild, the
+from-index search equal to the in-session path, and a re-run against
+the same checkpoint a no-op (delta replay contract)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from flink_kafka_replicator_spark.functions.pipeline_queries import (
+    knn_ivf_pq,
+)
+from flink_kafka_replicator_spark.io import load_table
+from flink_kafka_replicator_spark.sinks import (
+    knn_ivf_pq_from_index,
+    read_vector_index,
+    write_vector_index,
+)
+from flink_kafka_replicator_spark.streaming.vector_ingest import (
+    start_streaming_vector_ingest,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_streaming_vector_ingest_equals_rebuild(spark, tmp_path):
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    even = e.filter(F.col("vec_id") % 2 == 0)
+    odd = e.filter(F.col("vec_id") % 2 == 1)
+
+    # base index: even vectors, models trained on the full corpus
+    ix = str(tmp_path / "vindex")
+    write_vector_index(spark, SF_DIR, ix, df=even)
+
+    # the stream: odd vectors in two files → two micro-batches
+    src = str(tmp_path / "incoming")
+    odd.filter(F.col("vec_id") % 4 == 1).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    odd.filter(F.col("vec_id") % 4 == 3).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = start_streaming_vector_ingest(
+            spark, stream, ix, str(tmp_path / "ck"), available_now=True
+        )
+        q.awaitTermination(180)
+
+    run()
+
+    full_ix = str(tmp_path / "full")
+    write_vector_index(spark, SF_DIR, full_ix)
+
+    def snap(d):
+        _, postings, _, codes = read_vector_index(spark, d)
+        return (
+            {tuple(r) for r in postings.collect()},
+            {tuple(r) for r in codes.collect()},
+        )
+
+    assert snap(ix) == snap(full_ix), "streamed index != full rebuild"
+
+    got = [
+        (r.vec_id, r.adc_dist)
+        for r in knn_ivf_pq_from_index(spark, ix).collect()
+    ]
+    want = [
+        (r.vec_id, r.adc_dist) for r in knn_ivf_pq(spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+    # same checkpoint, same source: nothing to process, index unchanged
+    run()
+    assert snap(ix) == snap(full_ix)
