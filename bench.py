@@ -105,6 +105,7 @@ HEADLINE = list(R2_BASKET) + [
     "knn_recall_family",
     "quality_classifier_score",
     "quality_classifier_train",
+    "dedup_semantic_clusters",
 ]
 
 

@@ -717,6 +717,78 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup cosine threshold — fixture-calibrated: the synthetic
+# embeddings carry no planted near-dup structure (max in-cell cosine
+# ≈0.49), so the production-typical τ≈0.9 would make the component
+# graph empty and the oracle trivially green; 0.42 sits at the ≈99.9th
+# in-cell percentile, giving a small non-trivial graph (4/6/91 pairs at
+# sf 0.001/0.01/0.1) that actually exercises clustering + survivor
+# selection. A real deployment raises τ; the plan is unchanged.
+SEMDEDUP_TAU = 0.42
+
+# semantic CC labels memoized per (session, dataset) — the propagation
+# loop is driver-coordinated (like _cc_labels), first build only
+_SEM_LABEL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup in
+    embedding space — cluster the corpus (the IVF cell assignment IS the
+    k-means clustering), score exact cosine only WITHIN cells (the
+    pruning that makes the quadratic pair scan Σ|cell|², never |V|²),
+    threshold at SEMDEDUP_TAU, run connected components over the
+    semantic near-dup graph (the pointer-doubling CC — log-diameter
+    rounds), and keep one canonical survivor (min vec_id) per semantic
+    group. Output: every vector with its semantic cluster id and the
+    keep decision — the row-level deletion list the curation pipeline
+    executes. Completes the dedup family's semantic rung: exact (md5),
+    fuzzy (MinHash), sub-document (paragraph), embedding-pairs
+    (hyperplane LSH), and now cluster-scoped semantic groups.
+
+    Scope note vs dedup_embedding_cosine: that query verifies LSH
+    bucketing against ALL pairs; this one deliberately restricts
+    near-dup search to the IVF cell — SemDeDup's own design, where
+    cross-cluster near-dups are accepted misses, the price of linear
+    scaling.
+
+    Plan: the in-cell pair artifact is the SAME materialized half-pair
+    table every knn query shares (zero recompute); CC runs on the tiny
+    thresholded graph; the final join is labels (small) into the vector
+    list. Oracle: brute-force in-cell pairs (replaying the assignment)
+    + a recursive-CTE reachability closure — a match re-verifies the
+    cell assignment, the threshold, and the CC fixed point with integer
+    labels."""
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    labels = _SEM_LABEL_CACHE.get(key)
+    if labels is None:
+        pairs = (
+            _knn_incell_half(spark, sf_dir)
+            .filter(F.col("cos_sim") >= SEMDEDUP_TAU)
+            .select(
+                F.col("qid").alias("doc_a"), F.col("nid").alias("doc_b")
+            )
+        )
+        labels = materialize_small(
+            cc_label_propagation_compressed(pairs)
+        )
+        _cache_put(_SEM_LABEL_CACHE, key, labels)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        e.join(labels, e.vec_id == labels.node, "left")
+        .select(
+            "vec_id",
+            F.coalesce("label", F.col("vec_id"))
+            .cast("bigint")
+            .alias("cluster_id"),
+        )
+        .select(
+            "vec_id",
+            "cluster_id",
+            (F.col("vec_id") == F.col("cluster_id")).alias("keep"),
+        )
+    )
+
+
 # ------------------------------------------------------------- similarity
 
 
@@ -2366,6 +2438,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_semantic_clusters": dedup_semantic_clusters,
     "sim_cosine_scores": sim_cosine_scores,
     "sim_topk_cosine": sim_topk_cosine,
     "sim_topk_ivf": sim_topk_ivf,
@@ -2946,6 +3019,34 @@ ORACLES = {
             SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node
         )
         SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    """,
+    # replays cell assignment → in-cell thresholded pairs → recursive
+    # reachability closure → min-label clusters + survivor decision
+    "dedup_semantic_clusters": f"""
+        WITH RECURSIVE v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ),
+        c AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 16),
+        asg AS {_duck_asg('v', 'c')},
+        p AS (
+            SELECT a.vec_id AS da, b.vec_id AS db
+            FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE ROUND({_duck_cos('a.vec', 'b.vec')}, 4) >= {SEMDEDUP_TAU}
+        ),
+        e AS (SELECT da AS a, db AS b FROM p
+              UNION SELECT db, da FROM p),
+        n AS (SELECT DISTINCT a AS node FROM e),
+        reach(node, r) AS (
+            SELECT node, node FROM n
+            UNION
+            SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node
+        ),
+        lab AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+        SELECT emb.vec_id,
+               CAST(COALESCE(lab.cluster_id, emb.vec_id) AS BIGINT)
+                   AS cluster_id,
+               emb.vec_id = COALESCE(lab.cluster_id, emb.vec_id) AS keep
+        FROM embeddings emb LEFT JOIN lab ON lab.node = emb.vec_id
     """,
     "sim_topk_ivf_kmeans": _KMEANS_ORACLE,
     "sim_topk_cosine": f"""

@@ -285,6 +285,7 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "knn_recall_family",
     "quality_classifier_score",
     "quality_classifier_train",
+    "dedup_semantic_clusters",
 )
 
 

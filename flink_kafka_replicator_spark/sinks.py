@@ -515,6 +515,12 @@ def read_vector_index(
     from .functions import pipeline_queries as pq
 
     meta = _read_vindex_meta(out_dir)
+    if "last_delta_id" not in meta:
+        raise ValueError(
+            f"vector index at {out_dir} uses format_version "
+            f"{meta.get('format_version')} (pre-delta layout) — rebuild "
+            "with write_vector_index"
+        )
     want = {
         "pq_m": pq.PQ_M,
         "pq_k": pq.PQ_K,
@@ -549,7 +555,10 @@ def read_vector_index(
 
 
 def knn_ivf_pq_from_index(
-    spark: SparkSession, out_dir: str, k: int = 10
+    spark: SparkSession,
+    out_dir: str,
+    k: int = 10,
+    n_probe: int | None = None,
 ) -> DataFrame:
     """The full IVF-PQ search served purely from a persisted index —
     the production read path at rest: coarse probe selection is driver
@@ -558,9 +567,15 @@ def knn_ivf_pq_from_index(
     persisted code table with a LUT derived from the on-disk codebook.
     No raw embedding is touched (plan-pinned). Byte-equal to the
     in-session ``knn_ivf_pq`` (pytest-pinned), including after delta
-    appends (append-then-search equals rebuild-then-search)."""
+    appends (append-then-search equals rebuild-then-search).
+
+    ``n_probe`` is the search-time recall/cost dial (default: the
+    index's build-time setting): work ∝ probed fraction of the corpus.
+    Probing every cell degenerates to the unpruned full-ADC scan —
+    pytest pins that identity against ``knn_pq_adc``."""
     from .functions import pipeline_queries as pq
 
+    meta = _read_vindex_meta(out_dir)
     centroids, postings, codebook, codes = read_vector_index(
         spark, out_dir
     )
@@ -568,7 +583,9 @@ def knn_ivf_pq_from_index(
         (int(r["cid"]), [float(x) for x in r["cvec"]], float(r["nrm"]))
         for r in sorted(centroids.collect(), key=lambda r: r["cid"])
     ]
-    probe_ids = pq._probe_nearest(cents)
+    probe_ids = pq._probe_nearest(
+        cents, n_probe=n_probe or meta["ivf_n_probe"]
+    )
     members = (
         postings.select("vec_id", "cid")
         .filter(F.col("cid").isin(*probe_ids))

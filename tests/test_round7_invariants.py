@@ -139,3 +139,37 @@ def test_quality_classifier_train_beats_majority_baseline(spark, sf_dir):
     thetas = {r.theta for r in rows}
     assert len(thetas) == 1, "theta must be a single learned scalar"
     assert thetas != {0}, "theta must be learned, not the default 0"
+
+
+def test_round7_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-7 surface: the trainer's weight and
+    threshold tables must reach the scoring joins as broadcasts (a
+    shuffle join against a <=256-row model would be a regression), and
+    the recall family must never degrade to a CartesianProduct (its
+    only non-equi join is the bounded-sample broadcast nested loop)."""
+    from flink_kafka_replicator_spark.plans import formatted_plan
+
+    train_plan = formatted_plan(pq.quality_classifier_train(spark, sf_dir))
+    assert "BroadcastHashJoin" in train_plan
+    assert "CartesianProduct" not in train_plan
+
+    fam_plan = formatted_plan(pq.knn_recall_family(spark, sf_dir))
+    assert "CartesianProduct" not in fam_plan
+
+
+def test_semantic_dedup_clusters_are_component_minima(spark, sf_dir):
+    """SemDeDup invariants on the fixture: the threshold must yield a
+    NON-trivial graph (some vectors dropped — a τ that empties the
+    graph makes the oracle trivially green), every cluster id is the
+    min vec_id of its members, and exactly one survivor is kept per
+    cluster."""
+    rows = pq.dedup_semantic_clusters(spark, sf_dir).collect()
+    dropped = [r for r in rows if not r.keep]
+    assert dropped, "fixture must produce at least one semantic dup"
+    assert len(dropped) < len(rows)
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m.vec_id for m in members)
+        assert sum(1 for m in members if m.keep) == 1

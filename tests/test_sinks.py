@@ -424,3 +424,31 @@ def test_vector_index_delta_append_equals_rebuild(spark, sf_dir, tmp_path):
     # replay is a no-op
     assert append_vector_delta(spark, odd, inc_ix, delta_id=1) is False
     assert snap(inc_ix) == snap(full_ix)
+
+
+def test_vector_index_probe_dial_degenerates_to_full_adc(
+    spark, sf_dir, tmp_path
+):
+    """n_probe is the search-time recall/cost dial: probing EVERY cell
+    must equal the unpruned full-ADC scan (knn_pq_adc) exactly."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        IVF_N_CENTROIDS,
+        knn_pq_adc,
+    )
+    from flink_kafka_replicator_spark.sinks import (
+        knn_ivf_pq_from_index,
+        write_vector_index,
+    )
+
+    ix = str(tmp_path / "vindex")
+    write_vector_index(spark, sf_dir, ix)
+    got = [
+        (r.vec_id, r.adc_dist)
+        for r in knn_ivf_pq_from_index(
+            spark, ix, n_probe=IVF_N_CENTROIDS
+        ).collect()
+    ]
+    want = [
+        (r.vec_id, r.adc_dist) for r in knn_pq_adc(spark, sf_dir).collect()
+    ]
+    assert got == want
