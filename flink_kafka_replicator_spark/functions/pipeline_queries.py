@@ -1423,13 +1423,32 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_EVAL_SAMPLE = 50
 
 
+# the exact-truth eval artifact, memoized per (session, dataset): both
+# recall reports (single-probe and family) read the same ground truth,
+# and a real deployment computes it once per index build, not per query
+_KNN_TRUTH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _knn_exact_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, neighbor_id): EXACT brute-force top-KNN_K neighbors for
     the bounded eval sample — the shared ground truth of every recall
-    measurement (single-probe and family-wide). Costs |sample|×|V|
-    scored pairs via a broadcast of the sample over the column-layout
-    vector store: map-side, no shuffle of the index, linear in corpus
-    size."""
+    measurement (single-probe and family-wide). Materialized + memoized
+    (see cache note above); the plan-shape test inspects the LAZY
+    :func:`_knn_exact_truth_plan` underneath."""
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    cached = _KNN_TRUTH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = materialize_small(_knn_exact_truth_plan(spark, sf_dir))
+    _cache_put(_KNN_TRUTH_CACHE, key, out)
+    return out
+
+
+def _knn_exact_truth_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy truth plan: |sample|×|V| scored pairs via a broadcast
+    of the bounded sample over the column-layout vector store —
+    map-side, no shuffle of the index, linear in corpus size (the one
+    sanctioned nested loop, plan-pinned)."""
     from .similarity import unrolled_product_sum
 
     v, dim = _knn_vectors(spark, sf_dir)
