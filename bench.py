@@ -106,6 +106,7 @@ HEADLINE = list(R2_BASKET) + [
     "quality_classifier_score",
     "quality_classifier_train",
     "dedup_semantic_clusters",
+    "contamination_semantic",
 ]
 
 

@@ -789,6 +789,44 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark-decontamination screen: which TRAINING
+    vectors are embedding-near-duplicates of a BENCHMARK vector — the
+    embedding-space sibling of contamination_ngram (n-gram overlap
+    catches verbatim leakage; cosine proximity catches paraphrased
+    leakage, the modern eval-contamination concern). Split convention
+    as in dedup_incremental: even vec_ids = training corpus, odd =
+    benchmark.
+
+    Plan: reuses the SAME materialized in-cell half-pair artifact as
+    the knn family and SemDeDup (zero recompute) — candidates are
+    cell-scoped (Σ|cell|², never |train|×|bench|), then parity-filtered
+    to the bipartite subset and thresholded. Output: (train_id,
+    benchmark_id, cos_sim) — the deletion list a decontamination pass
+    executes against the training corpus.
+
+    Oracle: assignment replay + brute-force bipartite in-cell pairs —
+    a match re-verifies the cell scoping loses nothing vs the
+    quadratic bipartite baseline at test scale."""
+    pairs = _knn_incell_half(spark, sf_dir).filter(
+        F.col("cos_sim") >= SEMDEDUP_TAU
+    )
+    bipartite = pairs.filter(
+        (F.col("qid") % 2) != (F.col("nid") % 2)
+    )
+    return bipartite.select(
+        F.when(F.col("qid") % 2 == 0, F.col("qid"))
+        .otherwise(F.col("nid"))
+        .cast("bigint")
+        .alias("train_id"),
+        F.when(F.col("qid") % 2 == 1, F.col("qid"))
+        .otherwise(F.col("nid"))
+        .cast("bigint")
+        .alias("benchmark_id"),
+        "cos_sim",
+    )
+
+
 # ------------------------------------------------------------- similarity
 
 
@@ -2458,6 +2496,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic_clusters": dedup_semantic_clusters,
+    "contamination_semantic": contamination_semantic,
     "sim_cosine_scores": sim_cosine_scores,
     "sim_topk_cosine": sim_topk_cosine,
     "sim_topk_ivf": sim_topk_ivf,
@@ -3066,6 +3105,22 @@ ORACLES = {
                    AS cluster_id,
                emb.vec_id = COALESCE(lab.cluster_id, emb.vec_id) AS keep
         FROM embeddings emb LEFT JOIN lab ON lab.node = emb.vec_id
+    """,
+    # assignment replay + brute-force bipartite in-cell pairs
+    "contamination_semantic": f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ),
+        c AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 16),
+        asg AS {_duck_asg('v', 'c')}
+        SELECT CASE WHEN a.vec_id % 2 = 0 THEN a.vec_id ELSE b.vec_id END
+                   AS train_id,
+               CASE WHEN a.vec_id % 2 = 1 THEN a.vec_id ELSE b.vec_id END
+                   AS benchmark_id,
+               ROUND({_duck_cos('a.vec', 'b.vec')}, 4) AS cos_sim
+        FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE (a.vec_id % 2) <> (b.vec_id % 2)
+          AND ROUND({_duck_cos('a.vec', 'b.vec')}, 4) >= {SEMDEDUP_TAU}
     """,
     "sim_topk_ivf_kmeans": _KMEANS_ORACLE,
     "sim_topk_cosine": f"""

@@ -286,6 +286,7 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "quality_classifier_score",
     "quality_classifier_train",
     "dedup_semantic_clusters",
+    "contamination_semantic",
 )
 
 

@@ -173,3 +173,14 @@ def test_semantic_dedup_clusters_are_component_minima(spark, sf_dir):
     for cid, members in by_cluster.items():
         assert cid == min(m.vec_id for m in members)
         assert sum(1 for m in members if m.keep) == 1
+
+
+def test_contamination_semantic_bipartite_convention(spark, sf_dir):
+    """The decontamination screen must produce a non-empty bipartite
+    result on the fixture with the even=train / odd=benchmark split
+    honored on every row."""
+    rows = pq.contamination_semantic(spark, sf_dir).collect()
+    assert rows, "fixture must contain at least one semantic overlap"
+    for r in rows:
+        assert r.train_id % 2 == 0 and r.benchmark_id % 2 == 1, r
+        assert r.cos_sim >= pq.SEMDEDUP_TAU
