@@ -56,6 +56,53 @@ def read_corpus_shard(spark: SparkSession, out_dir: str, shard: int) -> DataFram
     return spark.read.parquet(out_dir).filter(F.col("shard") == shard)
 
 
+def compact_corpus_shards(
+    spark: SparkSession, out_dir: str, files_per_shard: int = 1
+) -> dict[str, int]:
+    """Small-file compaction for the sharded corpus sink — the
+    maintenance job every streaming-appended table needs at scale:
+    micro-batch appends accrete one-or-more files per shard per batch,
+    and a year of 1-minute batches turns each shard directory into
+    ~500k tiny files whose listing + open overhead dwarfs the data
+    read. Rewrites every shard's rows into ``files_per_shard`` files
+    via a shard-keyed repartition (rows never move BETWEEN shards —
+    content-hash sharding is stable by construction, so compaction is
+    a pure physical rewrite), then dynamically overwrites each shard
+    partition in place: concurrent readers of the committed data see
+    either the old files or the new, never a mix of shards half-done
+    with rows lost.
+
+    Returns {"files_before": n, "files_after": m} so callers (and
+    tests) can assert the rewrite actually shrank the layout."""
+    import glob as _glob
+    import os
+
+    def _count_files() -> int:
+        return len(
+            _glob.glob(
+                os.path.join(out_dir, "**", "*.parquet"), recursive=True
+            )
+        )
+
+    before = _count_files()
+    # eager checkpoint BEFORE the overwrite: truncating the lineage
+    # means the write job no longer references the files it replaces
+    # (Spark refuses to overwrite a path it is actively reading).
+    # Single-JVM this pins rows in the block manager; a cluster
+    # deployment points spark.checkpoint.dir at reliable storage or
+    # compacts into a sibling dir + swap instead.
+    df = spark.read.parquet(out_dir).localCheckpoint()
+    n_shards = df.select("shard").distinct().count()
+    (
+        df.repartition(n_shards * files_per_shard, "shard")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return {"files_before": before, "files_after": _count_files()}
+
+
 # ------------------------------------------------------------ near-dup index
 
 BANDS_SUBDIR = "bands"

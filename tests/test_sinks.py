@@ -452,3 +452,41 @@ def test_vector_index_probe_dial_degenerates_to_full_adc(
         (r.vec_id, r.adc_dist) for r in knn_pq_adc(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_compact_corpus_shards_shrinks_files_preserves_rows(
+    spark, sf_dir, tmp_path
+):
+    """Small-file compaction: after several appends fragment the shard
+    dirs, compaction must cut the file count to ~files_per_shard per
+    shard while preserving EXACTLY the same rows in the same shards
+    (content-hash sharding is stable — compaction is a pure physical
+    rewrite)."""
+    from flink_kafka_replicator_spark.sinks import compact_corpus_shards
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    out = str(tmp_path / "corpus")
+    # fragment: four appends, several files each
+    from flink_kafka_replicator_spark.sinks import with_shard
+
+    for i in range(4):
+        part = d.filter((d.doc_id % 4) == i)
+        with_shard(part).repartition(6).write.mode("append").partitionBy(
+            "shard"
+        ).parquet(out)
+
+    before_rows = {
+        (r.doc_id, r.shard) for r in spark.read.parquet(out).collect()
+    }
+    stats = compact_corpus_shards(spark, out, files_per_shard=1)
+    after_rows = {
+        (r.doc_id, r.shard) for r in spark.read.parquet(out).collect()
+    }
+    assert after_rows == before_rows, "compaction must not change data"
+    assert stats["files_after"] < stats["files_before"], stats
+    n_shards = spark.read.parquet(out).select("shard").distinct().count()
+    assert stats["files_after"] <= n_shards * 2, stats
