@@ -160,3 +160,38 @@ def test_shingle_count_bound(spark, texts):
     ).collect()
     for r in rows:
         assert 1 <= r["n_sh"] <= max(r["n_toks"] - 2, 1), dict(r.asDict())
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=1,
+    max_size=30,
+).filter(lambda es: any(a != b for a, b in es))
+
+
+@given(spec=edge_lists)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cc_compressed_equals_plain_on_random_graphs(spark, spec):
+    """Pointer-doubling CC (the round-7 production path) must reach the
+    SAME fixed point as plain min-label propagation on arbitrary graphs
+    — the compression step may only accelerate convergence, never
+    change the component labels."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        cc_label_propagation,
+        cc_label_propagation_compressed,
+    )
+
+    edges = [(a, b) for a, b in spec if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    plain = {
+        (r.node, r.label)
+        for r in cc_label_propagation(pairs, max_iters=40).collect()
+    }
+    comp = {
+        (r.node, r.label)
+        for r in cc_label_propagation_compressed(
+            pairs, max_iters=12
+        ).collect()
+    }
+    assert comp == plain
