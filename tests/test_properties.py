@@ -195,3 +195,35 @@ def test_cc_compressed_equals_plain_on_random_graphs(spark, spec):
         ).collect()
     }
     assert comp == plain
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_norm_texts)
+def test_quality_classifier_score_invariants(spark, texts):
+    """Classifier scoring on arbitrary text: n_features equals tokens +
+    bigrams (2·n−1, or n when n<2), and the keep decision agrees in
+    sign with the quantized logit (keep ⇒ logit ≥ 0, drop ⇒ ≤ 0) —
+    the exact-integer decision and its float-normalized view must
+    never disagree, on any input."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        qc_score_of,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = (
+        qc_score_of(df)
+        .join(df.select("doc_id", F.size(F.split("text", " ")).alias("n")), "doc_id")
+        .collect()
+    )
+    assert len(rows) == len(texts)
+    for r in rows:
+        want = r.n if r.n < 2 else 2 * r.n - 1
+        assert r.n_features == want, r
+        if r.keep:
+            assert r.logit >= 0.0, r
+        else:
+            assert r.logit <= 0.0, r
