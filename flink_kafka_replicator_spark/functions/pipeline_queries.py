@@ -1994,14 +1994,22 @@ QC_WEIGHT_MOD = 2001  # integer weights land in [-1000, 1000]
 QC_SCALE = "1000.0D"
 
 
+def _qc_bucket(g: str) -> str:
+    """SQL fragment: the md5 feature bucket of n-gram expression ``g``
+    — the ONE definition both the scorer's weight hash and the
+    trainer's feature matrix compose, so they can never drift onto
+    different bucketings."""
+    return (
+        f"(cast(conv(substring(md5({g}), 1, 8), 16, 10) as bigint)"
+        f" % {QC_BUCKETS})"
+    )
+
+
 def _qc_weight(g: str) -> str:
     """SQL fragment: the integer weight of n-gram expression ``g`` —
     md5-bucket then a multiplicative scramble, all int64 arithmetic
     (max intermediate 255·QC_MULT < 2^40)."""
-    return (
-        f"(((cast(conv(substring(md5({g}), 1, 8), 16, 10) as bigint)"
-        f" % {QC_BUCKETS}) * {QC_MULT}) % {QC_WEIGHT_MOD}) - 1000"
-    )
+    return f"(({_qc_bucket(g)} * {QC_MULT}) % {QC_WEIGHT_MOD}) - 1000"
 
 
 def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2079,10 +2087,7 @@ def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     d = load_table(spark, sf_dir, "documents")
-    bucket = (
-        "(cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint)"
-        f" % {QC_BUCKETS})"
-    )
+    bucket = _qc_bucket("g")
     out = materialize_small(
         d.select("doc_id", F.expr("split(text, ' ')").alias("t"))
         .select(
@@ -2198,11 +2203,18 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("f") * F.col("w")).alias("s")),
         "doc_id",
     )
+    # class-wide sums in DECIMAL(38,0): per-doc scores are int64-safe
+    # (docstring bound ~2.6e14) but summing a class of them overflows
+    # BIGINT past ~3.5e4 worst-case docs — DuckDB promotes SUM(BIGINT)
+    # to HUGEINT, so Spark must sum exactly too or theta diverges.
+    # The MEANS are back under the per-doc bound, so theta stays int64.
     theta = scored.crossJoin(broadcast(counts)).agg(
         F.expr(
-            "((sum(case when y > 0 then s else 0L end) div max(n_pos))"
-            " + (sum(case when y < 0 then s else 0L end) div max(n_neg)))"
-            " div 2"
+            "cast(((sum(case when y > 0 then cast(s as decimal(38,0))"
+            " else cast(0 as decimal(38,0)) end) div max(n_pos))"
+            " + (sum(case when y < 0 then cast(s as decimal(38,0))"
+            " else cast(0 as decimal(38,0)) end) div max(n_neg)))"
+            " div 2 as bigint)"
         ).alias("theta")
     )
     return scored.crossJoin(broadcast(theta)).select(
@@ -2537,10 +2549,12 @@ _STOPLIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 _QV = f"{QUERY_VEC!r}::DOUBLE[]"
 
 
-# DuckDB twin of _qc_weight: same md5 bucket + multiplicative scramble
+# DuckDB twins of _qc_bucket/_qc_weight: same md5 bucket (one
+# definition, composed by both the weight scramble and the trainer's
+# feature CTE) + the same multiplicative scramble
+_DUCK_QC_BUCKET = f"(('0x' || substr(md5(g), 1, 8))::BIGINT % {QC_BUCKETS})"
 _DUCK_QC_WEIGHT = (
-    f"((((('0x' || substr(md5(g), 1, 8))::BIGINT % {QC_BUCKETS})"
-    f" * {QC_MULT}) % {QC_WEIGHT_MOD}) - 1000)"
+    f"((({_DUCK_QC_BUCKET} * {QC_MULT}) % {QC_WEIGHT_MOD}) - 1000)"
 )
 
 
@@ -2564,6 +2578,36 @@ def _duck_asg(src: str, cents: str) -> str:
             FROM {src} s CROSS JOIN {cents} c)
         WHERE rn = 1
     )"""
+
+
+def _duck_multiprobe_chain(pre: str = "") -> str:
+    """The multiprobe candidate CTE chain ({pre}ranked / {pre}probes /
+    {pre}prim / {pre}pairs) over existing ``v``/``c`` CTEs — ONE
+    definition composed by the standalone knn_ivf_multiprobe oracle AND
+    the recall-family replay, so the twins cannot drift (the module's
+    one-definition rule for SQL fragments)."""
+    return f"""
+        {pre}ranked AS (
+            SELECT s.vec_id, s.vec, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY (1 - {_duck_cos('s.vec', 'c.cvec')}) ASC,
+                                c.cid ASC
+                   ) AS rn
+            FROM v s CROSS JOIN c
+        ),
+        {pre}probes AS (
+            SELECT vec_id, vec, cid FROM {pre}ranked WHERE rn <= {KNN_N_PROBE}
+        ),
+        {pre}prim AS (
+            SELECT vec_id, vec, cid FROM {pre}ranked WHERE rn = 1
+        ),
+        {pre}pairs AS (
+            SELECT q.vec_id AS qid, p.vec_id AS nid,
+                   ROUND({_duck_cos('q.vec', 'p.vec')}, 4) AS cos_sim
+            FROM {pre}probes q JOIN {pre}prim p USING (cid)
+            WHERE q.vec_id <> p.vec_id
+        )"""
 
 
 def _duck_lloyd_update(asg: str) -> str:
@@ -2763,22 +2807,7 @@ ORACLES = {
     "knn_ivf_multiprobe": f"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         c AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < 16),
-        ranked AS (
-            SELECT s.vec_id, s.vec, c.cid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY s.vec_id
-                       ORDER BY (1 - {_duck_cos('s.vec', 'c.cvec')}) ASC, c.cid ASC
-                   ) AS rn
-            FROM v s CROSS JOIN c
-        ),
-        probes AS (SELECT vec_id, vec, cid FROM ranked WHERE rn <= {KNN_N_PROBE}),
-        prim   AS (SELECT vec_id, vec, cid FROM ranked WHERE rn = 1),
-        pairs AS (
-            SELECT q.vec_id AS qid, p.vec_id AS nid,
-                   ROUND({_duck_cos('q.vec', 'p.vec')}, 4) AS cos_sim
-            FROM probes q JOIN prim p USING (cid)
-            WHERE q.vec_id <> p.vec_id
-        )
+        {_duck_multiprobe_chain()}
         SELECT qid AS vec_id, nid AS neighbor_id, cos_sim,
                CAST(rn AS INT) AS rank
         FROM (
@@ -2826,22 +2855,7 @@ ORACLES = {
             WHERE rn <= {KNN_K}
         ),
         stopk AS (SELECT qid, nid FROM topk WHERE qid < {KNN_EVAL_SAMPLE}),
-        mranked AS (
-            SELECT s.vec_id, s.vec, c.cid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY s.vec_id
-                       ORDER BY (1 - {_duck_cos('s.vec', 'c.cvec')}) ASC,
-                                c.cid ASC) AS rn
-            FROM v s CROSS JOIN c
-        ),
-        mprobes AS (SELECT vec_id, vec, cid FROM mranked WHERE rn <= {KNN_N_PROBE}),
-        mprim   AS (SELECT vec_id, vec, cid FROM mranked WHERE rn = 1),
-        mpairs AS (
-            SELECT q.vec_id AS qid, p.vec_id AS nid,
-                   ROUND({_duck_cos('q.vec', 'p.vec')}, 4) AS cos_sim
-            FROM mprobes q JOIN mprim p USING (cid)
-            WHERE q.vec_id <> p.vec_id
-        ),
+        {_duck_multiprobe_chain("m")},
         mtopk AS (
             SELECT qid, nid FROM (
                 SELECT *, ROW_NUMBER() OVER (
@@ -3228,8 +3242,7 @@ ORACLES = {
         ),
         feat AS (
             SELECT doc_id,
-                   ('0x' || substr(md5(g), 1, 8))::BIGINT % {QC_BUCKETS}
-                       AS bucket,
+                   {_DUCK_QC_BUCKET} AS bucket,
                    (COUNT(*) * 1000) // MAX(tot) AS f
             FROM (SELECT doc_id, len(feats) AS tot, UNNEST(feats) AS g
                   FROM fx)

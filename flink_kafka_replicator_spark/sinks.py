@@ -64,8 +64,8 @@ def compact_corpus_shards(
     micro-batch appends accrete one-or-more files per shard per batch,
     and a year of 1-minute batches turns each shard directory into
     ~500k tiny files whose listing + open overhead dwarfs the data
-    read. Rewrites every shard's rows into ``files_per_shard`` files
-    via a shard-keyed repartition (rows never move BETWEEN shards —
+    read. Rewrites every shard's rows into ~``files_per_shard`` files
+    via a (shard, salt)-keyed repartition (rows never move BETWEEN shards —
     content-hash sharding is stable by construction, so compaction is
     a pure physical rewrite), then dynamically overwrites each shard
     partition in place: concurrent readers of the committed data see
@@ -93,8 +93,17 @@ def compact_corpus_shards(
     # compacts into a sibling dir + swap instead.
     df = spark.read.parquet(out_dir).localCheckpoint()
     n_shards = df.select("shard").distinct().count()
+    # repartition on (shard, salt): hashing shard ALONE would collapse
+    # each shard into one task/file regardless of files_per_shard; the
+    # salt splits a shard's rows across exactly files_per_shard tasks
+    data_cols = [c for c in df.columns if c != "shard"]
+    first_col = data_cols[0]
     (
-        df.repartition(n_shards * files_per_shard, "shard")
+        df.withColumn(
+            "_salt", F.pmod(F.hash(first_col), F.lit(files_per_shard))
+        )
+        .repartition(n_shards * files_per_shard, "shard", "_salt")
+        .drop("_salt")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("shard")
@@ -177,6 +186,19 @@ def write_minhash_index(
     bands_path = f"{out_dir}/{BANDS_SUBDIR}"
     from .functions.similarity import banded_minhash
 
+    # An in-place REBUILD over an existing index must first retract the
+    # meta pointer: the static overwrite below wipes old delta
+    # partitions, and a crash between that wipe and the new pointer
+    # swap would otherwise leave the OLD meta referencing vanished
+    # deltas — a reader would silently see a truncated index paired
+    # with stale stats. With the pointer gone, the crash window reads
+    # as a loud "rebuild required" instead.
+    import os as _os
+
+    try:
+        _os.remove(_index_meta_path(out_dir))
+    except FileNotFoundError:
+        pass
     (
         banded_minhash(df, id_col, text_col)
         .select(F.col(id_col), "band_key")
@@ -401,6 +423,37 @@ def _write_vindex_meta(out_dir: str, meta: dict) -> None:
     os.replace(path + ".tmp", path)
 
 
+def _check_vindex_geometry(meta: dict, out_dir: str) -> None:
+    """Refuse any index whose quantizer geometry does not match the
+    running engine — on the READ path (silently-wrong neighbors
+    otherwise) AND on the APPEND path (an engine with different
+    PQ_M/PQ_SUBDIM would slice delta subvectors against an
+    incompatible on-disk codebook and pointer-commit corrupt code
+    partitions)."""
+    from .functions import pipeline_queries as pq
+
+    if "last_delta_id" not in meta:
+        raise ValueError(
+            f"vector index at {out_dir} uses format_version "
+            f"{meta.get('format_version')} (pre-delta layout) — rebuild "
+            "with write_vector_index"
+        )
+    want = {
+        "pq_m": pq.PQ_M,
+        "pq_k": pq.PQ_K,
+        "pq_subdim": pq.PQ_SUBDIM,
+        "ivf_n_centroids": pq.IVF_N_CENTROIDS,
+    }
+    mismatched = {
+        k: (meta.get(k), v) for k, v in want.items() if meta.get(k) != v
+    }
+    if mismatched:
+        raise ValueError(
+            f"vector index geometry mismatch (index vs engine): "
+            f"{mismatched} — rebuild the index with the current engine"
+        )
+
+
 def write_vector_index(
     spark: SparkSession,
     sf_dir: str,
@@ -439,8 +492,18 @@ def write_vector_index(
     in-session ``knn_ivf_pq``. At 100 TB this write is the index-build
     job; searches never touch the raw embeddings again (the refined
     path point-fetches only its shortlist)."""
+    import os as _os
+
     from .functions import pipeline_queries as pq
 
+    # retract the pointer before the static overwrites below wipe old
+    # delta partitions — a crash mid-rebuild must read as a loud
+    # "rebuild required", never as a truncated index under stale meta
+    # (same contract as write_minhash_index)
+    try:
+        _os.remove(_vindex_meta_path(out_dir))
+    except FileNotFoundError:
+        pass
     cents, _ = pq._ivf_model(spark, sf_dir)
     (
         spark.createDataFrame(
@@ -508,6 +571,7 @@ def append_vector_delta(
     from .functions import pipeline_queries as pq
 
     meta = _read_vindex_meta(out_dir)
+    _check_vindex_geometry(meta, out_dir)
     if delta_id <= meta["last_delta_id"]:
         return False
     if delta_id != meta["last_delta_id"] + 1:
@@ -562,26 +626,7 @@ def read_vector_index(
     from .functions import pipeline_queries as pq
 
     meta = _read_vindex_meta(out_dir)
-    if "last_delta_id" not in meta:
-        raise ValueError(
-            f"vector index at {out_dir} uses format_version "
-            f"{meta.get('format_version')} (pre-delta layout) — rebuild "
-            "with write_vector_index"
-        )
-    want = {
-        "pq_m": pq.PQ_M,
-        "pq_k": pq.PQ_K,
-        "pq_subdim": pq.PQ_SUBDIM,
-        "ivf_n_centroids": pq.IVF_N_CENTROIDS,
-    }
-    mismatched = {
-        k: (meta.get(k), v) for k, v in want.items() if meta.get(k) != v
-    }
-    if mismatched:
-        raise ValueError(
-            f"vector index geometry mismatch (index vs engine): "
-            f"{mismatched} — rebuild the index with the current engine"
-        )
+    _check_vindex_geometry(meta, out_dir)
     committed = meta.get(
         "delta_ids", list(range(meta["last_delta_id"] + 1))
     )
@@ -630,9 +675,11 @@ def knn_ivf_pq_from_index(
         (int(r["cid"]), [float(x) for x in r["cvec"]], float(r["nrm"]))
         for r in sorted(centroids.collect(), key=lambda r: r["cid"])
     ]
-    probe_ids = pq._probe_nearest(
-        cents, n_probe=n_probe or meta["ivf_n_probe"]
-    )
+    if n_probe is None:
+        n_probe = meta["ivf_n_probe"]
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    probe_ids = pq._probe_nearest(cents, n_probe=n_probe)
     members = (
         postings.select("vec_id", "cid")
         .filter(F.col("cid").isin(*probe_ids))

@@ -490,3 +490,12 @@ def test_compact_corpus_shards_shrinks_files_preserves_rows(
     assert stats["files_after"] < stats["files_before"], stats
     n_shards = spark.read.parquet(out).select("shard").distinct().count()
     assert stats["files_after"] <= n_shards * 2, stats
+
+    # files_per_shard > 1 must actually SPLIT shards across files (the
+    # salt column in the repartition keys; hashing shard alone would
+    # collapse each shard to one task and make the knob a no-op)
+    stats4 = compact_corpus_shards(spark, out, files_per_shard=4)
+    assert stats4["files_after"] > stats["files_after"], stats4
+    assert {
+        (r.doc_id, r.shard) for r in spark.read.parquet(out).collect()
+    } == before_rows
