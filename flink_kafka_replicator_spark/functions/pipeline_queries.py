@@ -2086,9 +2086,19 @@ def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _QC_FEATURES_CACHE.get(key)
     if cached is not None:
         return cached
-    d = load_table(spark, sf_dir, "documents")
-    bucket = _qc_bucket("g")
     out = materialize_small(
+        _qc_features_of(load_table(spark, sf_dir, "documents"))
+    )
+    _cache_put(_QC_FEATURES_CACHE, key, out)
+    return out
+
+
+def _qc_features_of(d: DataFrame) -> DataFrame:
+    """The feature transform over ANY (doc_id, text) frame — shared by
+    the memoized training path and model inference
+    (:func:`qc_score_with_model`)."""
+    bucket = _qc_bucket("g")
+    return (
         d.select("doc_id", F.expr("split(text, ' ')").alias("t"))
         .select(
             "doc_id",
@@ -2109,8 +2119,6 @@ def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(count(*) * 1000L) div max(tot)").alias("f")
         )
     )
-    _cache_put(_QC_FEATURES_CACHE, key, out)
-    return out
 
 
 # the materialized hashed-feature matrix, memoized per (session,
@@ -2156,6 +2164,27 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side collect anywhere — the whole train+eval is one lazy
     plan. At 100 TB: materialize the feature matrix, everything else
     is broadcast-sized."""
+    _labels, _w, scored, theta = _qc_fit(spark, sf_dir)
+    return scored.crossJoin(broadcast(theta)).select(
+        "doc_id",
+        F.col("y").alias("label"),
+        F.col("s").cast("bigint").alias("score"),
+        F.col("theta").cast("bigint").alias("theta"),
+        (F.col("s") > F.col("theta")).alias("pred_pos"),
+        ((F.col("s") > F.col("theta")) == (F.col("y") > 0)).alias(
+            "correct"
+        ),
+    )
+
+
+def _qc_fit(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(labels, weights, scored, theta): the complete classifier fit as
+    lazy frames — composed by the trainer's eval output AND by
+    ``sinks.write_classifier_model`` (which persists weights + θ as
+    the deployable model artifact). ``scored`` carries (doc_id, y, s);
+    ``theta`` is the 1-row learned threshold."""
     feats = _qc_features(spark, sf_dir)
     labels = load_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -2177,26 +2206,7 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_neg"),
     )
-    w = (
-        feats.join(labels, "doc_id")
-        .groupBy("bucket")
-        .agg(
-            F.sum(F.when(F.col("y") > 0, F.col("f")).otherwise(0)).alias(
-                "pos_sum"
-            ),
-            F.sum(F.when(F.col("y") < 0, F.col("f")).otherwise(0)).alias(
-                "neg_sum"
-            ),
-        )
-        .crossJoin(broadcast(counts))
-        .select(
-            "bucket",
-            F.expr(
-                "(pos_sum * 1000000L) div n_pos"
-                " - (neg_sum * 1000000L) div n_neg"
-            ).alias("w"),
-        )
-    )
+    w = _qc_weights(feats, labels, counts)
     scored = labels.join(
         feats.join(broadcast(w), "bucket")
         .groupBy("doc_id")
@@ -2217,15 +2227,59 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div 2 as bigint)"
         ).alias("theta")
     )
-    return scored.crossJoin(broadcast(theta)).select(
-        "doc_id",
-        F.col("y").alias("label"),
-        F.col("s").cast("bigint").alias("score"),
-        F.col("theta").cast("bigint").alias("theta"),
-        (F.col("s") > F.col("theta")).alias("pred_pos"),
-        ((F.col("s") > F.col("theta")) == (F.col("y") > 0)).alias(
-            "correct"
-        ),
+    return labels, w, scored, theta
+
+
+def _qc_weights(
+    feats: DataFrame, labels: DataFrame, counts: DataFrame
+) -> DataFrame:
+    """(bucket, w): the class-centroid-difference weight table."""
+    return (
+        feats.join(labels, "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("y") > 0, F.col("f")).otherwise(0)).alias(
+                "pos_sum"
+            ),
+            F.sum(F.when(F.col("y") < 0, F.col("f")).otherwise(0)).alias(
+                "neg_sum"
+            ),
+        )
+        .crossJoin(broadcast(counts))
+        .select(
+            "bucket",
+            F.expr(
+                "(pos_sum * 1000000L) div n_pos"
+                " - (neg_sum * 1000000L) div n_neg"
+            ).alias("w"),
+        )
+    )
+
+
+def qc_score_with_model(
+    d: DataFrame, weights: DataFrame, theta: int
+) -> DataFrame:
+    """Apply a TRAINED classifier model to ANY (doc_id, text) frame:
+    featurize (same per-mille hashed uni+bigrams as training), score
+    against the broadcast weight table, decide keep = score > θ — the
+    inference path a curation pipeline runs at ingest, batch or
+    streaming (stateless per-row + one broadcast join). Model comes
+    from ``sinks.read_classifier_model``; applying it to the training
+    corpus reproduces the trainer's own predictions exactly
+    (pytest-pinned)."""
+    feats = _qc_features_of(d)
+    return (
+        feats.join(broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("f") * F.col("w")).alias("s"))
+        .join(d.select("doc_id"), "doc_id", "right")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("s"), F.lit(0)).cast("bigint").alias("score"),
+            (F.coalesce(F.col("s"), F.lit(0)) > F.lit(theta)).alias(
+                "keep"
+            ),
+        )
     )
 
 

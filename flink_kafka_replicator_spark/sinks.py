@@ -689,3 +689,67 @@ def knn_ivf_pq_from_index(
     return pq._adc_topk(
         spark, out_dir, pruned, k=k, lut=pq._pq_lut_from(codebook)
     )
+
+
+# ------------------------------------------------------------ classifier model
+
+CLASSIFIER_META_FILE = "MODEL_META.json"
+
+
+def write_classifier_model(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """Persist the trained quality-classifier model as a deployable
+    artifact (train once, apply everywhere — the same
+    build-then-serve split as the minhash and vector indexes): the
+    ≤QC_BUCKETS-row weight table as parquet plus the learned integer
+    threshold and the feature geometry in MODEL_META.json. Readers
+    refuse a geometry-mismatched model (a different bucket count would
+    silently hash features onto the wrong weights)."""
+    import json
+    import os
+
+    from .functions import pipeline_queries as pq
+
+    _labels, weights, _scored, theta_df = pq._qc_fit(spark, sf_dir)
+    weights.coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/weights"
+    )
+    theta = int(theta_df.collect()[0]["theta"])
+    meta = {
+        "format_version": 1,
+        "theta": theta,
+        "qc_buckets": pq.QC_BUCKETS,
+        "label_token": pq.QC_LABEL_TOKEN,
+    }
+    path = os.path.join(out_dir, CLASSIFIER_META_FILE)
+    with open(path + ".tmp", "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    os.replace(path + ".tmp", path)
+
+
+def read_classifier_model(
+    spark: SparkSession, out_dir: str
+) -> tuple[DataFrame, int]:
+    """(weights, theta) from a persisted classifier model, geometry
+    validated against the running engine."""
+    import json
+    import os
+
+    from .functions import pipeline_queries as pq
+
+    path = os.path.join(out_dir, CLASSIFIER_META_FILE)
+    if not os.path.isfile(path):
+        raise FileNotFoundError(
+            f"{out_dir} is not a classifier model: no "
+            f"{CLASSIFIER_META_FILE} — build with write_classifier_model"
+        )
+    with open(path, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    if meta.get("qc_buckets") != pq.QC_BUCKETS:
+        raise ValueError(
+            f"classifier model bucket-count mismatch: model "
+            f"{meta.get('qc_buckets')} vs engine {pq.QC_BUCKETS} — "
+            "retrain with the current engine"
+        )
+    return spark.read.parquet(f"{out_dir}/weights"), int(meta["theta"])

@@ -499,3 +499,47 @@ def test_compact_corpus_shards_shrinks_files_preserves_rows(
     assert {
         (r.doc_id, r.shard) for r in spark.read.parquet(out).collect()
     } == before_rows
+
+
+def test_classifier_model_roundtrip_reproduces_trainer(
+    spark, sf_dir, tmp_path
+):
+    """The persisted classifier model applied to the training corpus
+    must reproduce the trainer's own predictions exactly, and a
+    bucket-geometry mismatch must refuse loudly."""
+    import json
+
+    import pytest
+
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        qc_score_with_model,
+        quality_classifier_train,
+    )
+    from flink_kafka_replicator_spark.io import load_table as _lt
+    from flink_kafka_replicator_spark.sinks import (
+        CLASSIFIER_META_FILE,
+        read_classifier_model,
+        write_classifier_model,
+    )
+
+    model_dir = str(tmp_path / "model")
+    write_classifier_model(spark, sf_dir, model_dir)
+    weights, theta = read_classifier_model(spark, model_dir)
+
+    docs = _lt(spark, sf_dir, "documents").select("doc_id", "text")
+    applied = {
+        (r.doc_id, r.score, r.keep)
+        for r in qc_score_with_model(docs, weights, theta).collect()
+    }
+    trained = {
+        (r.doc_id, r.score, r.pred_pos)
+        for r in quality_classifier_train(spark, sf_dir).collect()
+    }
+    assert applied == trained, "model inference != trainer predictions"
+
+    meta_path = tmp_path / "model" / CLASSIFIER_META_FILE
+    meta = json.loads(meta_path.read_text())
+    meta["qc_buckets"] = 64
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        read_classifier_model(spark, model_dir)
