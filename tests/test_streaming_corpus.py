@@ -144,3 +144,63 @@ def test_streaming_corpus_with_classifier_gate(spark, tmp_path):
     assert got == want, "streaming gate diverged from batch scorer"
     n_all = docs.count()
     assert 0 < len(want) < n_all, "gate must discriminate on the fixture"
+
+
+def test_streaming_corpus_with_persisted_model_gate(spark, tmp_path):
+    """The full curation deployment loop: TRAIN on the corpus, PERSIST
+    the model artifact, then APPLY it inside the streaming ingest —
+    the streamed keep-set must equal batch inference with the same
+    loaded model."""
+    import os
+
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        qc_score_with_model,
+    )
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.sinks import (
+        read_classifier_model,
+        write_classifier_model,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    model_dir = str(tmp_path / "model")
+    write_classifier_model(spark, sf_dir, model_dir)
+    weights, theta = read_classifier_model(spark, model_dir)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.coalesce(2).write.parquet(src)
+    out = str(tmp_path / "kept")
+
+    def gate(df, epoch_id):
+        kept = qc_score_with_model(df, weights, theta).filter(
+            F.col("keep")
+        )
+        (
+            df.join(kept.select("doc_id"), "doc_id", "left_semi")
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    want = {
+        r.doc_id
+        for r in qc_score_with_model(docs, weights, theta)
+        .filter(F.col("keep"))
+        .collect()
+    }
+    assert got == want, "streamed model gate diverged from batch inference"
+    assert 0 < len(want) < docs.count()
