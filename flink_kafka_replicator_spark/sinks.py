@@ -72,26 +72,48 @@ def compact_corpus_shards(
     either the old files or the new, never a mix of shards half-done
     with rows lost.
 
+    The rewrite lands in a SIBLING directory and is swapped in with two
+    renames (old → .compact_old, new → out_dir): the source files are
+    never overwritten while being read (no lineage truncation, no
+    unreplicated-block exposure), and the only crash window between the
+    renames leaves ``out_dir`` absent — a loud, recoverable state (the
+    data is intact under .compact_old) instead of a silent partial mix.
+    An object-store deployment swaps the renames for its own atomic
+    manifest/pointer commit.
+
     Returns {"files_before": n, "files_after": m} so callers (and
     tests) can assert the rewrite actually shrank the layout."""
     import glob as _glob
     import os
+    import shutil
 
-    def _count_files() -> int:
-        return len(
-            _glob.glob(
-                os.path.join(out_dir, "**", "*.parquet"), recursive=True
-            )
+    if files_per_shard < 1:
+        raise ValueError(
+            f"files_per_shard must be >= 1, got {files_per_shard} "
+            "(pmod by 0 would salt every row to null)"
         )
 
-    before = _count_files()
-    # eager checkpoint BEFORE the overwrite: truncating the lineage
-    # means the write job no longer references the files it replaces
-    # (Spark refuses to overwrite a path it is actively reading).
-    # Single-JVM this pins rows in the block manager; a cluster
-    # deployment points spark.checkpoint.dir at reliable storage or
-    # compacts into a sibling dir + swap instead.
-    df = spark.read.parquet(out_dir).localCheckpoint()
+    def _count_files(d: str) -> int:
+        return len(
+            _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+        )
+
+    norm = out_dir.rstrip("/")
+    tmp_dir = norm + ".compact_tmp"
+    old_dir = norm + ".compact_old"
+    # leftovers of a previously crashed compaction are safe to discard:
+    # .compact_old only exists transiently between the two renames of a
+    # COMPLETED swap, and an orphaned one means the swap never finished
+    # and out_dir (if present) is still the authoritative copy
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    if os.path.isdir(old_dir) and os.path.isdir(norm):
+        shutil.rmtree(old_dir, ignore_errors=True)
+    elif os.path.isdir(old_dir):
+        # crashed between the renames: restore the authoritative copy
+        os.rename(old_dir, norm)
+
+    before = _count_files(norm)
+    df = spark.read.parquet(norm)
     n_shards = df.select("shard").distinct().count()
     # repartition on (shard, salt): hashing shard ALONE would collapse
     # each shard into one task/file regardless of files_per_shard; the
@@ -105,11 +127,14 @@ def compact_corpus_shards(
         .repartition(n_shards * files_per_shard, "shard", "_salt")
         .drop("_salt")
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("shard")
-        .parquet(out_dir)
+        .parquet(tmp_dir)
     )
-    return {"files_before": before, "files_after": _count_files()}
+    after = _count_files(tmp_dir)
+    os.rename(norm, old_dir)
+    os.rename(tmp_dir, norm)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    return {"files_before": before, "files_after": after}
 
 
 # ------------------------------------------------------------ near-dup index
@@ -326,6 +351,109 @@ def append_minhash_delta(
     return True
 
 
+def compact_minhash_index(
+    spark: SparkSession, out_dir: str, files: int = 1
+) -> dict:
+    """Rewrite all committed band deltas into ONE fresh partition — the
+    index-side small-file compaction a streaming deployment needs:
+    ``append_minhash_delta`` adds one parquet partition per micro-batch
+    forever, and a year of 1-minute batches turns the band directory
+    into ~500k tiny partitions whose listing + open overhead dwarfs the
+    read (the same disease ``compact_corpus_shards`` cures for the
+    corpus sink). Work is one read+write of the band table; the stats
+    are byte-copied (compaction moves no rows, so the merged counts are
+    already exact).
+
+    Crash-safety reuses the append contract unchanged: the compacted
+    rows land as partition ``delta_id = last + 1`` — INVISIBLE until the
+    pointer swap, because readers prune to the committed id list — then
+    the pointer flips to ``delta_ids = [last + 1]``, then the old
+    partitions are pruned. A crash before the swap leaves the old index
+    fully intact (plus one orphan partition the next compaction
+    overwrites); a crash after the swap leaves invisible orphans. The
+    post-compaction append contract is unchanged (next delta is
+    ``last + 2``), pinned to pytest as append == rebuild.
+
+    Snapshot pinning: compaction DISCARDS pre-compaction snapshots — a
+    reader pinning ``max_delta_id`` below the new floor gets a loud
+    error from :func:`read_minhash_index`, never a silently empty view.
+    The pre-compaction stats version survives one cycle (same grace as
+    appends) so an in-flight unpinned reader still resolves its stats.
+
+    Returns {"files_before", "files_after", "compacted"}."""
+    import glob as _glob
+    import os
+    import shutil
+
+    if files < 1:
+        raise ValueError(f"files must be >= 1, got {files}")
+    bands_path = f"{out_dir}/{BANDS_SUBDIR}"
+
+    def _count_files() -> int:
+        return len(
+            _glob.glob(
+                os.path.join(bands_path, "**", "*.parquet"), recursive=True
+            )
+        )
+
+    meta = _read_index_meta(out_dir)
+    committed = meta.get(
+        "delta_ids", list(range(meta["last_delta_id"] + 1))
+    )
+    before = _count_files()
+    if len(committed) <= 1:
+        return {
+            "files_before": before,
+            "files_after": before,
+            "compacted": False,
+        }
+    new_id = meta["last_delta_id"] + 1
+    (
+        spark.read.parquet(bands_path)
+        .filter(F.col("delta_id").isin(committed))
+        .drop("delta_id")
+        .repartition(files)
+        .withColumn("delta_id", F.lit(new_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("delta_id")
+        .parquet(bands_path)
+    )
+    # stats: byte-copy — compaction moves rows between partitions but
+    # adds/removes none, so the current merged counts stay exact
+    old_stats = f"{out_dir}/{BAND_STATS_PREFIX}{meta['stats_version']}"
+    new_stats = f"{out_dir}/{BAND_STATS_PREFIX}{new_id}"
+    shutil.rmtree(new_stats, ignore_errors=True)
+    shutil.copytree(old_stats, new_stats)
+    prev_stats_version = meta["stats_version"]
+    _write_index_meta(
+        out_dir,
+        {
+            "stats_version": new_id,
+            "last_delta_id": new_id,
+            "delta_ids": [new_id],
+        },
+    )
+    # prune: old band partitions (now invisible) and stats versions
+    # older than the pre-compaction current (one-cycle grace)
+    for d in committed:
+        shutil.rmtree(
+            os.path.join(bands_path, f"delta_id={d}"), ignore_errors=True
+        )
+    for path in _glob.glob(os.path.join(out_dir, f"{BAND_STATS_PREFIX}*")):
+        try:
+            v = int(os.path.basename(path)[len(BAND_STATS_PREFIX):])
+        except ValueError:
+            continue
+        if v < prev_stats_version:
+            shutil.rmtree(path, ignore_errors=True)
+    return {
+        "files_before": before,
+        "files_after": _count_files(),
+        "compacted": True,
+    }
+
+
 def read_minhash_index(
     spark: SparkSession, out_dir: str, max_delta_id: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
@@ -354,6 +482,16 @@ def read_minhash_index(
     if not os.path.isfile(_index_meta_path(out_dir)):
         legacy_stats = os.path.join(out_dir, "band_stats")
         if os.path.isdir(legacy_stats):
+            if max_delta_id is not None:
+                # a legacy index has no delta partitions to pin, and
+                # silently returning the full view would break the
+                # replay-snapshot contract a pinning caller relies on
+                raise ValueError(
+                    f"{out_dir} uses the legacy (pre-delta) index layout "
+                    "and cannot serve a pinned snapshot "
+                    f"(max_delta_id={max_delta_id}) — rebuild with "
+                    "write_minhash_index or read unpinned"
+                )
             bands = spark.read.parquet(f"{out_dir}/{BANDS_SUBDIR}")
             if "delta_id" in bands.columns:
                 bands = bands.drop("delta_id")
@@ -367,11 +505,20 @@ def read_minhash_index(
     effective = meta["last_delta_id"]
     if max_delta_id is not None:
         effective = min(effective, max_delta_id)
-    committed = [
-        d
-        for d in meta.get("delta_ids", list(range(meta["last_delta_id"] + 1)))
-        if d <= effective
-    ]
+    all_committed = meta.get(
+        "delta_ids", list(range(meta["last_delta_id"] + 1))
+    )
+    committed = [d for d in all_committed if d <= effective]
+    if not committed:
+        # only reachable via pinning below the compaction floor: the
+        # compacted partition carries a fresh (higher) delta id, so a
+        # pre-compaction snapshot no longer exists — loud, not empty
+        raise ValueError(
+            f"minhash index snapshot delta_id={effective} predates the "
+            f"compaction floor (earliest committed delta is "
+            f"{min(all_committed)}) — pre-compaction snapshots are "
+            "discarded; rebuild or read the current snapshot"
+        )
     stats_path = f"{out_dir}/{BAND_STATS_PREFIX}{effective}"
     if effective != meta["stats_version"] and not os.path.isdir(stats_path):
         raise FileNotFoundError(
@@ -615,6 +762,82 @@ def append_vector_delta(
     return True
 
 
+def compact_vector_index(
+    spark: SparkSession, out_dir: str, files: int = 1
+) -> dict:
+    """Small-file compaction for the persisted vector index — the
+    twin of :func:`compact_minhash_index` for the postings/pq_codes
+    tables, which likewise accrete one parquet partition per streamed
+    batch forever (``append_vector_delta``). Both tables are rewritten
+    into ONE fresh partition ``delta_id = last + 1`` (invisible until
+    the pointer swap, since readers prune to committed ids), the
+    pointer flips to ``delta_ids = [last + 1]``, old partitions are
+    pruned. The centroids and codebook are untouched (frozen at base
+    build); search results are byte-equal before/after (pytest-pinned)
+    and the next append is ``last + 2`` — append == rebuild still
+    holds.
+
+    Returns {"files_before", "files_after", "compacted"}."""
+    import glob as _glob
+    import os
+    import shutil
+
+    if files < 1:
+        raise ValueError(f"files must be >= 1, got {files}")
+    meta = _read_vindex_meta(out_dir)
+    _check_vindex_geometry(meta, out_dir)
+    committed = meta.get(
+        "delta_ids", list(range(meta["last_delta_id"] + 1))
+    )
+
+    def _count_files() -> int:
+        return sum(
+            len(
+                _glob.glob(
+                    os.path.join(out_dir, sub, "**", "*.parquet"),
+                    recursive=True,
+                )
+            )
+            for sub in ("postings", "pq_codes")
+        )
+
+    before = _count_files()
+    if len(committed) <= 1:
+        return {
+            "files_before": before,
+            "files_after": before,
+            "compacted": False,
+        }
+    new_id = meta["last_delta_id"] + 1
+    for sub in ("postings", "pq_codes"):
+        path = f"{out_dir}/{sub}"
+        (
+            spark.read.parquet(path)
+            .filter(F.col("delta_id").isin(committed))
+            .drop("delta_id")
+            .repartition(files)
+            .withColumn("delta_id", F.lit(new_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("delta_id")
+            .parquet(path)
+        )
+    meta["last_delta_id"] = new_id
+    meta["delta_ids"] = [new_id]
+    _write_vindex_meta(out_dir, meta)
+    for sub in ("postings", "pq_codes"):
+        for d in committed:
+            shutil.rmtree(
+                os.path.join(out_dir, sub, f"delta_id={d}"),
+                ignore_errors=True,
+            )
+    return {
+        "files_before": before,
+        "files_after": _count_files(),
+        "compacted": True,
+    }
+
+
 def read_vector_index(
     spark: SparkSession, out_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
@@ -711,6 +934,14 @@ def write_classifier_model(
 
     from .functions import pipeline_queries as pq
 
+    # retract the meta pointer BEFORE overwriting weights/ (the index
+    # writers' contract): an in-place retrain that crashes mid-rewrite
+    # must read as a loud "not a classifier model", never as new/partial
+    # weights silently paired with the previous run's stale theta.
+    try:
+        os.remove(os.path.join(out_dir, CLASSIFIER_META_FILE))
+    except FileNotFoundError:
+        pass
     _labels, weights, _scored, theta_df = pq._qc_fit(spark, sf_dir)
     weights.coalesce(1).write.mode("overwrite").parquet(
         f"{out_dir}/weights"

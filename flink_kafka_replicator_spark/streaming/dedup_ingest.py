@@ -171,7 +171,29 @@ def start_streaming_dedup_against_index(
                 .partitionBy("batch_id")
                 .parquet(corpus_store_dir)
             )
-            append_minhash_delta(batch_df, index_dir, delta_id=batch_id + 1)
+            admitted = append_minhash_delta(
+                batch_df, index_dir, delta_id=batch_id + 1
+            )
+            if not admitted:
+                # mirror vector_ingest: a no-op is only legitimate for
+                # the one-step crash replay (batch_id + 1 ==
+                # last_delta_id). Deeper means a checkpoint/index
+                # mismatch (fresh checkpoint vs extended index) where
+                # batches silently skip admission until the contiguity
+                # check fires — and the FIRST skipped batches would be
+                # lost for good. Fail at the first one instead.
+                from ..sinks import _read_index_meta
+
+                last = _read_index_meta(index_dir)["last_delta_id"]
+                if batch_id + 1 < last:
+                    raise ValueError(
+                        f"streaming dedup ingest: batch {batch_id} maps "
+                        f"to delta {batch_id + 1} but the index at "
+                        f"{index_dir} has already committed delta {last} "
+                        "— stream checkpoint does not match the index; "
+                        "batches would be silently skipped. Resume the "
+                        "original checkpoint or rebuild the index."
+                    )
 
     writer = (
         source_df.writeStream.foreachBatch(process)

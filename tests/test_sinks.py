@@ -283,6 +283,11 @@ def test_minhash_index_legacy_layout_fallback(spark, tmp_path, sf_dir):
     with pytest.raises(FileNotFoundError, match="not a minhash index"):
         read_minhash_index(spark, str(tmp_path / "notanindex"))
 
+    # a legacy index has no delta partitions: a caller pinning a replay
+    # snapshot must get a loud refusal, never the full unpinned view
+    with pytest.raises(ValueError, match="legacy"):
+        read_minhash_index(spark, legacy, max_delta_id=0)
+
 
 def test_minhash_base_rebuild_wipes_ghost_deltas(spark, tmp_path, sf_dir):
     """Rebuilding an index over a delta-extended one must not leave
@@ -500,6 +505,24 @@ def test_compact_corpus_shards_shrinks_files_preserves_rows(
         (r.doc_id, r.shard) for r in spark.read.parquet(out).collect()
     } == before_rows
 
+    # files_per_shard=0 would pmod-salt every row to null — refuse
+    import pytest
+
+    with pytest.raises(ValueError, match="files_per_shard"):
+        compact_corpus_shards(spark, out, files_per_shard=0)
+
+    # crash between the swap renames (out_dir renamed away, new dir not
+    # yet in place): the next compaction restores the authoritative copy
+    # from .compact_old and completes normally
+    import os
+
+    os.rename(out, out + ".compact_old")
+    stats5 = compact_corpus_shards(spark, out, files_per_shard=1)
+    assert {
+        (r.doc_id, r.shard) for r in spark.read.parquet(out).collect()
+    } == before_rows
+    assert stats5["files_after"] <= stats4["files_after"]
+
 
 def test_classifier_model_roundtrip_reproduces_trainer(
     spark, sf_dir, tmp_path
@@ -543,3 +566,126 @@ def test_classifier_model_roundtrip_reproduces_trainer(
     meta_path.write_text(json.dumps(meta))
     with pytest.raises(ValueError, match="bucket-count mismatch"):
         read_classifier_model(spark, model_dir)
+
+
+def test_compact_minhash_index_preserves_reads_and_appends(
+    spark, sf_dir, tmp_path
+):
+    """Index delta compaction (round 8): rewriting committed deltas into
+    one partition must leave reads byte-equal (bands AND stats), shrink
+    the file count, refuse pre-compaction snapshot pins loudly, and
+    keep the append contract alive — append-after-compaction equals a
+    full rebuild."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flink_kafka_replicator_spark.sinks import (
+        append_minhash_delta,
+        compact_minhash_index,
+        read_minhash_index,
+        write_minhash_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ix = str(tmp_path / "ix")
+    write_minhash_index(d.filter(F.col("doc_id") % 3 == 0), ix)
+    append_minhash_delta(d.filter(F.col("doc_id") % 3 == 1), ix, delta_id=1)
+
+    def snap(path):
+        bands, stats = read_minhash_index(spark, path)
+        return (
+            {tuple(r) for r in bands.collect()},
+            {tuple(r) for r in stats.collect()},
+        )
+
+    before = snap(ix)
+    res = compact_minhash_index(spark, ix)
+    assert res["compacted"] is True
+    assert res["files_after"] < res["files_before"], res
+    assert snap(ix) == before, "compaction changed the committed view"
+
+    # pre-compaction snapshot pins are gone — loud refusal, not empty
+    with pytest.raises(ValueError, match="compaction floor"):
+        read_minhash_index(spark, ix, max_delta_id=1)
+
+    # append contract survives: next delta is last + 1 (= 3), replays
+    # below it no-op, and the extended index equals a full rebuild
+    batch2 = d.filter(F.col("doc_id") % 3 == 2)
+    assert append_minhash_delta(batch2, ix, delta_id=2) is False
+    with pytest.raises(ValueError, match="contiguous"):
+        append_minhash_delta(batch2, ix, delta_id=4)
+    assert append_minhash_delta(batch2, ix, delta_id=3) is True
+
+    full = str(tmp_path / "full")
+    write_minhash_index(d, full)
+    assert snap(ix) == snap(full), "append-after-compaction != rebuild"
+
+    # a second compaction over the appended state is equally sound
+    res2 = compact_minhash_index(spark, ix)
+    assert res2["compacted"] is True
+    assert snap(ix) == snap(full)
+    # compacting an already-compact index is a no-op
+    assert compact_minhash_index(spark, ix)["compacted"] is False
+
+
+def test_compact_vector_index_search_unchanged_and_appendable(
+    spark, sf_dir, tmp_path
+):
+    """Vector-index compaction: search results byte-equal before/after,
+    file count shrinks, and a post-compaction append still equals the
+    full rebuild (frozen-quantizer contract untouched)."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        knn_ivf_pq,
+    )
+    from flink_kafka_replicator_spark.sinks import (
+        append_vector_delta,
+        compact_vector_index,
+        knn_ivf_pq_from_index,
+        read_vector_index,
+        write_vector_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ix = str(tmp_path / "vindex")
+    write_vector_index(spark, sf_dir, ix, df=e.filter(F.col("vec_id") % 3 == 0))
+    append_vector_delta(
+        spark, e.filter(F.col("vec_id") % 3 == 1), ix, delta_id=1
+    )
+
+    def search(path):
+        return [
+            (r.vec_id, r.adc_dist)
+            for r in knn_ivf_pq_from_index(spark, path).collect()
+        ]
+
+    def snap(path):
+        _, postings, _, codes = read_vector_index(spark, path)
+        return (
+            {tuple(r) for r in postings.collect()},
+            {tuple(r) for r in codes.collect()},
+        )
+
+    before_search, before_snap = search(ix), snap(ix)
+    res = compact_vector_index(spark, ix)
+    assert res["compacted"] is True
+    assert res["files_after"] < res["files_before"], res
+    assert search(ix) == before_search
+    assert snap(ix) == before_snap
+
+    # append after compaction (last is now 2) completes the corpus and
+    # must equal both the full rebuild and the in-session search
+    assert (
+        append_vector_delta(
+            spark, e.filter(F.col("vec_id") % 3 == 2), ix, delta_id=3
+        )
+        is True
+    )
+    full = str(tmp_path / "full")
+    write_vector_index(spark, sf_dir, full)
+    assert snap(ix) == snap(full), "append-after-compaction != rebuild"
+    want = [
+        (r.vec_id, r.adc_dist) for r in knn_ivf_pq(spark, sf_dir).collect()
+    ]
+    assert search(ix) == want

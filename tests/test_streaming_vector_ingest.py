@@ -80,3 +80,39 @@ def test_streaming_vector_ingest_equals_rebuild(spark, tmp_path):
     # same checkpoint, same source: nothing to process, index unchanged
     run()
     assert snap(ix) == snap(full_ix)
+
+
+def test_streaming_vector_ingest_fresh_checkpoint_fails_loudly(
+    spark, tmp_path
+):
+    """A FRESH checkpoint against an already-extended index restarts
+    batch ids at 0, so every append maps to an already-committed delta
+    and would silently no-op — genuinely new vectors never admitted.
+    The ingest must fail loudly at the first such batch instead."""
+    import pytest
+
+    from flink_kafka_replicator_spark.sinks import append_vector_delta
+
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    even = e.filter(F.col("vec_id") % 2 == 0)
+
+    ix = str(tmp_path / "vindex")
+    write_vector_index(spark, SF_DIR, ix, df=even)
+    # extend the index past delta 1 out-of-band (an earlier stream run)
+    append_vector_delta(
+        spark, e.filter(F.col("vec_id") % 4 == 1), ix, delta_id=1
+    )
+    append_vector_delta(
+        spark, e.filter(F.col("vec_id") % 4 == 3), ix, delta_id=2
+    )
+
+    src = str(tmp_path / "incoming")
+    e.limit(5).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(e.schema).parquet(src)
+    q = start_streaming_vector_ingest(
+        spark, stream, ix, str(tmp_path / "fresh_ck"), available_now=True
+    )
+    with pytest.raises(Exception, match="does not match the index"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
