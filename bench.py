@@ -107,6 +107,10 @@ HEADLINE = list(R2_BASKET) + [
     "quality_classifier_train",
     "dedup_semantic_clusters",
     "contamination_semantic",
+    # round-8 additions: the rowwise-assignment surface and the
+    # n_probe recall ladder
+    "ivf_cell_histogram",
+    "knn_probe_recall_curve",
 ]
 
 
@@ -143,6 +147,38 @@ def main() -> None:
         timings[qid] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # vs_baseline: per-query ratio against the frozen first-recorded
+    # times (BASELINE_BENCH.json) — the "within 2x of baseline" gate as
+    # data instead of hand-comparison across BENCH_r*.json history.
+    # Regressions are flagged loudly on stderr but never abort the run:
+    # the bench record itself is the evidence the next round needs.
+    vs_baseline: dict[str, float] = {}
+    regressions: dict[str, float] = {}
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_BENCH.json")
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else None
+    if os.path.isfile(base_path):
+        with open(base_path, encoding="utf-8") as fh:
+            base_doc = json.load(fh)
+        # ratios only make sense at the baseline's scale factor — a
+        # local sf0.01 iteration run must not spray false regressions
+        base = base_doc["queries"] if sf_val == base_doc.get("sf") else {}
+        for qid, sec in timings.items():
+            b = base.get(qid)
+            if not b or b["sec"] <= 0:
+                continue
+            ratio = round(sec / b["sec"], 2)
+            vs_baseline[qid] = ratio
+            # absolute floor: a 0.1s query jittering to 0.25s is noise,
+            # not a regression worth failing loudly over
+            if ratio > 2.0 and sec - b["sec"] > 0.25:
+                regressions[qid] = ratio
+        if regressions:
+            print(
+                "BENCH REGRESSION (>2x baseline): "
+                + ", ".join(f"{q}={r}x" for q, r in sorted(regressions.items())),
+                file=sys.stderr,
+            )
     # the headline set grows round over round; r2_subset_total keeps a
     # fixed-basket number comparable against BENCH_r02/r03 so a larger
     # set never reads as a regression. Indexing timings[q] directly (no
@@ -160,6 +196,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "r2_subset_total": r2_subset,
                 "r2_subset_n": len(R2_BASKET),
+                "vs_baseline": vs_baseline,
+                "regressions": regressions,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

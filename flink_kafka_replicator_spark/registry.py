@@ -287,6 +287,10 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "quality_classifier_train",
     "dedup_semantic_clusters",
     "contamination_semantic",
+    # round-8 additions: the rowwise (k-scalable) assignment surface
+    # and the n_probe recall ladder that closes the tuning loop
+    "ivf_cell_histogram",
+    "knn_probe_recall_curve",
 )
 
 

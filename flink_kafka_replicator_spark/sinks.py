@@ -585,15 +585,22 @@ def _check_vindex_geometry(meta: dict, out_dir: str) -> None:
             f"{meta.get('format_version')} (pre-delta layout) — rebuild "
             "with write_vector_index"
         )
+    # PQ geometry must match the engine exactly (delta encodes and LUT
+    # scoring slice subvectors against the on-disk codebook). The IVF
+    # centroid COUNT is self-describing — centroids, assignments and
+    # probe selection all derive from the persisted centroids/ table,
+    # never the engine constant — so a k-scaled index (n_centroids dial)
+    # stays readable and appendable; the meta key just has to exist.
     want = {
         "pq_m": pq.PQ_M,
         "pq_k": pq.PQ_K,
         "pq_subdim": pq.PQ_SUBDIM,
-        "ivf_n_centroids": pq.IVF_N_CENTROIDS,
     }
     mismatched = {
         k: (meta.get(k), v) for k, v in want.items() if meta.get(k) != v
     }
+    if "ivf_n_centroids" not in meta:
+        mismatched["ivf_n_centroids"] = (None, "present")
     if mismatched:
         raise ValueError(
             f"vector index geometry mismatch (index vs engine): "
@@ -606,6 +613,7 @@ def write_vector_index(
     sf_dir: str,
     out_dir: str,
     df: DataFrame | None = None,
+    n_centroids: int | None = None,
 ) -> None:
     """Persist the ANN index the session's knn/PQ queries build in
     memory as a durable on-disk artifact — the vector-store equivalent
@@ -651,12 +659,9 @@ def write_vector_index(
         _os.remove(_vindex_meta_path(out_dir))
     except FileNotFoundError:
         pass
-    cents, _ = pq._ivf_model(spark, sf_dir)
+    cents, _ = pq._ivf_model(spark, sf_dir, n_centroids=n_centroids)
     (
-        spark.createDataFrame(
-            [(cid, cvec, nrm) for cid, cvec, nrm in cents],
-            schema="cid int, cvec array<double>, nrm double",
-        )
+        pq._cents_df(spark, cents)
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{out_dir}/centroids")
@@ -667,9 +672,19 @@ def write_vector_index(
         .write.mode("overwrite")
         .parquet(f"{out_dir}/pq_codebook")
     )
-    postings = pq._knn_assignment(spark, sf_dir).select(
-        "vec_id", "nrm", "cid", "pcid"
-    )
+    if n_centroids is None:
+        # default quantizer: the shared materialized session artifact
+        postings = pq._knn_assignment(spark, sf_dir).select(
+            "vec_id", "nrm", "cid", "pcid"
+        )
+    else:
+        # k-scaled quantizer (the scale dial): the any-k rowwise
+        # postings builder — expression-unrolled assignment is O(k²)
+        # analyzer nodes and caps out at a few dozen centroids
+        postings = pq._assignment_top2_rowwise(
+            pq.load_table(spark, sf_dir, "embeddings"),
+            pq._cents_df(spark, cents),
+        ).select("vec_id", "nrm", "cid", "pcid")
     codes = pq._pq_codes(spark, sf_dir)
     if df is not None:
         ids = df.select("vec_id")
@@ -692,7 +707,7 @@ def write_vector_index(
             "pq_k": pq.PQ_K,
             "pq_subdim": pq.PQ_SUBDIM,
             "pq_lloyd_rounds": pq.PQ_LLOYD_ROUNDS,
-            "ivf_n_centroids": pq.IVF_N_CENTROIDS,
+            "ivf_n_centroids": len(cents),
             "ivf_n_probe": pq.IVF_N_PROBE,
             "last_delta_id": 0,
             "delta_ids": [0],
@@ -736,13 +751,18 @@ def append_vector_delta(
     ]
     codebook = spark.read.parquet(f"{out_dir}/pq_codebook")
     e = df.select("vec_id", "embedding")
+    if len(cents) <= 32:
+        assignment = pq._assignment_from(e, cents).select(
+            "vec_id", "nrm", "cid", "pcid"
+        )
+    else:
+        # k-scaled index: the unrolled expression path caps out; the
+        # rowwise builder is bit-identical (pytest-pinned) at any k
+        assignment = pq._assignment_top2_rowwise(
+            e, pq._cents_df(spark, cents)
+        ).select("vec_id", "nrm", "cid", "pcid")
     frames = (
-        (
-            pq._assignment_from(e, cents).select(
-                "vec_id", "nrm", "cid", "pcid"
-            ),
-            "postings",
-        ),
+        (assignment, "postings"),
         (pq._pq_assign(pq._subvectors_of(e), codebook), "pq_codes"),
     )
     for frame, sub in frames:
