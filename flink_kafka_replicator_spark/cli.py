@@ -200,7 +200,16 @@ def main(argv: list[str] | None = None, admin_factory=None) -> int:
     from .streaming.exactly_once import start_exactly_once_kafka_replication
     from .streaming.replicate import start_kafka_replication
 
-    cfg, extra = parse_args(argv if argv is not None else sys.argv[1:])
+    args = argv if argv is not None else sys.argv[1:]
+    # subcommand dispatch: `corpus-build` runs the curation pipeline
+    # (streaming/corpus_build.py); the bare option form stays the
+    # replicator for verbatim reference-invocation compatibility
+    if args and args[0] == "corpus-build":
+        from .streaming.corpus_build import corpus_build_main
+
+        return corpus_build_main(args[1:])
+
+    cfg, extra = parse_args(args)
     run_preflight(cfg, admin_factory)
     spark = get_session(
         app_name="spark-kafka-replicator",

@@ -4,11 +4,15 @@ Media payloads are opaque ``binary`` columns with typed metadata —
 exactly the reference's schema-on-read stance for Kafka values
 (reference: KafkaMessage.java:9-10, payloads stay byte[] end-to-end).
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages: the Spark-side plumbing (schemas, batch
-iteration, partitioning) is real and tested; the actual codecs are
-STUBBED — this container has no image/audio libraries — behind
-``use_fake_codec`` which produces a deterministic fake decode, or
-NotImplementedError when a real codec is requested.
+``mapInPandas`` stages. Two codec paths per decoder:
+
+- ``use_fake_codec=True`` — deterministic digest-keyed metadata; the
+  oracle-checkable path (the test fixture's blobs are UTF-8 text, not
+  media) exercising the real Spark plumbing.
+- ``use_fake_codec=False`` — a REAL decode (round 8): PIL / soundfile
+  when importable, else pure-stdlib parsers (PNG/GIF/BMP/JPEG header
+  reads; ``wave`` for RIFF/WAV PCM). Undecodable payloads yield null
+  metadata per row — a poisoned blob must never abort a 100 TB job.
 """
 
 from __future__ import annotations
@@ -56,14 +60,109 @@ def blob_meta(df: DataFrame) -> DataFrame:
     return df.mapInPandas(extract, BLOB_META_SCHEMA)
 
 
-def decode_image_meta(df: DataFrame, use_fake_codec: bool = True) -> DataFrame:
-    """Image decode → metadata. Real codec is stubbed (no image libs in
-    this container); the fake path keeps schema / batching real."""
+def _parse_image_header(b: bytes) -> tuple[int, int, int, str] | None:
+    """Pure-stdlib image metadata from the container headers of the
+    big-four formats — the real decode-metadata path when PIL is not
+    installed (format specs are public: PNG IHDR, GIF logical screen
+    descriptor, BMP info header, JPEG SOFn markers). Returns
+    (width, height, channels, format) or None if unrecognized."""
+    import struct as _struct
+
+    if len(b) >= 26 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = _struct.unpack(">II", b[16:24])
+        color_type = b[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 3)
+        return w, h, channels, "png"
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = _struct.unpack("<HH", b[6:10])
+        return w, h, 3, "gif"
+    if len(b) >= 30 and b[:2] == b"BM":
+        w, h = _struct.unpack("<ii", b[18:26])
+        bits = _struct.unpack("<H", b[28:30])[0]
+        return w, abs(h), max(bits // 8, 1), "bmp"
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                h, w = _struct.unpack(">HH", b[i + 5 : i + 9])
+                return w, h, b[i + 9], "jpeg"
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = _struct.unpack(">H", b[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        return None
+    return None
+
+
+def decode_image_meta(
+    df: DataFrame, use_fake_codec: bool = True
+) -> DataFrame:
+    """Image decode → metadata. ``use_fake_codec=True`` (the oracle
+    fixture path — the test blobs are UTF-8 text, not images) derives
+    deterministic metadata from the payload digest. ``False`` runs a
+    REAL decode: PIL when importable, else the pure-stdlib header
+    parser (:func:`_parse_image_header`) for PNG/GIF/BMP/JPEG;
+    unrecognized payloads yield null dimensions with format
+    'unknown' — per-row refusal, not a job abort."""
     if not use_fake_codec:
-        raise NotImplementedError(
-            "real image codecs (PIL/opencv) are not available in this "
-            "environment; pass use_fake_codec=True for the deterministic stub"
-        )
+
+        def decode_real(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            try:
+                import io as _io
+
+                from PIL import Image as _Image  # type: ignore
+            except ImportError:
+                _Image = None
+                _io = None
+
+            from flink_kafka_replicator_spark.functions.multimodal import (
+                _parse_image_header,
+            )
+
+            def one(blob: bytes):
+                b = bytes(blob)
+                if _Image is not None:
+                    try:
+                        with _Image.open(_io.BytesIO(b)) as im:
+                            return (
+                                im.width,
+                                im.height,
+                                len(im.getbands()),
+                                (im.format or "unknown").lower(),
+                            )
+                    except Exception:
+                        return None, None, None, "unknown"
+                meta = _parse_image_header(b)
+                if meta is None:
+                    return None, None, None, "unknown"
+                return meta
+
+            for pdf in batches:
+                metas = [one(b) for b in pdf["blob"]]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "width": pd.Series(
+                            [m[0] for m in metas], dtype="Int32"
+                        ),
+                        "height": pd.Series(
+                            [m[1] for m in metas], dtype="Int32"
+                        ),
+                        "channels": pd.Series(
+                            [m[2] for m in metas], dtype="Int32"
+                        ),
+                        "format": [m[3] for m in metas],
+                    }
+                )
+
+        return df.mapInPandas(decode_real, IMAGE_META_SCHEMA)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # deterministic fake decode, defined inside the closure so the
@@ -95,16 +194,63 @@ def decode_image_meta(df: DataFrame, use_fake_codec: bool = True) -> DataFrame:
 
 def decode_audio_meta(df: DataFrame, use_fake_codec: bool = True) -> DataFrame:
     """Audio decode → metadata (sample rate, sample count, duration,
-    1024-sample analysis-window count). Same stance as the image path:
-    real codecs (soundfile/librosa) are absent in this container, so the
-    decode is a deterministic fake keyed off the payload digest; the
-    Arrow batching, schema, and integer arithmetic are the real
-    plumbing a PCM pipeline uses."""
+    1024-sample analysis-window count). ``use_fake_codec=True`` (the
+    oracle fixture path) keys deterministic metadata off the payload
+    digest. ``False`` runs a REAL decode: soundfile when importable
+    (any libsndfile format), else stdlib ``wave`` for RIFF/WAV PCM;
+    undecodable payloads yield null metadata — per-row refusal, not a
+    job abort."""
     if not use_fake_codec:
-        raise NotImplementedError(
-            "real audio codecs (soundfile/librosa) are not available in "
-            "this environment; pass use_fake_codec=True for the stub"
-        )
+
+        def decode_real(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import io as _io
+
+            try:
+                import soundfile as _sf  # type: ignore
+            except ImportError:
+                _sf = None
+            import wave as _wave
+
+            def one(blob: bytes):
+                b = bytes(blob)
+                if _sf is not None:
+                    try:
+                        with _sf.SoundFile(_io.BytesIO(b)) as f:
+                            sr, ns = int(f.samplerate), len(f)
+                            return sr, ns, ns * 1000 // sr, ns // 1024
+                    except Exception:
+                        return None, None, None, None
+                try:
+                    with _wave.open(_io.BytesIO(b), "rb") as w:
+                        sr = w.getframerate()
+                        ns = w.getnframes()
+                        return sr, ns, ns * 1000 // sr, ns // 1024
+                except Exception:
+                    return None, None, None, None
+
+            for pdf in batches:
+                metas = [one(b) for b in pdf["blob"]]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "sample_rate": pd.Series(
+                            [m[0] for m in metas], dtype="Int32"
+                        ),
+                        "n_samples": pd.Series(
+                            [m[1] for m in metas], dtype="Int32"
+                        ),
+                        "duration_ms": pd.Series(
+                            [m[2] for m in metas], dtype="Int64"
+                        ),
+                        "n_windows": pd.Series(
+                            [m[3] for m in metas], dtype="Int32"
+                        ),
+                    }
+                )
+
+        return df.mapInPandas(decode_real, AUDIO_META_SCHEMA)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl

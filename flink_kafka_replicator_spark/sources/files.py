@@ -57,3 +57,49 @@ def read_table_fmt(spark: SparkSession, path: str, fmt: str, schema=None) -> Dat
     if fmt == "csv":
         reader = reader.option("header", "true")
     return reader.load(path)
+
+
+# -------------------------------------------- corpus / media ingestion
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: str = "doc_id bigint, text string",
+) -> DataFrame:
+    """Read a JSON-Lines document corpus — THE interchange format for
+    training-data corpora (one JSON object per line; Spark's json
+    source is line-delimited by default, so this is a plain schema'd
+    read: splittable, parallel, no inference pass). Corrupt lines land
+    in ``_corrupt_record`` via PERMISSIVE mode instead of failing the
+    job — count them, don't die on a 100 TB crawl."""
+    return (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def read_binary_blobs(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Read raw media files as opaque binary blobs via Spark's built-in
+    ``binaryFile`` source — the ingestion front of the multimodal
+    column pipeline (`functions/multimodal.py`): one row per file with
+    (path, modificationTime, length, content). The content column goes
+    straight into decode_image_meta / decode_audio_meta as the ``blob``.
+    ``glob`` filters by pathGlobFilter at listing time (e.g.
+    ``*.png``) — pruning before any byte is read."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def read_text_lines(
+    spark: SparkSession, path: str, whole_text: bool = False
+) -> DataFrame:
+    """Read raw text: one row per LINE (splittable, the raw-crawl
+    shape) or one row per FILE (``whole_text=True`` — document-per-file
+    corpora; not splittable, so shard such corpora into many files)."""
+    return spark.read.text(path, wholetext=whole_text)

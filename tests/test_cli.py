@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from flink_kafka_replicator_spark.cli import parse_args, rewrite_quotes
 
@@ -179,3 +180,111 @@ def test_max_offsets_per_trigger_flows_to_config():
         ]
     )
     assert cfg.max_offsets_per_trigger == 50000
+
+
+def test_corpus_build_subcommand_end_to_end(spark, tmp_path):
+    """Round 8 (VERDICT r7 task 7): the curation pipeline as a CLI
+    peer of the replicator — `corpus-build` drives normalize →
+    watermark dedup → token floor → persisted-classifier gate →
+    sharded sink through the file harness, and a replay against the
+    same checkpoint is a no-op (idempotent batch partitions)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import Row
+
+    from flink_kafka_replicator_spark.cli import main
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        qc_score_with_model,
+    )
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.sinks import (
+        read_classifier_model,
+        write_classifier_model,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    model_dir = str(tmp_path / "model")
+    write_classifier_model(spark, sf_dir, model_dir)
+
+    # input: real fixture docs + a verbatim duplicate + a too-short doc
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(50)
+        .withColumn(
+            "event_ts",
+            F.lit(dt.datetime(2024, 1, 1)) + F.make_interval(
+                mins=F.col("doc_id").cast("int")
+            ),
+        )
+    )
+    base = dt.datetime(2024, 1, 1)
+    first_text = docs.orderBy("doc_id").first()["text"]
+    extra = spark.createDataFrame(
+        [
+            Row(doc_id=900001, text=first_text,
+                event_ts=base + dt.timedelta(minutes=1)),
+            Row(doc_id=900002, text="too short",
+                event_ts=base + dt.timedelta(minutes=2)),
+        ],
+        "doc_id bigint, text string, event_ts timestamp",
+    )
+    src = str(tmp_path / "in")
+    docs.unionByName(extra).coalesce(2).write.parquet(src)
+
+    out = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+    rc = main([
+        "corpus-build",
+        "--input", src,
+        "--output", out,
+        "--checkpoint-location", ck,
+        "--classifier-model", model_dir,
+        "--min-tokens", "5",
+    ])
+    assert rc == 0
+
+    got = spark.read.parquet(out)
+    got_ids = {r.doc_id for r in got.select("doc_id").collect()}
+
+    # expected: normalize, drop the duplicate (content-hash state keeps
+    # the first arrival) and the short doc, keep = classifier keep-set
+    from flink_kafka_replicator_spark.streaming.corpus_build import (
+        normalize_docs,
+    )
+
+    normed = normalize_docs(docs.unionByName(extra))
+    longs = normed.filter(F.size(F.split("text", " ")) >= 5)
+    weights, theta = read_classifier_model(spark, model_dir)
+    keep = {
+        r.doc_id
+        for r in qc_score_with_model(
+            longs.select("doc_id", "text"), weights, theta
+        )
+        .filter(F.col("keep"))
+        .collect()
+    }
+    assert 900002 not in got_ids, "short doc must be floored out"
+    assert 900001 not in got_ids, "duplicate must be deduped"
+    assert got_ids == keep - {900001, 900002}, (
+        "CLI corpus != batch composition"
+    )
+    assert 0 < len(got_ids) < 50, "gate must discriminate"
+
+    # replay with the same checkpoint: no new batches, corpus unchanged
+    before = {(r.doc_id, r.shard) for r in got.collect()}
+    assert main([
+        "corpus-build",
+        "--input", src,
+        "--output", out,
+        "--checkpoint-location", ck,
+        "--classifier-model", model_dir,
+        "--min-tokens", "5",
+    ]) == 0
+    after = {
+        (r.doc_id, r.shard) for r in spark.read.parquet(out).collect()
+    }
+    assert after == before

@@ -215,8 +215,82 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.sample_frames(blobs, n_frames=4).collect()
     assert sum(1 for r in frames if r.doc_id == 0) == 4
     assert sum(1 for r in frames if r.doc_id == 1) == 2, "short payload → fewer frames"
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_meta(blobs, use_fake_codec=False)
+    # real codec on non-media payloads: per-row 'unknown', never abort
+    real = {
+        r.doc_id: r
+        for r in multimodal.decode_image_meta(
+            blobs, use_fake_codec=False
+        ).collect()
+    }
+    assert real[0].format == "unknown" and real[0].width is None
+
+
+def test_multimodal_real_image_decode(spark):
+    """Round 8: the real image-decode path parses actual container
+    headers (PIL when importable, pure-stdlib parsers here) — crafted
+    minimal PNG/GIF/BMP/JPEG payloads must yield their true geometry,
+    and garbage must degrade per-row to nulls."""
+    import struct
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 320, 200)
+        + bytes([8, 6, 0, 0, 0])
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 640, 480) + b"\x00\x00\x00"
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 0, 0, 0, 54)
+        + struct.pack("<iiiHH", 40, 256, 128, 1, 24)
+        + b"\x00" * 8
+    )
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 17) + bytes([8])
+        + struct.pack(">HH", 240, 360) + bytes([3]) + b"\x00" * 10
+    )
+    rows = [(0, png), (1, gif), (2, bmp), (3, jpeg), (4, b"not an image")]
+    df = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    got = {
+        r.doc_id: (r.width, r.height, r.channels, r.format)
+        for r in multimodal.decode_image_meta(
+            df, use_fake_codec=False
+        ).collect()
+    }
+    assert got[0] == (320, 200, 4, "png")
+    assert got[1] == (640, 480, 3, "gif")
+    assert got[2] == (256, 128, 3, "bmp")
+    assert got[3] == (360, 240, 3, "jpeg")
+    assert got[4] == (None, None, None, "unknown")
+
+
+def test_multimodal_real_audio_decode(spark):
+    """Round 8: the real audio path decodes RIFF/WAV PCM with stdlib
+    wave (soundfile when importable); non-audio degrades to nulls."""
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\x00\x00" * 32000)
+    df = spark.createDataFrame(
+        [(0, buf.getvalue()), (1, b"not audio")],
+        "doc_id bigint, blob binary",
+    )
+    got = {
+        r.doc_id: (r.sample_rate, r.n_samples, r.duration_ms, r.n_windows)
+        for r in multimodal.decode_audio_meta(
+            df, use_fake_codec=False
+        ).collect()
+    }
+    assert got[0] == (16000, 32000, 2000, 31)
+    assert got[1] == (None, None, None, None)
 
 
 def test_rolling_fingerprint_shift_invariance(spark):

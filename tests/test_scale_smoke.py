@@ -221,6 +221,28 @@ def big100_dir(spark, tmp_path_factory):
     for c in ev_copies[1:]:
         evs = evs.unionByName(c)
     evs.repartition(32).write.parquet(f"{out}/events.parquet")
+
+    # embeddings at 100×: per-copy deterministic PERTURBATION (not
+    # verbatim duplication) so the vectors are fresh points like real
+    # corpus growth — verbatim copies would make every cell grow by
+    # exactly the copy count and trivialize the quantizer-dial test
+    em = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    nv = em.count()
+    em_copies = [
+        em.select(
+            (F.col("vec_id") + F.lit(i * nv * 10)).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, j) -> "
+                f"cast(x + 0.05 * sin((j + 1) * {i + 1}) as float))"
+            ).alias("embedding"),
+            *[c for c in em.columns if c not in ("vec_id", "embedding")],
+        )
+        for i in range(COPIES100)
+    ]
+    ems = em_copies[0]
+    for c in em_copies[1:]:
+        ems = ems.unionByName(c)
+    ems.repartition(32).write.parquet(f"{out}/embeddings.parquet")
     return out
 
 
@@ -385,3 +407,143 @@ def test_quality_classifier_at_100x_linear(spark, big100_dir, monkeypatch):
         .count()
     )
     assert n_w <= pq.QC_BUCKETS
+
+
+# --------------------------------------------------- round-8 additions
+# The round-7 query family (VERDICT r7 task 3) plus the IVF k dial
+# (task 2): quadratic-by-design in-cell work must shrink ~k-fold when
+# the quantizer scales, and the eval/curation family must stay bounded.
+
+
+def test_ivf_k_dial_at_100x(spark, big100_dir):
+    """The scale-killer-shaped constant, dialed: at 100× vectors the
+    per-cell membership histogram must still partition the corpus at
+    every k, the in-cell pair total must shrink ~k-fold as k grows
+    (the N²/k law — scaling k with N is what keeps pair work linear),
+    and the ROWWISE assignment job itself must stay ~linear in N."""
+    from flink_kafka_replicator_spark.functions import (
+        pipeline_queries as pq,
+    )
+
+    n_small = spark.read.parquet(f"{SRC}/embeddings.parquet").count()
+    n_big = spark.read.parquet(f"{big100_dir}/embeddings.parquet").count()
+    assert n_big == COPIES100 * n_small
+
+    t0 = time.perf_counter()
+    h_small64 = pq.ivf_cell_counts(spark, SRC, n_centroids=64).collect()
+    t_small = time.perf_counter() - t0
+
+    def pairs(hist):
+        return sum(r.n * (r.n - 1) // 2 for r in hist)
+
+    totals = {}
+    for k in (16, 64, 640):
+        t0 = time.perf_counter()
+        hist = pq.ivf_cell_counts(spark, big100_dir, n_centroids=k).collect()
+        t = time.perf_counter() - t0
+        assert sum(r.n for r in hist) == n_big, f"k={k} lost vectors"
+        assert len(hist) <= k
+        totals[k] = pairs(hist)
+        print(f"\nk={k} at 100x: {t:.1f}s, {len(hist)} cells, "
+              f"{totals[k]:,} in-cell pairs")
+        if k == 64:
+            t_k64 = t
+    # the dial works at scale: pair totals shrink substantially with k
+    # (exactly k-fold under uniformity; perturbed copies are near it)
+    assert totals[64] < totals[16] / 2, totals
+    assert totals[640] < totals[64] / 2, totals
+    # the assignment job is ~linear in N at fixed k (broadcast join,
+    # no shuffle growth beyond the vec_id exchange)
+    assert t_k64 < max(t_small, 0.2) * COPIES100 * 3, (
+        f"rowwise assignment superlinear: {t_k64:.1f}s vs {t_small:.1f}s"
+    )
+    # scaling k ~ N keeps in-cell pair work ~linear: at k=640 (40× the
+    # 1× default) the 100× corpus carries within ~8× of 100× the 1×
+    # default-k pair count — the (100²/40)=250× arithmetic with
+    # distribution slack, vs the 10000× a fixed k=16 costs
+    small_hist = pq.ivf_cell_counts(spark, SRC, n_centroids=16).collect()
+    p_small = pairs(small_hist)
+    assert totals[640] < 8 * COPIES100 * max(p_small, 1), (
+        f"k-scaled pair total {totals[640]:,} not ~linear vs "
+        f"{p_small:,} at 1x"
+    )
+    assert totals[16] > 20 * COPIES100 * max(p_small, 1), (
+        "fixed-k pair total should blow up quadratically (sanity check "
+        "that the dial is actually needed)"
+    )
+
+
+def test_knn_recall_family_at_10x(spark, big_dir):
+    """The whole-family recall report at 10× vectors: completes with
+    its 5 rows, ladder theorems hold (multiprobe >= single, refined >=
+    ivf_pq), truth stays sample-bounded. In-cell pair work at fixed
+    k=16 is quadratic BY DESIGN (the k dial is the scale path, pinned
+    above), so the bound here is generous wall-clock, not linearity."""
+    from flink_kafka_replicator_spark.functions import (
+        pipeline_queries as pq,
+    )
+
+    _clear_artifact_caches()
+    t0 = time.perf_counter()
+    rows = {r.path: r for r in pq.knn_recall_family(spark, big_dir).collect()}
+    t = time.perf_counter() - t0
+    print(f"\nrecall family at 10x: {t:.1f}s, "
+          f"{ {p: r.recall for p, r in rows.items()} }")
+    assert set(rows) == {
+        "ivf_single", "ivf_multiprobe", "pq_adc", "ivf_pq",
+        "ivf_pq_refined",
+    }
+    assert rows["ivf_multiprobe"].recall >= rows["ivf_single"].recall
+    assert rows["ivf_pq_refined"].recall >= rows["ivf_pq"].recall
+    assert rows["ivf_single"].n_truth == pq.KNN_EVAL_SAMPLE * pq.KNN_K
+    assert t < 600, f"recall family at 10x took {t:.1f}s"
+
+
+def test_semantic_dedup_family_at_10x(spark, big_dir):
+    """SemDeDup + semantic decontamination at 10× vectors: both reuse
+    the shared in-cell half-pair artifact (warm after the recall-family
+    test), the cluster output covers every vector exactly once, and
+    survivors are cluster minima."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_replicator_spark.functions import (
+        pipeline_queries as pq,
+    )
+
+    n = spark.read.parquet(f"{big_dir}/embeddings.parquet").count()
+    t0 = time.perf_counter()
+    clusters = pq.dedup_semantic_clusters(spark, big_dir)
+    assert clusters.count() == n
+    t_c = time.perf_counter() - t0
+    keep = clusters.filter(F.col("keep"))
+    assert keep.count() == clusters.select("cluster_id").distinct().count()
+    t0 = time.perf_counter()
+    n_cont = pq.contamination_semantic(spark, big_dir).count()
+    t_d = time.perf_counter() - t0
+    print(f"\nsemdedup at 10x: {t_c:.1f}s; contamination: "
+          f"{t_d:.1f}s/{n_cont} pairs")
+    assert t_c < 600 and t_d < 300
+
+
+def test_probe_recall_curve_at_10x_linear(spark, big_dir):
+    """The n_probe recall curve at 10× vectors: every rung is a single
+    probe-pruned scan+agg (linear in N), so the whole curve must scale
+    ~linearly — and stay a monotone ladder ending at 1.0."""
+    from flink_kafka_replicator_spark.functions import (
+        pipeline_queries as pq,
+    )
+
+    t_small = _timed(pq.knn_probe_recall_curve(spark, SRC))
+    t0 = time.perf_counter()
+    rows = sorted(
+        pq.knn_probe_recall_curve(spark, big_dir).collect(),
+        key=lambda r: r["n_probe"],
+    )
+    t_big = time.perf_counter() - t0
+    print(f"\nprobe curve 1x: {t_small:.1f}s; 10x: {t_big:.1f}s")
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+    assert t_big < max(t_small, 0.2) * COPIES * 3, (
+        f"probe curve superlinear: {t_big:.1f}s vs {t_small:.1f}s"
+    )

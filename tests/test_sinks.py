@@ -689,3 +689,65 @@ def test_compact_vector_index_search_unchanged_and_appendable(
         (r.vec_id, r.adc_dist) for r in knn_ivf_pq(spark, sf_dir).collect()
     ]
     assert search(ix) == want
+
+
+def test_jsonl_text_and_binary_sources(spark, tmp_path):
+    """Round 8: the three ingestion fronts a corpus/media pipeline
+    needs — JSONL documents (corrupt lines quarantined, not fatal),
+    raw text lines / whole-file documents, and binaryFile media blobs
+    flowing straight into the REAL multimodal decode path."""
+    import struct
+
+    from flink_kafka_replicator_spark.functions import multimodal
+    from flink_kafka_replicator_spark.sources.files import (
+        read_binary_blobs,
+        read_jsonl_corpus,
+        read_text_lines,
+    )
+    from pyspark.sql import functions as F
+
+    # JSONL with one corrupt line
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        'this is not json\n'
+        '{"doc_id": 2, "text": "second doc"}\n'
+    )
+    # (Spark requires caching/materializing before querying the corrupt
+    # column alone — collect once, inspect in the driver at test scale)
+    rows = read_jsonl_corpus(spark, str(jl)).collect()
+    assert {r.doc_id for r in rows if r._corrupt_record is None} == {1, 2}
+    assert (
+        sum(1 for r in rows if r._corrupt_record is not None) == 1
+    ), "corrupt line must be quarantined, not fatal"
+
+    # text: per-line and whole-file
+    td = tmp_path / "texts"
+    td.mkdir()
+    (td / "a.txt").write_text("line one\nline two\n")
+    (td / "b.txt").write_text("other file\n")
+    lines = read_text_lines(spark, str(td))
+    assert lines.count() == 3
+    whole = read_text_lines(spark, str(td), whole_text=True)
+    assert whole.count() == 2
+
+    # binaryFile → real image decode end-to-end
+    md = tmp_path / "media"
+    md.mkdir()
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 64, 32)
+        + bytes([8, 2, 0, 0, 0])
+    )
+    (md / "img.png").write_bytes(png)
+    (md / "notes.txt").write_text("not media")
+    blobs = read_binary_blobs(spark, str(md), glob="*.png")
+    assert blobs.count() == 1, "pathGlobFilter must prune at listing"
+    staged = blobs.select(
+        F.lit(0).cast("bigint").alias("doc_id"),
+        F.col("content").alias("blob"),
+    )
+    meta = multimodal.decode_image_meta(staged, use_fake_codec=False).collect()
+    assert (meta[0].width, meta[0].height, meta[0].format) == (64, 32, "png")
