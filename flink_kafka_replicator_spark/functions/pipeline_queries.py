@@ -1226,32 +1226,65 @@ def _cents_df(
     )
 
 
-def _assignment_rowwise(e: DataFrame, cents_df: DataFrame) -> DataFrame:
-    """(vec_id, nrm, cid): nearest-centroid assignment with the
-    centroids as broadcast ROWS instead of unrolled columns — the
-    LARGE-k scale path. :func:`_assignment_from` generates O(k) SUM
-    expressions and an O(k²) argmin CASE tree: the measured-fast
-    whole-stage-codegen shape for the default k=16, but the expression
-    tree collapses the analyzer beyond a few dozen centroids. At 100 TB
-    the cell count must scale with the corpus (k ~ N/target_cell_size,
-    so in-cell pair work stays linear — scale-smoke-pinned), which
-    means assignment has to be data-shaped, not expression-shaped:
-    broadcast the k-row centroid table, n·k candidate rows map-side,
-    argmin via a map-combinable min_by over a (dist, cid) struct (the
-    lexicographic struct order IS the oracle's (dist ASC, cid ASC)
-    tie-break), one vec_id exchange carrying n rows — the same
-    candidates-then-min_by shape as :func:`_pq_assign`."""
-    from .similarity import cosine, l2_norm
+def _rowwise_candidates(e: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """(vec_id, nrm, cid, d): the n·k candidate table behind both
+    rowwise assignment shapes — the LARGE-k scale path. The
+    expression-unrolled :func:`_assignment_from` generates O(k) SUM
+    expressions and an O(k²) argmin CASE tree: the measured-fast shape
+    for the default k=16, but the tree collapses the analyzer beyond a
+    few dozen centroids. At 100 TB the cell count must scale with the
+    corpus (k ~ N/target_cell_size, so in-cell pair work stays linear —
+    scale-smoke-pinned), which means assignment has to be data-shaped,
+    not expression-shaped: broadcast the k-row centroid table, n·k
+    candidate rows map-side.
 
-    v = e.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    Both sides are projected to per-dimension PRIMITIVE columns first so
+    the dot product is :func:`unrolled_product_sum` — plain codegen'd
+    double arithmetic, bit-identical to the aggregate() fold but
+    measured ~10× faster (the HOF fold is interpreted per element; at
+    n·k·dim = 10¹⁰ multiplies that is the whole job). The division
+    grouping (1 − dot/(nrm·cnrm)) matches the unrolled path's _dist_cols
+    exactly, so distances are bit-equal across all three shapes."""
+    from .similarity import unrolled_product_sum
+
+    dim = len(cents_df.select("cvec").first()["cvec"])
+    v = e.select(
+        "vec_id",
+        *[
+            F.expr(f"cast(embedding[{i}] as double)").alias(f"ax{i + 1}")
+            for i in range(dim)
+        ],
+    ).withColumn(
+        "nrm", F.sqrt(unrolled_product_sum("ax", "ax", dim))
+    )
+    c = cents_df.select(
+        "cid",
+        F.col("nrm").alias("cnrm"),
+        *[
+            F.expr(f"element_at(cvec, {i + 1})").alias(f"bx{i + 1}")
+            for i in range(dim)
+        ],
+    )
+    return v.crossJoin(broadcast(c)).select(
+        "vec_id",
+        "nrm",
+        "cid",
+        (
+            F.lit(1.0)
+            - unrolled_product_sum("ax", "bx", dim)
+            / (F.col("nrm") * F.col("cnrm"))
+        ).alias("d"),
+    )
+
+
+def _assignment_rowwise(e: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """(vec_id, nrm, cid): nearest-centroid assignment over the rowwise
+    candidate table — argmin via a map-combinable min_by over a
+    (dist, cid) struct (the lexicographic struct order IS the oracle's
+    (dist ASC, cid ASC) tie-break), one vec_id exchange carrying n
+    rows — the same candidates-then-min_by shape as :func:`_pq_assign`."""
     return (
-        v.crossJoin(broadcast(cents_df))
-        .select(
-            "vec_id",
-            l2_norm(F.col("v")).alias("nrm"),
-            "cid",
-            (F.lit(1.0) - cosine(F.col("v"), F.col("cvec"))).alias("d"),
-        )
+        _rowwise_candidates(e, cents_df)
         .groupBy("vec_id")
         .agg(
             F.min("nrm").alias("nrm"),
@@ -1273,15 +1306,7 @@ def _assignment_top2_rowwise(e: DataFrame, cents_df: DataFrame) -> DataFrame:
     position-ordered left fold."""
     from pyspark.sql import Window
 
-    from .similarity import cosine, l2_norm
-
-    v = e.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    cands = v.crossJoin(broadcast(cents_df)).select(
-        "vec_id",
-        l2_norm(F.col("v")).alias("nrm"),
-        "cid",
-        (F.lit(1.0) - cosine(F.col("v"), F.col("cvec"))).alias("d"),
-    )
+    cands = _rowwise_candidates(e, cents_df)
     w = Window.partitionBy("vec_id").orderBy(
         F.col("d").asc(), F.col("cid").asc()
     )
