@@ -193,6 +193,53 @@ def run_preflight(cfg: ReplicateConfig, admin_factory=None):
     )
 
 
+def compact_index_main(argv: list[str], spark=None) -> int:
+    """The ``compact-index`` maintenance subcommand: small-file
+    compaction for the three streaming-fed on-disk artifacts (sharded
+    corpus, minhash index, vector index) — the job an operator
+    schedules against any deployment whose appends accrete one parquet
+    partition per micro-batch. Prints the {files_before, files_after}
+    result as one JSON line. Compact index artifacts only while their
+    feeding stream is cleanly stopped (pre-compaction snapshots are
+    discarded; the batch cursor keeps admission valid on resume)."""
+    import argparse
+    import json as _json
+
+    parser = argparse.ArgumentParser(
+        prog="spark-kafka-replicator compact-index",
+        description="Compact a sharded corpus / minhash index / vector index",
+        allow_abbrev=False,
+    )
+    parser.add_argument(
+        "--kind", required=True, choices=("corpus", "minhash", "vector")
+    )
+    parser.add_argument("--dir", required=True)
+    parser.add_argument("--files", type=int, default=1)
+    args = parser.parse_args(argv)
+
+    if spark is None:
+        from .session import get_session
+
+        spark = get_session(app_name="spark-compact-index")
+
+    from . import sinks
+
+    if args.kind == "corpus":
+        result = sinks.compact_corpus_shards(
+            spark, args.dir, files_per_shard=args.files
+        )
+    elif args.kind == "minhash":
+        result = sinks.compact_minhash_index(
+            spark, args.dir, files=args.files
+        )
+    else:
+        result = sinks.compact_vector_index(
+            spark, args.dir, files=args.files
+        )
+    print(_json.dumps(result))
+    return 0
+
+
 def main(argv: list[str] | None = None, admin_factory=None) -> int:
     import sys
 
@@ -208,6 +255,8 @@ def main(argv: list[str] | None = None, admin_factory=None) -> int:
         from .streaming.corpus_build import corpus_build_main
 
         return corpus_build_main(args[1:])
+    if args and args[0] == "compact-index":
+        return compact_index_main(args[1:])
 
     cfg, extra = parse_args(args)
     run_preflight(cfg, admin_factory)

@@ -1226,7 +1226,9 @@ def _cents_df(
     )
 
 
-def _rowwise_candidates(e: DataFrame, cents_df: DataFrame) -> DataFrame:
+def _rowwise_candidates(
+    e: DataFrame, cents_df: DataFrame, dim: int | None = None
+) -> DataFrame:
     """(vec_id, nrm, cid, d): the n·k candidate table behind both
     rowwise assignment shapes — the LARGE-k scale path. The
     expression-unrolled :func:`_assignment_from` generates O(k) SUM
@@ -1247,7 +1249,11 @@ def _rowwise_candidates(e: DataFrame, cents_df: DataFrame) -> DataFrame:
     exactly, so distances are bit-equal across all three shapes."""
     from .similarity import unrolled_product_sum
 
-    dim = len(cents_df.select("cvec").first()["cvec"])
+    if dim is None:
+        # fallback dim discovery runs one tiny job — callers that hold
+        # the driver-side centroid list pass dim so query BUILD stays
+        # zero-jobs (test_build_guard)
+        dim = len(cents_df.select("cvec").first()["cvec"])
     v = e.select(
         "vec_id",
         *[
@@ -1277,14 +1283,16 @@ def _rowwise_candidates(e: DataFrame, cents_df: DataFrame) -> DataFrame:
     )
 
 
-def _assignment_rowwise(e: DataFrame, cents_df: DataFrame) -> DataFrame:
+def _assignment_rowwise(
+    e: DataFrame, cents_df: DataFrame, dim: int | None = None
+) -> DataFrame:
     """(vec_id, nrm, cid): nearest-centroid assignment over the rowwise
     candidate table — argmin via a map-combinable min_by over a
     (dist, cid) struct (the lexicographic struct order IS the oracle's
     (dist ASC, cid ASC) tie-break), one vec_id exchange carrying n
     rows — the same candidates-then-min_by shape as :func:`_pq_assign`."""
     return (
-        _rowwise_candidates(e, cents_df)
+        _rowwise_candidates(e, cents_df, dim=dim)
         .groupBy("vec_id")
         .agg(
             F.min("nrm").alias("nrm"),
@@ -1293,7 +1301,9 @@ def _assignment_rowwise(e: DataFrame, cents_df: DataFrame) -> DataFrame:
     )
 
 
-def _assignment_top2_rowwise(e: DataFrame, cents_df: DataFrame) -> DataFrame:
+def _assignment_top2_rowwise(
+    e: DataFrame, cents_df: DataFrame, dim: int | None = None
+) -> DataFrame:
     """(vec_id, nrm, cid, pcid): the rowwise assignment EXTENDED with the
     second-nearest cell — the any-k postings builder for the persisted
     vector index (the unrolled :func:`_assignment_from` computes pcid
@@ -1306,7 +1316,7 @@ def _assignment_top2_rowwise(e: DataFrame, cents_df: DataFrame) -> DataFrame:
     position-ordered left fold."""
     from pyspark.sql import Window
 
-    cands = _rowwise_candidates(e, cents_df)
+    cands = _rowwise_candidates(e, cents_df, dim=dim)
     w = Window.partitionBy("vec_id").orderBy(
         F.col("d").asc(), F.col("cid").asc()
     )
@@ -1336,7 +1346,9 @@ def ivf_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, _ = _ivf_model(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
     return (
-        _assignment_rowwise(e, _cents_df(spark, cents))
+        _assignment_rowwise(
+            e, _cents_df(spark, cents), dim=len(cents[0][1])
+        )
         .groupBy("cid")
         .agg(F.count("*").alias("n"))
     )
@@ -1354,7 +1366,9 @@ def ivf_cell_counts(
     if len(cents) <= 32:
         assigned = _assignment_from(e, cents).select("vec_id", "cid")
     else:
-        assigned = _assignment_rowwise(e, _cents_df(spark, cents))
+        assigned = _assignment_rowwise(
+            e, _cents_df(spark, cents), dim=len(cents[0][1])
+        )
     return assigned.groupBy("cid").agg(F.count("*").alias("n"))
 
 

@@ -255,6 +255,7 @@ def append_minhash_delta(
     delta_id: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    extra_meta: dict | None = None,
 ) -> bool:
     """Extend a persisted minhash index with a new document batch —
     WITHOUT rebuilding it. Work is proportional to the DELTA (band the
@@ -332,14 +333,20 @@ def append_minhash_delta(
     committed = meta.get(
         "delta_ids", list(range(meta["last_delta_id"] + 1))
     )
-    _write_index_meta(
-        out_dir,
+    new_meta = dict(meta)
+    new_meta.update(
         {
             "stats_version": delta_id,
             "last_delta_id": delta_id,
             "delta_ids": committed + [delta_id],
-        },
+        }
     )
+    if extra_meta:
+        # e.g. the streaming batch cursor (last_batch_id) — committed
+        # ATOMICALLY with the delta pointer so a crash can never admit
+        # a delta without advancing the cursor (double-apply on replay)
+        new_meta.update(extra_meta)
+    _write_index_meta(out_dir, new_meta)
     # prune stats versions older than the previous one
     for path in _glob.glob(os.path.join(out_dir, f"{BAND_STATS_PREFIX}*")):
         try:
@@ -426,14 +433,15 @@ def compact_minhash_index(
     shutil.rmtree(new_stats, ignore_errors=True)
     shutil.copytree(old_stats, new_stats)
     prev_stats_version = meta["stats_version"]
-    _write_index_meta(
-        out_dir,
+    new_meta = dict(meta)  # preserve extra keys (streaming batch cursor)
+    new_meta.update(
         {
             "stats_version": new_id,
             "last_delta_id": new_id,
             "delta_ids": [new_id],
-        },
+        }
     )
+    _write_index_meta(out_dir, new_meta)
     # prune: old band partitions (now invisible) and stats versions
     # older than the pre-compaction current (one-cycle grace)
     for d in committed:
@@ -684,6 +692,7 @@ def write_vector_index(
         postings = pq._assignment_top2_rowwise(
             pq.load_table(spark, sf_dir, "embeddings"),
             pq._cents_df(spark, cents),
+            dim=len(cents[0][1]),
         ).select("vec_id", "nrm", "cid", "pcid")
     codes = pq._pq_codes(spark, sf_dir)
     if df is not None:
@@ -716,7 +725,11 @@ def write_vector_index(
 
 
 def append_vector_delta(
-    spark: SparkSession, df: DataFrame, out_dir: str, delta_id: int
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    delta_id: int,
+    extra_meta: dict | None = None,
 ) -> bool:
     """Extend a persisted vector index with new (vec_id, embedding)
     rows — WITHOUT rebuilding: the delta is assigned to cells and
@@ -759,7 +772,7 @@ def append_vector_delta(
         # k-scaled index: the unrolled expression path caps out; the
         # rowwise builder is bit-identical (pytest-pinned) at any k
         assignment = pq._assignment_top2_rowwise(
-            e, pq._cents_df(spark, cents)
+            e, pq._cents_df(spark, cents), dim=len(cents[0][1])
         ).select("vec_id", "nrm", "cid", "pcid")
     frames = (
         (assignment, "postings"),
@@ -778,8 +791,84 @@ def append_vector_delta(
     )
     meta["last_delta_id"] = delta_id
     meta["delta_ids"] = committed + [delta_id]
+    if extra_meta:
+        # committed atomically with the delta pointer (batch cursor)
+        meta.update(extra_meta)
     _write_vindex_meta(out_dir, meta)
     return True
+
+
+# ------------------------------------------- streaming batch admission
+#
+# Streaming ingest must NOT derive delta ids from the micro-batch id:
+# compaction legitimately advances last_delta_id (the compacted rows
+# land as a fresh pointer-committed partition), after which a
+# batch-id-derived delta maps at-or-below the committed id and the
+# batch is silently skipped — new data lost with no error. The durable
+# cursor lives in the index meta instead: ``last_batch_id`` records the
+# highest ADMITTED streaming batch, committed atomically with the
+# delta pointer swap, and each batch appends as ``last_delta_id + 1``
+# regardless of how compaction renumbered the partitions. Replay of
+# the cursor batch is a no-op; a batch BELOW the cursor means the
+# stream checkpoint does not match the index (fresh checkpoint against
+# an extended index) and raises rather than silently dropping data.
+
+
+def _batch_admission(meta: dict, batch_id: int, out_dir: str):
+    """Shared admission decision: (skip, next_delta_id). Raises on a
+    cursor mismatch deeper than the one-step crash replay."""
+    last_batch = meta.get("last_batch_id", -1)
+    if batch_id <= last_batch:
+        if batch_id < last_batch:
+            raise ValueError(
+                f"streaming ingest: batch {batch_id} is below the "
+                f"index's admitted-batch cursor {last_batch} at "
+                f"{out_dir} — the stream checkpoint does not match the "
+                "index (fresh checkpoint against an extended index?); "
+                "data would be silently dropped. Resume the original "
+                "checkpoint or rebuild the index."
+            )
+        return True, None  # one-step crash replay: already admitted
+    return False, meta["last_delta_id"] + 1
+
+
+def append_minhash_batch(
+    df: DataFrame,
+    out_dir: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> bool:
+    """Admit one streaming micro-batch into a persisted minhash index,
+    delta-numbered from the index meta (compaction-safe — see the
+    batch-admission note above). Returns False for a replayed batch."""
+    meta = _read_index_meta(out_dir)
+    skip, delta_id = _batch_admission(meta, batch_id, out_dir)
+    if skip:
+        return False
+    return append_minhash_delta(
+        df,
+        out_dir,
+        delta_id,
+        id_col=id_col,
+        text_col=text_col,
+        extra_meta={"last_batch_id": batch_id},
+    )
+
+
+def append_vector_batch(
+    spark: SparkSession, df: DataFrame, out_dir: str, batch_id: int
+) -> bool:
+    """Admit one streaming micro-batch of vectors, delta-numbered from
+    the index meta (compaction-safe). Returns False for a replay."""
+    meta = _read_vindex_meta(out_dir)
+    skip, delta_id = _batch_admission(meta, batch_id, out_dir)
+    if skip:
+        return False
+    return append_vector_delta(
+        spark, df, out_dir, delta_id,
+        extra_meta={"last_batch_id": batch_id},
+    )
 
 
 def compact_vector_index(

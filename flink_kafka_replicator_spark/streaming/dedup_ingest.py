@@ -32,9 +32,10 @@ At scale: per batch the index contributes one equi-join probe (band_key)
 and one pushed-filter stats read; batch-side work is linear in batch
 size. The index can grow two ways: OFFLINE (re-run write_minhash_index)
 or INLINE via ``extend_index=True``, which admits each batch into the
-index through ``sinks.append_minhash_delta`` (delta band partition +
-stats merge + atomic pointer swap, keyed by the streaming batch id so
-replays are no-ops) and appends the batch's text to a corpus store so
+index through ``sinks.append_minhash_batch`` (delta band partition +
+stats merge + atomic pointer swap; the admitted-batch cursor in the
+index meta makes replays no-ops and keeps delta numbering valid across
+index compactions) and appends the batch's text to a corpus store so
 later batches can verify candidates against earlier admissions. Either
 way, a batch's pair output never depends on uncommitted index state.
 """
@@ -123,7 +124,7 @@ def start_streaming_dedup_against_index(
         return spark.read.parquet(corpus_store_dir).select("doc_id", "text")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        from ..sinks import append_minhash_delta
+        from ..sinks import _read_index_meta, append_minhash_batch
 
         # doc_id-dedup the lookup union: a streamed doc_id that already
         # exists in the index corpus (re-ingest / replay of an indexed
@@ -133,18 +134,32 @@ def start_streaming_dedup_against_index(
         lookup = batch_df.select("doc_id", "text").union(
             index_corpus_df.select("doc_id", "text")
         )
-        admitted = _store_texts(spark)
-        if admitted is not None:
-            lookup = lookup.union(admitted)
+        stored = _store_texts(spark)
+        if stored is not None:
+            lookup = lookup.union(stored)
         lookup = lookup.dropDuplicates(["doc_id"])
-        # pin the index read to the PRE-batch snapshot (base build is
-        # delta 0, batch N admits delta N+1, so "as of batch N-1" is
-        # delta_id <= N): a replay of batch N after its own delta
-        # committed would otherwise band-join the batch against itself
-        # and overwrite the partition with self/intra-batch pairs the
-        # original run never emitted.
+        # pin the index read to the PRE-batch snapshot, resolved from
+        # the meta's batch cursor (round 8 — delta ids are no longer
+        # batch_id arithmetic, so compaction can renumber partitions):
+        # a fresh batch reads the current committed state; a REPLAY of
+        # the cursor batch (crash between its delta commit and the
+        # checkpoint commit) reads one delta back, so it cannot
+        # band-join the batch against itself and overwrite its pairs
+        # partition with self-pairs the original run never emitted.
+        # (Compaction discards that one-back snapshot — compact only
+        # cleanly-stopped streams; a replay across a compaction fails
+        # loudly in read_minhash_index, never silently.)
+        pin = None
+        if extend_index:
+            meta = _read_index_meta(index_dir)
+            replaying = batch_id <= meta.get("last_batch_id", -1)
+            pin = (
+                meta["last_delta_id"] - 1
+                if replaying
+                else meta["last_delta_id"]
+            )
         pairs = dedup_batch_against_index(
-            spark, batch_df, index_dir, lookup, max_delta_id=batch_id
+            spark, batch_df, index_dir, lookup, max_delta_id=pin
         )
         (
             pairs.withColumn("batch_id", F.lit(batch_id))
@@ -159,9 +174,11 @@ def start_streaming_dedup_against_index(
         )
         if extend_index:
             # admit the batch: text first (so any index-visible doc can
-            # be verified), then the band delta. append_minhash_delta
-            # no-ops on replayed batch ids; delta 0 is the base build,
-            # so streaming batch ids map to deltas batch_id + 1.
+            # be verified), then the band delta. append_minhash_batch
+            # no-ops on a replay of the cursor batch and raises on a
+            # deeper cursor mismatch (fresh checkpoint against an
+            # extended index) — silently skipped batches would be lost
+            # for good.
             (
                 batch_df.select("doc_id", "text")
                 .withColumn("batch_id", F.lit(batch_id))
@@ -171,29 +188,7 @@ def start_streaming_dedup_against_index(
                 .partitionBy("batch_id")
                 .parquet(corpus_store_dir)
             )
-            admitted = append_minhash_delta(
-                batch_df, index_dir, delta_id=batch_id + 1
-            )
-            if not admitted:
-                # mirror vector_ingest: a no-op is only legitimate for
-                # the one-step crash replay (batch_id + 1 ==
-                # last_delta_id). Deeper means a checkpoint/index
-                # mismatch (fresh checkpoint vs extended index) where
-                # batches silently skip admission until the contiguity
-                # check fires — and the FIRST skipped batches would be
-                # lost for good. Fail at the first one instead.
-                from ..sinks import _read_index_meta
-
-                last = _read_index_meta(index_dir)["last_delta_id"]
-                if batch_id + 1 < last:
-                    raise ValueError(
-                        f"streaming dedup ingest: batch {batch_id} maps "
-                        f"to delta {batch_id + 1} but the index at "
-                        f"{index_dir} has already committed delta {last} "
-                        "— stream checkpoint does not match the index; "
-                        "batches would be silently skipped. Resume the "
-                        "original checkpoint or rebuild the index."
-                    )
+            append_minhash_batch(batch_df, index_dir, batch_id)
 
     writer = (
         source_df.writeStream.foreachBatch(process)

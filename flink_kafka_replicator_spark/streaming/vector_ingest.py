@@ -37,39 +37,27 @@ def start_streaming_vector_ingest(
     N+1 (delta 0 is the base build)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        from ..sinks import _read_vindex_meta, append_vector_delta
+        from ..sinks import append_vector_batch
 
-        admitted = append_vector_delta(
+        # delta-numbered from the index meta's batch cursor, NOT from
+        # batch_id arithmetic — compaction renumbers partitions, and a
+        # batch-id-derived delta would then silently no-op (round-8
+        # fix). A replay of the cursor batch is a no-op; a batch below
+        # the cursor (fresh checkpoint against an extended index)
+        # raises inside append_vector_batch rather than dropping data.
+        admitted = append_vector_batch(
             spark,
             batch_df.select("vec_id", "embedding"),
             index_dir,
-            delta_id=batch_id + 1,
+            batch_id,
         )
         if not admitted:
-            # a no-op append is legitimate ONLY for the one-step crash
-            # replay (delta committed, checkpoint didn't: batch_id + 1
-            # == last_delta_id). Anything deeper means the stream's
-            # checkpoint does not match the index's delta progression —
-            # typically a FRESH checkpoint against an already-extended
-            # index, where every batch would silently no-op and
-            # genuinely new vectors would never be admitted. Fail loudly.
-            last = _read_vindex_meta(index_dir)["last_delta_id"]
-            if batch_id + 1 < last:
-                raise ValueError(
-                    f"streaming vector ingest: batch {batch_id} maps to "
-                    f"delta {batch_id + 1} but the index at {index_dir} "
-                    f"has already committed delta {last} — the stream "
-                    "checkpoint does not match the index (fresh "
-                    "checkpoint against an extended index?); new "
-                    "vectors would be silently dropped. Resume the "
-                    "original checkpoint or rebuild the index."
-                )
             import logging
 
             logging.getLogger(__name__).warning(
-                "streaming vector ingest: delta %d already committed "
+                "streaming vector ingest: batch %d already admitted "
                 "(crash-replay no-op), index %s unchanged",
-                batch_id + 1,
+                batch_id,
                 index_dir,
             )
 

@@ -288,3 +288,43 @@ def test_corpus_build_subcommand_end_to_end(spark, tmp_path):
         (r.doc_id, r.shard) for r in spark.read.parquet(out).collect()
     }
     assert after == before
+
+
+def test_compact_index_subcommand(spark, tmp_path, capsys):
+    """The maintenance subcommand compacts all three artifact kinds
+    through the CLI and reports the file-count delta as JSON."""
+    import json
+    import os
+
+    from pyspark.sql import functions as _F
+
+    from flink_kafka_replicator_spark.cli import main
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.sinks import (
+        append_minhash_delta,
+        with_shard,
+        write_minhash_index,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # fragmented corpus
+    corpus = str(tmp_path / "corpus")
+    for i in range(3):
+        with_shard(d.filter((d.doc_id % 3) == i)).repartition(4).write.mode(
+            "append"
+        ).partitionBy("shard").parquet(corpus)
+    assert main(["compact-index", "--kind", "corpus", "--dir", corpus]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["files_after"] < out["files_before"]
+
+    # delta-extended minhash index
+    ix = str(tmp_path / "ix")
+    write_minhash_index(d.filter(_F.col("doc_id") % 2 == 0), ix)
+    append_minhash_delta(d.filter(_F.col("doc_id") % 2 == 1), ix, delta_id=1)
+    assert main(["compact-index", "--kind", "minhash", "--dir", ix]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted"] is True

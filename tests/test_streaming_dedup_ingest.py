@@ -214,3 +214,78 @@ def test_streaming_extend_index_3_batches_and_replayed_middle_batch(
     )
     # no self pairs, ever
     assert all(p[0] != p[1] for p in all_pairs)
+
+
+def test_streaming_dedup_extend_survives_compaction(spark, tmp_path):
+    """Round-8 composition: compacting the minhash index between runs
+    of an extend-mode stream must not break admission or pair output —
+    the batch cursor in the index meta keeps delta numbering valid
+    after the partitions are renumbered. Final index == rebuild, and
+    the post-compaction batch still detects near-dups of docs admitted
+    before the compaction."""
+    from flink_kafka_replicator_spark.sinks import (
+        compact_minhash_index,
+        read_minhash_index,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    index_dir = str(tmp_path / "index")
+    write_minhash_index(old, index_dir)
+
+    src = str(tmp_path / "incoming")
+    store = str(tmp_path / "store")
+
+    def run_stream():
+        stream = spark.readStream.schema(SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = start_streaming_dedup_against_index(
+            spark,
+            stream,
+            index_dir=index_dir,
+            index_corpus_df=old,
+            out_dir=str(tmp_path / "pairs"),
+            checkpoint_location=str(tmp_path / "ck"),
+            available_now=True,
+            extend_index=True,
+            corpus_store_dir=store,
+        )
+        q.awaitTermination(240)
+
+    new.filter(F.col("doc_id") % 6 == 1).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    run_stream()
+
+    res = compact_minhash_index(spark, index_dir)
+    assert res["compacted"] is True
+
+    for k in (3, 5):
+        new.filter(F.col("doc_id") % 6 == k).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+    run_stream()
+
+    rebuild_dir = str(tmp_path / "rebuild")
+    write_minhash_index(old.unionByName(new), rebuild_dir)
+
+    def snap(ix):
+        bands, stats = read_minhash_index(spark, ix)
+        return (
+            {(r.doc_id, r.band_key) for r in bands.collect()},
+            {(r.band_key, r.n) for r in stats.collect()},
+        )
+
+    assert snap(index_dir) == snap(rebuild_dir), (
+        "stream + compact + stream != rebuild"
+    )
+    pairs = {
+        (r.new_id, r.old_id)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    assert any(o % 2 == 1 for _, o in pairs), (
+        "post-compaction batches must still see pre-compaction "
+        "admissions as index-side docs"
+    )

@@ -85,25 +85,26 @@ def test_streaming_vector_ingest_equals_rebuild(spark, tmp_path):
 def test_streaming_vector_ingest_fresh_checkpoint_fails_loudly(
     spark, tmp_path
 ):
-    """A FRESH checkpoint against an already-extended index restarts
-    batch ids at 0, so every append maps to an already-committed delta
-    and would silently no-op — genuinely new vectors never admitted.
-    The ingest must fail loudly at the first such batch instead."""
+    """A FRESH checkpoint against a stream-fed index restarts batch ids
+    at 0, below the index's admitted-batch cursor — re-delivered
+    batches would be silently treated as already admitted (and
+    genuinely new data positioned under the cursor dropped). The
+    ingest must fail loudly at the first such batch instead."""
     import pytest
 
-    from flink_kafka_replicator_spark.sinks import append_vector_delta
+    from flink_kafka_replicator_spark.sinks import append_vector_batch
 
     e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
     even = e.filter(F.col("vec_id") % 2 == 0)
 
     ix = str(tmp_path / "vindex")
     write_vector_index(spark, SF_DIR, ix, df=even)
-    # extend the index past delta 1 out-of-band (an earlier stream run)
-    append_vector_delta(
-        spark, e.filter(F.col("vec_id") % 4 == 1), ix, delta_id=1
+    # a prior stream run admitted batches 0 and 1 (cursor = 1)
+    assert append_vector_batch(
+        spark, e.filter(F.col("vec_id") % 4 == 1), ix, batch_id=0
     )
-    append_vector_delta(
-        spark, e.filter(F.col("vec_id") % 4 == 3), ix, delta_id=2
+    assert append_vector_batch(
+        spark, e.filter(F.col("vec_id") % 4 == 3), ix, batch_id=1
     )
 
     src = str(tmp_path / "incoming")
@@ -116,3 +117,70 @@ def test_streaming_vector_ingest_fresh_checkpoint_fails_loudly(
         q.awaitTermination(120)
         if q.exception() is not None:
             raise q.exception()
+
+
+def test_streaming_vector_ingest_survives_compaction(spark, tmp_path):
+    """The round-8 composition contract: compaction between runs of a
+    stream-fed index must not break admission. Delta ids come from the
+    index meta's batch cursor (not batch_id arithmetic), so after
+    compaction renumbers the partitions the resumed stream keeps
+    admitting — final index equals a full rebuild, search byte-equal."""
+    from flink_kafka_replicator_spark.sinks import compact_vector_index
+
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    thirds = [e.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+
+    ix = str(tmp_path / "vindex")
+    write_vector_index(spark, SF_DIR, ix, df=thirds[0])
+
+    src = str(tmp_path / "incoming")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = start_streaming_vector_ingest(
+            spark, stream, ix, ck, available_now=True
+        )
+        q.awaitTermination(180)
+
+    # run 1: admit the second third as a streamed batch
+    thirds[1].coalesce(1).write.parquet(src, mode="append")
+    run()
+
+    # maintenance window: compact the index (renumbers partitions)
+    res = compact_vector_index(spark, ix)
+    assert res["compacted"] is True
+
+    # run 2, SAME checkpoint: the final third arrives
+    thirds[2].coalesce(1).write.parquet(src, mode="append")
+    run()
+
+    full_ix = str(tmp_path / "full")
+    write_vector_index(spark, SF_DIR, full_ix)
+
+    def snap(d):
+        _, postings, _, codes = read_vector_index(spark, d)
+        return (
+            {tuple(r) for r in postings.collect()},
+            {tuple(r) for r in codes.collect()},
+        )
+
+    assert snap(ix) == snap(full_ix), (
+        "stream + compact + stream != rebuild"
+    )
+    got = [
+        (r.vec_id, r.adc_dist)
+        for r in knn_ivf_pq_from_index(spark, ix).collect()
+    ]
+    want = [
+        (r.vec_id, r.adc_dist) for r in knn_ivf_pq(spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+    # replay run against the same drained checkpoint: still a no-op
+    run()
+    assert snap(ix) == snap(full_ix)
