@@ -617,3 +617,46 @@ def test_pq_encode_partial_aggregates_no_window(spark, sf_dir):
     assert "WindowGroupLimit" not in plan and "Window" not in plan
     assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rowwise_histogram_broadcasts_centroids_no_cartesian_blowup(
+    spark, sf_dir
+):
+    """The large-k assignment shape (round 8): the centroid side must
+    enter as a BROADCAST nested-loop over the tiny k-row table (n·k
+    candidates map-side — the intended shape), the argmin must stay a
+    map-combinable min_by (no window), and the whole thing must keep
+    whole-stage codegen (the HOF-fold version dropped out of codegen
+    and measured 5-6x slower)."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        ivf_cell_histogram,
+    )
+    from flink_kafka_replicator_spark.plans import codegen_stage_count
+
+    df = ivf_cell_histogram(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Broadcast" in plan, f"centroids must broadcast:\n{plan}"
+    assert "CartesianProduct" not in plan, (
+        f"centroid join regressed to a shuffled cartesian:\n{plan}"
+    )
+    assert "Window" not in plan, f"argmin regressed to a window:\n{plan}"
+    assert codegen_stage_count(ivf_cell_histogram(spark, sf_dir)) >= 2
+
+
+def test_probe_recall_curve_rungs_are_probe_pruned_scans(spark, sf_dir):
+    """Every ladder rung must stay the probe-pruned single-scan shape:
+    no join anywhere in the report plan (semi-joins over 10-row lists
+    aside, the heavy side is scan -> explode-agg -> TakeOrdered), and
+    no cartesian."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        knn_probe_recall_curve,
+    )
+
+    plan = formatted_plan(knn_probe_recall_curve(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, (
+        f"rung top-10 must be TakeOrdered, not a window:\n{plan}"
+    )
+    assert plan.count("TakeOrderedAndProject") >= 5, (
+        f"each ladder rung should compile to TakeOrdered:\n{plan}"
+    )
