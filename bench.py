@@ -111,6 +111,7 @@ HEADLINE = list(R2_BASKET) + [
     # n_probe recall ladder
     "ivf_cell_histogram",
     "knn_probe_recall_curve",
+    "dedup_graph_pagerank",
 ]
 
 

@@ -291,6 +291,7 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     # and the n_probe recall ladder that closes the tuning loop
     "ivf_cell_histogram",
     "knn_probe_recall_curve",
+    "dedup_graph_pagerank",
 )
 
 

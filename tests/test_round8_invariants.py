@@ -168,3 +168,33 @@ def test_tune_n_probe_meets_target(spark, sf_dir):
     assert pq.tune_n_probe(spark, sf_dir, 0.1) <= pq.tune_n_probe(
         spark, sf_dir, 1.0
     )
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark, sf_dir):
+    """PageRank sanity theorems on the near-dup graph: total rank mass
+    stays ~1 (floor quantization loses < 1e-6 per node per round; no
+    dangling mass on an undirected graph), every rank is positive, and
+    a node of maximum degree outranks a node of minimum degree in its
+    own component-free comparison of extremes."""
+    rows = pq.dedup_graph_pagerank(spark, sf_dir).collect()
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < len(rows) * 1e-6 * (pq.PR_ITERS + 1) + 1e-9
+    assert all(r.pagerank > 0 for r in rows)
+
+    pairs = pq._minhash_candidates_with_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.5
+    )
+    from collections import Counter
+
+    deg = Counter()
+    for r in pairs.collect():
+        deg[r.doc_a] += 1
+        deg[r.doc_b] += 1
+    pr = {r.doc_id: r.pagerank for r in rows}
+    hub = max(deg, key=lambda k: deg[k])
+    leaf = min(deg, key=lambda k: deg[k])
+    if deg[hub] > deg[leaf]:
+        assert pr[hub] >= pr[leaf], (
+            f"hub deg={deg[hub]} pr={pr[hub]} vs leaf deg={deg[leaf]} "
+            f"pr={pr[leaf]}"
+        )
