@@ -180,6 +180,16 @@ def main() -> None:
                 + ", ".join(f"{q}={r}x" for q, r in sorted(regressions.items())),
                 file=sys.stderr,
             )
+        # first-appearance queries freeze their baseline NOW (the same
+        # "first recorded time" rule the file was seeded with), so the
+        # next round's run gets a ratio instead of a blind spot
+        if base:
+            new_qs = {q: t for q, t in timings.items() if q not in base}
+            if new_qs:
+                for q, t in new_qs.items():
+                    base_doc["queries"][q] = {"sec": t, "round": "auto"}
+                with open(base_path, "w", encoding="utf-8") as fh:
+                    json.dump(base_doc, fh, indent=1, sort_keys=True)
     # the headline set grows round over round; r2_subset_total keeps a
     # fixed-basket number comparable against BENCH_r02/r03 so a larger
     # set never reads as a regression. Indexing timings[q] directly (no
