@@ -112,6 +112,7 @@ HEADLINE = list(R2_BASKET) + [
     "ivf_cell_histogram",
     "knn_probe_recall_curve",
     "dedup_graph_pagerank",
+    "dedup_survivors_by_centrality",
 ]
 
 

@@ -736,11 +736,13 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("doc_id", F.col("pr").alias("pagerank"))
 
 
-def _duck_pagerank() -> str:
-    """The PageRank oracle: brute-force near-dup edges + the identical
-    quantized iterations unrolled as one CTE pair per round."""
+def _duck_pagerank_ctes() -> str:
+    """The shared PageRank CTE chain (brute-force near-dup edges + the
+    identical quantized iterations unrolled, ending at pr{PR_ITERS}) —
+    reused by the pagerank oracle and the centrality-survivor oracle.
+    Declared RECURSIVE so composers can append recursive CTEs."""
     head = r"""
-        WITH t AS (
+        WITH RECURSIVE t AS (
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         ),
         s AS (
@@ -782,10 +784,80 @@ def _duck_pagerank() -> str:
             FROM nodes CROSS JOIN nn
             LEFT JOIN c{i} ON c{i}.dst = nodes.doc_id
         )""")
+    return head + "".join(blocks)
+
+
+def _duck_pagerank() -> str:
     return (
-        head
-        + "".join(blocks)
+        _duck_pagerank_ctes()
         + f"\n        SELECT doc_id, pr AS pagerank FROM pr{PR_ITERS}"
+    )
+
+
+def _duck_centrality_survivors() -> str:
+    """Centrality-survivor oracle: the PageRank chain + the CC
+    reachability closure over the SAME edge list, joined and ranked
+    with the identical (pr DESC, doc_id ASC) tie-break."""
+    return (
+        _duck_pagerank_ctes()
+        + f""",
+        reach(node, r) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node
+        ),
+        lab AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+                FROM reach GROUP BY node),
+        j AS (
+            SELECT lab.cluster_id, lab.doc_id, pr{PR_ITERS}.pr
+            FROM lab JOIN pr{PR_ITERS} USING (doc_id)
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY pr DESC, doc_id ASC) AS rn,
+                   COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+            FROM j
+        )
+        SELECT cluster_id, doc_id AS keep_doc_id, pr AS keep_pagerank,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE rn = 1"""
+    )
+
+
+def dedup_survivors_by_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph family composed into the curation decision: per
+    near-dup CLUSTER (connected components), keep the MOST CENTRAL
+    member (max PageRank, ties → min doc_id) — the upgrade over
+    ``dedup_survivors``' min-id rule: the best-connected duplicate is
+    the representative least likely to be a truncated or mangled
+    variant of the cluster's content. Output: (cluster_id,
+    keep_doc_id, keep_pagerank, n_members).
+
+    Pure composition of two memoized artifacts (CC labels + the rank
+    table) — a cluster-keyed window over their (tiny) join; the corpus
+    and the pair graph are not touched again. Oracle replays both the
+    reachability closure and the quantized rank iterations over the
+    same brute-force edges, so a match re-verifies CC, PageRank, and
+    the tie-break in one row set."""
+    from pyspark.sql import Window
+
+    cc = dedup_cluster_cc(spark, sf_dir)
+    pr = dedup_graph_pagerank(spark, sf_dir)
+    j = cc.join(pr, "doc_id")
+    w = Window.partitionBy("cluster_id")
+    wr = w.orderBy(F.col("pagerank").desc(), F.col("doc_id").asc())
+    return (
+        j.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_members", F.count("*").over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("pagerank").alias("keep_pagerank"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
     )
 
 
@@ -2946,6 +3018,7 @@ QUERIES = {
     "corpus_split_assign": corpus_split_assign,
     "dedup_cluster_cc": dedup_cluster_cc,
     "dedup_graph_pagerank": dedup_graph_pagerank,
+    "dedup_survivors_by_centrality": dedup_survivors_by_centrality,
     "dedup_survivors": dedup_survivors,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -3564,6 +3637,7 @@ ORACLES = {
         GROUP BY cluster_id
     """,
     "dedup_graph_pagerank": _duck_pagerank(),
+    "dedup_survivors_by_centrality": _duck_centrality_survivors(),
     "dedup_cluster_cc": r"""
         WITH RECURSIVE t AS (
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents

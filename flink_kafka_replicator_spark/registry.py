@@ -292,6 +292,7 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "ivf_cell_histogram",
     "knn_probe_recall_curve",
     "dedup_graph_pagerank",
+    "dedup_survivors_by_centrality",
 )
 
 
