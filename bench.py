@@ -113,6 +113,7 @@ HEADLINE = list(R2_BASKET) + [
     "knn_probe_recall_curve",
     "dedup_graph_pagerank",
     "dedup_survivors_by_centrality",
+    "knn_batch_adc",
 ]
 
 

@@ -2280,6 +2280,65 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adc_topk(spark, sf_dir, _pq_codes(spark, sf_dir))
 
 
+# batch ANN serving: queries = odd vec_ids below this bound (8 query
+# vectors), corpus = the even vec_ids — the dedup_incremental split
+# convention, so queries never trivially match themselves
+QBATCH_MAX = 16
+BATCH_TOPK = 5
+
+
+def knn_batch_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query ADC serving — the shape a vector store actually runs
+    in production: a BATCH of query vectors answered in ONE plan
+    against the PQ code table (every other knn_* query serves the
+    single fixed QUERY_VEC). Per query the LUT is its PQ_M×PQ_K
+    subspace-distance table; batching stacks them into one
+    (qid, m, cid, qd2) table built by joining the query subvectors
+    with the broadcast learned codebook — no per-query job, no driver
+    loop over queries.
+
+    Plan: codes ⋈ broadcast(batched LUT) on (m, cid) fans each code
+    row out to |queries| rows map-side (work ∝ |codes|·|queries| — the
+    irreducible ADC cost of a query batch), one (qid, vec_id) hash
+    aggregate, and a per-qid WindowGroupLimit top-k. At 100 TB this is
+    the online-serving inner loop: queries arrive in micro-batches,
+    each batch is one such plan over the persisted code table.
+
+    Parity: qd2 is the same position-ordered fold as the single-query
+    LUT; the per-pair SUM is rounded to 4dp (partial-order drift
+    absorbed — the knn_pq_adc convention); (adc ASC, vec_id ASC)
+    tie-break replayed by the oracle's ROW_NUMBER."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sv_q = _subvectors_of(
+        e.filter(
+            (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < QBATCH_MAX)
+        ).select("vec_id", "embedding")
+    ).select(F.col("vec_id").alias("qid"), "m", "s")
+    blut = sv_q.join(broadcast(_pq_codebook(spark, sf_dir)), "m").select(
+        "qid",
+        "m",
+        "cid",
+        F.expr(_PQ_SUBD2.format(a="s", b="c")).alias("qd2"),
+    )
+    codes = _pq_codes(spark, sf_dir).filter(F.col("vec_id") % 2 == 0)
+    scored = (
+        codes.select("vec_id", "m", "cid")
+        .join(broadcast(blut), ["m", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("qd2"), 4).alias("adc_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BATCH_TOPK)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
 def _adc_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -3036,6 +3095,7 @@ QUERIES = {
     "knn_recall_eval": knn_recall_eval,
     "knn_recall_family": knn_recall_family,
     "knn_probe_recall_curve": knn_probe_recall_curve,
+    "knn_batch_adc": knn_batch_adc,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_pq_encode": embedding_pq_encode,
     "knn_pq_adc": knn_pq_adc,
@@ -3480,6 +3540,27 @@ ORACLES = {
         UNION ALL
         SELECT 'ivf_pq_refined', CAST(h5.n AS BIGINT), CAST(qn.n AS BIGINT),
                ROUND(CAST(h5.n AS DOUBLE) / qn.n, 4) FROM h5, qn
+    """,
+    "knn_batch_adc": f"""
+        WITH {_PQ_ORACLE_BASE},
+        blut AS (
+            SELECT sv.vec_id AS qid, c.m, c.cid,
+                   {_duck_subd2('sv.s', 'c.c')} AS qd2
+            FROM sv JOIN cb2 c USING (m)
+            WHERE sv.vec_id % 2 = 1 AND sv.vec_id < {QBATCH_MAX}
+        ),
+        bscored AS (
+            SELECT b.qid, codes.vec_id, ROUND(SUM(b.qd2), 4) AS adc_dist
+            FROM codes JOIN blut b USING (m, cid)
+            WHERE codes.vec_id % 2 = 0
+            GROUP BY b.qid, codes.vec_id
+        )
+        SELECT qid, vec_id, adc_dist, CAST(rn AS INT) AS rank FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY qid
+                ORDER BY adc_dist ASC, vec_id ASC) AS rn
+            FROM bscored)
+        WHERE rn <= {BATCH_TOPK}
     """,
     "knn_probe_recall_curve": _duck_probe_curve(),
     # the coarse quantizer (IVF centroids/probes) and the PQ codebook are

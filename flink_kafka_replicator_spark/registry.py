@@ -293,6 +293,7 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "knn_probe_recall_curve",
     "dedup_graph_pagerank",
     "dedup_survivors_by_centrality",
+    "knn_batch_adc",
 )
 
 
