@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 DEFAULT_SHARDS = 16
 
@@ -1020,6 +1021,85 @@ def knn_ivf_pq_from_index(
     pruned = codes.join(members, "vec_id", "left_semi")
     return pq._adc_topk(
         spark, out_dir, pruned, k=k, lut=pq._pq_lut_from(codebook)
+    )
+
+
+def knn_batch_search_from_index(
+    spark: SparkSession,
+    queries_df: DataFrame,
+    out_dir: str,
+    k: int = 5,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """Batch ANN serving purely from a persisted index — the complete
+    production read path: a table of (qid, embedding) query vectors is
+    answered in ONE plan against the on-disk artifacts (centroids,
+    postings, codebook, codes); the raw embeddings are never touched.
+    This composes the round-8 pieces end-to-end: per-query probe
+    selection is a rank-<=n_probe over the rowwise centroid candidates
+    (data-shaped, any k), candidate vectors are a probe ⋈ postings
+    equi-join (work ∝ the probed fraction per query), and scoring is
+    ADC with all per-query LUTs stacked into one broadcast
+    (``knn_batch_adc``'s shape). Probing every cell degenerates to the
+    unpruned batch ADC scan — pytest pins that identity against the
+    in-session ``knn_batch_adc``.
+
+    Returns (qid, vec_id, adc_dist, rank<=k) per query."""
+    from pyspark.sql import Window
+
+    from .functions import pipeline_queries as pq
+
+    meta = _read_vindex_meta(out_dir)
+    _check_vindex_geometry(meta, out_dir)
+    if n_probe is None:
+        n_probe = meta["ivf_n_probe"]
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    centroids, postings, codebook, codes = read_vector_index(
+        spark, out_dir
+    )
+    q = queries_df.select(
+        F.col("qid").alias("vec_id"), "embedding"
+    )
+    # per-query probe sets: top-n_probe cells over the rowwise
+    # candidates (same (dist ASC, cid ASC) order as every quantizer)
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("d").asc(), F.col("cid").asc()
+    )
+    probes = (
+        pq._rowwise_candidates(q, centroids)
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("vec_id").alias("qid"), "cid")
+    )
+    cand_vecs = probes.join(
+        postings.select("vec_id", "cid"), "cid"
+    ).select("qid", "vec_id")
+    # stacked per-query LUTs from the ON-DISK codebook
+    blut = (
+        pq._subvectors_of(q)
+        .select(F.col("vec_id").alias("qid"), "m", "s")
+        .join(broadcast(codebook), "m")
+        .select(
+            "qid",
+            "m",
+            "cid",
+            F.expr(pq._PQ_SUBD2.format(a="s", b="c")).alias("qd2"),
+        )
+    )
+    scored = (
+        cand_vecs.join(codes.select("vec_id", "m", "cid"), "vec_id")
+        .join(broadcast(blut), ["qid", "m", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("qd2"), 4).alias("adc_dist"))
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
     )
 
 

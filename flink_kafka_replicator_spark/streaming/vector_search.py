@@ -1,0 +1,67 @@
+"""Streaming ANN query serving against the persisted vector index —
+the third leg of the vector-store lifecycle this engine ships:
+``sinks.write_vector_index`` builds, ``streaming/vector_ingest``
+grows, and THIS serves: query vectors arrive as a stream and every
+micro-batch is answered in one ``knn_batch_search_from_index`` plan
+(per-query probe pruning + stacked-LUT ADC, raw embeddings never
+touched), with results appended as batch-keyed partitions.
+
+Exactly-once on the RESULT side comes from the streaming checkpoint +
+dynamic overwrite of each batch's own ``batch_id=K`` partition (the
+dedup_ingest sink recipe): a replayed batch rewrites its partition
+instead of duplicating answers. The index is read at its
+pointer-committed state per batch — queries racing an in-flight
+append or compaction see only committed deltas, never a partial
+index.
+
+At scale: per batch the plan's work is |batch| · (k centroid dots +
+probed-fraction · M code adds) — linear in batch size, zero touches
+of the raw vectors; this is the online-serving inner loop a vector
+store runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def start_streaming_vector_search(
+    spark: SparkSession,
+    source_df: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_location: str,
+    k: int = 5,
+    n_probe: int | None = None,
+    available_now: bool = True,
+):
+    """Stream (qid, embedding) query rows; per micro-batch, write each
+    query's top-``k`` (qid, vec_id, adc_dist, rank) answers to
+    ``out_dir`` partitioned by batch id (replays overwrite their own
+    partition)."""
+    from ..sinks import knn_batch_search_from_index
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        answers = knn_batch_search_from_index(
+            spark,
+            batch_df.select("qid", "embedding"),
+            index_dir,
+            k=k,
+            n_probe=n_probe,
+        )
+        (
+            answers.withColumn("batch_id", F.lit(batch_id))
+            .coalesce(8)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    writer = source_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_location
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
