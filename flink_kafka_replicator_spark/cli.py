@@ -240,6 +240,68 @@ def compact_index_main(argv: list[str], spark=None) -> int:
     return 0
 
 
+def vector_search_main(argv: list[str], spark=None) -> int:
+    """The ``vector-search`` subcommand: answer a stream of (qid,
+    embedding) query vectors from a persisted vector index — the serve
+    leg of the build (`write_vector_index`) / grow (vector ingest) /
+    serve lifecycle, as a deployable job. Batch mode in disguise: the
+    availableNow trigger drains whatever query files exist and exits,
+    so one-shot batch answering and continuous serving share the one
+    code path (re-run with the same checkpoint to pick up new query
+    files only)."""
+    import argparse
+    import hashlib
+
+    parser = argparse.ArgumentParser(
+        prog="spark-kafka-replicator vector-search",
+        description=(
+            "Serve ANN queries (parquet of qid, embedding) from a "
+            "persisted vector index"
+        ),
+        allow_abbrev=False,
+    )
+    parser.add_argument("--index-dir", required=True)
+    parser.add_argument("--queries", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--checkpoint-location", default=None)
+    parser.add_argument("--top-k", type=int, default=5)
+    parser.add_argument("--n-probe", type=int, default=None)
+    parser.add_argument("--timeout-sec", type=int, default=600)
+    args = parser.parse_args(argv)
+
+    if spark is None:
+        from .session import get_session
+
+        spark = get_session(app_name="spark-vector-search")
+
+    checkpoint = args.checkpoint_location
+    if checkpoint is None:
+        ident = f"{args.queries}|{args.output}"
+        checkpoint = (
+            "/tmp/spark-vector-search-ckpt-"
+            + hashlib.md5(ident.encode()).hexdigest()[:10]
+        )
+
+    from .streaming.vector_search import start_streaming_vector_search
+
+    schema = spark.read.parquet(args.queries).schema
+    stream = spark.readStream.schema(schema).parquet(args.queries)
+    q = start_streaming_vector_search(
+        spark,
+        stream,
+        args.index_dir,
+        args.output,
+        checkpoint,
+        k=args.top_k,
+        n_probe=args.n_probe,
+        available_now=True,
+    )
+    q.awaitTermination(args.timeout_sec)
+    if q.exception() is not None:
+        raise q.exception()
+    return 0
+
+
 def main(argv: list[str] | None = None, admin_factory=None) -> int:
     import sys
 
@@ -257,6 +319,8 @@ def main(argv: list[str] | None = None, admin_factory=None) -> int:
         return corpus_build_main(args[1:])
     if args and args[0] == "compact-index":
         return compact_index_main(args[1:])
+    if args and args[0] == "vector-search":
+        return vector_search_main(args[1:])
 
     cfg, extra = parse_args(args)
     run_preflight(cfg, admin_factory)

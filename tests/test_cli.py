@@ -328,3 +328,57 @@ def test_compact_index_subcommand(spark, tmp_path, capsys):
     assert main(["compact-index", "--kind", "minhash", "--dir", ix]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["compacted"] is True
+
+
+def test_vector_search_subcommand_end_to_end(spark, tmp_path):
+    """The serve-leg CLI: `vector-search` answers a parquet of query
+    vectors from a persisted index through the file harness, matching
+    the direct batch call."""
+    import os
+
+    from pyspark.sql import functions as _F
+
+    from flink_kafka_replicator_spark.cli import main
+    from flink_kafka_replicator_spark.functions import (
+        pipeline_queries as pq,
+    )
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.sinks import (
+        knn_batch_search_from_index,
+        write_vector_index,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    ix = str(tmp_path / "vindex")
+    write_vector_index(spark, sf_dir, ix)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(
+        (_F.col("vec_id") % 2 == 1) & (_F.col("vec_id") < pq.QBATCH_MAX)
+    ).select(_F.col("vec_id").alias("qid"), "embedding")
+    qdir = str(tmp_path / "queries")
+    queries.coalesce(1).write.parquet(qdir)
+
+    out = str(tmp_path / "answers")
+    rc = main([
+        "vector-search",
+        "--index-dir", ix,
+        "--queries", qdir,
+        "--output", out,
+        "--checkpoint-location", str(tmp_path / "ck"),
+        "--top-k", "3",
+    ])
+    assert rc == 0
+    got = sorted(
+        (r.qid, r.vec_id, r.adc_dist, r.rank)
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in knn_batch_search_from_index(
+            spark, queries, ix, k=3
+        ).collect()
+    )
+    assert got == want
