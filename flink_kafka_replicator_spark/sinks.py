@@ -359,6 +359,25 @@ def append_minhash_delta(
     return True
 
 
+def _sweep_orphan_partitions(table_path: str, committed: list) -> None:
+    """Remove delta partitions NOT in the committed list — invisible to
+    every reader (the pointer prunes to committed ids) but costing
+    listing time forever. Orphans arise from a crash between a
+    partition write and its pointer swap (append or compaction); the
+    sweep runs at compaction start, which the maintenance contract
+    already requires to be free of concurrent writers. An orphan from
+    a crashed APPEND is safe to drop too: its replay rewrites the
+    partition from scratch (dynamic overwrite)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    keep = {str(d) for d in committed}
+    for path in _glob.glob(os.path.join(table_path, "delta_id=*")):
+        if os.path.basename(path).split("=", 1)[1] not in keep:
+            shutil.rmtree(path, ignore_errors=True)
+
+
 def compact_minhash_index(
     spark: SparkSession, out_dir: str, files: int = 1
 ) -> dict:
@@ -408,6 +427,7 @@ def compact_minhash_index(
     committed = meta.get(
         "delta_ids", list(range(meta["last_delta_id"] + 1))
     )
+    _sweep_orphan_partitions(bands_path, committed)
     before = _count_files()
     if len(committed) <= 1:
         return {
@@ -899,6 +919,8 @@ def compact_vector_index(
     committed = meta.get(
         "delta_ids", list(range(meta["last_delta_id"] + 1))
     )
+    for sub in ("postings", "pq_codes"):
+        _sweep_orphan_partitions(os.path.join(out_dir, sub), committed)
 
     def _count_files() -> int:
         return sum(

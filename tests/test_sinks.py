@@ -627,6 +627,18 @@ def test_compact_minhash_index_preserves_reads_and_appends(
     # compacting an already-compact index is a no-op
     assert compact_minhash_index(spark, ix)["compacted"] is False
 
+    # an orphan partition (crash between a partition write and its
+    # pointer swap) is swept at the next compaction — even a no-op one
+    import os as _os
+
+    orphan = _os.path.join(ix, "bands", "delta_id=99")
+    _os.makedirs(orphan)
+    with open(_os.path.join(orphan, "junk.parquet"), "wb") as fh:
+        fh.write(b"x")
+    compact_minhash_index(spark, ix)
+    assert not _os.path.isdir(orphan), "orphan partition must be swept"
+    assert snap(ix) == snap(full)
+
 
 def test_compact_vector_index_search_unchanged_and_appendable(
     spark, sf_dir, tmp_path
