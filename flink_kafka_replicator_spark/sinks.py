@@ -116,10 +116,22 @@ def compact_corpus_shards(
     before = _count_files(norm)
     df = spark.read.parquet(norm)
     n_shards = df.select("shard").distinct().count()
+    # A STREAMING corpus (corpus_build) is partitioned batch_id=*/
+    # shard=* for replay idempotence. Compaction must PRESERVE the
+    # batch level — flattening to shard=* would make the next streamed
+    # batch's batch_id=K dir conflict with the compacted layout and
+    # break partition discovery on read. All committed batches merge
+    # into the MAX batch id (monotone checkpoints guarantee future
+    # batches land above it; compact only cleanly-stopped streams).
+    part_cols = ["shard"]
+    if "batch_id" in df.columns:
+        merged_batch = df.agg(F.max("batch_id")).collect()[0][0]
+        df = df.withColumn("batch_id", F.lit(merged_batch))
+        part_cols = ["batch_id", "shard"]
     # repartition on (shard, salt): hashing shard ALONE would collapse
     # each shard into one task/file regardless of files_per_shard; the
     # salt splits a shard's rows across exactly files_per_shard tasks
-    data_cols = [c for c in df.columns if c != "shard"]
+    data_cols = [c for c in df.columns if c not in part_cols]
     first_col = data_cols[0]
     (
         df.withColumn(
@@ -128,7 +140,7 @@ def compact_corpus_shards(
         .repartition(n_shards * files_per_shard, "shard", "_salt")
         .drop("_salt")
         .write.mode("overwrite")
-        .partitionBy("shard")
+        .partitionBy(*part_cols)
         .parquet(tmp_dir)
     )
     after = _count_files(tmp_dir)

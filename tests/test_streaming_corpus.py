@@ -204,3 +204,60 @@ def test_streaming_corpus_with_persisted_model_gate(spark, tmp_path):
     }
     assert got == want, "streamed model gate diverged from batch inference"
     assert 0 < len(want) < docs.count()
+
+
+def test_corpus_build_survives_compaction_between_runs(spark, tmp_path):
+    """Round-8 composition: compacting a streaming-built corpus (batch
+    partitions merged into the max committed batch id, shard level
+    preserved) must leave the directory readable AND writable by the
+    resumed stream — the next batch's partition cannot conflict with
+    the compacted layout."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from flink_kafka_replicator_spark.sinks import compact_corpus_shards
+    from flink_kafka_replicator_spark.streaming.corpus_build import (
+        start_corpus_build,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+
+    def run(rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = start_corpus_build(
+            spark,
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            out,
+            ck,
+            min_tokens=5,
+        )
+        q.awaitTermination(120)
+
+    mk = lambda i, suffix, m: Row(
+        doc_id=i,
+        text=GOOD + " " + suffix,
+        lang="en",
+        event_ts=BASE + dt.timedelta(minutes=m),
+    )
+    run([mk(1, "alpha variant", 0), mk(2, "beta variant", 1)])
+    first = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert first == {1, 2}
+
+    stats = compact_corpus_shards(spark, out)
+    assert stats["files_after"] <= stats["files_before"]
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == first
+
+    # resume the SAME checkpoint with new docs: the new batch partition
+    # must coexist with the compacted layout
+    run([mk(3, "gamma variant", 5)])
+    back = spark.read.parquet(out)
+    assert {r.doc_id for r in back.collect()} == {1, 2, 3}
+    # still shard-pruned readable
+    assert back.filter(back.shard >= 0).count() == 3
