@@ -227,3 +227,83 @@ def test_quality_classifier_score_invariants(spark, texts):
             assert r.logit >= 0.0, r
         else:
             assert r.logit <= 0.0, r
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(min_value=1, max_value=65535),
+    h=st.integers(min_value=1, max_value=65535),
+    color_type=st.sampled_from([0, 2, 3, 4, 6]),
+)
+def test_png_header_parse_roundtrip(w, h, color_type):
+    """Round 8: the stdlib image-header parser recovers exactly the
+    geometry written into an arbitrary crafted PNG IHDR."""
+    import struct
+
+    from flink_kafka_replicator_spark.functions.multimodal import (
+        _parse_image_header,
+    )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    assert _parse_image_header(blob) == (w, h, channels, "png")
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(min_value=1, max_value=65535),
+    h=st.integers(min_value=1, max_value=65535),
+    n_app_segments=st.integers(min_value=0, max_value=3),
+)
+def test_jpeg_header_parse_skips_segments(w, h, n_app_segments):
+    """The JPEG SOF scan must skip an arbitrary number of APPn
+    segments before the frame header — the marker walk, not an offset
+    guess."""
+    import struct
+
+    from flink_kafka_replicator_spark.functions.multimodal import (
+        _parse_image_header,
+    )
+
+    blob = b"\xff\xd8"
+    for i in range(n_app_segments):
+        payload = bytes([i]) * (3 + i)
+        blob += b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+    blob += (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3])
+        + b"\x00" * 10
+    )
+    assert _parse_image_header(blob) == (w, h, 3, "jpeg")
+
+
+@settings(**_SETTINGS)
+@given(
+    sr=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+    n_frames=st.integers(min_value=0, max_value=100_000),
+)
+def test_wav_decode_roundtrip(sr, n_frames):
+    """The stdlib WAV decode recovers the exact sample rate / frame
+    count / duration arithmetic written by the stdlib encoder."""
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(sr)
+        wv.writeframes(b"\x00\x00" * n_frames)
+
+    with wave_mod.open(io.BytesIO(buf.getvalue()), "rb") as wv:
+        assert wv.getframerate() == sr
+        assert wv.getnframes() == n_frames
