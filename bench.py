@@ -114,6 +114,7 @@ HEADLINE = list(R2_BASKET) + [
     "dedup_graph_pagerank",
     "dedup_survivors_by_centrality",
     "knn_batch_adc",
+    "dedup_family_report",
 ]
 
 

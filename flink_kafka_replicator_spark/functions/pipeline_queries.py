@@ -861,6 +861,51 @@ def dedup_survivors_by_centrality(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def dedup_family_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup dashboard (round 8): how many items each rung of the
+    dedup ladder would DROP, as one report — the number a curation run
+    reviews before executing deletions (the dedup analog of
+    ``knn_recall_family``'s measured ladder):
+
+    - ``exact``: non-canonical copies under md5 content hashing
+      (Σ n_copies − 1);
+    - ``paragraph``: documents dropped for majority-duplicated
+      sub-document content;
+    - ``minhash_cc``: documents dropped by near-dup clustering
+      (Σ n_dropped over the CC survivor report);
+    - ``semantic``: vectors dropped by SemDeDup cluster survivorship.
+
+    Every input is an already-verified (and memoized) family member —
+    the report is four tiny aggregates unioned; the oracle nests each
+    method's full oracle SQL and re-aggregates identically, so a match
+    re-verifies the whole ladder end-to-end in one row set."""
+    exact = dedup_exact_docs(spark, sf_dir).agg(
+        F.sum(F.col("n_copies") - 1).cast("bigint").alias("n_flagged")
+    )
+    para = dedup_paragraph_exact(spark, sf_dir).filter(
+        ~F.col("keep")
+    ).agg(F.count("*").cast("bigint").alias("n_flagged"))
+    mh = dedup_survivors(spark, sf_dir).agg(
+        F.sum("n_dropped").cast("bigint").alias("n_flagged")
+    )
+    sem = dedup_semantic_clusters(spark, sf_dir).filter(
+        ~F.col("keep")
+    ).agg(F.count("*").cast("bigint").alias("n_flagged"))
+    parts = [
+        ("exact", exact),
+        ("paragraph", para),
+        ("minhash_cc", mh),
+        ("semantic", sem),
+    ]
+    out = None
+    for method, df in parts:
+        row = df.select(
+            F.lit(method).alias("method"), F.col("n_flagged")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signature, 4×16-bit band blocking,
     hamming distance ≤ 8 verification."""
@@ -3078,6 +3123,7 @@ QUERIES = {
     "dedup_cluster_cc": dedup_cluster_cc,
     "dedup_graph_pagerank": dedup_graph_pagerank,
     "dedup_survivors_by_centrality": dedup_survivors_by_centrality,
+    "dedup_family_report": dedup_family_report,
     "dedup_survivors": dedup_survivors,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -4199,3 +4245,20 @@ ORACLES = {
         FROM f
     """,
 }
+
+# the dedup-dashboard oracle nests each family member's full oracle —
+# a match re-verifies the whole ladder end-to-end
+ORACLES["dedup_family_report"] = f"""
+    SELECT 'exact' AS method,
+           CAST(SUM(n_copies - 1) AS BIGINT) AS n_flagged
+    FROM ({ORACLES['dedup_exact_docs']})
+    UNION ALL
+    SELECT 'paragraph', CAST(COUNT(*) AS BIGINT)
+    FROM ({ORACLES['dedup_paragraph_exact']}) WHERE NOT keep
+    UNION ALL
+    SELECT 'minhash_cc', CAST(SUM(n_dropped) AS BIGINT)
+    FROM ({ORACLES['dedup_survivors']})
+    UNION ALL
+    SELECT 'semantic', CAST(COUNT(*) AS BIGINT)
+    FROM ({ORACLES['dedup_semantic_clusters']}) WHERE NOT keep
+"""

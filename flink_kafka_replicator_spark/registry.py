@@ -294,6 +294,7 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "dedup_graph_pagerank",
     "dedup_survivors_by_centrality",
     "knn_batch_adc",
+    "dedup_family_report",
 )
 
 
