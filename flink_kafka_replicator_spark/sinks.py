@@ -121,12 +121,14 @@ def compact_corpus_shards(
     # batch level — flattening to shard=* would make the next streamed
     # batch's batch_id=K dir conflict with the compacted layout and
     # break partition discovery on read. All committed batches merge
-    # into the MAX batch id (monotone checkpoints guarantee future
-    # batches land above it; compact only cleanly-stopped streams).
+    # into the sentinel partition batch_id = -1: a streaming batch id
+    # is never negative, so neither a future batch nor a crash-replay
+    # of any real batch can dynamic-overwrite the merged partition
+    # (merging into max(batch_id) would hand the whole compacted
+    # corpus to a replay of that one batch).
     part_cols = ["shard"]
     if "batch_id" in df.columns:
-        merged_batch = df.agg(F.max("batch_id")).collect()[0][0]
-        df = df.withColumn("batch_id", F.lit(merged_batch))
+        df = df.withColumn("batch_id", F.lit(-1))
         part_cols = ["batch_id", "shard"]
     # repartition on (shard, salt): hashing shard ALONE would collapse
     # each shard into one task/file regardless of files_per_shard; the
