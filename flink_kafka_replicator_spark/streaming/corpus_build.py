@@ -59,6 +59,8 @@ def start_corpus_build(
     min_tokens: int = DEFAULT_MIN_TOKENS,
     watermark: str = DEFAULT_WATERMARK,
     classifier_model_dir: str | None = None,
+    dedup_index_dir: str | None = None,
+    dedup_corpus_df: DataFrame | None = None,
     n_shards: int = 16,
     available_now: bool = True,
 ):
@@ -72,12 +74,26 @@ def start_corpus_build(
     ``classifier_model_dir`` loads a persisted quality-classifier model
     (``sinks.write_classifier_model``) ONCE at job start and gates every
     batch with it — the deployment loop round 7's streaming tests pin
-    (stream == batch inference)."""
+    (stream == batch inference).
+
+    ``dedup_index_dir`` adds NEAR-dup gating against a persisted
+    minhash index (``sinks.write_minhash_index``): per batch, any doc
+    with a verified near-dup pair (Jaccard >= 0.5) against the index is
+    dropped before the classifier gate — the missing rung between the
+    watermark exact dedup and the quality gate. ``dedup_corpus_df``
+    must then resolve the INDEX side's doc_id → text for candidate
+    verification (the corpus the index was built over). The gate sees
+    the stream POST-normalization, so build the index over
+    comparably normalized text or shingle recall drops. Work per
+    batch is one band equi-join + the verify joins — linear in the
+    batch."""
     model = None
     if classifier_model_dir is not None:
         from ..sinks import read_classifier_model
 
         model = read_classifier_model(spark, classifier_model_dir)
+    if dedup_index_dir is not None and dedup_corpus_df is None:
+        raise ValueError("dedup_index_dir requires dedup_corpus_df")
 
     from ..sinks import with_shard
 
@@ -85,6 +101,25 @@ def start_corpus_build(
         kept = batch_df.filter(
             F.size(F.split(F.col("text"), " ")) >= min_tokens
         )
+        if dedup_index_dir is not None:
+            from .dedup_ingest import dedup_batch_against_index
+
+            lookup = (
+                kept.select("doc_id", "text")
+                .union(dedup_corpus_df.select("doc_id", "text"))
+                .dropDuplicates(["doc_id"])
+            )
+            dup_ids = (
+                dedup_batch_against_index(
+                    spark,
+                    kept.select("doc_id", "text"),
+                    dedup_index_dir,
+                    lookup,
+                )
+                .select(F.col("new_id").alias("doc_id"))
+                .distinct()
+            )
+            kept = kept.join(dup_ids, "doc_id", "left_anti")
         if model is not None:
             from ..functions.pipeline_queries import qc_score_with_model
 
@@ -145,9 +180,13 @@ def corpus_build_main(
     parser.add_argument("--min-tokens", type=int, default=DEFAULT_MIN_TOKENS)
     parser.add_argument("--watermark", default=DEFAULT_WATERMARK)
     parser.add_argument("--classifier-model", default=None)
+    parser.add_argument("--dedup-index", default=None)
+    parser.add_argument("--dedup-corpus", default=None)
     parser.add_argument("--shards", type=int, default=16)
     parser.add_argument("--timeout-sec", type=int, default=600)
     args = parser.parse_args(argv)
+    if args.dedup_index and not args.dedup_corpus:
+        parser.error("--dedup-index requires --dedup-corpus")
 
     if spark is None:
         from ..session import get_session
@@ -172,6 +211,12 @@ def corpus_build_main(
         min_tokens=args.min_tokens,
         watermark=args.watermark,
         classifier_model_dir=args.classifier_model,
+        dedup_index_dir=args.dedup_index,
+        dedup_corpus_df=(
+            spark.read.parquet(args.dedup_corpus).select("doc_id", "text")
+            if args.dedup_corpus
+            else None
+        ),
         n_shards=args.shards,
         available_now=True,
     )

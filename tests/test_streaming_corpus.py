@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from flink_kafka_replicator_spark.sinks import with_shard
 
 SCHEMA = "doc_id bigint, text string, lang string, event_ts timestamp"
+SCHEMA2 = "doc_id bigint, text string, event_ts timestamp"
 BASE = dt.datetime(2024, 1, 1)
 
 GOOD = (
@@ -261,3 +262,62 @@ def test_corpus_build_survives_compaction_between_runs(spark, tmp_path):
     assert {r.doc_id for r in back.collect()} == {1, 2, 3}
     # still shard-pruned readable
     assert back.filter(back.shard >= 0).count() == 3
+
+
+def test_corpus_build_with_near_dup_index_gate(spark, tmp_path):
+    """Round 8: the near-dup rung inside corpus-build — streamed docs
+    that verify as near-duplicates (Jaccard >= 0.5) of a persisted
+    minhash index are dropped before the sink; fresh docs pass."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import Row
+
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.sinks import write_minhash_index
+    from flink_kafka_replicator_spark.streaming.corpus_build import (
+        start_corpus_build,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ix = str(tmp_path / "ix")
+    write_minhash_index(base, ix)
+
+    # a near-dup of a real base doc (one token changed) + a fresh doc
+    donor = base.orderBy("doc_id").limit(1).collect()[0]
+    toks = donor.text.split(" ")
+    toks[len(toks) // 2] = "mutated"
+    near_dup = " ".join(toks)
+    fresh = (
+        "completely original content about streaming corpus "
+        "construction with enough tokens to clear the quality floor "
+        "and no overlap with any base document in the index at all"
+    )
+    rows = [
+        Row(doc_id=900001, text=near_dup,
+            event_ts=BASE + dt.timedelta(minutes=1)),
+        Row(doc_id=900002, text=fresh,
+            event_ts=BASE + dt.timedelta(minutes=2)),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, SCHEMA2).coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "corpus")
+    q = start_corpus_build(
+        spark,
+        spark.readStream.schema(SCHEMA2).parquet(src),
+        out,
+        str(tmp_path / "ck"),
+        min_tokens=5,
+        dedup_index_dir=ix,
+        dedup_corpus_df=base,
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {900002}, (
+        f"near-dup must be dropped, fresh kept: {got}"
+    )
