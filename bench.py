@@ -115,6 +115,7 @@ HEADLINE = list(R2_BASKET) + [
     "dedup_survivors_by_centrality",
     "knn_batch_adc",
     "dedup_family_report",
+    "knn_batch_recall",
 ]
 
 

@@ -2384,6 +2384,68 @@ def knn_batch_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@BATCH_TOPK of the batch-ADC serving path, PER QUERY,
+    against exact brute-force truth — completing the measured-not-
+    guessed contract for the serving shape (``knn_recall_family``
+    covers the single-fixed-query read paths; this covers the
+    multi-query one). Output: (qid, n_hits, n_truth, recall).
+
+    Scale shape: truth costs |queries|×|corpus| scored pairs via a
+    broadcast of the bounded query batch over the corpus — map-side,
+    linear in corpus size (the sanctioned nested loop); the ADC side
+    is the measured plan itself; the stats are per-qid semi-join
+    counts over BATCH_TOPK-row lists."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(
+        (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < QBATCH_MAX)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    c = e.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id", as_double(F.col("embedding")).alias("cv")
+    )
+    from pyspark.sql import Window
+
+    from .similarity import cosine
+
+    scored = c.crossJoin(broadcast(q)).select(
+        "qid",
+        "vec_id",
+        F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+    )
+    wt = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    truth = (
+        scored.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= BATCH_TOPK)
+        .select("qid", "vec_id")
+    )
+    adc = knn_batch_adc(spark, sf_dir).select("qid", "vec_id")
+    hits = (
+        truth.join(adc, ["qid", "vec_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        truth.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.lit(BATCH_TOPK).cast("bigint").alias("n_truth"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.lit(BATCH_TOPK),
+                4,
+            ).alias("recall"),
+        )
+    )
+
+
 def _adc_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -3142,6 +3204,7 @@ QUERIES = {
     "knn_recall_family": knn_recall_family,
     "knn_probe_recall_curve": knn_probe_recall_curve,
     "knn_batch_adc": knn_batch_adc,
+    "knn_batch_recall": knn_batch_recall,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_pq_encode": embedding_pq_encode,
     "knn_pq_adc": knn_pq_adc,
@@ -4261,4 +4324,37 @@ ORACLES["dedup_family_report"] = f"""
     UNION ALL
     SELECT 'semantic', CAST(COUNT(*) AS BIGINT)
     FROM ({ORACLES['dedup_semantic_clusters']}) WHERE NOT keep
+"""
+
+# batch-serving recall: exact truth per batch query + the nested batch
+# ADC oracle, per-qid semi-join counts
+ORACLES["knn_batch_recall"] = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, vec AS qv FROM v
+          WHERE vec_id % 2 = 1 AND vec_id < {QBATCH_MAX}),
+    c AS (SELECT vec_id, vec AS cv FROM v WHERE vec_id % 2 = 0),
+    truth AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, c.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY ROUND({_duck_cos('c.cv', 'q.qv')}, 4) DESC,
+                                c.vec_id ASC) AS rn
+            FROM c CROSS JOIN q)
+        WHERE rn <= {BATCH_TOPK}
+    ),
+    adc AS (SELECT qid, vec_id FROM ({ORACLES['knn_batch_adc']})),
+    h AS (
+        SELECT t.qid, COUNT(*) AS n_hits
+        FROM truth t JOIN adc a ON a.qid = t.qid AND a.vec_id = t.vec_id
+        GROUP BY t.qid
+    )
+    SELECT qq.qid,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST({BATCH_TOPK} AS BIGINT) AS n_truth,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {BATCH_TOPK}, 4)
+               AS recall
+    FROM (SELECT DISTINCT qid FROM truth) qq
+    LEFT JOIN h ON h.qid = qq.qid
 """

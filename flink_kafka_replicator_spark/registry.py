@@ -295,6 +295,7 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "dedup_survivors_by_centrality",
     "knn_batch_adc",
     "dedup_family_report",
+    "knn_batch_recall",
 )
 
 
