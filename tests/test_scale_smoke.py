@@ -68,6 +68,7 @@ def _clear_artifact_caches():
     pq._KNN_SCORED_CACHE.clear()
     pq._BAND_CACHE.clear()
     pq._PQ_CODES_CACHE.clear()
+    pq._PR_CACHE.clear()
 
 
 def test_minhash_scales_linearly(spark, big_dir):
@@ -547,3 +548,41 @@ def test_probe_recall_curve_at_10x_linear(spark, big_dir):
     assert t_big < max(t_small, 0.2) * COPIES * 3, (
         f"probe curve superlinear: {t_big:.1f}s vs {t_small:.1f}s"
     )
+
+
+def test_batch_adc_and_pagerank_at_10x(spark, big_dir):
+    """Round-8 additions at 10× vectors/docs: batch-ADC serving is
+    codes x |queries| map-side work (linear in the corpus at a fixed
+    query batch), and PageRank's per-round message pass is linear in
+    the edge list (the LSH pair graph, itself pinned linear)."""
+    from flink_kafka_replicator_spark.functions import (
+        pipeline_queries as pq,
+    )
+
+    _clear_artifact_caches()
+    t_small = _timed(pq.knn_batch_adc(spark, SRC))
+    _clear_artifact_caches()
+    t0 = time.perf_counter()
+    n_big = pq.knn_batch_adc(spark, big_dir).count()
+    t_big = time.perf_counter() - t0
+    print(f"\nbatch adc 1x: {t_small:.1f}s; 10x: {t_big:.1f}s/{n_big} rows")
+    assert n_big > 0
+    assert t_big < max(t_small, 0.2) * COPIES * 3, (
+        f"batch adc superlinear: {t_big:.1f}s vs {t_small:.1f}s"
+    )
+
+    # PageRank's jobs run at BUILD (memoized + per-round checkpoints),
+    # so time construction + collect together. The verbatim-copy 10×
+    # fixture makes every doc a near-dup of its 9 clones — the edge
+    # list grows ~100×, not 10× (a fixture artifact, clones pair with
+    # clones) — so the bound here is absolute wall-clock plus the mass
+    # invariant, not a linearity ratio against 1×.
+    _clear_artifact_caches()
+    t0 = time.perf_counter()
+    rows = pq.dedup_graph_pagerank(spark, big_dir).collect()
+    t_big = time.perf_counter() - t0
+    print(f"\npagerank 10x: {t_big:.1f}s/{len(rows)} nodes")
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < len(rows) * 1e-6 * (pq.PR_ITERS + 1) + 1e-9
+    assert all(r.pagerank > 0 for r in rows)
+    assert t_big < 180, f"pagerank at 10x took {t_big:.1f}s"
