@@ -296,9 +296,9 @@ def vector_search_main(argv: list[str], spark=None) -> int:
         n_probe=args.n_probe,
         available_now=True,
     )
-    q.awaitTermination(args.timeout_sec)
-    if q.exception() is not None:
-        raise q.exception()
+    from .streaming.supervision import await_drained
+
+    await_drained(q, args.timeout_sec, "vector-search")
     return 0
 
 

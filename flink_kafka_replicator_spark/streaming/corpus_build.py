@@ -220,7 +220,7 @@ def corpus_build_main(
         n_shards=args.shards,
         available_now=True,
     )
-    q.awaitTermination(args.timeout_sec)
-    if q.exception() is not None:
-        raise q.exception()
+    from .supervision import await_drained
+
+    await_drained(q, args.timeout_sec, "corpus-build")
     return 0

@@ -96,16 +96,20 @@ def start_streaming_dedup_against_index(
     partition instead of duplicating pairs).
 
     ``extend_index=True`` additionally ADMITS each batch into the index
-    after its pairs are emitted: ``sinks.append_minhash_delta`` with the
-    streaming batch id as the delta id (replays no-op), plus an
-    idempotent batch-partitioned text append to ``corpus_store_dir``
-    (required in this mode) so later batches can Jaccard-verify
-    candidates against earlier admissions. Pairs for batch N are always
-    computed against the index as of batch N-1: the read is PINNED to
-    the pre-batch snapshot (``max_delta_id=batch_id``), so even a
-    replay that runs after batch N's own delta committed (crash between
-    the delta commit and the checkpoint commit) reproduces the original
-    pairs instead of band-joining the batch with itself."""
+    after its pairs are emitted: ``sinks.append_minhash_batch`` appends
+    a fresh delta numbered ``last_delta_id + 1`` from the index meta and
+    advances the meta's ``last_batch_id`` cursor atomically with the
+    pointer swap (replays of the cursor batch no-op; a batch below the
+    cursor raises), plus an idempotent batch-partitioned text append to
+    ``corpus_store_dir`` (required in this mode) so later batches can
+    Jaccard-verify candidates against earlier admissions. Pairs for
+    batch N are always computed against the index as of batch N-1: the
+    read is PINNED to the pre-batch snapshot resolved from the meta
+    cursor (``max_delta_id = last_delta_id``, or one delta back when the
+    cursor shows batch N itself already admitted), so even a replay that
+    runs after batch N's own delta committed (crash between the delta
+    commit and the checkpoint commit) reproduces the original pairs
+    instead of band-joining the batch with itself."""
     if extend_index and corpus_store_dir is None:
         raise ValueError("extend_index=True requires corpus_store_dir")
 
@@ -124,7 +128,21 @@ def start_streaming_dedup_against_index(
         return spark.read.parquet(corpus_store_dir).select("doc_id", "text")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        from ..sinks import _read_index_meta, append_minhash_batch
+        from ..sinks import (
+            _batch_admission,
+            _read_index_meta,
+            append_minhash_batch,
+        )
+
+        # run the admission cursor check FIRST, before any pair output
+        # is computed or written: a deep cursor mismatch (fresh
+        # checkpoint against an extended index) must fail before the
+        # pairs partition batch_id=K is dynamic-overwritten with pairs
+        # computed against the wrong one-back snapshot — the late raise
+        # in append_minhash_batch would leave corrupted pair output for
+        # the batch with the stream wedged.
+        if extend_index:
+            _batch_admission(_read_index_meta(index_dir), batch_id, index_dir)
 
         # doc_id-dedup the lookup union: a streamed doc_id that already
         # exists in the index corpus (re-ingest / replay of an indexed

@@ -61,3 +61,23 @@ def supervise(
             if on_restart is not None:
                 on_restart(restarts, exc)
             sleep(restart_delay_s)
+
+
+def await_drained(query, timeout_sec: int, job_name: str) -> None:
+    """Block until an availableNow query drains, failing LOUDLY on
+    timeout. ``awaitTermination(timeout)`` returns False when the
+    timeout elapsed with the query still running; exiting 0 there would
+    let process exit kill the driver mid-write and report a partial run
+    as success (the corpus-build/vector-search CLI contract). Stops the
+    query and raises instead — re-running with the same checkpoint
+    resumes exactly where the drain stopped."""
+    drained = query.awaitTermination(timeout_sec)
+    if query.exception() is not None:
+        raise query.exception()
+    if not drained:
+        query.stop()
+        raise RuntimeError(
+            f"{job_name} did not drain within {timeout_sec}s; stopped "
+            "the query — re-run with the same checkpoint to resume, or "
+            "raise --timeout-sec"
+        )

@@ -11,8 +11,14 @@ dynamic overwrite of each batch's own ``batch_id=K`` partition (the
 dedup_ingest sink recipe): a replayed batch rewrites its partition
 instead of duplicating answers. The index is read at its
 pointer-committed state per batch — queries racing an in-flight
-append or compaction see only committed deltas, never a partial
-index.
+APPEND see only committed deltas, never a partial index (new
+partitions are invisible until the pointer swap). COMPACTION is a
+maintenance operation, not a concurrent one: ``compact_vector_index``
+prunes the old delta partitions right after its pointer swap, so a
+serving batch that resolved the pre-compaction pointer can fail
+mid-plan on removed files — run ``compact-index`` only while the
+serving stream is stopped (the compact-index CLI's documented
+contract), exactly as for the ingest streams.
 
 At scale: per batch the plan's work is |batch| · (k centroid dots +
 probed-fraction · M code adds) — linear in batch size, zero touches

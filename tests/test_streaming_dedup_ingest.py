@@ -289,3 +289,72 @@ def test_streaming_dedup_extend_survives_compaction(spark, tmp_path):
         "post-compaction batches must still see pre-compaction "
         "admissions as index-side docs"
     )
+
+
+def test_fresh_checkpoint_fails_before_pair_output_is_touched(
+    spark, tmp_path
+):
+    """ADVICE round 8: on a deep cursor mismatch (fresh checkpoint
+    against an extended index) the admission raise used to fire AFTER
+    the batch's pairs partition was dynamic-overwritten with pairs
+    computed against the wrong one-back snapshot — corrupted output
+    plus a wedged stream. The check now runs at the top of process():
+    the run must fail loudly AND every committed pairs partition must
+    be byte-identical to its pre-failure content."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    index_dir = str(tmp_path / "index")
+    write_minhash_index(old, index_dir)
+
+    src = str(tmp_path / "incoming")
+    store = str(tmp_path / "store")
+    pairs_dir = str(tmp_path / "pairs")
+
+    def run_stream(ck):
+        stream = spark.readStream.schema(SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = start_streaming_dedup_against_index(
+            spark,
+            stream,
+            index_dir=index_dir,
+            index_corpus_df=old,
+            out_dir=pairs_dir,
+            checkpoint_location=ck,
+            available_now=True,
+            extend_index=True,
+            corpus_store_dir=store,
+        )
+        q.awaitTermination(240)
+
+    for k in (1, 3):
+        new.filter(F.col("doc_id") % 6 == k).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+    run_stream(str(tmp_path / "ck"))
+
+    committed = {
+        (r.new_id, r.old_id, r.jaccard, r.batch_id)
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert committed, "fixture must emit pairs before the mismatch run"
+
+    # fresh checkpoint, same extended index: its batch 0 is below the
+    # admitted-batch cursor (1) — the run must fail...
+    with pytest.raises(StreamingQueryException, match="cursor"):
+        run_stream(str(tmp_path / "ck-fresh"))
+
+    # ...and must NOT have rewritten batch 0's pairs partition with
+    # wrong-snapshot pairs before failing
+    after = {
+        (r.new_id, r.old_id, r.jaccard, r.batch_id)
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert after == committed, (
+        f"pairs mutated by the failed run: only_after={after - committed} "
+        f"only_before={committed - after}"
+    )

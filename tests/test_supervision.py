@@ -186,3 +186,56 @@ def test_supervised_exactly_once_replication_no_duplicates(spark, tmp_path):
     assert keys == sorted(f"k{i}" for i in range(30)), (
         "restart + ledger must deliver every row exactly once"
     )
+
+
+class _FakeQuery:
+    """Minimal StreamingQuery stand-in for the await_drained contract."""
+
+    def __init__(self, drained: bool, exc: Exception | None = None):
+        self._drained = drained
+        self._exc = exc
+        self.stopped = False
+
+    def awaitTermination(self, timeout_sec):
+        return self._drained
+
+    def exception(self):
+        return self._exc
+
+    def stop(self):
+        self.stopped = True
+
+
+def test_await_drained_passes_on_clean_drain():
+    from flink_kafka_replicator_spark.streaming.supervision import (
+        await_drained,
+    )
+
+    q = _FakeQuery(drained=True)
+    await_drained(q, 5, "job")
+    assert not q.stopped
+
+
+def test_await_drained_raises_query_exception_first():
+    from flink_kafka_replicator_spark.streaming.supervision import (
+        await_drained,
+    )
+
+    q = _FakeQuery(drained=True, exc=ValueError("sink blew up"))
+    with pytest.raises(ValueError, match="sink blew up"):
+        await_drained(q, 5, "job")
+
+
+def test_await_drained_timeout_stops_and_raises():
+    """ADVICE round 8: a timed-out availableNow drain returned exit 0
+    with the query still running — process exit then killed the driver
+    mid-write and a partial run reported success. await_drained must
+    stop the query and raise."""
+    from flink_kafka_replicator_spark.streaming.supervision import (
+        await_drained,
+    )
+
+    q = _FakeQuery(drained=False)
+    with pytest.raises(RuntimeError, match="did not drain within 7s"):
+        await_drained(q, 7, "corpus-build")
+    assert q.stopped, "the undrained query must be stopped before raising"
