@@ -240,6 +240,69 @@ def compact_index_main(argv: list[str], spark=None) -> int:
     return 0
 
 
+def apply_dedup_main(argv: list[str], spark=None) -> int:
+    """The ``corpus-apply-dedup`` subcommand: EXECUTE the dedup ladder
+    as a batch job — read the table directory, compute the per-doc
+    decision matrix (the driver-green ``corpus_apply_dedup`` query),
+    and materialize the surviving corpus to the sharded sink. Prints
+    the {n_in, n_kept, n_dropped, n_written} counts as one JSON line;
+    exits non-zero if the committed output does not equal the decided
+    survivor count (the loud version of a partial write)."""
+    import argparse
+    import json as _json
+    import os as _os
+
+    from .functions.pipeline_queries import DEDUP_RUNGS
+
+    parser = argparse.ArgumentParser(
+        prog="spark-kafka-replicator corpus-apply-dedup",
+        description=(
+            "Materialize the corpus surviving the dedup ladder "
+            "(exact / paragraph / minhash-centrality / semantic)"
+        ),
+        allow_abbrev=False,
+    )
+    parser.add_argument(
+        "--input",
+        required=True,
+        help="table directory holding documents.parquet "
+        "(+ embeddings.parquet for the semantic rung)",
+    )
+    parser.add_argument("--output", required=True)
+    parser.add_argument(
+        "--rungs",
+        default=",".join(DEDUP_RUNGS),
+        help=f"comma list from {DEDUP_RUNGS}",
+    )
+    parser.add_argument("--shards", type=int, default=16)
+    args = parser.parse_args(argv)
+
+    rungs = tuple(r.strip() for r in args.rungs.split(",") if r.strip())
+    bad = [r for r in rungs if r not in DEDUP_RUNGS]
+    if bad:
+        parser.error(f"unknown rungs {bad}; valid: {list(DEDUP_RUNGS)}")
+    if "semantic" in rungs and not _os.path.exists(
+        _os.path.join(args.input, "embeddings.parquet")
+    ):
+        parser.error(
+            "the semantic rung needs embeddings.parquet under --input; "
+            "drop it from --rungs for a text-only corpus"
+        )
+
+    if spark is None:
+        from .session import get_session
+
+        spark = get_session(app_name="spark-corpus-apply-dedup")
+
+    from .sinks import apply_dedup_corpus
+
+    result = apply_dedup_corpus(
+        spark, args.input, args.output, rungs=rungs, n_shards=args.shards
+    )
+    print(_json.dumps(result))
+    return 0 if result["n_written"] == result["n_kept"] else 1
+
+
 def vector_search_main(argv: list[str], spark=None) -> int:
     """The ``vector-search`` subcommand: answer a stream of (qid,
     embedding) query vectors from a persisted vector index — the serve
@@ -321,6 +384,8 @@ def main(argv: list[str] | None = None, admin_factory=None) -> int:
         return compact_index_main(args[1:])
     if args and args[0] == "vector-search":
         return vector_search_main(args[1:])
+    if args and args[0] == "corpus-apply-dedup":
+        return apply_dedup_main(args[1:])
 
     cfg, extra = parse_args(args)
     run_preflight(cfg, admin_factory)

@@ -906,9 +906,104 @@ def dedup_family_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def corpus_apply_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ladder EXECUTED (round 9): the per-document decision
+    matrix that turns the family's four verdicts into one keep/drop
+    column — the row set ``sinks.apply_dedup_corpus`` materializes into
+    the surviving corpus (reference parity: the reference ships a
+    deployable end-to-end job, FlinkKafkaReplicator.java:126-134, not a
+    report; this is the dedup counterpart):
+
+    - ``keep_exact``: the doc is the canonical (min doc_id) owner of
+      its md5 content-hash group (``dedup_exact_docs``);
+    - ``keep_paragraph``: not majority-duplicated sub-document content
+      (``dedup_paragraph_exact``; docs with no scorable paragraphs keep
+      by default);
+    - ``keep_minhash``: not in a near-dup cluster, or the cluster's
+      most-central member (``dedup_survivors_by_centrality`` — the
+      PageRank upgrade over min-id survivorship);
+    - ``keep_semantic``: SemDeDup cluster survivor for the doc's
+      embedding (``dedup_semantic_clusters``; doc_id == vec_id by the
+      fixture's alignment contract, docs without a vector keep);
+    - ``keep``: the conjunction — survives every rung.
+
+    Scale shape: one content-hash equi-join (uniform md5 key), two
+    corpus-sized doc_id equi-joins (paragraph verdicts, semantic
+    verdicts), and two joins against tiny memoized artifacts (CC
+    labels, centrality survivors) that Spark broadcasts — no new
+    exchange pattern beyond the family members' own plans, all of
+    which are individually driver-green. The oracle nests each rung's
+    full oracle SQL, so one green row re-verifies the ladder AND its
+    composition."""
+    return dedup_decision_matrix(spark, sf_dir)
+
+
+DEDUP_RUNGS = ("exact", "paragraph", "minhash", "semantic")
+
+
+def dedup_decision_matrix(
+    spark: SparkSession,
+    sf_dir: str,
+    rungs: tuple[str, ...] = DEDUP_RUNGS,
+) -> DataFrame:
+    """The composable core of :func:`corpus_apply_dedup`: joins only
+    the REQUESTED rungs' verdicts (so a corpus without an embeddings
+    table can run the text rungs without touching vectors) and emits
+    one ``keep_<rung>`` column per requested rung plus the ``keep``
+    conjunction. The registry query is the all-rungs instantiation."""
+    bad = [r for r in rungs if r not in DEDUP_RUNGS]
+    if bad:
+        raise ValueError(f"unknown dedup rungs {bad}; valid: {DEDUP_RUNGS}")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    j = d.withColumn("content_hash", F.md5("text"))
+    keeps: dict[str, Column] = {}
+    if "exact" in rungs:
+        ex = dedup_exact_docs(spark, sf_dir).select(
+            "content_hash", F.col("keep_doc_id").alias("__exact_keep_id")
+        )
+        j = j.join(ex, "content_hash")
+        keeps["exact"] = F.col("doc_id") == F.col("__exact_keep_id")
+    if "paragraph" in rungs:
+        para = dedup_paragraph_exact(spark, sf_dir).select(
+            "doc_id", F.col("keep").alias("__keep_para")
+        )
+        j = j.join(para, "doc_id", "left")
+        keeps["paragraph"] = F.coalesce(F.col("__keep_para"), F.lit(True))
+    if "minhash" in rungs:
+        cc = dedup_cluster_cc(spark, sf_dir)
+        cen = dedup_survivors_by_centrality(spark, sf_dir).select(
+            "cluster_id", F.col("keep_doc_id").alias("__cen_keep_id")
+        )
+        j = j.join(broadcast(cc), "doc_id", "left").join(
+            broadcast(cen), "cluster_id", "left"
+        )
+        keeps["minhash"] = F.col("cluster_id").isNull() | (
+            F.col("doc_id") == F.col("__cen_keep_id")
+        )
+    if "semantic" in rungs:
+        sem = dedup_semantic_clusters(spark, sf_dir).select(
+            F.col("vec_id").alias("doc_id"), F.col("keep").alias("__keep_sem")
+        )
+        j = j.join(sem, "doc_id", "left")
+        keeps["semantic"] = F.coalesce(F.col("__keep_sem"), F.lit(True))
+    keep_all = F.lit(True)
+    for c in keeps.values():
+        keep_all = keep_all & c
+    return j.select(
+        "doc_id",
+        *[c.alias(f"keep_{r}") for r, c in keeps.items()],
+        keep_all.alias("keep"),
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signature, 4×16-bit band blocking,
-    hamming distance ≤ 8 verification."""
+    hamming distance ≤ 8 verification.
+
+    Signatures use the portable md5-half token hash (round 9 — formerly
+    xxhash64, which made this id rows-only), so the DuckDB oracle
+    replays the WHOLE pipeline bit-exactly: hashes, majority votes,
+    band keys, MAX_BUCKET hygiene, hamming filter."""
     d = load_table(spark, sf_dir, "documents")
     sims = simhash_table(d, "doc_id", "text")
     banded = sims.select(
@@ -3186,6 +3281,7 @@ QUERIES = {
     "dedup_graph_pagerank": dedup_graph_pagerank,
     "dedup_survivors_by_centrality": dedup_survivors_by_centrality,
     "dedup_family_report": dedup_family_report,
+    "corpus_apply_dedup": corpus_apply_dedup,
     "dedup_survivors": dedup_survivors,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -3535,7 +3631,66 @@ def _duck_probe_curve() -> str:
     ) + "\n        " + " UNION ALL ".join(selects)
 
 
+# DuckDB replay of the full simhash pipeline: portable md5-half token
+# hashes (bit-identical to similarity._md5_half), 64 per-bit majority
+# votes, sign-bit assembly (bit 63 spelled as arithmetic — the literal
+# -2^63 parses as unary minus of an overflow in both engines), 4×16-bit
+# band blocking with the same MAX_BUCKET hygiene, hamming ≤ 8 verify.
+_SIMHASH_VOTE_COLS = ", ".join(
+    (
+        f"SUM((hl >> {j}) & 1) AS b{j}"
+        if j < 32
+        else f"SUM((hh >> {j - 32}) & 1) AS b{j}"
+    )
+    for j in range(64)
+)
+_SIMHASH_SIM_EXPR = " + ".join(
+    "CASE WHEN 2 * b{j} > n THEN {bit} ELSE 0 END".format(
+        j=j, bit=(1 << j) if j < 63 else "(-9223372036854775807 - 1)"
+    )
+    for j in range(64)
+)
+_SIMHASH_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 8))::BIGINT AS hl,
+               ('0x' || substr(md5(t), 9, 8))::BIGINT AS hh
+        FROM tok
+    ),
+    votes AS (
+        SELECT doc_id, COUNT(*) AS n, {_SIMHASH_VOTE_COLS}
+        FROM h GROUP BY doc_id
+    ),
+    sims AS (
+        SELECT doc_id, CAST({_SIMHASH_SIM_EXPR} AS BIGINT) AS sim
+        FROM votes
+    ),
+    bands AS (
+        SELECT doc_id, sim, g.b AS b, ((sim >> (g.b * 16)) & 65535) AS bv
+        FROM sims CROSS JOIN generate_series(0, 3) g(b)
+    ),
+    ok AS (
+        SELECT b, bv FROM bands GROUP BY b, bv
+        HAVING COUNT(*) BETWEEN 2 AND 200
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                        x.sim AS sa, y.sim AS sb
+        FROM bands x
+        JOIN ok k ON k.b = x.b AND k.bv = x.bv
+        JOIN bands y ON y.b = x.b AND y.bv = x.bv AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 8
+"""
+
+
 ORACLES = {
+    "dedup_simhash": _SIMHASH_ORACLE,
     "knn_ivf_join": f"""
         {_KNN_ORACLE_CORE}
         SELECT qid AS vec_id, nid AS neighbor_id, cos_sim,
@@ -4324,6 +4479,37 @@ ORACLES["dedup_family_report"] = f"""
     UNION ALL
     SELECT 'semantic', CAST(COUNT(*) AS BIGINT)
     FROM ({ORACLES['dedup_semantic_clusters']}) WHERE NOT keep
+"""
+
+# the executed ladder: per-doc keep decision for each rung + the
+# conjunction, nesting each rung's full oracle (exact rung inlined as
+# a window — same min-doc_id-per-content-hash rule as dedup_exact_docs)
+ORACLES["corpus_apply_dedup"] = f"""
+    WITH ex AS (
+        SELECT doc_id,
+               doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+                   AS keep_exact
+        FROM documents
+    ),
+    para AS (SELECT doc_id, keep FROM ({ORACLES['dedup_paragraph_exact']})),
+    ccx AS (SELECT doc_id, cluster_id FROM ({ORACLES['dedup_cluster_cc']})),
+    cen AS (SELECT cluster_id, keep_doc_id
+            FROM ({ORACLES['dedup_survivors_by_centrality']})),
+    sem AS (SELECT vec_id, keep FROM ({ORACLES['dedup_semantic_clusters']}))
+    SELECT ex.doc_id,
+           ex.keep_exact,
+           COALESCE(para.keep, TRUE) AS keep_paragraph,
+           (ccx.doc_id IS NULL OR cen.keep_doc_id = ex.doc_id)
+               AS keep_minhash,
+           COALESCE(sem.keep, TRUE) AS keep_semantic,
+           (ex.keep_exact AND COALESCE(para.keep, TRUE)
+            AND (ccx.doc_id IS NULL OR cen.keep_doc_id = ex.doc_id)
+            AND COALESCE(sem.keep, TRUE)) AS keep
+    FROM ex
+    LEFT JOIN para ON para.doc_id = ex.doc_id
+    LEFT JOIN ccx ON ccx.doc_id = ex.doc_id
+    LEFT JOIN cen ON cen.cluster_id = ccx.cluster_id
+    LEFT JOIN sem ON sem.vec_id = ex.doc_id
 """
 
 # batch-serving recall: exact truth per batch query + the nested batch

@@ -329,15 +329,28 @@ SIMHASH_BITS = 64
 SIMHASH_BANDS = 4  # 16 bits per band → catches hamming distance ≤ 3 reliably
 
 
+def _md5_half(col: Column, start: int) -> Column:
+    """Portable 32-bit token hash: 8 hex chars of md5 parsed to a
+    bigint — the engine's cross-engine hash idiom (DuckDB twin:
+    ``('0x' || substr(md5(x), start, 8))::BIGINT``). Two halves
+    (start=1, start=9) give the 64 signature bits."""
+    return F.conv(F.substring(F.md5(col), start, 8), 16, 10).cast("bigint")
+
+
 def simhash(tokens_col: Column) -> Column:
     """64-bit SimHash: fold token hashes into per-bit vote counters with
     zip_with, then reassemble the sign bits into a bigint. Entirely
     JVM-side higher-order functions.
 
-    Shift counts must be literals in the DataFrame API, so the 64 bit
-    tests are unrolled in Python (over a pre-hashed array so xxhash64
-    runs once per token, not 64 times)."""
-    hashes = F.transform(tokens_col, lambda t: F.xxhash64(t))
+    Token bits come from md5 split into two 32-bit halves (not
+    xxhash64): md5 is reproducible in ANSI SQL, which is what lets
+    ``dedup_simhash`` carry a full DuckDB oracle instead of a rows-only
+    contract. Shift counts must be literals in the DataFrame API, so
+    the 64 bit tests are unrolled in Python (over the pre-hashed
+    half-pair so md5 runs twice per token, not 64 times)."""
+    hashes = F.transform(
+        tokens_col, lambda t: F.array(_md5_half(t, 1), _md5_half(t, 9))
+    )
     zeros = F.array_repeat(F.lit(0), SIMHASH_BITS)
     bit_votes = F.aggregate(
         hashes,
@@ -347,7 +360,11 @@ def simhash(tokens_col: Column) -> Column:
             F.array(
                 *[
                     F.when(
-                        F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                        F.shiftright(
+                            F.element_at(h, 1 if j < 32 else 2), j % 32
+                        ).bitwiseAND(F.lit(1))
+                        == 1,
+                        F.lit(1),
                     ).otherwise(F.lit(-1))
                     for j in range(SIMHASH_BITS)
                 ]
@@ -368,8 +385,10 @@ def simhash(tokens_col: Column) -> Column:
 def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, sim) 64-bit SimHash signatures via explode + hash-aggregate.
 
-    The scale formulation of :func:`simhash`: explode tokens, xxhash64
-    once per token, then 64 codegen'd conditional SUMs (one per bit)
+    The scale formulation of :func:`simhash`: explode tokens, hash each
+    token ONCE into the two portable md5 halves (see :func:`_md5_half` —
+    md5 instead of xxhash64 so the DuckDB oracle can replay signatures
+    bit-exactly), then 64 codegen'd conditional SUMs (one per bit)
     in a single hash aggregate. Map-side partial aggregation collapses
     a doc's tokens to one row before the (id-keyed) shuffle, and the
     whole pipeline stays in whole-stage codegen — unlike the nested
@@ -388,15 +407,27 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the JVM plan is identical either way).
     """
     toks = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("__tok"))
-    h = toks.select(id_col, F.xxhash64("__tok").alias("__h"))
+    h = toks.select(
+        id_col,
+        F.expr(
+            "cast(conv(substring(md5(__tok), 1, 8), 16, 10) as bigint)"
+        ).alias("__hl"),
+        F.expr(
+            "cast(conv(substring(md5(__tok), 9, 8), 16, 10) as bigint)"
+        ).alias("__hh"),
+    )
+
+    def _bit(j: int) -> str:
+        half, shift = ("__hl", j) if j < 32 else ("__hh", j - 32)
+        return f"(shiftright({half}, {shift}) & 1)"
+
     lanes_per_long, lane_bits = 4, 16
     n_groups = SIMHASH_BITS // lanes_per_long
     packed_sums = [
         F.expr(
             "sum("
             + " + ".join(
-                f"(shiftright(__h, {g * lanes_per_long + k}) & 1) * "
-                f"{1 << (lane_bits * k)}L"
+                f"{_bit(g * lanes_per_long + k)} * {1 << (lane_bits * k)}L"
                 for k in range(lanes_per_long)
             )
             + ")"

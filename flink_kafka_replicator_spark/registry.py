@@ -103,8 +103,17 @@ CONTRACT_IDS: tuple[str, ...] = (
 FORCE_RECHECK_IDS: tuple[str, ...] = (
     "window_lag_delta",
     "window_range_frame",
+    # round 9: dedup_simhash switched to the portable md5 token hash
+    # and gained a full DuckDB oracle — its r08 rows-only row predates
+    # the semantics change, so the next driver round must re-earn a
+    # hash-exact row
+    "dedup_simhash",
 )
 FORCE_RECHECK_SINCE_ROUND = 3
+# per-id staleness-event override: a green row from a round AFTER the
+# mapped value retires that id's pin; ids absent here use
+# FORCE_RECHECK_SINCE_ROUND
+FORCE_RECHECK_SINCE: dict[str, int] = {"dedup_simhash": 8}
 
 
 def _repo_root() -> str:
@@ -147,16 +156,22 @@ def _green_ids_in(path: str) -> set[str]:
 
 @functools.lru_cache(maxsize=1)
 def _rechecked_ids() -> frozenset[str]:
-    """Ids holding a green row earned AFTER the staleness event — i.e.
-    in a CORRECTNESS_r{N}.json with N > FORCE_RECHECK_SINCE_ROUND. Such
-    an id's FORCE_RECHECK pin has served its purpose and expires."""
-    seen: set[str] = set()
+    """Forced ids holding a green row earned AFTER their staleness
+    event — i.e. in a CORRECTNESS_r{N}.json with N > the id's
+    FORCE_RECHECK_SINCE round (FORCE_RECHECK_SINCE_ROUND when not
+    overridden). Such an id's pin has served its purpose and expires."""
+    greens_by_round: dict[int, set[str]] = {}
     for path in sorted(glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
         n = _round_of(path)
-        if n is None or n <= FORCE_RECHECK_SINCE_ROUND:
+        if n is None:
             continue
-        seen |= _green_ids_in(path)
-    return frozenset(seen)
+        greens_by_round.setdefault(n, set()).update(_green_ids_in(path))
+    out: set[str] = set()
+    for qid in FORCE_RECHECK_IDS:
+        since = FORCE_RECHECK_SINCE.get(qid, FORCE_RECHECK_SINCE_ROUND)
+        if any(n > since and qid in ids for n, ids in greens_by_round.items()):
+            out.add(qid)
+    return frozenset(out)
 
 
 @functools.lru_cache(maxsize=1)
@@ -296,6 +311,9 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "knn_batch_adc",
     "dedup_family_report",
     "knn_batch_recall",
+    # round-9 addition: the EXECUTED dedup ladder — per-doc decision
+    # matrix the corpus-apply-dedup job materializes
+    "corpus_apply_dedup",
 )
 
 
@@ -361,12 +379,6 @@ ROWS_ONLY_CONTRACT: dict[str, str] = {
         "Spark HLL sketch binary + union has no DuckDB equivalent; estimate "
         "accuracy is pinned by "
         "tests/test_functions.py::test_hll_sketch_union_estimates_within_bound"
-    ),
-    "dedup_simhash": (
-        "signatures derive from Spark's xxhash64 — not reproducible in "
-        "DuckDB SQL; signature invariants are pinned by "
-        "tests/test_functions.py::test_simhash_invariants and 10x/100x "
-        "linearity by tests/test_scale_smoke.py"
     ),
     "dedup_ngram_jaccard": (
         "the UNthresholded candidate-pair set depends on xxhash64 minhash "

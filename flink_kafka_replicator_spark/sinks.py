@@ -50,6 +50,71 @@ def write_sharded_corpus(
     )
 
 
+def apply_dedup_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    rungs: tuple[str, ...] | None = None,
+    n_shards: int = DEFAULT_SHARDS,
+) -> dict[str, int]:
+    """EXECUTE the dedup ladder (round 9): materialize the surviving
+    corpus — every document the decision matrix keeps, with all its
+    columns — into the sharded corpus sink. The family queries DECIDE
+    (``corpus_apply_dedup`` is the driver-green decision matrix); this
+    is the deployable batch job that performs the deletion, the dedup
+    counterpart of the reference's end-to-end replicator job
+    (FlinkKafkaReplicator.java:126-134).
+
+    ``rungs`` selects which ladder rungs gate survival (default: all
+    four — exact, paragraph, minhash, semantic); a corpus without an
+    embeddings table runs ``("exact", "paragraph", "minhash")``.
+
+    Idempotent by construction: the decision matrix is deterministic,
+    and the content-hash sharded overwrite lands every survivor in the
+    same shard on every run — a re-run rewrites identical partitions.
+
+    Returns {"n_in", "n_kept", "n_dropped", "n_written"}; n_written is
+    read back from the committed output, so the caller holds a
+    verified rows-out == Σ keeps invariant, not a promise.
+
+    Scale shape: decisions are the family plans (all individually
+    bounded — see each member's docstring), the survivor filter is a
+    doc_id left-semi join (broadcastable when the drop rate is high;
+    an equi-join otherwise), and the write is the standard one-task-
+    per-shard repartitioned overwrite."""
+    from .functions.pipeline_queries import DEDUP_RUNGS, dedup_decision_matrix
+    from .io import load_table
+
+    decisions = dedup_decision_matrix(
+        spark, sf_dir, rungs=tuple(rungs) if rungs else DEDUP_RUNGS
+    )
+    keep_ids = decisions.filter(F.col("keep")).select("doc_id")
+    d = load_table(spark, sf_dir, "documents")
+    survivors = d.join(keep_ids, "doc_id", "left_semi")
+    # STATIC overwrite (not the sharded sink's dynamic mode): this
+    # job's output IS the whole surviving corpus, so a re-run with a
+    # stricter rung set must truncate shards the new survivor set no
+    # longer touches — dynamic overwrite would leave them stale.
+    (
+        with_shard(survivors, n_shards=n_shards)
+        .repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    counts = decisions.agg(
+        F.count("*").alias("n_in"),
+        F.sum(F.col("keep").cast("int")).alias("n_kept"),
+    ).collect()[0]
+    n_written = spark.read.parquet(out_dir).count()
+    return {
+        "n_in": int(counts["n_in"]),
+        "n_kept": int(counts["n_kept"]),
+        "n_dropped": int(counts["n_in"] - counts["n_kept"]),
+        "n_written": n_written,
+    }
+
+
 def read_corpus_shard(spark: SparkSession, out_dir: str, shard: int) -> DataFrame:
     """Read one shard; the equality filter on the partition column prunes
     directory listing to that shard (PartitionFilters in the scan — a

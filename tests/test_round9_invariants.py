@@ -1,0 +1,146 @@
+"""Round-9 invariants: the EXECUTED dedup ladder.
+
+``corpus_apply_dedup`` decides; ``sinks.apply_dedup_corpus`` deletes.
+These tests pin the contract between them: rows written == Σ keeps,
+per-rung drop counts agree with the family's own reports, re-runs are
+idempotent, and a stricter re-run truncates rather than leaving stale
+survivors behind.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_kafka_replicator_spark.functions.pipeline_queries import (
+    DEDUP_RUNGS,
+    corpus_apply_dedup,
+    dedup_decision_matrix,
+    dedup_exact_docs,
+    dedup_survivors_by_centrality,
+)
+from flink_kafka_replicator_spark.sinks import apply_dedup_corpus
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_apply_dedup_rows_out_equals_sum_keeps(spark, tmp_path):
+    out = str(tmp_path / "survivors")
+    res = apply_dedup_corpus(spark, SF_DIR, out)
+    decisions = corpus_apply_dedup(spark, SF_DIR)
+    want_keep = {r.doc_id for r in decisions.filter("keep").collect()}
+    assert res["n_kept"] == len(want_keep)
+    assert res["n_written"] == res["n_kept"], res
+    assert res["n_in"] == res["n_kept"] + res["n_dropped"]
+    got = spark.read.parquet(out)
+    assert {r.doc_id for r in got.select("doc_id").collect()} == want_keep
+    # survivors keep ALL source columns (plus the shard key) — the job
+    # materializes a corpus, not an id list
+    src_cols = set(
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).columns
+    )
+    assert src_cols <= set(got.columns) and "shard" in got.columns
+    assert res["n_dropped"] > 0, "fixture must exercise every rung"
+
+
+def test_apply_dedup_rung_counts_match_family_reports(spark):
+    """Each rung's drop count in the matrix equals the number the
+    family member itself reports — the matrix is a join of verdicts,
+    not a re-derivation."""
+    m = corpus_apply_dedup(spark, SF_DIR)
+    drops = m.agg(
+        *[
+            F.sum((~F.col(f"keep_{r}")).cast("int")).alias(r)
+            for r in DEDUP_RUNGS
+        ]
+    ).collect()[0]
+    exact_expected = (
+        dedup_exact_docs(spark, SF_DIR)
+        .agg(F.sum(F.col("n_copies") - 1))
+        .collect()[0][0]
+    )
+    assert drops["exact"] == exact_expected
+    cen_expected = (
+        dedup_survivors_by_centrality(spark, SF_DIR)
+        .agg(F.sum(F.col("n_members") - 1))
+        .collect()[0][0]
+    )
+    assert drops["minhash"] == cen_expected
+
+
+def test_apply_dedup_idempotent_rerun(spark, tmp_path):
+    out = str(tmp_path / "survivors")
+    first = apply_dedup_corpus(spark, SF_DIR, out)
+    snap1 = {
+        (r.doc_id, r.text, r.shard)
+        for r in spark.read.parquet(out).select("doc_id", "text", "shard").collect()
+    }
+    second = apply_dedup_corpus(spark, SF_DIR, out)
+    snap2 = {
+        (r.doc_id, r.text, r.shard)
+        for r in spark.read.parquet(out).select("doc_id", "text", "shard").collect()
+    }
+    assert first == second
+    assert snap1 == snap2, "re-run must rewrite identical content"
+
+
+def test_apply_dedup_stricter_rerun_truncates_stale_survivors(
+    spark, tmp_path
+):
+    """Static overwrite contract: re-running with MORE rungs over the
+    same output must not leave docs that only the looser run kept."""
+    out = str(tmp_path / "survivors")
+    apply_dedup_corpus(spark, SF_DIR, out, rungs=("exact",))
+    loose = {r.doc_id for r in spark.read.parquet(out).collect()}
+    apply_dedup_corpus(spark, SF_DIR, out)
+    strict = {r.doc_id for r in spark.read.parquet(out).collect()}
+    want = {
+        r.doc_id for r in corpus_apply_dedup(spark, SF_DIR).filter("keep").collect()
+    }
+    assert strict == want
+    assert strict < loose, "the full ladder must drop more than exact-only"
+
+
+def test_apply_dedup_subset_rungs_skip_embeddings(spark, tmp_path):
+    """The text-only rung subset never touches the embeddings table —
+    a corpus without vectors can still run the text ladder."""
+    src = str(tmp_path / "tbl")
+    os.makedirs(src)
+    spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).write.parquet(
+        os.path.join(src, "documents.parquet")
+    )
+    out = str(tmp_path / "survivors")
+    res = apply_dedup_corpus(
+        spark, src, out, rungs=("exact", "paragraph", "minhash")
+    )
+    assert res["n_written"] == res["n_kept"] > 0
+
+
+def test_apply_dedup_cli(spark, tmp_path, capsys):
+    from flink_kafka_replicator_spark.cli import apply_dedup_main
+
+    out = str(tmp_path / "survivors")
+    rc = apply_dedup_main(
+        ["--input", SF_DIR, "--output", out, "--shards", "8"], spark=spark
+    )
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["n_written"] == got["n_kept"]
+    assert (
+        spark.read.parquet(out).select("shard").distinct().count() <= 8
+    )
+
+    with pytest.raises(SystemExit):
+        apply_dedup_main(
+            ["--input", SF_DIR, "--output", out, "--rungs", "exact,bogus"],
+            spark=spark,
+        )
+
+    # semantic rung without an embeddings table fails at parse time
+    src = str(tmp_path / "noemb")
+    os.makedirs(src)
+    with pytest.raises(SystemExit):
+        apply_dedup_main(["--input", src, "--output", out], spark=spark)
