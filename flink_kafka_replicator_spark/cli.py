@@ -229,13 +229,18 @@ def compact_index_main(argv: list[str], spark=None) -> int:
             spark, args.dir, files_per_shard=args.files
         )
     elif args.kind == "minhash":
-        result = sinks.compact_minhash_index(
-            spark, args.dir, files=args.files
-        )
+        # hold the single-writer lease across the compaction: a
+        # concurrent appender (or second compactor) is refused loudly
+        # instead of interleaving pointer swaps
+        with sinks.writer_lease(args.dir, owner="compact-index") as tok:
+            result = sinks.compact_minhash_index(
+                spark, args.dir, files=args.files, writer_token=tok
+            )
     else:
-        result = sinks.compact_vector_index(
-            spark, args.dir, files=args.files
-        )
+        with sinks.writer_lease(args.dir, owner="compact-index") as tok:
+            result = sinks.compact_vector_index(
+                spark, args.dir, files=args.files, writer_token=tok
+            )
     print(_json.dumps(result))
     return 0
 
@@ -329,8 +334,17 @@ def vector_search_main(argv: list[str], spark=None) -> int:
     parser.add_argument("--checkpoint-location", default=None)
     parser.add_argument("--top-k", type=int, default=5)
     parser.add_argument("--n-probe", type=int, default=None)
+    parser.add_argument(
+        "--refine-from",
+        default=None,
+        help="parquet of (vec_id, embedding) exact vectors: re-rank an "
+        "ADC shortlist by exact cosine (answers gain cos_sim)",
+    )
+    parser.add_argument("--shortlist", type=int, default=None)
     parser.add_argument("--timeout-sec", type=int, default=600)
     args = parser.parse_args(argv)
+    if args.shortlist is not None and args.refine_from is None:
+        parser.error("--shortlist requires --refine-from")
 
     if spark is None:
         from .session import get_session
@@ -358,6 +372,14 @@ def vector_search_main(argv: list[str], spark=None) -> int:
         k=args.top_k,
         n_probe=args.n_probe,
         available_now=True,
+        refine_with=(
+            spark.read.parquet(args.refine_from).select(
+                "vec_id", "embedding"
+            )
+            if args.refine_from
+            else None
+        ),
+        shortlist=args.shortlist,
     )
     from .streaming.supervision import await_drained
 

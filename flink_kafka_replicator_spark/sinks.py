@@ -217,6 +217,164 @@ def compact_corpus_shards(
     return {"files_before": before, "files_after": after}
 
 
+# -------------------------------------------------------- writer lease
+
+WRITER_LEASE_FILE = "WRITER_LEASE.json"
+DEFAULT_LEASE_TTL_SEC = 600
+
+
+def _lease_path(out_dir: str) -> str:
+    import os
+
+    return os.path.join(out_dir, WRITER_LEASE_FILE)
+
+
+def _read_lease(out_dir: str) -> dict | None:
+    import json
+
+    try:
+        with open(_lease_path(out_dir), encoding="utf-8") as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def acquire_writer_lease(
+    out_dir: str,
+    owner: str = "",
+    ttl_sec: float = DEFAULT_LEASE_TTL_SEC,
+) -> str:
+    """Acquire the single-writer lease for an index/artifact directory
+    (round 9 — VERDICT r8 task 3): append, compact, and streaming
+    admission all assume ONE writer; two processes interleaving pointer
+    swaps would corrupt the committed-delta contract silently. The
+    lease makes the assumption enforced: a second acquirer is refused
+    LOUDLY while the lease is live, and a crashed holder's lease is
+    taken over only after its TTL expires — the takeover rotates the
+    fencing token, so the zombie's next fenced mutation fails instead
+    of corrupting state.
+
+    Returns the fencing token to pass as ``writer_token`` to the
+    mutators (or use the :func:`writer_lease` context manager).
+    Single-process local-FS primitive: O_CREAT|O_EXCL + atomic rename;
+    an object-store deployment swaps this file for a conditional-put
+    lease object (same semantics, same call sites)."""
+    import json
+    import os
+    import time
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+    token = uuid.uuid4().hex
+    record = {
+        "token": token,
+        "owner": owner or f"pid-{os.getpid()}",
+        "acquired_at": time.time(),
+        "ttl_sec": ttl_sec,
+    }
+    path = _lease_path(out_dir)
+    payload = json.dumps(record)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        cur = _read_lease(out_dir)
+        if cur is not None and (
+            time.time() < cur["acquired_at"] + cur["ttl_sec"]
+        ):
+            raise RuntimeError(
+                f"writer lease for {out_dir} is held by "
+                f"{cur.get('owner')} (expires in "
+                f"{cur['acquired_at'] + cur['ttl_sec'] - time.time():.0f}s)"
+                " — a second concurrent writer would corrupt the "
+                "committed-delta contract; wait, or let the TTL expire "
+                "for a takeover"
+            )
+        # expired (or vanished mid-read): STALE TAKEOVER — rotate the
+        # token via atomic rename so the previous holder is fenced
+        import tempfile
+
+        tfd, tmp = tempfile.mkstemp(dir=out_dir, prefix=".lease_")
+        with os.fdopen(tfd, "w", encoding="utf-8") as fh:
+            fh.write(payload)
+        os.replace(tmp, path)
+        return token
+    with os.fdopen(fd, "w", encoding="utf-8") as fh:
+        fh.write(payload)
+    return token
+
+
+def release_writer_lease(out_dir: str, token: str) -> None:
+    """Release a held lease. Raises if the lease was taken over (the
+    holder is fenced — its work since the takeover is suspect) or
+    already released."""
+    import os
+
+    cur = _read_lease(out_dir)
+    if cur is None or cur.get("token") != token:
+        raise RuntimeError(
+            f"writer lease for {out_dir} is no longer held by this "
+            "token (released, or taken over after TTL expiry) — this "
+            "writer was fenced"
+        )
+    os.remove(_lease_path(out_dir))
+
+
+class writer_lease:
+    """``with writer_lease(dir) as token:`` acquire → mutate → release."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        owner: str = "",
+        ttl_sec: float = DEFAULT_LEASE_TTL_SEC,
+    ):
+        self._dir = out_dir
+        self._owner = owner
+        self._ttl = ttl_sec
+        self.token: str | None = None
+
+    def __enter__(self) -> str:
+        self.token = acquire_writer_lease(
+            self._dir, owner=self._owner, ttl_sec=self._ttl
+        )
+        return self.token
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        release_writer_lease(self._dir, self.token)
+
+
+def _check_writer_fence(out_dir: str, token: str | None) -> None:
+    """Mutator-side fence, run before any partition write AND again
+    right before the pointer swap: with a live lease on the directory,
+    only the holder's token may mutate; a token the lease no longer
+    carries means THIS writer was fenced by a stale-lease takeover.
+    Directories with no lease file keep the legacy single-writer-by-
+    convention behavior (token-less mutation allowed) so existing
+    flows are unchanged."""
+    cur = _read_lease(out_dir)
+    if cur is None:
+        if token is not None:
+            raise RuntimeError(
+                f"writer token presented for {out_dir} but no lease is "
+                "held — it was released or taken over and then "
+                "released; this writer was fenced"
+            )
+        return
+    if token is None:
+        raise RuntimeError(
+            f"{out_dir} has a live writer lease (held by "
+            f"{cur.get('owner')}) — token-less mutation would "
+            "interleave with the lease holder; acquire the lease or "
+            "pass its writer_token"
+        )
+    if cur.get("token") != token:
+        raise RuntimeError(
+            f"writer token for {out_dir} was fenced: the lease was "
+            "taken over (TTL expiry) by another writer — abandon this "
+            "writer's work"
+        )
+
+
 # ------------------------------------------------------------ near-dup index
 
 BANDS_SUBDIR = "bands"
@@ -336,6 +494,7 @@ def append_minhash_delta(
     id_col: str = "doc_id",
     text_col: str = "text",
     extra_meta: dict | None = None,
+    writer_token: str | None = None,
 ) -> bool:
     """Extend a persisted minhash index with a new document batch —
     WITHOUT rebuilding it. Work is proportional to the DELTA (band the
@@ -363,6 +522,7 @@ def append_minhash_delta(
     import os
     import shutil
 
+    _check_writer_fence(out_dir, writer_token)
     meta = _read_index_meta(out_dir)
     if delta_id <= meta["last_delta_id"]:
         return False
@@ -426,6 +586,11 @@ def append_minhash_delta(
         # ATOMICALLY with the delta pointer so a crash can never admit
         # a delta without advancing the cursor (double-apply on replay)
         new_meta.update(extra_meta)
+    # re-fence at the commit point: a takeover during the (slow) band
+    # and stats writes must abort BEFORE the pointer swap — the
+    # uncommitted partitions are invisible and the next compaction
+    # sweeps them
+    _check_writer_fence(out_dir, writer_token)
     _write_index_meta(out_dir, new_meta)
     # prune stats versions older than the previous one
     for path in _glob.glob(os.path.join(out_dir, f"{BAND_STATS_PREFIX}*")):
@@ -458,7 +623,10 @@ def _sweep_orphan_partitions(table_path: str, committed: list) -> None:
 
 
 def compact_minhash_index(
-    spark: SparkSession, out_dir: str, files: int = 1
+    spark: SparkSession,
+    out_dir: str,
+    files: int = 1,
+    writer_token: str | None = None,
 ) -> dict:
     """Rewrite all committed band deltas into ONE fresh partition — the
     index-side small-file compaction a streaming deployment needs:
@@ -502,6 +670,7 @@ def compact_minhash_index(
             )
         )
 
+    _check_writer_fence(out_dir, writer_token)
     meta = _read_index_meta(out_dir)
     committed = meta.get(
         "delta_ids", list(range(meta["last_delta_id"] + 1))
@@ -541,6 +710,8 @@ def compact_minhash_index(
             "delta_ids": [new_id],
         }
     )
+    # re-fence at the commit point (see append_minhash_delta)
+    _check_writer_fence(out_dir, writer_token)
     _write_index_meta(out_dir, new_meta)
     # prune: old band partitions (now invisible) and stats versions
     # older than the pre-compaction current (one-cycle grace)
@@ -830,6 +1001,7 @@ def append_vector_delta(
     out_dir: str,
     delta_id: int,
     extra_meta: dict | None = None,
+    writer_token: str | None = None,
 ) -> bool:
     """Extend a persisted vector index with new (vec_id, embedding)
     rows — WITHOUT rebuilding: the delta is assigned to cells and
@@ -845,6 +1017,7 @@ def append_vector_delta(
     delta vec_ids are new (an index is keyed by vec_id)."""
     from .functions import pipeline_queries as pq
 
+    _check_writer_fence(out_dir, writer_token)
     meta = _read_vindex_meta(out_dir)
     _check_vindex_geometry(meta, out_dir)
     if delta_id <= meta["last_delta_id"]:
@@ -894,6 +1067,8 @@ def append_vector_delta(
     if extra_meta:
         # committed atomically with the delta pointer (batch cursor)
         meta.update(extra_meta)
+    # re-fence at the commit point (see append_minhash_delta)
+    _check_writer_fence(out_dir, writer_token)
     _write_vindex_meta(out_dir, meta)
     return True
 
@@ -938,6 +1113,7 @@ def append_minhash_batch(
     batch_id: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    writer_token: str | None = None,
 ) -> bool:
     """Admit one streaming micro-batch into a persisted minhash index,
     delta-numbered from the index meta (compaction-safe — see the
@@ -953,11 +1129,16 @@ def append_minhash_batch(
         id_col=id_col,
         text_col=text_col,
         extra_meta={"last_batch_id": batch_id},
+        writer_token=writer_token,
     )
 
 
 def append_vector_batch(
-    spark: SparkSession, df: DataFrame, out_dir: str, batch_id: int
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    batch_id: int,
+    writer_token: str | None = None,
 ) -> bool:
     """Admit one streaming micro-batch of vectors, delta-numbered from
     the index meta (compaction-safe). Returns False for a replay."""
@@ -968,11 +1149,15 @@ def append_vector_batch(
     return append_vector_delta(
         spark, df, out_dir, delta_id,
         extra_meta={"last_batch_id": batch_id},
+        writer_token=writer_token,
     )
 
 
 def compact_vector_index(
-    spark: SparkSession, out_dir: str, files: int = 1
+    spark: SparkSession,
+    out_dir: str,
+    files: int = 1,
+    writer_token: str | None = None,
 ) -> dict:
     """Small-file compaction for the persisted vector index — the
     twin of :func:`compact_minhash_index` for the postings/pq_codes
@@ -993,6 +1178,7 @@ def compact_vector_index(
 
     if files < 1:
         raise ValueError(f"files must be >= 1, got {files}")
+    _check_writer_fence(out_dir, writer_token)
     meta = _read_vindex_meta(out_dir)
     _check_vindex_geometry(meta, out_dir)
     committed = meta.get(
@@ -1035,6 +1221,8 @@ def compact_vector_index(
         )
     meta["last_delta_id"] = new_id
     meta["delta_ids"] = [new_id]
+    # re-fence at the commit point (see append_minhash_delta)
+    _check_writer_fence(out_dir, writer_token)
     _write_vindex_meta(out_dir, meta)
     for sub in ("postings", "pq_codes"):
         for d in committed:
@@ -1199,6 +1387,72 @@ def knn_batch_search_from_index(
     )
     return (
         scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+def knn_batch_search_refined_from_index(
+    spark: SparkSession,
+    queries_df: DataFrame,
+    out_dir: str,
+    exact_df: DataFrame,
+    k: int = 5,
+    n_probe: int | None = None,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """The served batch path WITH the exact re-rank stage (round 9 —
+    the in-session family proves the recipe in ``knn_ivf_pq_refined``;
+    this brings it to the persisted-index serving path): the ADC scan
+    produces a ``shortlist``-deep candidate list per query from codes
+    alone, and only those vectors' full-width embeddings are fetched
+    from ``exact_df`` (the corpus' exact-vector table — the index
+    stores codes, not raw vectors) for exact cosine re-ranking.
+    Quantization error reorders near-ties; re-ranking a small multiple
+    of k recovers it, so refined recall is provably >= plain ADC recall
+    at equal probing (every true neighbor the ADC top-k catches is in
+    the shortlist, and exact ordering cannot rank it below a
+    non-neighbor — pytest-pinned per query).
+
+    Returns (qid, vec_id, adc_dist, cos_sim, rank<=k), ranked by exact
+    cosine (desc, vec_id asc tiebreak).
+
+    At 100 TB: the shortlist is |queries|·shortlist rows (tiny,
+    broadcast), so the full-width fetch is a broadcast semi-prune of
+    the exact table — point lookups, never a rescan; the re-rank is a
+    per-qid window over shortlist-sized groups."""
+    from pyspark.sql import Window
+
+    from .functions import pipeline_queries as pq
+    from .functions.similarity import as_double, cosine
+
+    R = shortlist if shortlist is not None else pq.PQ_REFINE_SHORTLIST
+    if R < k:
+        raise ValueError(f"shortlist {R} must be >= k {k}")
+    sl = knn_batch_search_from_index(
+        spark, queries_df, out_dir, k=R, n_probe=n_probe
+    )
+    q = queries_df.select(
+        "qid", as_double(F.col("embedding")).alias("__qv")
+    )
+    exact = (
+        exact_df.select("vec_id", as_double(F.col("embedding")).alias("__cv"))
+        .join(broadcast(sl.select("qid", "vec_id", "adc_dist")), "vec_id")
+        .join(broadcast(q), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "adc_dist",
+            F.round(cosine(F.col("__cv"), F.col("__qv")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("int"))
     )

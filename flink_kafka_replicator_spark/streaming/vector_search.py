@@ -41,21 +41,39 @@ def start_streaming_vector_search(
     k: int = 5,
     n_probe: int | None = None,
     available_now: bool = True,
+    refine_with: DataFrame | None = None,
+    shortlist: int | None = None,
 ):
     """Stream (qid, embedding) query rows; per micro-batch, write each
     query's top-``k`` (qid, vec_id, adc_dist, rank) answers to
     ``out_dir`` partitioned by batch id (replays overwrite their own
-    partition)."""
-    from ..sinks import knn_batch_search_from_index
+    partition).
+
+    ``refine_with`` (a (vec_id, embedding) exact-vector table) switches
+    each batch to the REFINED path — ADC shortlist then exact cosine
+    re-rank (``sinks.knn_batch_search_refined_from_index``); answers
+    then carry ``cos_sim`` and are ranked by exact similarity."""
+    from ..sinks import (
+        knn_batch_search_from_index,
+        knn_batch_search_refined_from_index,
+    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        answers = knn_batch_search_from_index(
-            spark,
-            batch_df.select("qid", "embedding"),
-            index_dir,
-            k=k,
-            n_probe=n_probe,
-        )
+        queries = batch_df.select("qid", "embedding")
+        if refine_with is not None:
+            answers = knn_batch_search_refined_from_index(
+                spark,
+                queries,
+                index_dir,
+                refine_with,
+                k=k,
+                n_probe=n_probe,
+                shortlist=shortlist,
+            )
+        else:
+            answers = knn_batch_search_from_index(
+                spark, queries, index_dir, k=k, n_probe=n_probe
+            )
         (
             answers.withColumn("batch_id", F.lit(batch_id))
             .coalesce(8)

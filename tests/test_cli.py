@@ -382,3 +382,72 @@ def test_vector_search_subcommand_end_to_end(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_vector_search_subcommand_refined(spark, tmp_path):
+    """`vector-search --refine-from` serves the exact-re-ranked path:
+    answers carry cos_sim and match the direct refined batch call.
+    --shortlist without --refine-from is rejected."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+
+    from flink_kafka_replicator_spark.cli import main, vector_search_main
+    from flink_kafka_replicator_spark.functions import (
+        pipeline_queries as pq,
+    )
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.sinks import (
+        knn_batch_search_refined_from_index,
+        write_vector_index,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    ix = str(tmp_path / "vindex")
+    write_vector_index(spark, sf_dir, ix)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact_dir = str(tmp_path / "exact")
+    e.select("vec_id", "embedding").coalesce(1).write.parquet(exact_dir)
+    queries = e.filter(
+        (_F.col("vec_id") % 2 == 1) & (_F.col("vec_id") < pq.QBATCH_MAX)
+    ).select(_F.col("vec_id").alias("qid"), "embedding")
+    qdir = str(tmp_path / "queries")
+    queries.coalesce(1).write.parquet(qdir)
+
+    out = str(tmp_path / "answers")
+    rc = main([
+        "vector-search",
+        "--index-dir", ix,
+        "--queries", qdir,
+        "--output", out,
+        "--checkpoint-location", str(tmp_path / "ck"),
+        "--top-k", "3",
+        "--refine-from", exact_dir,
+    ])
+    assert rc == 0
+    got = sorted(
+        (r.qid, r.vec_id, r.adc_dist, r.cos_sim, r.rank)
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in knn_batch_search_refined_from_index(
+            spark, queries, ix, e.select("vec_id", "embedding"), k=3
+        ).collect()
+    )
+    assert got == want
+
+    with _pytest.raises(SystemExit):
+        vector_search_main(
+            [
+                "--index-dir", ix,
+                "--queries", qdir,
+                "--output", out,
+                "--shortlist", "20",
+            ],
+            spark=spark,
+        )

@@ -142,3 +142,140 @@ def test_streaming_vector_search_matches_batch(spark, tmp_path):
         )
         == want
     )
+
+
+def test_refined_recall_at_least_plain_per_query(spark, tmp_path):
+    """Round 9: the refine stage on the SERVED path. At equal probing,
+    per-query recall of the refined answers must be >= the plain ADC
+    answers': the shortlist contains everything the ADC top-k caught,
+    and exact-cosine ordering cannot rank a true neighbor below a
+    non-neighbor (truth uses the same rounded-cosine + vec_id order)."""
+    from pyspark.sql import Window
+
+    from flink_kafka_replicator_spark.functions.similarity import (
+        as_double,
+        cosine,
+    )
+    from flink_kafka_replicator_spark.sinks import (
+        knn_batch_search_refined_from_index,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") % 2 == 0)
+    ix = str(tmp_path / "vindex")
+    write_vector_index(spark, SF_DIR, ix, df=corpus)
+    queries = _query_rows(spark)
+
+    q = queries.select("qid", as_double(F.col("embedding")).alias("qv"))
+    c = corpus.select("vec_id", as_double(F.col("embedding")).alias("cv"))
+    wt = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    truth = {}
+    rows = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= pq.BATCH_TOPK)
+        .collect()
+    )
+    for r in rows:
+        truth.setdefault(r.qid, set()).add(r.vec_id)
+
+    def hits(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.qid, set()).add(r.vec_id)
+        return {
+            qid: len(ids & truth[qid]) for qid, ids in got.items()
+        }
+
+    plain = hits(
+        knn_batch_search_from_index(
+            spark, queries, ix, k=pq.BATCH_TOPK, n_probe=2
+        )
+    )
+    refined_df = knn_batch_search_refined_from_index(
+        spark, queries, ix, corpus, k=pq.BATCH_TOPK, n_probe=2
+    )
+    assert refined_df.columns == ["qid", "vec_id", "adc_dist", "cos_sim", "rank"]
+    refined = hits(refined_df)
+    assert set(refined) == set(plain) == set(truth)
+    for qid in truth:
+        assert refined[qid] >= plain[qid], (
+            f"refine lost recall for qid {qid}: "
+            f"{refined[qid]} < {plain[qid]}"
+        )
+
+
+def test_refined_from_index_matches_session_refined(spark, tmp_path):
+    """The single fixed QUERY_VEC through the refined SERVED path (full
+    index, the index's own probe setting) must reproduce the in-session
+    ``knn_ivf_pq_refined`` rows exactly — the identity that pins the
+    from-index refine stage to the already-driver-green recipe."""
+    from flink_kafka_replicator_spark.sinks import (
+        knn_batch_search_refined_from_index,
+    )
+
+    ix = str(tmp_path / "vindex")
+    write_vector_index(spark, SF_DIR, ix)
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in pq.QUERY_VEC])],
+        "qid bigint, embedding array<double>",
+    )
+    got = sorted(
+        (r.vec_id, r.adc_dist, r.cos_sim)
+        for r in knn_batch_search_refined_from_index(
+            spark, qdf, ix, e, k=10
+        ).collect()
+    )
+    want = sorted(
+        (r.vec_id, r.adc_dist, r.cos_sim)
+        for r in pq.knn_ivf_pq_refined(spark, SF_DIR).collect()
+    )
+    assert got == want, f"only_served={set(got)-set(want)} only_session={set(want)-set(got)}"
+
+
+def test_streaming_refined_matches_batch_refined(spark, tmp_path):
+    """The streamed refine path equals the batch refined answers."""
+    from flink_kafka_replicator_spark.sinks import (
+        knn_batch_search_refined_from_index,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") % 2 == 0)
+    ix = str(tmp_path / "vindex")
+    write_vector_index(spark, SF_DIR, ix, df=corpus)
+    queries = _query_rows(spark)
+
+    src = str(tmp_path / "queries")
+    queries.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "answers")
+    stream = spark.readStream.schema(queries.schema).parquet(src)
+    q = start_streaming_vector_search(
+        spark,
+        stream,
+        ix,
+        out,
+        str(tmp_path / "ck"),
+        k=pq.BATCH_TOPK,
+        available_now=True,
+        refine_with=corpus,
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.qid, r.vec_id, r.adc_dist, r.cos_sim, r.rank)
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in knn_batch_search_refined_from_index(
+            spark, queries, ix, corpus, k=pq.BATCH_TOPK
+        ).collect()
+    )
+    assert got == want
