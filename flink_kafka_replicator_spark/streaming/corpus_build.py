@@ -32,6 +32,71 @@ DEFAULT_MIN_TOKENS = 20
 DEFAULT_WATERMARK = "1 hour"
 
 
+def semantic_dup_ids(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    vector_index_dir: str,
+    vector_corpus_df: DataFrame,
+    tau: float | None = None,
+) -> DataFrame:
+    """One batch's semantic near-dup doc ids against a persisted VECTOR
+    index (round 9 — the ``dedup_incremental_indexed`` recipe in
+    embedding space): assign each batch embedding to its IVF cell with
+    the index's FROZEN coarse quantizer, candidate against the postings
+    of that cell only (SemDeDup's own cell-scoped pruning — work is
+    Σ |cell∩batch|·|cell∩index|, never |batch|·|index|), then verify
+    candidates with exact cosine ≥ ``tau`` against
+    ``vector_corpus_df`` (vec_id → embedding for the INDEX side — the
+    index stores codes, not raw vectors, so verification needs the
+    corpus' exact-vector table, exactly as the minhash gate needs
+    ``dedup_corpus_df`` for text).
+
+    ``batch_df`` must carry (doc_id, embedding). Returns distinct
+    (doc_id) of batch docs with at least one verified semantic
+    near-dup in the index."""
+    from ..functions import pipeline_queries as pq
+    from ..functions.similarity import as_double, cosine
+    from ..sinks import read_vector_index
+
+    if tau is None:
+        tau = pq.SEMDEDUP_TAU
+    centroids, postings, _, _ = read_vector_index(spark, vector_index_dir)
+    cents = [
+        (int(r["cid"]), [float(x) for x in r["cvec"]], float(r["nrm"]))
+        for r in sorted(centroids.collect(), key=lambda r: r["cid"])
+    ]
+    vecs = batch_df.select(F.col("doc_id").alias("vec_id"), "embedding")
+    if len(cents) <= 32:
+        asg = pq._assignment_from(vecs, cents)
+    else:
+        asg = pq._assignment_top2_rowwise(
+            vecs, pq._cents_df(spark, cents), dim=len(cents[0][1])
+        )
+    cand = (
+        asg.select(F.col("vec_id").alias("doc_id"), "cid")
+        .join(
+            postings.select(F.col("vec_id").alias("old_id"), "cid"), "cid"
+        )
+        .select("doc_id", "old_id")
+    )
+    nv = batch_df.select(
+        "doc_id", as_double(F.col("embedding")).alias("__nv")
+    )
+    ov = vector_corpus_df.select(
+        F.col("vec_id").alias("old_id"),
+        as_double(F.col("embedding")).alias("__ov"),
+    )
+    return (
+        cand.join(nv, "doc_id")
+        .join(ov, "old_id")
+        .filter(
+            F.round(cosine(F.col("__nv"), F.col("__ov")), 4) >= tau
+        )
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def normalize_docs(df: DataFrame) -> DataFrame:
     """Canonical normalization (lowercase, strip non-alphanumerics,
     collapse whitespace — the ``text_normalize`` query's pass) plus the
@@ -61,6 +126,9 @@ def start_corpus_build(
     classifier_model_dir: str | None = None,
     dedup_index_dir: str | None = None,
     dedup_corpus_df: DataFrame | None = None,
+    vector_index_dir: str | None = None,
+    vector_corpus_df: DataFrame | None = None,
+    semantic_tau: float | None = None,
     n_shards: int = 16,
     available_now: bool = True,
 ):
@@ -86,7 +154,16 @@ def start_corpus_build(
     the stream POST-normalization, so build the index over
     comparably normalized text or shingle recall drops. Work per
     batch is one band equi-join + the verify joins — linear in the
-    batch."""
+    batch.
+
+    ``vector_index_dir`` adds SEMANTIC gating against a persisted
+    vector index (round 9): per batch, any doc whose embedding has a
+    verified cell-scoped cosine near-dup (>= ``semantic_tau``, default
+    SEMDEDUP_TAU) against the index is dropped — see
+    :func:`semantic_dup_ids`. The stream must then carry an
+    ``embedding`` column, and ``vector_corpus_df`` must resolve the
+    index side's vec_id → embedding for exact verification. The gate
+    never extends the index, so stream == batch drops exactly."""
     model = None
     if classifier_model_dir is not None:
         from ..sinks import read_classifier_model
@@ -94,6 +171,14 @@ def start_corpus_build(
         model = read_classifier_model(spark, classifier_model_dir)
     if dedup_index_dir is not None and dedup_corpus_df is None:
         raise ValueError("dedup_index_dir requires dedup_corpus_df")
+    if vector_index_dir is not None:
+        if vector_corpus_df is None:
+            raise ValueError("vector_index_dir requires vector_corpus_df")
+        if "embedding" not in source_df.columns:
+            raise ValueError(
+                "the semantic gate needs an 'embedding' column on the "
+                "document stream"
+            )
 
     from ..sinks import with_shard
 
@@ -120,6 +205,15 @@ def start_corpus_build(
                 .distinct()
             )
             kept = kept.join(dup_ids, "doc_id", "left_anti")
+        if vector_index_dir is not None:
+            sem_ids = semantic_dup_ids(
+                spark,
+                kept.select("doc_id", "embedding"),
+                vector_index_dir,
+                vector_corpus_df,
+                tau=semantic_tau,
+            )
+            kept = kept.join(sem_ids, "doc_id", "left_anti")
         if model is not None:
             from ..functions.pipeline_queries import qc_score_with_model
 
@@ -182,11 +276,28 @@ def corpus_build_main(
     parser.add_argument("--classifier-model", default=None)
     parser.add_argument("--dedup-index", default=None)
     parser.add_argument("--dedup-corpus", default=None)
+    parser.add_argument(
+        "--vector-index",
+        default=None,
+        help="persisted vector index: drop docs with a cell-scoped "
+        "semantic near-dup (stream needs an embedding column)",
+    )
+    parser.add_argument(
+        "--vector-corpus",
+        default=None,
+        help="parquet of (vec_id, embedding) resolving the vector "
+        "index side for exact cosine verification",
+    )
+    parser.add_argument("--semantic-tau", type=float, default=None)
     parser.add_argument("--shards", type=int, default=16)
     parser.add_argument("--timeout-sec", type=int, default=600)
     args = parser.parse_args(argv)
     if args.dedup_index and not args.dedup_corpus:
         parser.error("--dedup-index requires --dedup-corpus")
+    if args.vector_index and not args.vector_corpus:
+        parser.error("--vector-index requires --vector-corpus")
+    if args.semantic_tau is not None and not args.vector_index:
+        parser.error("--semantic-tau requires --vector-index")
 
     if spark is None:
         from ..session import get_session
@@ -217,6 +328,15 @@ def corpus_build_main(
             if args.dedup_corpus
             else None
         ),
+        vector_index_dir=args.vector_index,
+        vector_corpus_df=(
+            spark.read.parquet(args.vector_corpus).select(
+                "vec_id", "embedding"
+            )
+            if args.vector_corpus
+            else None
+        ),
+        semantic_tau=args.semantic_tau,
         n_shards=args.shards,
         available_now=True,
     )

@@ -586,3 +586,121 @@ def test_batch_adc_and_pagerank_at_10x(spark, big_dir):
     assert abs(total - 1.0) < len(rows) * 1e-6 * (pq.PR_ITERS + 1) + 1e-9
     assert all(r.pagerank > 0 for r in rows)
     assert t_big < 180, f"pagerank at 10x took {t_big:.1f}s"
+
+
+def test_streaming_serve_under_churn_at_10x(spark, big_dir, tmp_path_factory):
+    """Round 9: the vector-store lifecycle under churn at 10× — a
+    streaming serve leg answers queries, ingest appends new deltas, the
+    grown index serves the same queries, then (quiesced, per the
+    maintenance contract and the writer lease) one compaction cycle
+    runs and the served answers afterwards are IDENTICAL — and all
+    post-growth answers equal a from-scratch rebuild over the full
+    vector set. Pins that growth is visible, compaction is invisible,
+    and the delta machinery never drifts from the rebuild at scale."""
+    from flink_kafka_replicator_spark.sinks import (
+        compact_vector_index,
+        knn_batch_search_from_index,
+        write_vector_index,
+        writer_lease,
+    )
+    from flink_kafka_replicator_spark.streaming.vector_ingest import (
+        start_streaming_vector_ingest,
+    )
+    from flink_kafka_replicator_spark.streaming.vector_search import (
+        start_streaming_vector_search,
+    )
+
+    t0 = time.perf_counter()
+    root = str(tmp_path_factory.mktemp("serve_churn"))
+    e = spark.read.parquet(f"{big_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = e.filter(F.col("vec_id") % 3 != 0)
+    ix = f"{root}/vindex"
+    write_vector_index(spark, big_dir, ix, df=base)
+
+    queries = e.filter(
+        (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 16)
+    ).select(F.col("vec_id").alias("qid"), "embedding")
+    qsrc = f"{root}/queries"
+    answers = f"{root}/answers"
+    serve_ck = f"{root}/serve_ck"
+
+    def serve_leg(tag):
+        queries.coalesce(1).write.parquet(f"{qsrc}/leg={tag}")
+        stream = (
+            spark.readStream.schema("qid bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(qsrc)
+        )
+        q = start_streaming_vector_search(
+            spark, stream, ix, answers, serve_ck, k=5, available_now=True
+        )
+        q.awaitTermination(300)
+        latest = (
+            spark.read.parquet(answers)
+            .agg(F.max("batch_id"))
+            .collect()[0][0]
+        )
+        return {
+            (r.qid, r.vec_id, r.adc_dist, r.rank)
+            for r in spark.read.parquet(answers)
+            .filter(F.col("batch_id") == latest)
+            .collect()
+        }
+
+    pre_growth = serve_leg("a")
+
+    # GROW: stream the held-out third in as two micro-batch deltas
+    # (serving is between legs — the ingest is the only writer)
+    delta = e.filter(F.col("vec_id") % 3 == 0)
+    dsrc = f"{root}/delta_src"
+    delta.filter(F.col("vec_id") % 6 == 0).coalesce(1).write.parquet(
+        dsrc, mode="append"
+    )
+    delta.filter(F.col("vec_id") % 6 == 3).coalesce(1).write.parquet(
+        dsrc, mode="append"
+    )
+    qi = start_streaming_vector_ingest(
+        spark,
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dsrc),
+        ix,
+        f"{root}/ingest_ck",
+    )
+    qi.awaitTermination(300)
+
+    post_growth = serve_leg("b")
+    assert post_growth != pre_growth, (
+        "growth must be visible to the serving path"
+    )
+
+    # COMPACT under the writer lease (serving quiesced between legs)
+    with writer_lease(ix, owner="smoke-compact") as tok:
+        res = compact_vector_index(spark, ix, writer_token=tok)
+    assert res["compacted"] is True
+
+    post_compact = serve_leg("c")
+    assert post_compact == post_growth, (
+        "compaction changed served answers"
+    )
+
+    # quiesced from-scratch rebuild over the FULL vector set == the
+    # grown+compacted index's answers (same frozen models: both train
+    # on the same corpus)
+    rebuild = f"{root}/rebuild"
+    write_vector_index(spark, big_dir, rebuild, df=e)
+    want = {
+        tuple(r)
+        for r in knn_batch_search_from_index(
+            spark, queries, rebuild, k=5
+        ).collect()
+    }
+    assert post_compact == want, (
+        f"only_served={post_compact - want} only_rebuild={want - post_compact}"
+    )
+    t = time.perf_counter() - t0
+    print(f"\nserve-under-churn 10x: {t:.1f}s")
+    assert t < 600, f"serve-under-churn at 10x took {t:.1f}s"

@@ -321,3 +321,114 @@ def test_corpus_build_with_near_dup_index_gate(spark, tmp_path):
     assert got == {900002}, (
         f"near-dup must be dropped, fresh kept: {got}"
     )
+
+
+def test_corpus_build_with_semantic_vector_gate(spark, tmp_path):
+    """Round 9: the SEMANTIC rung inside corpus-build — streamed docs
+    whose embedding verifies as a cell-scoped cosine near-dup of a
+    persisted VECTOR index are dropped before the sink. Two
+    micro-batches == one batch == a replay (the gate never extends the
+    index, so drops are order- and batching-independent)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.sinks import write_vector_index
+    from flink_kafka_replicator_spark.streaming.corpus_build import (
+        semantic_dup_ids,
+        start_corpus_build,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    even_vecs = e.filter(F.col("vec_id") % 2 == 0)
+    ix = str(tmp_path / "vindex")
+    write_vector_index(spark, sf_dir, ix, df=even_vecs)
+
+    incoming = d.join(
+        e.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    ).filter(F.col("doc_id") % 2 == 1)
+    schema = "doc_id bigint, text string, embedding array<float>"
+    src = str(tmp_path / "src")
+    incoming.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    incoming.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+
+    expected_drops = {
+        r.doc_id
+        for r in semantic_dup_ids(
+            spark,
+            incoming.select("doc_id", "embedding"),
+            ix,
+            even_vecs,
+        ).collect()
+    }
+    assert expected_drops, "fixture must hold a cross-parity semantic dup"
+
+    def run(out, ck, stream_src, files_per_trigger):
+        reader = spark.readStream.schema(schema)
+        if files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", "1")
+        q = start_corpus_build(
+            spark,
+            reader.parquet(stream_src),
+            out,
+            ck,
+            min_tokens=1,
+            vector_index_dir=ix,
+            vector_corpus_df=even_vecs,
+        )
+        q.awaitTermination(180)
+
+    out2 = str(tmp_path / "corpus2b")
+    run(out2, str(tmp_path / "ck2"), src, True)
+    streamed = {r.doc_id for r in spark.read.parquet(out2).collect()}
+    n_batches = (
+        spark.read.parquet(out2).select("batch_id").distinct().count()
+    )
+    assert n_batches == 2, f"expected two micro-batches, saw {n_batches}"
+
+    out1 = str(tmp_path / "corpus1b")
+    run(out1, str(tmp_path / "ck1"), src, False)
+    onebatch = {r.doc_id for r in spark.read.parquet(out1).collect()}
+
+    assert streamed == onebatch, (
+        f"stream/batch divergence: only_stream={streamed - onebatch} "
+        f"only_batch={onebatch - streamed}"
+    )
+    assert streamed & expected_drops == set(), (
+        "a semantic dup reached the corpus"
+    )
+    assert expected_drops <= (
+        {r.doc_id for r in incoming.select("doc_id").collect()} - streamed
+    )
+
+    # replay no-op: same checkpoint, same source
+    run(out2, str(tmp_path / "ck2"), src, True)
+    assert {r.doc_id for r in spark.read.parquet(out2).collect()} == streamed
+
+
+def test_corpus_build_cli_semantic_gate_flag_validation():
+    """--vector-index requires --vector-corpus; --semantic-tau requires
+    --vector-index (validated before any Spark work)."""
+    import pytest
+
+    from flink_kafka_replicator_spark.streaming.corpus_build import (
+        corpus_build_main,
+    )
+
+    with pytest.raises(SystemExit):
+        corpus_build_main(
+            ["--input", "/x", "--output", "/y", "--vector-index", "/ix"]
+        )
+    with pytest.raises(SystemExit):
+        corpus_build_main(
+            ["--input", "/x", "--output", "/y", "--semantic-tau", "0.5"]
+        )
