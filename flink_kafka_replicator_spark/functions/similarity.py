@@ -134,9 +134,21 @@ def _affine_perm(i: int):
     return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))
 
 
+# versioned so persisted minhash indexes refuse a mixed-hash append:
+# bands built with one hash never equi-join bands built with another,
+# which would be SILENT recall loss, not an error
+BAND_HASH_VERSION = "md5-32"
+
+
 def shingle_hashes(shingles: Column) -> Column:
-    """One xxhash64 per shingle, reduced mod 2^31-1."""
-    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P)))
+    """One portable 32-bit hash per shingle (md5 head — the same
+    cross-engine idiom as :func:`_md5_half`; round 9, formerly
+    xxhash64), reduced mod 2^31-1 — which is what lets
+    ``dedup_ngram_jaccard``'s UNthresholded candidate set carry a full
+    DuckDB oracle that replays the banding bit-exactly."""
+    return F.transform(
+        shingles, lambda s: F.pmod(_md5_half(s, 1), F.lit(_MINHASH_P))
+    )
 
 
 def minhash_from_hashes(hashes_col: str, n_hashes: int = N_HASHES) -> Column:

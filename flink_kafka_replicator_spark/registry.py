@@ -103,17 +103,21 @@ CONTRACT_IDS: tuple[str, ...] = (
 FORCE_RECHECK_IDS: tuple[str, ...] = (
     "window_lag_delta",
     "window_range_frame",
-    # round 9: dedup_simhash switched to the portable md5 token hash
-    # and gained a full DuckDB oracle — its r08 rows-only row predates
-    # the semantics change, so the next driver round must re-earn a
-    # hash-exact row
+    # round 9: dedup_simhash and dedup_ngram_jaccard switched to the
+    # portable md5 token/shingle hashes and gained full DuckDB oracles
+    # — their rows-only rows predate the semantics change, so the next
+    # driver round must re-earn hash-exact rows
     "dedup_simhash",
+    "dedup_ngram_jaccard",
 )
 FORCE_RECHECK_SINCE_ROUND = 3
 # per-id staleness-event override: a green row from a round AFTER the
 # mapped value retires that id's pin; ids absent here use
 # FORCE_RECHECK_SINCE_ROUND
-FORCE_RECHECK_SINCE: dict[str, int] = {"dedup_simhash": 8}
+FORCE_RECHECK_SINCE: dict[str, int] = {
+    "dedup_simhash": 8,
+    "dedup_ngram_jaccard": 8,
+}
 
 
 def _repo_root() -> str:
@@ -379,12 +383,6 @@ ROWS_ONLY_CONTRACT: dict[str, str] = {
         "Spark HLL sketch binary + union has no DuckDB equivalent; estimate "
         "accuracy is pinned by "
         "tests/test_functions.py::test_hll_sketch_union_estimates_within_bound"
-    ),
-    "dedup_ngram_jaccard": (
-        "the UNthresholded candidate-pair set depends on xxhash64 minhash "
-        "banding (the thresholded variant dedup_fuzzy_minhash matches a "
-        "brute-force oracle exactly); Jaccard arithmetic bounds are pinned "
-        "by tests/test_functions.py::test_jaccard_bounds"
     ),
     "sample_stratified": (
         "sampleBy draws from Spark's seeded RNG — per-row membership is "

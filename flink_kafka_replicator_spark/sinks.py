@@ -482,9 +482,34 @@ def write_minhash_index(
         .write.mode("overwrite")
         .parquet(f"{out_dir}/{BAND_STATS_PREFIX}0")
     )
+    from .functions.similarity import BAND_HASH_VERSION
+
     _write_index_meta(
-        out_dir, {"stats_version": 0, "last_delta_id": 0, "delta_ids": [0]}
+        out_dir,
+        {
+            "stats_version": 0,
+            "last_delta_id": 0,
+            "delta_ids": [0],
+            # banding-hash fingerprint: bands built with one hash never
+            # equi-join bands built with another, so a mixed-hash index
+            # would be SILENT recall loss — readers/appenders refuse a
+            # mismatch loudly instead (round 9: xxhash64 → md5-32)
+            "band_hash": BAND_HASH_VERSION,
+        },
     )
+
+
+def _check_band_hash(meta: dict, out_dir: str) -> None:
+    from .functions.similarity import BAND_HASH_VERSION
+
+    got = meta.get("band_hash", "xxhash64-v1")
+    if got != BAND_HASH_VERSION:
+        raise ValueError(
+            f"minhash index at {out_dir} was banded with hash "
+            f"'{got}' but the engine bands with "
+            f"'{BAND_HASH_VERSION}' — joining them silently finds "
+            "nothing; rebuild the index with write_minhash_index"
+        )
 
 
 def append_minhash_delta(
@@ -524,6 +549,7 @@ def append_minhash_delta(
 
     _check_writer_fence(out_dir, writer_token)
     meta = _read_index_meta(out_dir)
+    _check_band_hash(meta, out_dir)
     if delta_id <= meta["last_delta_id"]:
         return False
     if delta_id != meta["last_delta_id"] + 1:
@@ -781,6 +807,7 @@ def read_minhash_index(
             "write_minhash_index"
         )
     meta = _read_index_meta(out_dir)
+    _check_band_hash(meta, out_dir)
     effective = meta["last_delta_id"]
     if max_delta_id is not None:
         effective = min(effective, max_delta_id)

@@ -236,3 +236,35 @@ def test_writer_lease_vector_index_and_compaction(spark, tmp_path):
     assert append_vector_batch(
         spark, e.filter(F.col("vec_id") < 0), ix, 1
     ) is True
+
+
+def test_band_hash_mismatch_refused(spark, tmp_path):
+    """Round 9: shingle hashes moved xxhash64 → md5-32. An index banded
+    with the OLD hash must be refused loudly by readers and appenders —
+    bands from different hashes never equi-join, which would be silent
+    recall loss, not an error."""
+    import json
+
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.sinks import (
+        _index_meta_path,
+        append_minhash_batch,
+        read_minhash_index,
+        write_minhash_index,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    ix = str(tmp_path / "index")
+    write_minhash_index(d.filter(F.col("doc_id") % 2 == 0), ix)
+
+    # simulate a pre-round-9 index: its meta carries no band_hash key
+    with open(_index_meta_path(ix), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    meta.pop("band_hash")
+    with open(_index_meta_path(ix), "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+
+    with pytest.raises(ValueError, match="banded with hash"):
+        read_minhash_index(spark, ix)
+    with pytest.raises(ValueError, match="banded with hash"):
+        append_minhash_batch(d.limit(2), ix, 0)
