@@ -119,6 +119,11 @@ HEADLINE = list(R2_BASKET) + [
     # round-9 addition: the executed dedup ladder (decision matrix
     # joining all four family verdicts)
     "corpus_apply_dedup",
+    # round-9 widening: lexical retrieval + the rule filter and the
+    # exact-substring duplication signal (both corpus-scan-heavy)
+    "bm25_topk",
+    "quality_gopher_rules",
+    "dedup_substring_spans",
 ]
 
 

@@ -16,6 +16,8 @@ from pyspark.sql.functions import broadcast
 from ..io import load_table, materialize_small
 from . import multimodal, text
 from .similarity import (
+    _MINHASH_P,
+    _MINHASH_PARAMS,
     QUERY_VEC,
     as_double,
     banded_minhash,
@@ -3270,6 +3272,207 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(multimodal.with_blob(d))
 
 
+# ----------------------------------------- Gopher-style rule filter (r9)
+
+# Rule bounds from the Gopher quality heuristics (Rae et al. 2021,
+# arXiv:2112.11446, Table A1). Rules that depend on characters the
+# synthetic fixture never contains (symbols, bullets, ellipses) are
+# omitted rather than included as always-true columns.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter: per-document signal columns,
+    one boolean per rule (so a downstream curator can relax rules
+    individually), and ``keep`` as the conjunction.
+
+    Every signal is per-row array arithmetic over a single bound token
+    column — map-side, ZERO shuffles, scan-speed at 100 TB: a document
+    is its own unit of work, exactly like text_repetition_ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    stops = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    m = t.select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.expr(
+            "aggregate(toks, 0L, (acc, w) -> acc + length(w))"
+        ).alias("n_word_chars"),
+        F.expr("size(filter(toks, w -> w rlike '[a-zA-Z]'))").alias(
+            "n_alpha_words"
+        ),
+        F.expr(f"size(filter(toks, w -> w in ({stops})))").alias(
+            "n_stopwords"
+        ),
+    )
+    # unrounded ratios feed the flags (both engines compute the same
+    # IEEE-exact division); rounding is display-only
+    mean_len = F.col("n_word_chars") / F.col("n_words")
+    alpha_ratio = F.col("n_alpha_words") / F.col("n_words")
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
+        "n_stopwords",
+        (
+            (F.col("n_words") >= GOPHER_MIN_WORDS)
+            & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        ).alias("rule_word_count"),
+        (
+            (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        ).alias("rule_mean_word_len"),
+        (alpha_ratio >= GOPHER_MIN_ALPHA_WORD_RATIO).alias("rule_alpha_words"),
+        (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS).alias("rule_stopwords"),
+        (
+            (F.col("n_words") >= GOPHER_MIN_WORDS)
+            & (F.col("n_words") <= GOPHER_MAX_WORDS)
+            & (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN)
+            & (alpha_ratio >= GOPHER_MIN_ALPHA_WORD_RATIO)
+            & (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS)
+        ).alias("keep"),
+    )
+
+
+# ------------------------------------------------- BM25 retrieval (r9)
+
+BM25_QUERY_TERMS = ("spark", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed query (Robertson/Sparck Jones;
+    the Lucene-default k1=1.2, b=0.75 scoring) over the documents
+    corpus — the standard lexical leg of a retrieval/curation stack
+    next to the ANN family.
+
+    Scale shape: one explode pre-filtered to the query terms (the
+    filter is pushed below the shuffle, so the per-(doc,term) agg sees
+    only matching postings, never the whole token stream), vocabulary-
+    sized df and 1-row corpus stats broadcast onto it, then a global
+    top-k that compiles to TakeOrderedAndProject — no full sort.
+
+    Float parity: idf is ln-based, so it floor-quantizes at 1e-6 (the
+    tfidf_top_terms idiom — ln may differ in the last ulp across
+    engines); everything after is IEEE-exact +,*,/ in a FIXED textual
+    order — per-term scores become pivoted columns summed s0+s1+s2,
+    never a float SUM whose order the shuffle picks."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    dl = t.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    posting = t.select(
+        "doc_id", F.explode("toks").alias("term")
+    ).filter(F.col("term").isin(*BM25_QUERY_TERMS))
+    tf = posting.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = posting.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    k1, b = BM25_K1, BM25_B
+    scored = (
+        tf.join(broadcast(df_), "term")
+        .crossJoin(broadcast(stats))
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            F.expr(
+                "floor(ln(1.0D + (n_docs - df + 0.5D) / (df + 0.5D))"
+                " * 1000000.0D) / 1000000.0D"
+                f" * (tf * {k1 + 1.0}D)"
+                f" / (tf + {k1}D * ({1.0 - b}D + {b}D"
+                " * (dl / (sum_dl / n_docs))))"
+            ).alias("s"),
+        )
+    )
+    wide = scored.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == term, F.col("s"))), F.lit(0.0)
+            ).alias(f"s{i}")
+            for i, term in enumerate(BM25_QUERY_TERMS)
+        ]
+    )
+    total = F.col("s0") + F.col("s1") + F.col("s2")
+    return (
+        wide.select("doc_id", total.alias("_bm25"))
+        .orderBy(F.col("_bm25").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP_K)
+        .select("doc_id", F.round(F.col("_bm25"), 4).alias("bm25"))
+    )
+
+
+# --------------------------------------- exact substring spans (r9)
+
+SPAN_TOKENS = 8
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, decision reduced to fixed-length spans — the
+    MapReduce-friendly form of their suffix-array pass): for every
+    document, the fraction of its 8-token spans that appear verbatim
+    in at least one OTHER document.
+
+    Scale shape: one explode (linear in total tokens) keyed by the
+    span's full md5 (fixed 32-byte shuffle key, 128-bit so collisions
+    are negligible — never the raw span text), a count-distinct-docs
+    agg with map-side partial aggregation, and a join back on the same
+    md5 key — the partitioning from the agg is reused, no second
+    shuffle of the span table. Per-doc totals are a map-side-combined
+    count. No all-pairs anything: cost is O(total tokens), the same
+    class as exact-doc dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    k = SPAN_TOKENS
+    # exact-length spans only: sequence(a, b) DESCENDS when b < a, so
+    # short docs need the explicit empty-array branch
+    spans = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"case when size(toks) >= {k} then"
+                f" transform(sequence(1, size(toks) - {k} + 1),"
+                f" i -> md5(concat_ws(' ', slice(toks, i, {k}))))"
+                " else array() end"
+            )
+        ).alias("h"),
+    )
+    hot = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    tot = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    dup = (
+        spans.join(hot, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.max("n_docs").alias("max_span_docs"),
+        )
+    )
+    return tot.join(dup, "doc_id").select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.round(F.col("n_dup_spans") / F.col("n_spans"), 4).alias(
+            "dup_span_ratio"
+        ),
+        "max_span_docs",
+    )
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_paragraph_exact": dedup_paragraph_exact,
@@ -3309,6 +3512,9 @@ QUERIES = {
     "text_stats": text_stats,
     "lang_breakdown": lang_breakdown,
     "text_quality": text_quality,
+    "quality_gopher_rules": quality_gopher_rules,
+    "bm25_topk": bm25_topk,
+    "dedup_substring_spans": dedup_substring_spans,
     "quality_classifier_score": quality_classifier_score,
     "quality_classifier_train": quality_classifier_train,
     "text_repetition_ratio": text_repetition_ratio,
@@ -3689,8 +3895,63 @@ _SIMHASH_ORACLE = f"""
 """
 
 
+# DuckDB replay of the full minhash-LSH candidate pipeline (round 9 —
+# possible since shingle hashes moved to the portable md5-32 idiom):
+# distinct 3-gram shingles, md5-head hashes mod the Mersenne prime, 16
+# affine-permutation mins, 8×2 band keys with MAX_BUCKET hygiene, then
+# exact Jaccard on the surviving candidate pairs — bit-exact vs the
+# Spark banding, giving the UNthresholded pair set a real oracle.
+_NGRAM_SIG_COLS = ", ".join(
+    f"list_min(list_transform(h, x -> (x * {a} + {b}) % {_MINHASH_P}))"
+    f" AS s{i}"
+    for i, (a, b) in enumerate(_MINHASH_PARAMS)
+)
+_NGRAM_BAND_SELECTS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS b, s{2 * b} AS r1, s{2 * b + 1} AS r2 FROM sig"
+    for b in range(8)
+)
+_NGRAM_JACCARD_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+        FROM t
+    ),
+    hs AS (
+        SELECT doc_id,
+               list_transform(sh, g ->
+                   ('0x' || substr(md5(g), 1, 8))::BIGINT % {_MINHASH_P})
+                   AS h
+        FROM s
+    ),
+    sig AS (SELECT doc_id, {_NGRAM_SIG_COLS} FROM hs),
+    bands AS ({_NGRAM_BAND_SELECTS}),
+    ok AS (
+        SELECT b, r1, r2 FROM bands GROUP BY b, r1, r2
+        HAVING COUNT(*) BETWEEN 2 AND 200
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        FROM bands x
+        JOIN ok k ON k.b = x.b AND k.r1 = x.r1 AND k.r2 = x.r2
+        JOIN bands y ON y.b = x.b AND y.r1 = x.r1 AND y.r2 = x.r2
+                    AND x.doc_id < y.doc_id
+    )
+    SELECT cand.da AS doc_a, cand.db AS doc_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM cand
+    JOIN s a ON a.doc_id = cand.da
+    JOIN s b ON b.doc_id = cand.db
+"""
+
+
 ORACLES = {
     "dedup_simhash": _SIMHASH_ORACLE,
+    "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
     "knn_ivf_join": f"""
         {_KNN_ORACLE_CORE}
         SELECT qid AS vec_id, nid AS neighbor_id, cos_sim,
@@ -4388,6 +4649,120 @@ ORACLES = {
                             / len(toks))
                    + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 4) AS quality
         FROM t
+    """,
+    "quality_gopher_rules": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   list_sum(list_transform(toks, w -> length(w)))
+                       AS n_word_chars,
+                   len(list_filter(toks,
+                       w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha_words,
+                   len(list_filter(toks,
+                       w -> list_contains([{_STOPLIST}], w))) AS n_stopwords
+            FROM t
+        )
+        SELECT doc_id,
+               n_words,
+               ROUND(CAST(n_word_chars AS DOUBLE) / n_words, 4)
+                   AS mean_word_len,
+               ROUND(CAST(n_alpha_words AS DOUBLE) / n_words, 4)
+                   AS alpha_word_ratio,
+               n_stopwords,
+               (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+                   AS rule_word_count,
+               (CAST(n_word_chars AS DOUBLE) / n_words
+                    BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                        AND {GOPHER_MAX_MEAN_WORD_LEN}) AS rule_mean_word_len,
+               (CAST(n_alpha_words AS DOUBLE) / n_words
+                    >= {GOPHER_MIN_ALPHA_WORD_RATIO}) AS rule_alpha_words,
+               (n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS rule_stopwords,
+               ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+                AND (CAST(n_word_chars AS DOUBLE) / n_words
+                     BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                         AND {GOPHER_MAX_MEAN_WORD_LEN})
+                AND (CAST(n_alpha_words AS DOUBLE) / n_words
+                     >= {GOPHER_MIN_ALPHA_WORD_RATIO})
+                AND (n_stopwords >= {GOPHER_MIN_STOPWORDS})) AS keep
+        FROM m
+    """,
+    "bm25_topk": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+        stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
+        ),
+        posting AS (
+            SELECT doc_id, tok AS term
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+            WHERE tok IN ({", ".join(f"'{w}'" for w in BM25_QUERY_TERMS)})
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM posting GROUP BY doc_id, term
+        ),
+        dfq AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM posting GROUP BY term
+        ),
+        s AS (
+            SELECT tf.doc_id, tf.term,
+                   FLOOR(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE)
+                            / (df + 0.5::DOUBLE)) * 1000000.0::DOUBLE)
+                       / 1000000.0::DOUBLE
+                   * (tf * {BM25_K1 + 1.0}::DOUBLE)
+                   / (tf + {BM25_K1}::DOUBLE * ({1.0 - BM25_B}::DOUBLE
+                      + {BM25_B}::DOUBLE * (dl.dl / (sum_dl / n_docs)))) AS sc
+            FROM tf
+            JOIN dfq USING (term)
+            CROSS JOIN stats
+            JOIN dl ON dl.doc_id = tf.doc_id
+        ),
+        w AS (
+            SELECT doc_id,
+                   {", ".join(
+                       f"COALESCE(MAX(CASE WHEN term = '{term}' THEN sc END),"
+                       f" 0.0::DOUBLE) AS s{i}"
+                       for i, term in enumerate(BM25_QUERY_TERMS))}
+            FROM s GROUP BY doc_id
+        )
+        SELECT doc_id, ROUND(s0 + s1 + s2, 4) AS bm25
+        FROM w
+        ORDER BY s0 + s1 + s2 DESC, doc_id ASC
+        LIMIT {BM25_TOP_K}
+    """,
+    "dedup_substring_spans": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        sp0 AS (
+            SELECT doc_id,
+                   [md5(array_to_string(toks[i:i+{SPAN_TOKENS - 1}], ' '))
+                    for i in generate_series(1, len(toks) - {SPAN_TOKENS} + 1)]
+                       AS hs
+            FROM t
+        ),
+        sp AS (SELECT doc_id, unnest(hs) AS h FROM sp0),
+        hot AS (
+            SELECT h, COUNT(DISTINCT doc_id) AS n_docs
+            FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM sp GROUP BY doc_id),
+        dup AS (
+            SELECT sp.doc_id, COUNT(*) AS n_dup_spans,
+                   MAX(n_docs) AS max_span_docs
+            FROM sp JOIN hot USING (h) GROUP BY sp.doc_id
+        )
+        SELECT doc_id, n_spans, n_dup_spans,
+               ROUND(CAST(n_dup_spans AS DOUBLE) / n_spans, 4)
+                   AS dup_span_ratio,
+               max_span_docs
+        FROM tot JOIN dup USING (doc_id)
     """,
     "lang_id_ngram": (lambda profiles=text.LANG_PROFILES: (
         "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),\n"

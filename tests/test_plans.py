@@ -660,3 +660,46 @@ def test_probe_recall_curve_rungs_are_probe_pruned_scans(spark, sf_dir):
     assert plan.count("TakeOrderedAndProject") >= 5, (
         f"each ladder rung should compile to TakeOrdered:\n{plan}"
     )
+
+
+def test_gopher_rules_shuffle_free_codegen(spark, sf_dir):
+    """Gopher rule flags are per-row array arithmetic: the plan must be
+    a pure map pass — zero Exchanges, inside whole-stage codegen."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        quality_gopher_rules,
+    )
+    from flink_kafka_replicator_spark.plans import codegen_stage_count
+
+    df = quality_gopher_rules(spark, sf_dir)
+    assert exchange_count(df) == 0, formatted_plan(df)[:1500]
+    assert codegen_stage_count(df) >= 1
+
+
+def test_bm25_topk_is_take_ordered_with_broadcast_stats(spark, sf_dir):
+    """BM25's global top-k must compile to TakeOrderedAndProject (never
+    a full sort), with the vocabulary-sized df table and the 1-row
+    corpus stats arriving as broadcasts."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import bm25_topk
+
+    df = bm25_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2, (
+        f"df/stats must broadcast, not shuffle:\n{plan[:1500]}"
+    )
+
+
+def test_substring_spans_no_pairwise_blowup(spark, sf_dir):
+    """The exact-span signal must stay O(total tokens): equi-joins on
+    the md5 span key only — no cartesian/nested-loop anywhere, and no
+    window (per-doc totals are hash aggregates)."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        dedup_substring_spans,
+    )
+
+    df = dedup_substring_spans(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan

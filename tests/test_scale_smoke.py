@@ -704,3 +704,41 @@ def test_streaming_serve_under_churn_at_10x(spark, big_dir, tmp_path_factory):
     t = time.perf_counter() - t0
     print(f"\nserve-under-churn 10x: {t:.1f}s")
     assert t < 600, f"serve-under-churn at 10x took {t:.1f}s"
+
+
+def test_round9_text_ops_at_10x(spark, big_dir):
+    """The round-9 corpus-scan family stays linear at 10×: the Gopher
+    rule pass and BM25 are map/agg-shaped; the substring-span signal's
+    one shuffle is keyed by the 128-bit span hash, so 10 verbatim
+    copies of every document multiply group sizes, never fan out into
+    pairs — and with every doc copied, every span IS duplicated, so
+    the per-doc output must cover the whole ≥8-token corpus with
+    dup_span_ratio == 1."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        SPAN_TOKENS,
+        bm25_topk,
+        dedup_substring_spans,
+        quality_gopher_rules,
+    )
+
+    for q, bound in ((quality_gopher_rules, 60), (bm25_topk, 60)):
+        t_small = _timed(q(spark, SRC))
+        t_big = _timed(q(spark, big_dir))
+        assert t_big < max(t_small, 0.2) * COPIES * 3, (
+            f"{q.__name__} superlinear at 10x: {t_big:.1f}s vs {t_small:.1f}s"
+        )
+        assert t_big < bound, f"{q.__name__} {t_big:.1f}s"
+
+    t0 = time.perf_counter()
+    spans = dedup_substring_spans(spark, big_dir)
+    rows = spans.count()
+    t_spans = time.perf_counter() - t0
+    eligible = (
+        spark.read.parquet(f"{big_dir}/documents.parquet")
+        .where(F.size(F.split("text", " ")) >= SPAN_TOKENS)
+        .count()
+    )
+    assert rows == eligible, f"{rows} rows vs {eligible} eligible docs"
+    n_partial = spans.where(F.col("dup_span_ratio") < 1.0).count()
+    assert n_partial == 0, f"{n_partial} docs with ratio < 1 under 10x copies"
+    assert t_spans < 180, f"substring spans {t_spans:.1f}s at 10x"
