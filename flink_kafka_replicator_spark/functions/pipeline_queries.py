@@ -3341,6 +3341,42 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gopher_keep_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Filter to rows passing the Gopher `keep` conjunction — the
+    corpus-build ingest-gate twin of :func:`quality_gopher_rules` (same
+    module constants, same arithmetic), returning the input columns
+    unchanged. Still a pure map-side pass: the metric columns are bound
+    once, used by the filter, and dropped."""
+    stops = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+    m = (
+        df.withColumn("__toks", F.split(text_col, " "))
+        .withColumn("__n_words", F.size("__toks"))
+        .withColumn(
+            "__n_word_chars",
+            F.expr("aggregate(__toks, 0L, (acc, w) -> acc + length(w))"),
+        )
+        .withColumn(
+            "__n_alpha", F.expr("size(filter(__toks, w -> w rlike '[a-zA-Z]'))")
+        )
+        .withColumn(
+            "__n_stop", F.expr(f"size(filter(__toks, w -> w in ({stops})))")
+        )
+    )
+    mean_len = F.col("__n_word_chars") / F.col("__n_words")
+    alpha_ratio = F.col("__n_alpha") / F.col("__n_words")
+    keep = (
+        (F.col("__n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("__n_words") <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (alpha_ratio >= GOPHER_MIN_ALPHA_WORD_RATIO)
+        & (F.col("__n_stop") >= GOPHER_MIN_STOPWORDS)
+    )
+    return m.filter(keep).drop(
+        "__toks", "__n_words", "__n_word_chars", "__n_alpha", "__n_stop"
+    )
+
+
 # ------------------------------------------------- BM25 retrieval (r9)
 
 BM25_QUERY_TERMS = ("spark", "join", "window")

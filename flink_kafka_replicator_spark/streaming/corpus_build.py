@@ -129,6 +129,7 @@ def start_corpus_build(
     vector_index_dir: str | None = None,
     vector_corpus_df: DataFrame | None = None,
     semantic_tau: float | None = None,
+    gopher_rules: bool = False,
     n_shards: int = 16,
     available_now: bool = True,
 ):
@@ -163,7 +164,15 @@ def start_corpus_build(
     :func:`semantic_dup_ids`. The stream must then carry an
     ``embedding`` column, and ``vector_corpus_df`` must resolve the
     index side's vec_id → embedding for exact verification. The gate
-    never extends the index, so stream == batch drops exactly."""
+    never extends the index, so stream == batch drops exactly.
+
+    ``gopher_rules=True`` adds the Gopher rule-based quality gate
+    (:func:`~..functions.pipeline_queries.gopher_keep_filter` — the
+    same conjunction the ``quality_gopher_rules`` query reports) as a
+    per-batch map-side filter, applied to the POST-normalization text
+    right after the min-token floor and before the dedup gates (rules
+    are per-row, so gate order only affects cost, not the result
+    set). Stateless, so stream == batch == replay trivially."""
     model = None
     if classifier_model_dir is not None:
         from ..sinks import read_classifier_model
@@ -186,6 +195,10 @@ def start_corpus_build(
         kept = batch_df.filter(
             F.size(F.split(F.col("text"), " ")) >= min_tokens
         )
+        if gopher_rules:
+            from ..functions.pipeline_queries import gopher_keep_filter
+
+            kept = gopher_keep_filter(kept)
         if dedup_index_dir is not None:
             from .dedup_ingest import dedup_batch_against_index
 
@@ -289,6 +302,12 @@ def corpus_build_main(
         "index side for exact cosine verification",
     )
     parser.add_argument("--semantic-tau", type=float, default=None)
+    parser.add_argument(
+        "--gopher-rules",
+        action="store_true",
+        help="apply the Gopher rule-based quality gate (the "
+        "quality_gopher_rules conjunction) to every batch",
+    )
     parser.add_argument("--shards", type=int, default=16)
     parser.add_argument("--timeout-sec", type=int, default=600)
     args = parser.parse_args(argv)
@@ -337,6 +356,7 @@ def corpus_build_main(
             else None
         ),
         semantic_tau=args.semantic_tau,
+        gopher_rules=args.gopher_rules,
         n_shards=args.shards,
         available_now=True,
     )

@@ -432,3 +432,93 @@ def test_corpus_build_cli_semantic_gate_flag_validation():
         corpus_build_main(
             ["--input", "/x", "--output", "/y", "--semantic-tau", "0.5"]
         )
+
+
+def test_corpus_build_with_gopher_rules_gate(spark, tmp_path):
+    """Round 9: the Gopher rule gate inside corpus-build — per-batch,
+    stateless, applied to the post-normalization text. Streamed output
+    over two micro-batches == one batch == the batch-side
+    gopher_keep_filter twin, and a checkpoint replay is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        gopher_keep_filter,
+    )
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.streaming.corpus_build import (
+        normalize_docs,
+        start_corpus_build,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # restrict to docs whose normalized content is unique so the
+    # content-hash dedup rung cannot make the surviving-doc choice
+    # ambiguous between the streamed and batch runs
+    normed = normalize_docs(d)
+    uniq = (
+        normed.groupBy("content_hash")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("n") == 1)
+        .select("doc_id")
+    )
+    incoming = d.join(uniq, "doc_id", "left_semi")
+
+    expected = {
+        r.doc_id
+        for r in gopher_keep_filter(normalize_docs(incoming))
+        .select("doc_id")
+        .collect()
+    }
+    n_in = incoming.count()
+    assert expected, "fixture must keep at least one doc through the gate"
+    assert len(expected) < n_in, (
+        "gate must actually drop something at this fixture"
+    )
+
+    src = str(tmp_path / "src")
+    incoming.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    incoming.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    schema = "doc_id bigint, text string"
+
+    def run(out, ck, files_per_trigger):
+        reader = spark.readStream.schema(schema)
+        if files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", "1")
+        q = start_corpus_build(
+            spark,
+            reader.parquet(src),
+            out,
+            ck,
+            min_tokens=1,
+            gopher_rules=True,
+        )
+        q.awaitTermination(180)
+
+    out2 = str(tmp_path / "corpus2b")
+    run(out2, str(tmp_path / "ck2"), True)
+    streamed = {r.doc_id for r in spark.read.parquet(out2).collect()}
+    n_batches = (
+        spark.read.parquet(out2).select("batch_id").distinct().count()
+    )
+    assert n_batches == 2, f"expected two micro-batches, saw {n_batches}"
+    assert streamed == expected, (
+        f"stream/batch-twin divergence: only_stream={streamed - expected} "
+        f"only_twin={expected - streamed}"
+    )
+
+    out1 = str(tmp_path / "corpus1b")
+    run(out1, str(tmp_path / "ck1"), False)
+    assert {r.doc_id for r in spark.read.parquet(out1).collect()} == expected
+
+    # replay no-op: same checkpoint, same source
+    run(out2, str(tmp_path / "ck2"), True)
+    assert {r.doc_id for r in spark.read.parquet(out2).collect()} == expected
