@@ -124,6 +124,7 @@ HEADLINE = list(R2_BASKET) + [
     "bm25_topk",
     "quality_gopher_rules",
     "dedup_substring_spans",
+    "hybrid_search_rrf",
 ]
 
 

@@ -3447,6 +3447,59 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------- hybrid lexical+vector fusion (r9)
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+HYBRID_TOP_K = 10
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009): fuse the BM25 lexical top-20 with the exact-cosine vector
+    top-10 (doc_id == vec_id by fixture contract) as
+    ``1/(60+rank_lex) + 1/(60+rank_vec)``, missing-list ranks
+    contributing 0 — the standard two-leg retrieval stack composed
+    from this engine's own legs.
+
+    Scale shape: both inputs are already top-k artifacts (≤20 rows —
+    TakeOrderedAndProject on the corpus side), so the rank windows,
+    the full-outer join, and the final sort all run on bounded data;
+    the corpus is scanned exactly twice (once per leg), never joined
+    against itself. Ranks are assigned over the ROUNDED leg scores
+    with id tiebreaks (both engines rank identical numbers), and the
+    two reciprocal terms are summed in fixed textual order."""
+    from pyspark.sql import Window
+
+    lex = bm25_topk(spark, sf_dir)
+    vec = sim_topk_cosine(spark, sf_dir)
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    wv = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    lr = lex.select(
+        "doc_id", F.row_number().over(wl).alias("lex_rank")
+    )
+    vr = vec.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wv).alias("vec_rank"),
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)
+    )
+    return (
+        lr.join(vr, "doc_id", "full_outer")
+        .select("doc_id", "lex_rank", "vec_rank", rrf.alias("_rrf"))
+        .orderBy(F.col("_rrf").desc(), F.col("doc_id").asc())
+        .limit(HYBRID_TOP_K)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.round(F.col("_rrf"), 6).alias("rrf_score"),
+        )
+    )
+
+
 # --------------------------------------- exact substring spans (r9)
 
 SPAN_TOKENS = 8
@@ -3550,6 +3603,7 @@ QUERIES = {
     "text_quality": text_quality,
     "quality_gopher_rules": quality_gopher_rules,
     "bm25_topk": bm25_topk,
+    "hybrid_search_rrf": hybrid_search_rrf,
     "dedup_substring_spans": dedup_substring_spans,
     "quality_classifier_score": quality_classifier_score,
     "quality_classifier_train": quality_classifier_train,
@@ -3982,6 +4036,57 @@ _NGRAM_JACCARD_ORACLE = f"""
     FROM cand
     JOIN s a ON a.doc_id = cand.da
     JOIN s b ON b.doc_id = cand.db
+"""
+
+
+# the BM25 oracle is a module-level constant because hybrid_search_rrf
+# nests it verbatim as its lexical-leg CTE
+_BM25_ORACLE = f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+        stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
+        ),
+        posting AS (
+            SELECT doc_id, tok AS term
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+            WHERE tok IN ({", ".join(f"'{w}'" for w in BM25_QUERY_TERMS)})
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM posting GROUP BY doc_id, term
+        ),
+        dfq AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM posting GROUP BY term
+        ),
+        s AS (
+            SELECT tf.doc_id, tf.term,
+                   FLOOR(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE)
+                            / (df + 0.5::DOUBLE)) * 1000000.0::DOUBLE)
+                       / 1000000.0::DOUBLE
+                   * (tf * {BM25_K1 + 1.0}::DOUBLE)
+                   / (tf + {BM25_K1}::DOUBLE * ({1.0 - BM25_B}::DOUBLE
+                      + {BM25_B}::DOUBLE * (dl.dl / (sum_dl / n_docs)))) AS sc
+            FROM tf
+            JOIN dfq USING (term)
+            CROSS JOIN stats
+            JOIN dl ON dl.doc_id = tf.doc_id
+        ),
+        w AS (
+            SELECT doc_id,
+                   {", ".join(
+                       f"COALESCE(MAX(CASE WHEN term = '{term}' THEN sc END),"
+                       f" 0.0::DOUBLE) AS s{i}"
+                       for i, term in enumerate(BM25_QUERY_TERMS))}
+            FROM s GROUP BY doc_id
+        )
+        SELECT doc_id, ROUND(s0 + s1 + s2, 4) AS bm25
+        FROM w
+        ORDER BY s0 + s1 + s2 DESC, doc_id ASC
+        LIMIT {BM25_TOP_K}
 """
 
 
@@ -4725,52 +4830,41 @@ ORACLES = {
                 AND (n_stopwords >= {GOPHER_MIN_STOPWORDS})) AS keep
         FROM m
     """,
-    "bm25_topk": f"""
-        WITH t AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    "bm25_topk": _BM25_ORACLE,
+    "hybrid_search_rrf": f"""
+        WITH lex AS ({_BM25_ORACLE}),
+        vec AS (
+            SELECT vec_id,
+                   ROUND({_duck_cos('CAST(embedding AS DOUBLE[])', _QV)}, 4)
+                       AS cos_sim
+            FROM embeddings
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 10
         ),
-        dl AS (SELECT doc_id, len(toks) AS dl FROM t),
-        stats AS (
-            SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
-        ),
-        posting AS (
-            SELECT doc_id, tok AS term
-            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
-            WHERE tok IN ({", ".join(f"'{w}'" for w in BM25_QUERY_TERMS)})
-        ),
-        tf AS (
-            SELECT doc_id, term, COUNT(*) AS tf
-            FROM posting GROUP BY doc_id, term
-        ),
-        dfq AS (
-            SELECT term, COUNT(DISTINCT doc_id) AS df
-            FROM posting GROUP BY term
-        ),
-        s AS (
-            SELECT tf.doc_id, tf.term,
-                   FLOOR(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE)
-                            / (df + 0.5::DOUBLE)) * 1000000.0::DOUBLE)
-                       / 1000000.0::DOUBLE
-                   * (tf * {BM25_K1 + 1.0}::DOUBLE)
-                   / (tf + {BM25_K1}::DOUBLE * ({1.0 - BM25_B}::DOUBLE
-                      + {BM25_B}::DOUBLE * (dl.dl / (sum_dl / n_docs)))) AS sc
-            FROM tf
-            JOIN dfq USING (term)
-            CROSS JOIN stats
-            JOIN dl ON dl.doc_id = tf.doc_id
-        ),
-        w AS (
+        lr AS (
             SELECT doc_id,
-                   {", ".join(
-                       f"COALESCE(MAX(CASE WHEN term = '{term}' THEN sc END),"
-                       f" 0.0::DOUBLE) AS s{i}"
-                       for i, term in enumerate(BM25_QUERY_TERMS))}
-            FROM s GROUP BY doc_id
+                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                       AS lex_rank
+            FROM lex
+        ),
+        vr AS (
+            SELECT vec_id AS doc_id,
+                   ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC)
+                       AS vec_rank
+            FROM vec
+        ),
+        fused AS (
+            SELECT COALESCE(lr.doc_id, vr.doc_id) AS doc_id,
+                   lex_rank, vec_rank,
+                   COALESCE(1.0::DOUBLE / ({RRF_K} + lex_rank), 0.0::DOUBLE)
+                   + COALESCE(1.0::DOUBLE / ({RRF_K} + vec_rank),
+                              0.0::DOUBLE) AS rrf
+            FROM lr FULL OUTER JOIN vr ON lr.doc_id = vr.doc_id
         )
-        SELECT doc_id, ROUND(s0 + s1 + s2, 4) AS bm25
-        FROM w
-        ORDER BY s0 + s1 + s2 DESC, doc_id ASC
-        LIMIT {BM25_TOP_K}
+        SELECT doc_id, lex_rank, vec_rank, ROUND(rrf, 6) AS rrf_score
+        FROM fused
+        ORDER BY rrf DESC, doc_id ASC
+        LIMIT {HYBRID_TOP_K}
     """,
     "dedup_substring_spans": f"""
         WITH t AS (

@@ -703,3 +703,18 @@ def test_substring_spans_no_pairwise_blowup(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_hybrid_rrf_fuses_bounded_topk_artifacts(spark, sf_dir):
+    """RRF fusion must compose two TakeOrdered top-k legs (the corpus
+    is scanned once per leg, never self-joined): ≥2 TakeOrdered nodes,
+    no cartesian, and the only Windows are the bounded rank windows
+    over ≤20-row lists."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        hybrid_search_rrf,
+    )
+
+    df = hybrid_search_rrf(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
