@@ -97,6 +97,56 @@ def semantic_dup_ids(
     )
 
 
+def contaminated_ids(
+    batch_df: DataFrame,
+    benchmark_grams_df: DataFrame,
+    n: int | None = None,
+    min_grams: int = 1,
+) -> DataFrame:
+    """Doc ids of batch docs sharing ≥ ``min_grams`` distinct n-grams
+    with a benchmark gram set — the ``contamination_ngram`` query's
+    screen as an ingest-time gate. ``benchmark_grams_df`` is the
+    distinct (gram) table (build it once per job with
+    :func:`benchmark_grams`); it is benchmark-sized, so it broadcasts
+    and each batch pays one map-side semi-filtered explode + a per-doc
+    distinct count — linear in the batch."""
+    from ..functions.corpus import CONTAM_NGRAM
+    from ..functions.similarity import shingles_from_tokens
+
+    if n is None:
+        n = CONTAM_NGRAM
+    grams = batch_df.select(
+        "doc_id", F.split("text", " ").alias("__toks")
+    ).select(
+        "doc_id", F.explode(shingles_from_tokens("__toks", n)).alias("gram")
+    )
+    return (
+        grams.join(F.broadcast(benchmark_grams_df), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("__n"))
+        .filter(F.col("__n") >= min_grams)
+        .select("doc_id")
+    )
+
+
+def benchmark_grams(benchmark_df: DataFrame, n: int | None = None) -> DataFrame:
+    """Distinct n-gram table of a benchmark corpus, NORMALIZED with the
+    same pass the stream sees (gram equality across differently-cased/
+    punctuated renditions of the same benchmark text). Built once per
+    job; consumed broadcast by :func:`contaminated_ids`."""
+    from ..functions.corpus import CONTAM_NGRAM
+    from ..functions.similarity import shingles_from_tokens
+
+    if n is None:
+        n = CONTAM_NGRAM
+    return (
+        normalize_docs(benchmark_df)
+        .select(F.split("text", " ").alias("__toks"))
+        .select(F.explode(shingles_from_tokens("__toks", n)).alias("gram"))
+        .distinct()
+    )
+
+
 def normalize_docs(df: DataFrame) -> DataFrame:
     """Canonical normalization (lowercase, strip non-alphanumerics,
     collapse whitespace — the ``text_normalize`` query's pass) plus the
@@ -130,6 +180,8 @@ def start_corpus_build(
     vector_corpus_df: DataFrame | None = None,
     semantic_tau: float | None = None,
     gopher_rules: bool = False,
+    decontaminate_df: DataFrame | None = None,
+    contam_min_grams: int = 1,
     n_shards: int = 16,
     available_now: bool = True,
 ):
@@ -172,7 +224,15 @@ def start_corpus_build(
     per-batch map-side filter, applied to the POST-normalization text
     right after the min-token floor and before the dedup gates (rules
     are per-row, so gate order only affects cost, not the result
-    set). Stateless, so stream == batch == replay trivially."""
+    set). Stateless, so stream == batch == replay trivially.
+
+    ``decontaminate_df`` adds benchmark DECONTAMINATION (round 9): any
+    doc sharing ≥ ``contam_min_grams`` distinct CONTAM_NGRAM-word
+    n-grams with the benchmark corpus is dropped — the
+    ``contamination_ngram`` screen as an ingest gate. The benchmark
+    gram set is built ONCE at job start (normalized with the same pass
+    the stream sees) and broadcast into every batch; the gate is
+    stateless against that static set, so stream == batch == replay."""
     model = None
     if classifier_model_dir is not None:
         from ..sinks import read_classifier_model
@@ -191,6 +251,12 @@ def start_corpus_build(
 
     from ..sinks import with_shard
 
+    bench_grams = (
+        benchmark_grams(decontaminate_df)
+        if decontaminate_df is not None
+        else None
+    )
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         kept = batch_df.filter(
             F.size(F.split(F.col("text"), " ")) >= min_tokens
@@ -199,6 +265,13 @@ def start_corpus_build(
             from ..functions.pipeline_queries import gopher_keep_filter
 
             kept = gopher_keep_filter(kept)
+        if bench_grams is not None:
+            contam = contaminated_ids(
+                kept.select("doc_id", "text"),
+                bench_grams,
+                min_grams=contam_min_grams,
+            )
+            kept = kept.join(contam, "doc_id", "left_anti")
         if dedup_index_dir is not None:
             from .dedup_ingest import dedup_batch_against_index
 
@@ -308,6 +381,18 @@ def corpus_build_main(
         help="apply the Gopher rule-based quality gate (the "
         "quality_gopher_rules conjunction) to every batch",
     )
+    parser.add_argument(
+        "--decontaminate-corpus",
+        default=None,
+        help="parquet of benchmark (doc_id, text): drop docs sharing "
+        "an n-gram with it (the contamination_ngram screen at ingest)",
+    )
+    parser.add_argument(
+        "--contam-min-grams",
+        type=int,
+        default=1,
+        help="distinct shared n-grams needed to drop a doc",
+    )
     parser.add_argument("--shards", type=int, default=16)
     parser.add_argument("--timeout-sec", type=int, default=600)
     args = parser.parse_args(argv)
@@ -317,6 +402,8 @@ def corpus_build_main(
         parser.error("--vector-index requires --vector-corpus")
     if args.semantic_tau is not None and not args.vector_index:
         parser.error("--semantic-tau requires --vector-index")
+    if args.contam_min_grams != 1 and not args.decontaminate_corpus:
+        parser.error("--contam-min-grams requires --decontaminate-corpus")
 
     if spark is None:
         from ..session import get_session
@@ -357,6 +444,14 @@ def corpus_build_main(
         ),
         semantic_tau=args.semantic_tau,
         gopher_rules=args.gopher_rules,
+        decontaminate_df=(
+            spark.read.parquet(args.decontaminate_corpus).select(
+                "doc_id", "text"
+            )
+            if args.decontaminate_corpus
+            else None
+        ),
+        contam_min_grams=args.contam_min_grams,
         n_shards=args.shards,
         available_now=True,
     )

@@ -522,3 +522,110 @@ def test_corpus_build_with_gopher_rules_gate(spark, tmp_path):
     # replay no-op: same checkpoint, same source
     run(out2, str(tmp_path / "ck2"), True)
     assert {r.doc_id for r in spark.read.parquet(out2).collect()} == expected
+
+
+def test_corpus_build_with_decontamination_gate(spark, tmp_path):
+    """Round 9: benchmark decontamination inside corpus-build — any
+    streamed doc sharing an n-gram with the (static, job-start-frozen)
+    benchmark corpus is dropped. Two micro-batches == one batch == the
+    batch-side contaminated_ids twin, and a replay is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.streaming.corpus_build import (
+        benchmark_grams,
+        contaminated_ids,
+        normalize_docs,
+        start_corpus_build,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the contamination_ngram fixture convention: doc_id % 100 == 0 is
+    # the benchmark; everything else is the training stream
+    benchmark = d.filter(F.col("doc_id") % 100 == 0)
+    # restrict to unique normalized content so the content-hash dedup
+    # rung can't make the survivor choice ambiguous across runs
+    normed = normalize_docs(d.filter(F.col("doc_id") % 100 != 0))
+    uniq = (
+        normed.groupBy("content_hash")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("n") == 1)
+        .select("doc_id")
+    )
+    incoming = d.join(uniq, "doc_id", "left_semi")
+
+    grams = benchmark_grams(benchmark)
+    dropped = {
+        r.doc_id
+        for r in contaminated_ids(
+            normalize_docs(incoming).select("doc_id", "text"), grams
+        ).collect()
+    }
+    assert dropped, "fixture must contain at least one contaminated doc"
+    expected = {
+        r.doc_id for r in incoming.select("doc_id").collect()
+    } - dropped
+    assert expected, "gate must not drop everything"
+
+    src = str(tmp_path / "src")
+    incoming.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    incoming.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    schema = "doc_id bigint, text string"
+    bench_path = str(tmp_path / "benchmark")
+    benchmark.write.parquet(bench_path)
+
+    def run(out, ck, files_per_trigger):
+        reader = spark.readStream.schema(schema)
+        if files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", "1")
+        q = start_corpus_build(
+            spark,
+            reader.parquet(src),
+            out,
+            ck,
+            min_tokens=1,
+            decontaminate_df=spark.read.parquet(bench_path),
+        )
+        q.awaitTermination(180)
+
+    out2 = str(tmp_path / "corpus2b")
+    run(out2, str(tmp_path / "ck2"), True)
+    streamed = {r.doc_id for r in spark.read.parquet(out2).collect()}
+    n_batches = (
+        spark.read.parquet(out2).select("batch_id").distinct().count()
+    )
+    assert n_batches == 2, f"expected two micro-batches, saw {n_batches}"
+    assert streamed == expected, (
+        f"stream/twin divergence: only_stream={streamed - expected} "
+        f"only_twin={expected - streamed}"
+    )
+
+    out1 = str(tmp_path / "corpus1b")
+    run(out1, str(tmp_path / "ck1"), False)
+    assert {r.doc_id for r in spark.read.parquet(out1).collect()} == expected
+
+    run(out2, str(tmp_path / "ck2"), True)  # replay no-op
+    assert {r.doc_id for r in spark.read.parquet(out2).collect()} == expected
+
+
+def test_corpus_build_cli_contam_flag_validation():
+    """--contam-min-grams requires --decontaminate-corpus."""
+    import pytest
+
+    from flink_kafka_replicator_spark.streaming.corpus_build import (
+        corpus_build_main,
+    )
+
+    with pytest.raises(SystemExit):
+        corpus_build_main(
+            ["--input", "/x", "--output", "/y", "--contam-min-grams", "2"]
+        )
