@@ -125,6 +125,7 @@ HEADLINE = list(R2_BASKET) + [
     "quality_gopher_rules",
     "dedup_substring_spans",
     "hybrid_search_rrf",
+    "scrub_duplicate_spans",
 ]
 
 

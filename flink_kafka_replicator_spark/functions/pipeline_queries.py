@@ -3562,6 +3562,86 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scrub_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-substring dedup EXECUTED (the RefinedWeb / Lee et al.
+    2021 removal, not just the report): every 8-token span that appears
+    in ≥2 documents is kept only in its canonical owner (the minimum
+    doc_id containing it) and the covered tokens are REMOVED from every
+    other document's text. Returns per doc the scrubbed text plus
+    removal accounting.
+
+    Scale shape: the span table (one explode, linear in total tokens,
+    md5-keyed) feeds a per-span (owner, n_docs) aggregate; non-owned
+    duplicated span positions come back to each doc through one more
+    equi-join on the same key and a per-doc collect (bounded by the
+    doc's own token count — never cross-doc). The scrub itself is
+    per-row array arithmetic built to stay LINEAR in tokens: covered
+    indices are materialized once via flatten(transform(starts,
+    s -> sequence(s, s+7))) and removed with one hash-based
+    array_except — no exists() scan per token, which would go
+    quadratic on a fully-duplicated long document."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    k = SPAN_TOKENS
+    # 0-based span start positions alongside the hashes
+    spans = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"case when size(toks) >= {k} then"
+                f" transform(sequence(1, size(toks) - {k} + 1),"
+                f" i -> md5(concat_ws(' ', slice(toks, i, {k}))))"
+                " else array() end"
+            )
+        ).alias("pos", "h"),
+    )
+    owners = (
+        spans.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("owner"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    starts = (
+        spans.join(owners, "h")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("starts"))
+    )
+    scrubbed = (
+        t.join(starts, "doc_id", "left")
+        .withColumn(
+            "starts",
+            F.coalesce(F.col("starts"), F.expr("cast(array() as array<int>)")),
+        )
+        .withColumn(
+            "__covered",
+            F.expr(
+                "array_distinct(flatten(transform(starts,"
+                f" s -> sequence(s, least(s + {k} - 1,"
+                " size(toks) - 1)))))"
+            ),
+        )
+        .withColumn(
+            "__kept_idx",
+            F.expr("array_except(sequence(0, size(toks) - 1), __covered)"),
+        )
+    )
+    return scrubbed.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size("__covered").alias("n_removed"),
+        F.round(F.size("__covered") / F.size("toks"), 4).alias(
+            "removed_ratio"
+        ),
+        F.expr(
+            "concat_ws(' ', transform(__kept_idx,"
+            " i -> element_at(toks, i + 1)))"
+        ).alias("text_scrubbed"),
+    )
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_paragraph_exact": dedup_paragraph_exact,
@@ -3605,6 +3685,7 @@ QUERIES = {
     "bm25_topk": bm25_topk,
     "hybrid_search_rrf": hybrid_search_rrf,
     "dedup_substring_spans": dedup_substring_spans,
+    "scrub_duplicate_spans": scrub_duplicate_spans,
     "quality_classifier_score": quality_classifier_score,
     "quality_classifier_train": quality_classifier_train,
     "text_repetition_ratio": text_repetition_ratio,
@@ -4893,6 +4974,53 @@ ORACLES = {
                    AS dup_span_ratio,
                max_span_docs
         FROM tot JOIN dup USING (doc_id)
+    """,
+    "scrub_duplicate_spans": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        sp AS (
+            SELECT doc_id, i - 1 AS pos,
+                   md5(array_to_string(toks[i:i+{SPAN_TOKENS - 1}], ' '))
+                       AS h
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(
+                           1, len(toks) - {SPAN_TOKENS} + 1)) AS i
+                FROM t
+            )
+        ),
+        owners AS (
+            SELECT h, MIN(doc_id) AS owner,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        st AS (
+            SELECT sp.doc_id,
+                   list_sort(list_distinct(list(pos))) AS starts
+            FROM sp JOIN owners USING (h)
+            WHERE sp.doc_id != owner
+            GROUP BY sp.doc_id
+        ),
+        cov AS (
+            SELECT t.doc_id, toks,
+                   list_distinct(flatten(list_transform(
+                       COALESCE(starts, []),
+                       s -> generate_series(
+                           s, least(s + {SPAN_TOKENS} - 1,
+                                    len(toks) - 1))))) AS covered
+            FROM t LEFT JOIN st USING (doc_id)
+        )
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(covered) AS n_removed,
+               ROUND(CAST(len(covered) AS DOUBLE) / len(toks), 4)
+                   AS removed_ratio,
+               COALESCE(array_to_string(list_transform(
+                   list_filter(generate_series(0, len(toks) - 1),
+                               i -> NOT list_contains(covered, i)),
+                   i -> toks[i + 1]), ' '), '') AS text_scrubbed
+        FROM cov
     """,
     "lang_id_ngram": (lambda profiles=text.LANG_PROFILES: (
         "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),\n"

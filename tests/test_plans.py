@@ -718,3 +718,18 @@ def test_hybrid_rrf_fuses_bounded_topk_artifacts(spark, sf_dir):
     plan = formatted_plan(df)
     assert plan.count("TakeOrderedAndProject") >= 2, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_scrub_spans_stays_equi_join_linear(spark, sf_dir):
+    """The span scrub must keep the substring-dedup cost class: md5- and
+    doc_id-keyed equi-joins only (no cartesian/nested-loop), no Window,
+    and the per-doc coverage arithmetic fully map-side."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        scrub_duplicate_spans,
+    )
+
+    df = scrub_duplicate_spans(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan

@@ -742,3 +742,32 @@ def test_round9_text_ops_at_10x(spark, big_dir):
     n_partial = spans.where(F.col("dup_span_ratio") < 1.0).count()
     assert n_partial == 0, f"{n_partial} docs with ratio < 1 under 10x copies"
     assert t_spans < 180, f"substring spans {t_spans:.1f}s at 10x"
+
+
+def test_scrub_spans_at_10x(spark, big_dir):
+    """scrub_duplicate_spans at 10× verbatim copies: every non-owner
+    copy is fully covered by owned-elsewhere spans, so ≥ 9/10 of
+    ≥8-token docs must come back fully scrubbed — and the job stays in
+    the linear span-table cost class (bounded wall-clock)."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        SPAN_TOKENS,
+        scrub_duplicate_spans,
+    )
+
+    t0 = time.perf_counter()
+    out = scrub_duplicate_spans(spark, big_dir)
+    n_total = out.count()
+    n_full = out.where(F.col("removed_ratio") == 1.0).count()
+    t = time.perf_counter() - t0
+    eligible = (
+        spark.read.parquet(f"{big_dir}/documents.parquet")
+        .where(F.size(F.split("text", " ")) >= SPAN_TOKENS)
+        .count()
+    )
+    assert n_full >= eligible * 9 // 10, (
+        f"only {n_full}/{eligible} fully scrubbed under 10x copies"
+    )
+    assert n_total == spark.read.parquet(
+        f"{big_dir}/documents.parquet"
+    ).count()
+    assert t < 240, f"scrub {t:.1f}s at 10x"
