@@ -279,6 +279,13 @@ def apply_dedup_main(argv: list[str], spark=None) -> int:
         default=",".join(DEDUP_RUNGS),
         help=f"comma list from {DEDUP_RUNGS}",
     )
+    parser.add_argument(
+        "--scrub-spans",
+        action="store_true",
+        help="after the ladder's deletions, remove every cross-doc "
+        "8-token span from all survivors except its canonical owner "
+        "(the exact-substring removal)",
+    )
     parser.add_argument("--shards", type=int, default=16)
     args = parser.parse_args(argv)
 
@@ -302,7 +309,12 @@ def apply_dedup_main(argv: list[str], spark=None) -> int:
     from .sinks import apply_dedup_corpus
 
     result = apply_dedup_corpus(
-        spark, args.input, args.output, rungs=rungs, n_shards=args.shards
+        spark,
+        args.input,
+        args.output,
+        rungs=rungs,
+        scrub_spans=args.scrub_spans,
+        n_shards=args.shards,
     )
     print(_json.dumps(result))
     return 0 if result["n_written"] == result["n_kept"] else 1

@@ -3581,6 +3581,16 @@ def scrub_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_except — no exists() scan per token, which would go
     quadratic on a fully-duplicated long document."""
     d = load_table(spark, sf_dir, "documents")
+    return span_scrub_frame(d.select("doc_id", "text"))
+
+
+def span_scrub_frame(d: DataFrame) -> DataFrame:
+    """The composable scrub core over any (doc_id, text) frame —
+    :func:`scrub_duplicate_spans` is its whole-corpus instantiation,
+    and ``sinks.apply_dedup_corpus(scrub_spans=True)`` runs it over the
+    ladder's SURVIVOR set (span ownership must be decided among the
+    docs that remain, or content would be scrubbed whose only
+    duplicate was already deleted)."""
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     k = SPAN_TOKENS
     # 0-based span start positions alongside the hashes

@@ -55,6 +55,7 @@ def apply_dedup_corpus(
     sf_dir: str,
     out_dir: str,
     rungs: tuple[str, ...] | None = None,
+    scrub_spans: bool = False,
     n_shards: int = DEFAULT_SHARDS,
 ) -> dict[str, int]:
     """EXECUTE the dedup ladder (round 9): materialize the surviving
@@ -68,6 +69,16 @@ def apply_dedup_corpus(
     ``rungs`` selects which ladder rungs gate survival (default: all
     four — exact, paragraph, minhash, semantic); a corpus without an
     embeddings table runs ``("exact", "paragraph", "minhash")``.
+
+    ``scrub_spans=True`` (round 9) additionally EXECUTES the
+    exact-substring removal over the survivor set before the write:
+    every cross-doc 8-token span among SURVIVORS keeps only its
+    canonical owner's copy (``span_scrub_frame`` — ownership decided
+    after the ladder's deletions, so content is never scrubbed whose
+    only duplicate was itself dropped). The returned counts gain
+    ``n_tokens_scrubbed``; fully-scrubbed-empty documents are still
+    written (their doc survived the ladder — dropping them is the
+    ladder's job, not the scrubber's).
 
     Idempotent by construction: the decision matrix is deterministic,
     and the content-hash sharded overwrite lands every survivor in the
@@ -91,6 +102,20 @@ def apply_dedup_corpus(
     keep_ids = decisions.filter(F.col("keep")).select("doc_id")
     d = load_table(spark, sf_dir, "documents")
     survivors = d.join(keep_ids, "doc_id", "left_semi")
+    n_tokens_scrubbed = 0
+    if scrub_spans:
+        from .functions.pipeline_queries import span_scrub_frame
+
+        scrubbed = span_scrub_frame(survivors.select("doc_id", "text"))
+        n_tokens_scrubbed = int(
+            scrubbed.agg(F.sum("n_removed")).collect()[0][0] or 0
+        )
+        repl = scrubbed.select(
+            "doc_id", F.col("text_scrubbed").alias("text")
+        )
+        survivors = survivors.drop("text").join(repl, "doc_id")
+        if "n_chars" in survivors.columns:
+            survivors = survivors.withColumn("n_chars", F.length("text"))
     # STATIC overwrite (not the sharded sink's dynamic mode): this
     # job's output IS the whole surviving corpus, so a re-run with a
     # stricter rung set must truncate shards the new survivor set no
@@ -112,6 +137,7 @@ def apply_dedup_corpus(
         "n_kept": int(counts["n_kept"]),
         "n_dropped": int(counts["n_in"] - counts["n_kept"]),
         "n_written": n_written,
+        "n_tokens_scrubbed": n_tokens_scrubbed,
     }
 
 

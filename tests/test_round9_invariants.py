@@ -268,3 +268,85 @@ def test_band_hash_mismatch_refused(spark, tmp_path):
         read_minhash_index(spark, ix)
     with pytest.raises(ValueError, match="banded with hash"):
         append_minhash_batch(d.limit(2), ix, 0)
+
+
+def test_apply_dedup_with_span_scrub(spark, tmp_path):
+    """--scrub-spans executes the exact-substring removal OVER THE
+    SURVIVOR SET: the written texts equal span_scrub_frame applied to
+    the ladder's survivors (ownership decided post-deletion, never
+    against dropped docs), counts carry the scrubbed-token total, and
+    derived n_chars is refreshed."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        span_scrub_frame,
+    )
+    from flink_kafka_replicator_spark.io import load_table
+
+    out = str(tmp_path / "scrubbed")
+    res = apply_dedup_corpus(spark, SF_DIR, out, scrub_spans=True)
+    got = spark.read.parquet(out)
+
+    decisions = corpus_apply_dedup(spark, SF_DIR)
+    keep_ids = decisions.filter("keep").select("doc_id")
+    survivors = load_table(spark, SF_DIR, "documents").join(
+        keep_ids, "doc_id", "left_semi"
+    )
+    want = {
+        r.doc_id: r.text_scrubbed
+        for r in span_scrub_frame(
+            survivors.select("doc_id", "text")
+        ).collect()
+    }
+    got_rows = {r.doc_id: r.text for r in got.collect()}
+    assert got_rows == want
+    assert res["n_written"] == len(want)
+    # derived n_chars refreshed to the scrubbed text
+    bad = got.filter(F.length("text") != F.col("n_chars")).count()
+    assert bad == 0
+    # at this fixture the ladder itself already separates all
+    # span-sharers, so the survivor-scoped scrub correctly removes
+    # nothing — the firing path is pinned on a crafted corpus below
+    assert res["n_tokens_scrubbed"] == int(
+        span_scrub_frame(survivors.select("doc_id", "text"))
+        .agg(F.sum("n_removed"))
+        .collect()[0][0]
+        or 0
+    )
+
+
+def test_apply_dedup_span_scrub_fires_on_crafted_overlap(spark, tmp_path):
+    """Survivor-scoped ownership, exercised: two docs share an 8-token
+    prefix but are neither exact nor near dups, so the exact rung keeps
+    both and the scrub must remove the shared span from the non-owner
+    only — while a span whose other copy was DELETED by the ladder
+    stays untouched."""
+    from pyspark.sql import functions as F
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        # exact-dup pair: 11 keeps, 12 drops (its span copy leaves too)
+        (11, shared + " one two three four five six seven eight", "en", "s", 0),
+        (12, shared + " one two three four five six seven eight", "en", "s", 0),
+        # shares only the 8-token prefix with 11: survives the exact
+        # rung, must lose exactly the 8 prefix tokens to owner 11
+        (13, shared + " nine ten eleven twelve thirteen fourteen", "en", "s", 0),
+        # no overlap with anything: untouched
+        (14, "uniq1 uniq2 uniq3 uniq4 uniq5 uniq6 uniq7 uniq8 uniq9", "en", "s", 0),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).withColumn("n_chars", F.length("text"))
+    src = str(tmp_path / "table")
+    d.write.parquet(src + "/documents.parquet")
+
+    out = str(tmp_path / "scrubbed")
+    res = apply_dedup_corpus(
+        spark, src, out, rungs=("exact",), scrub_spans=True
+    )
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert set(got) == {11, 13, 14}
+    assert got[11] == rows[0][1], "the span owner must keep full text"
+    assert got[13] == "nine ten eleven twelve thirteen fourteen", got[13]
+    assert got[14] == rows[3][1]
+    assert res["n_tokens_scrubbed"] == 8
