@@ -399,6 +399,76 @@ def vector_search_main(argv: list[str], spark=None) -> int:
     return 0
 
 
+def lexical_search_main(argv: list[str], spark=None) -> int:
+    """The ``lexical-search`` subcommand: answer a stream of (qid,
+    terms) queries from a persisted BM25 lexical index — the lexical
+    leg's serve job, the exact peer of ``vector-search``. Batch mode in
+    disguise via the availableNow trigger (drain existing query files
+    and exit; re-run with the same checkpoint to answer only new
+    files). ``--build-from`` first (re)builds the index from a corpus
+    table directory, so one invocation can do build + serve."""
+    import argparse
+    import hashlib
+
+    parser = argparse.ArgumentParser(
+        prog="spark-kafka-replicator lexical-search",
+        description=(
+            "Serve BM25 queries (parquet of qid, terms) from a "
+            "persisted lexical index"
+        ),
+        allow_abbrev=False,
+    )
+    parser.add_argument("--index-dir", required=True)
+    parser.add_argument("--queries", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--checkpoint-location", default=None)
+    parser.add_argument("--top-k", type=int, default=10)
+    parser.add_argument(
+        "--build-from",
+        default=None,
+        help="table directory holding documents.parquet: (re)build the "
+        "index there before serving",
+    )
+    parser.add_argument("--timeout-sec", type=int, default=600)
+    args = parser.parse_args(argv)
+
+    if spark is None:
+        from .session import get_session
+
+        spark = get_session(app_name="spark-lexical-search")
+
+    if args.build_from:
+        from .sinks import write_lexical_index
+
+        write_lexical_index(spark, args.build_from, args.index_dir)
+
+    checkpoint = args.checkpoint_location
+    if checkpoint is None:
+        ident = f"{args.queries}|{args.output}"
+        checkpoint = (
+            "/tmp/spark-lexical-search-ckpt-"
+            + hashlib.md5(ident.encode()).hexdigest()[:10]
+        )
+
+    from .streaming.lexical_search import start_streaming_lexical_search
+
+    schema = spark.read.parquet(args.queries).schema
+    stream = spark.readStream.schema(schema).parquet(args.queries)
+    q = start_streaming_lexical_search(
+        spark,
+        stream,
+        args.index_dir,
+        args.output,
+        checkpoint,
+        k=args.top_k,
+        available_now=True,
+    )
+    from .streaming.supervision import await_drained
+
+    await_drained(q, args.timeout_sec, "lexical-search")
+    return 0
+
+
 def main(argv: list[str] | None = None, admin_factory=None) -> int:
     import sys
 
@@ -418,6 +488,8 @@ def main(argv: list[str] | None = None, admin_factory=None) -> int:
         return compact_index_main(args[1:])
     if args and args[0] == "vector-search":
         return vector_search_main(args[1:])
+    if args and args[0] == "lexical-search":
+        return lexical_search_main(args[1:])
     if args and args[0] == "corpus-apply-dedup":
         return apply_dedup_main(args[1:])
 

@@ -1581,3 +1581,268 @@ def read_classifier_model(
             "retrain with the current engine"
         )
     return spark.read.parquet(f"{out_dir}/weights"), int(meta["theta"])
+
+
+# ---------------------------------------------------------------------------
+# Persisted LEXICAL (BM25) index — the lexical leg's build → serve
+# lifecycle, the inverted-index counterpart of write_vector_index
+# (round 9). The reference ships no search surface at all; a
+# training-data/retrieval engine needs both legs durable.
+
+LEXINDEX_META_FILE = "LEXINDEX_META.json"
+LEX_K1 = 1.2
+LEX_B = 0.75
+
+
+def _lexindex_meta_path(out_dir: str) -> str:
+    import os
+
+    return os.path.join(out_dir, LEXINDEX_META_FILE)
+
+
+def _read_lexindex_meta(out_dir: str) -> dict:
+    import json
+    import os
+
+    p = _lexindex_meta_path(out_dir)
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"no lexical index at {out_dir} (missing {LEXINDEX_META_FILE}"
+            "); build one with write_lexical_index"
+        )
+    with open(p, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def write_lexical_index(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    df: DataFrame | None = None,
+) -> None:
+    """Persist the BM25 inverted index over the documents corpus:
+
+    - ``postings/`` — (term, doc_id, tf), repartitioned AND sorted by
+      term so every parquet row group carries tight term min/max stats
+      (a literal term predicate prunes row groups; the serving join
+      map-side filters through the broadcast query-term set).
+    - ``doclen/`` — (doc_id, dl) document lengths for the BM25 length
+      normalization.
+    - ``dfreq/`` — (term, df) vocabulary-sized document frequencies.
+    - ``LEXINDEX_META.json`` — corpus stats (n_docs, sum_dl) + the
+      scoring constants (k1, b) FROZEN at build time, so a serving
+      process scores exactly as the build intended; readers refuse a
+      missing meta loudly.
+
+    Tokenization is the engine's whitespace pass — the same token
+    stream every text query uses. Growth path: rebuild (document
+    frequencies and corpus stats are global, so incremental appends
+    would serve stale idf — the standard reason lexical indexes
+    rebuild or merge segments rather than patch in place).
+
+    At 100 TB: postings is one explode (linear in total tokens) + one
+    (term, doc_id) map-side-combined aggregate; everything else is
+    vocabulary- or doc-count-sized."""
+    import json
+    import os as _os
+
+    from .io import load_table
+
+    d = (
+        df
+        if df is not None
+        else load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    try:
+        _os.remove(_lexindex_meta_path(out_dir))
+    except FileNotFoundError:
+        pass
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = t.select("doc_id", F.explode("toks").alias("term"))
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    (
+        postings.repartition(8, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/postings")
+    )
+    dl = t.select("doc_id", F.size("toks").alias("dl"))
+    dl.write.mode("overwrite").parquet(f"{out_dir}/doclen")
+    (
+        postings.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/dfreq")
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    meta = {
+        "version": 1,
+        "n_docs": int(stats["n_docs"]),
+        "sum_dl": int(stats["sum_dl"]),
+        "k1": LEX_K1,
+        "b": LEX_B,
+    }
+    tmp = _lexindex_meta_path(out_dir) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    _os.replace(tmp, _lexindex_meta_path(out_dir))
+
+
+def read_lexical_index(spark: SparkSession, out_dir: str):
+    """(postings, doclen, dfreq, meta) from a committed lexical index."""
+    meta = _read_lexindex_meta(out_dir)
+    return (
+        spark.read.parquet(f"{out_dir}/postings"),
+        spark.read.parquet(f"{out_dir}/doclen"),
+        spark.read.parquet(f"{out_dir}/dfreq"),
+        meta,
+    )
+
+
+def bm25_search_from_index(
+    spark: SparkSession,
+    queries_df: DataFrame,
+    out_dir: str,
+    k: int = 10,
+) -> DataFrame:
+    """Batch BM25 serving purely from a persisted lexical index: a
+    table of (qid, terms array<string>) queries is answered in ONE
+    plan against the on-disk postings — the raw corpus text is never
+    touched. Returns (qid, doc_id, bm25, rank<=k), ranked by
+    (score desc, doc_id asc).
+
+    Determinism for ARBITRARY queries: per-(qid, doc) term scores are
+    collected, array_sort'ed by term, and folded with aggregate() in
+    that sorted order — float summation order never depends on shuffle
+    placement, so a replayed batch writes byte-identical answers.
+    Duplicate query terms are deduplicated (standard BM25 treats the
+    query as a term set).
+
+    At 100 TB: the postings scan is map-side filtered through the
+    broadcast query-term set (with term-sorted row groups a static
+    term set also prunes IO); per-query work is ∝ the matched postings,
+    the per-doc fold is bounded by the query length, and the top-k is
+    a per-qid WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    postings, doclen, dfreq, meta = read_lexical_index(spark, out_dir)
+    n_docs, sum_dl = int(meta["n_docs"]), int(meta["sum_dl"])
+    k1, b = float(meta["k1"]), float(meta["b"])
+    qterms = (
+        queries_df.select("qid", F.explode("terms").alias("term"))
+        .distinct()
+    )
+    scored = (
+        postings.join(broadcast(qterms), "term")
+        .join(broadcast(dfreq), "term")
+        .join(doclen, "doc_id")
+        .select(
+            "qid",
+            "doc_id",
+            "term",
+            F.expr(
+                f"floor(ln(1.0D + ({n_docs}L - df + 0.5D) / (df + 0.5D))"
+                " * 1000000.0D) / 1000000.0D"
+                f" * (tf * {k1 + 1.0}D)"
+                f" / (tf + {k1}D * ({1.0 - b}D + {b}D"
+                f" * (dl / ({sum_dl}L / {n_docs}L))))"
+            ).alias("s"),
+        )
+    )
+    folded = (
+        scored.groupBy("qid", "doc_id")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(term, s)))"
+                ", 0.0D, (acc, x) -> acc + x.s)"
+            ).alias("_bm25")
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("_bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        folded.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid", "doc_id", F.round("_bm25", 4).alias("bm25"), "rank"
+        )
+    )
+
+
+def hybrid_search_from_indexes(
+    spark: SparkSession,
+    queries_df: DataFrame,
+    lex_dir: str,
+    vec_dir: str,
+    exact_df: DataFrame,
+    k: int | None = None,
+    lex_k: int = 20,
+    vec_k: int = 10,
+    n_probe: int | None = None,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Hybrid retrieval SERVED from the two persisted indexes — the
+    deployable form of the in-session ``hybrid_search_rrf``: a batch of
+    (qid, terms, embedding) queries gets its lexical leg from the BM25
+    index, its vector leg from the ANN index's refined path (ADC
+    shortlist → exact cosine re-rank, so ranks are exact-similarity
+    ranks like the in-session leg), and the two are fused per query
+    with reciprocal-rank weighting ``1/(60+r)``, missing legs scoring
+    0. With probe-all + a corpus-deep shortlist the vector leg is
+    exact, and the whole answer is pytest-pinned identical to the
+    in-session fusion for the engine's fixed query.
+
+    Returns (qid, doc_id, lex_rank, vec_rank, rrf_score, rank<=k).
+
+    At 100 TB both legs are index-pruned scans producing ≤lex_k/vec_k
+    rows per query; the fusion join, RRF arithmetic, and per-qid top-k
+    all run on those bounded lists."""
+    from pyspark.sql import Window
+
+    from .functions import pipeline_queries as pq
+
+    if k is None:
+        k = pq.HYBRID_TOP_K
+    lex = bm25_search_from_index(
+        spark, queries_df.select("qid", "terms"), lex_dir, k=lex_k
+    ).select("qid", "doc_id", F.col("rank").alias("lex_rank"))
+    vec = knn_batch_search_refined_from_index(
+        spark,
+        queries_df.select("qid", "embedding"),
+        vec_dir,
+        exact_df,
+        k=vec_k,
+        n_probe=n_probe,
+        shortlist=shortlist,
+    ).select(
+        "qid",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(pq.RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(pq.RRF_K) + F.col("vec_rank")), F.lit(0.0)
+    )
+    fused = lex.join(vec, ["qid", "doc_id"], "full_outer").select(
+        "qid", "doc_id", "lex_rank", "vec_rank", rrf.alias("_rrf")
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("_rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.round(F.col("_rrf"), 6).alias("rrf_score"),
+            "rank",
+        )
+    )
