@@ -217,3 +217,18 @@ def test_hybrid_from_indexes_matches_in_session_fusion(
         for r in hybrid_search_rrf(spark, SF_DIR).collect()
     ]
     assert served == insess
+
+
+def test_served_bm25_plan_never_scans_raw_corpus(spark, lex_index):
+    """The serving plan must read ONLY the index artifacts — the raw
+    documents parquet (and its text column) may not appear in any scan
+    node, and there is no cartesian anywhere."""
+    q = spark.createDataFrame(
+        [(0, list(BM25_QUERY_TERMS))], "qid int, terms array<string>"
+    )
+    df = bm25_search_from_index(spark, q, lex_index, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan
+    assert "CartesianProduct" not in plan
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans and all(lex_index in ln for ln in scans), plan[:2000]

@@ -771,3 +771,32 @@ def test_scrub_spans_at_10x(spark, big_dir):
         f"{big_dir}/documents.parquet"
     ).count()
     assert t < 240, f"scrub {t:.1f}s at 10x"
+
+
+def test_lexical_serving_at_10x(spark, big_dir, tmp_path_factory):
+    """Lexical lifecycle at 10× docs: index build stays linear (one
+    explode + combine-friendly aggregates) and serving a 12-query batch
+    is postings-pruned — bounded wall-clock, answers rank-complete."""
+    from flink_kafka_replicator_spark.sinks import (
+        bm25_search_from_index,
+        write_lexical_index,
+    )
+
+    ix = str(tmp_path_factory.mktemp("lex10x") / "index")
+    t0 = time.perf_counter()
+    write_lexical_index(spark, big_dir, ix)
+    t_build = time.perf_counter() - t0
+    q = spark.createDataFrame(
+        [(i, ["spark", "join"]) for i in range(12)],
+        "qid int, terms array<string>",
+    )
+    t0 = time.perf_counter()
+    rows = bm25_search_from_index(spark, q, ix, k=10).collect()
+    t_serve = time.perf_counter() - t0
+    assert len(rows) == 12 * 10
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r.qid, set()).add(r.rank)
+    assert all(v == set(range(1, 11)) for v in by_qid.values())
+    assert t_build < 120, f"index build {t_build:.1f}s at 10x"
+    assert t_serve < 60, f"serve {t_serve:.1f}s at 10x"
