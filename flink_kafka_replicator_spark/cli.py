@@ -469,6 +469,80 @@ def lexical_search_main(argv: list[str], spark=None) -> int:
     return 0
 
 
+def hybrid_search_main(argv: list[str], spark=None) -> int:
+    """The ``hybrid-search`` subcommand: answer a stream of
+    (qid, terms, embedding) queries by reciprocal-rank fusion of the
+    persisted BM25 index and the persisted vector index (exact-re-rank
+    leg) — the full two-leg retrieval service as one deployable job.
+    availableNow drain semantics like its vector-search / lexical-search
+    peers."""
+    import argparse
+    import hashlib
+
+    parser = argparse.ArgumentParser(
+        prog="spark-kafka-replicator hybrid-search",
+        description=(
+            "Serve hybrid (BM25 + ANN, RRF-fused) queries from the two "
+            "persisted indexes"
+        ),
+        allow_abbrev=False,
+    )
+    parser.add_argument("--lexical-index-dir", required=True)
+    parser.add_argument("--vector-index-dir", required=True)
+    parser.add_argument(
+        "--exact-vectors",
+        required=True,
+        help="parquet of (vec_id, embedding) for the exact re-rank leg",
+    )
+    parser.add_argument("--queries", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--checkpoint-location", default=None)
+    parser.add_argument("--top-k", type=int, default=None)
+    parser.add_argument("--lex-k", type=int, default=20)
+    parser.add_argument("--vec-k", type=int, default=10)
+    parser.add_argument("--n-probe", type=int, default=None)
+    parser.add_argument("--shortlist", type=int, default=None)
+    parser.add_argument("--timeout-sec", type=int, default=600)
+    args = parser.parse_args(argv)
+
+    if spark is None:
+        from .session import get_session
+
+        spark = get_session(app_name="spark-hybrid-search")
+
+    checkpoint = args.checkpoint_location
+    if checkpoint is None:
+        ident = f"{args.queries}|{args.output}"
+        checkpoint = (
+            "/tmp/spark-hybrid-search-ckpt-"
+            + hashlib.md5(ident.encode()).hexdigest()[:10]
+        )
+
+    from .streaming.hybrid_search import start_streaming_hybrid_search
+
+    schema = spark.read.parquet(args.queries).schema
+    stream = spark.readStream.schema(schema).parquet(args.queries)
+    q = start_streaming_hybrid_search(
+        spark,
+        stream,
+        args.lexical_index_dir,
+        args.vector_index_dir,
+        spark.read.parquet(args.exact_vectors).select("vec_id", "embedding"),
+        args.output,
+        checkpoint,
+        k=args.top_k,
+        lex_k=args.lex_k,
+        vec_k=args.vec_k,
+        n_probe=args.n_probe,
+        shortlist=args.shortlist,
+        available_now=True,
+    )
+    from .streaming.supervision import await_drained
+
+    await_drained(q, args.timeout_sec, "hybrid-search")
+    return 0
+
+
 def main(argv: list[str] | None = None, admin_factory=None) -> int:
     import sys
 
@@ -490,6 +564,8 @@ def main(argv: list[str] | None = None, admin_factory=None) -> int:
         return vector_search_main(args[1:])
     if args and args[0] == "lexical-search":
         return lexical_search_main(args[1:])
+    if args and args[0] == "hybrid-search":
+        return hybrid_search_main(args[1:])
     if args and args[0] == "corpus-apply-dedup":
         return apply_dedup_main(args[1:])
 

@@ -232,3 +232,81 @@ def test_served_bm25_plan_never_scans_raw_corpus(spark, lex_index):
     assert "CartesianProduct" not in plan
     scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
     assert scans and all(lex_index in ln for ln in scans), plan[:2000]
+
+
+def test_streaming_hybrid_search_matches_batch_and_replays_clean(
+    spark, lex_index, tmp_path
+):
+    """Hybrid queries streamed in two micro-batches == the batch fused
+    answers; a replay against the drained checkpoint changes nothing."""
+    from flink_kafka_replicator_spark.sinks import (
+        hybrid_search_from_indexes,
+        write_vector_index,
+    )
+    from flink_kafka_replicator_spark.streaming.hybrid_search import (
+        start_streaming_hybrid_search,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    vix = str(tmp_path / "vindex")
+    write_vector_index(spark, SF_DIR, vix)
+
+    # 6 hybrid queries: fixture terms + real fixture embeddings as the
+    # vector legs (doc_id == vec_id contract)
+    vocab = ["spark", "join", "window", "table", "scan", "merge"]
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 6).collect()
+    }
+    rows = [
+        (i, [vocab[i], vocab[(i + 1) % len(vocab)]], vecs[i])
+        for i in range(6)
+    ]
+    queries = spark.createDataFrame(
+        rows, "qid int, terms array<string>, embedding array<double>"
+    )
+    src = str(tmp_path / "queries")
+    queries.filter(F.col("qid") < 3).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    queries.filter(F.col("qid") >= 3).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    out = str(tmp_path / "answers")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        stream = (
+            spark.readStream.schema(queries.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = start_streaming_hybrid_search(
+            spark, stream, lex_index, vix, e, out, ck, available_now=True
+        )
+        q.awaitTermination(180)
+
+    run()
+    got = sorted(
+        (r.qid, r.doc_id, r.lex_rank, r.vec_rank, r.rrf_score, r.rank)
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in hybrid_search_from_indexes(
+            spark, queries, lex_index, vix, e
+        ).collect()
+    )
+    assert got == want, "streamed hybrid answers != batch fusion"
+    assert (
+        spark.read.parquet(out).select("batch_id").distinct().count() == 2
+    )
+
+    run()  # replay no-op
+    assert (
+        sorted(
+            (r.qid, r.doc_id, r.lex_rank, r.vec_rank, r.rrf_score, r.rank)
+            for r in spark.read.parquet(out).collect()
+        )
+        == want
+    )
