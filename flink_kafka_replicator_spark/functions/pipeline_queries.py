@@ -3447,6 +3447,65 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contamination_family_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination dashboard (round 9 — the contamination
+    counterpart of ``dedup_family_report``): how many training docs
+    each screen flags against the benchmark split (doc_id % 100 == 0 /
+    odd vec_ids, the family's fixture conventions), one row per
+    modality:
+
+    - ``ngram``: docs sharing a CONTAM_NGRAM-word n-gram
+      (``contamination_ngram`` — verbatim leakage);
+    - ``substring``: docs sharing an exact SPAN_TOKENS-token span (the
+      ``dedup_substring_spans`` machinery pointed at the benchmark —
+      long-verbatim leakage, stricter than ngram);
+    - ``semantic``: training vectors with a cosine near-dup benchmark
+      vector (``contamination_semantic`` — paraphrased leakage).
+
+    Each input is an already-verified family member (the substring
+    screen reuses the span-hash recipe inline); the report is three
+    tiny aggregates unioned, and the oracle nests each screen's full
+    SQL — one green row re-verifies the whole decontamination family."""
+    from .corpus import contamination_ngram
+
+    ng = contamination_ngram(spark, sf_dir).agg(
+        F.count("*").cast("bigint").alias("n_flagged")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % 100).alias("m"),
+        F.split("text", " ").alias("toks"),
+    )
+    k = SPAN_TOKENS
+    sp = t.select(
+        "doc_id",
+        "m",
+        F.explode(
+            F.expr(
+                f"case when size(toks) >= {k} then"
+                f" transform(sequence(1, size(toks) - {k} + 1),"
+                f" i -> md5(concat_ws(' ', slice(toks, i, {k}))))"
+                " else array() end"
+            )
+        ).alias("h"),
+    )
+    ev = sp.filter(F.col("m") == 0).select("h").distinct()
+    sub = (
+        sp.filter(F.col("m") != 0)
+        .join(broadcast(ev), "h")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_flagged"))
+    )
+    sem = contamination_semantic(spark, sf_dir).agg(
+        F.countDistinct("train_id").cast("bigint").alias("n_flagged")
+    )
+    out = None
+    for method, df in (("ngram", ng), ("substring", sub), ("semantic", sem)):
+        row = df.select(F.lit(method).alias("method"), F.col("n_flagged"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 # --------------------------------- hybrid lexical+vector fusion (r9)
 
 RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
@@ -3670,6 +3729,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic_clusters": dedup_semantic_clusters,
     "contamination_semantic": contamination_semantic,
+    "contamination_family_report": contamination_family_report,
     "sim_cosine_scores": sim_cosine_scores,
     "sim_topk_cosine": sim_topk_cosine,
     "sim_topk_ivf": sim_topk_ivf,
@@ -5122,6 +5182,37 @@ ORACLES["dedup_family_report"] = f"""
     UNION ALL
     SELECT 'semantic', CAST(COUNT(*) AS BIGINT)
     FROM ({ORACLES['dedup_semantic_clusters']}) WHERE NOT keep
+"""
+
+# decontamination dashboard: nests each screen's full oracle (the
+# substring screen replays the span-hash recipe against the benchmark
+# split) — one green row re-verifies the whole contamination family
+from .corpus import ORACLES as _CORPUS_ORACLES  # noqa: E402
+
+ORACLES["contamination_family_report"] = f"""
+    SELECT 'ngram' AS method, CAST(COUNT(*) AS BIGINT) AS n_flagged
+    FROM ({_CORPUS_ORACLES['contamination_ngram']})
+    UNION ALL
+    SELECT 'substring', CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM (
+        WITH t AS (
+            SELECT doc_id, doc_id % 100 AS m,
+                   string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        sp0 AS (
+            SELECT doc_id, m,
+                   [md5(array_to_string(toks[i:i+{SPAN_TOKENS - 1}], ' '))
+                    for i in generate_series(1, len(toks) - {SPAN_TOKENS} + 1)]
+                       AS hs
+            FROM t
+        ),
+        sp AS (SELECT doc_id, m, unnest(hs) AS h FROM sp0),
+        ev AS (SELECT DISTINCT h FROM sp WHERE m = 0)
+        SELECT sp.doc_id FROM sp JOIN ev USING (h) WHERE m <> 0
+    )
+    UNION ALL
+    SELECT 'semantic', CAST(COUNT(DISTINCT train_id) AS BIGINT)
+    FROM ({ORACLES['contamination_semantic']})
 """
 
 # the executed ladder: per-doc keep decision for each rung + the
