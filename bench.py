@@ -126,6 +126,7 @@ HEADLINE = list(R2_BASKET) + [
     "dedup_substring_spans",
     "hybrid_search_rrf",
     "scrub_duplicate_spans",
+    "contamination_family_report",
 ]
 
 
