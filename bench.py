@@ -127,6 +127,19 @@ HEADLINE = list(R2_BASKET) + [
     "hybrid_search_rrf",
     "scrub_duplicate_spans",
     "contamination_family_report",
+    # round-9 second session: the new join/layout/timeseries surface,
+    # the replayable CMS sketch, corpus vocab/novelty, hyperplane LSH
+    "join_bloom_prefilter",
+    "join_interval_overlap",
+    "layout_zorder",
+    "time_weighted_avg",
+    "agg_cms_heavy_hitters",
+    "vocab_coverage_topk",
+    "doc_ngram_novelty",
+    "knn_lsh_hyperplane",
+    "graph_triangle_count",
+    "mmr_rerank",
+    "agg_percentile_exact",
 ]
 
 

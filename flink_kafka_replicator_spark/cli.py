@@ -245,6 +245,94 @@ def compact_index_main(argv: list[str], spark=None) -> int:
     return 0
 
 
+def index_stats_main(argv: list[str], spark=None) -> int:
+    """The ``index-stats`` subcommand: a READ-ONLY health report for
+    any of the persisted index artifacts (minhash / vector / lexical)
+    or a sharded corpus — the numbers an operator checks before
+    scheduling compaction or diagnosing a serving anomaly. Prints ONE
+    JSON line: the committed meta (the pointer state), parquet file
+    count and total bytes under the root, and — with ``--rows`` — the
+    committed row counts per table (requires a Spark session; the
+    default report is pure filesystem metadata and starts no JVM).
+
+    Never takes the writer lease: stats must be safe to run while an
+    ingest stream holds it."""
+    import argparse
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    parser = argparse.ArgumentParser(
+        prog="spark-kafka-replicator index-stats",
+        description="Report committed state of a persisted index artifact",
+        allow_abbrev=False,
+    )
+    parser.add_argument(
+        "--kind",
+        required=True,
+        choices=("corpus", "minhash", "vector", "lexical"),
+    )
+    parser.add_argument("--dir", required=True)
+    parser.add_argument(
+        "--rows", action="store_true", help="also count committed rows"
+    )
+    args = parser.parse_args(argv)
+
+    from . import sinks
+
+    meta: dict = {}
+    if args.kind == "minhash":
+        meta = sinks._read_index_meta(args.dir)
+    elif args.kind == "vector":
+        meta = sinks._read_vindex_meta(args.dir)
+    elif args.kind == "lexical":
+        meta = sinks._read_lexindex_meta(args.dir)
+    # corpus shards carry no meta pointer — the layout IS the state
+
+    files = _glob.glob(
+        _os.path.join(args.dir, "**", "*.parquet"), recursive=True
+    )
+    report = {
+        "kind": args.kind,
+        "dir": args.dir,
+        "meta": meta,
+        "n_parquet_files": len(files),
+        "total_bytes": sum(_os.path.getsize(f) for f in files),
+    }
+
+    if args.rows:
+        if spark is None:
+            from .session import get_session
+
+            spark = get_session(app_name="spark-index-stats")
+        rows: dict[str, int] = {}
+        if args.kind == "minhash":
+            bands, stats = sinks.read_minhash_index(spark, args.dir)
+            rows["bands"] = bands.count()
+            rows["band_stats"] = stats.count()
+        elif args.kind == "vector":
+            cents, postings, codebook, codes = sinks.read_vector_index(
+                spark, args.dir
+            )
+            rows["centroids"] = cents.count()
+            rows["postings"] = postings.count()
+            rows["pq_codebook"] = codebook.count()
+            rows["pq_codes"] = codes.count()
+        elif args.kind == "lexical":
+            postings, doclen, dfreq, _meta = sinks.read_lexical_index(
+                spark, args.dir
+            )
+            rows["postings"] = postings.count()
+            rows["doclen"] = doclen.count()
+            rows["dfreq"] = dfreq.count()
+        else:
+            rows["docs"] = spark.read.parquet(args.dir).count()
+        report["rows"] = rows
+
+    print(_json.dumps(report, sort_keys=True))
+    return 0
+
+
 def apply_dedup_main(argv: list[str], spark=None) -> int:
     """The ``corpus-apply-dedup`` subcommand: EXECUTE the dedup ladder
     as a batch job — read the table directory, compute the per-doc
@@ -568,6 +656,8 @@ def main(argv: list[str] | None = None, admin_factory=None) -> int:
         return hybrid_search_main(args[1:])
     if args and args[0] == "corpus-apply-dedup":
         return apply_dedup_main(args[1:])
+    if args and args[0] == "index-stats":
+        return index_stats_main(args[1:])
 
     cfg, extra = parse_args(args)
     run_preflight(cfg, admin_factory)

@@ -548,6 +548,103 @@ def pack_assign(
     )
 
 
+VOCAB_TOPK = 64
+
+
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary construction over word BIGRAMS: the top-64
+    bigrams by corpus frequency, each with its rank, count, corpus
+    share, and the CUMULATIVE coverage fraction — the curve a tokenizer
+    team reads to pick a vocab size (where does coverage flatten?).
+
+    Shape: one bigram explode + count agg (vocab-sized result), then
+    rank + running-sum windows over the TINY aggregate only — the
+    corpus-sized data never meets a window. Integer counts divided by
+    the one total at the end keep both engines bit-identical."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(F.split("text", " ").alias("toks"))
+    grams = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 1)),"
+                " i -> concat_ws(' ', slice(toks, i, 2)))"
+            )
+        ).alias("g")
+    )
+    counts = grams.groupBy("g").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("g").asc())
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_cnt",
+            F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("rank") <= VOCAB_TOPK)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            F.col("g").alias("gram"),
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cum_cnt") / F.col("total"), 6).alias(
+                "cum_coverage"
+            ),
+        )
+    )
+
+
+NOVELTY_NGRAM = 3
+
+
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-grams whose FIRST corpus occurrence (min doc_id owner) is the doc
+    itself — the memorization-risk / contribution signal dedup teams
+    rank marginal documents by (a doc that introduces nothing new is a
+    soft duplicate even when no single rung flags it).
+
+    Shape: distinct (doc_id, gram) pairs → gram-keyed min(doc_id) agg
+    (the first-occurrence table, the persisted artifact at scale) →
+    join back on gram → per-doc ratio. Two shuffles, both on keys with
+    bounded per-key cardinality; no windows over corpus-sized data."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform("
+                f" sequence(1, greatest(size(toks) - {NOVELTY_NGRAM - 1}, 1)),"
+                f" i -> concat_ws(' ', slice(toks, i, {NOVELTY_NGRAM}))))"
+            )
+        ).alias("g"),
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "doc_chunk": doc_chunk,
     "tfidf_top_terms": tfidf_top_terms,
@@ -561,12 +658,66 @@ QUERIES = {
     "corpus_mix_temperature": corpus_mix_temperature,
     "pack_token_sequences": pack_token_sequences,
     "pack_token_sequences_sharded": pack_token_sequences_sharded,
+    "vocab_coverage_topk": vocab_coverage_topk,
+    "doc_ngram_novelty": doc_ngram_novelty,
 }
 
 _STOP = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 _BLOCKED = ", ".join(f"'{s}'" for s in BLOCKED_SOURCES)
 
 ORACLES = {
+    "vocab_coverage_topk": f"""
+        WITH t AS (
+            SELECT string_split(text, ' ') AS toks FROM documents
+        ),
+        grams AS (
+            SELECT unnest([array_to_string(toks[i:i + 1], ' ')
+                           for i in generate_series(1, greatest(len(toks) - 1, 1))])
+                       AS g
+            FROM t
+        ),
+        counts AS (
+            SELECT g, COUNT(*) AS cnt FROM grams GROUP BY g
+        ),
+        ranked AS (
+            SELECT g, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, g ASC) AS rank,
+                   SUM(cnt) OVER (ORDER BY cnt DESC, g ASC
+                                  ROWS UNBOUNDED PRECEDING) AS cum_cnt
+            FROM counts
+        )
+        SELECT CAST(rank AS INTEGER) AS rank, g AS gram, cnt,
+               ROUND(CAST(cnt AS DOUBLE)
+                     / (SELECT SUM(cnt) FROM counts), 6) AS share,
+               ROUND(CAST(cum_cnt AS DOUBLE)
+                     / (SELECT SUM(cnt) FROM counts), 6) AS cum_coverage
+        FROM ranked WHERE rank <= {VOCAB_TOPK}
+    """,
+    "doc_ngram_novelty": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       [array_to_string(toks[i:i + {NOVELTY_NGRAM - 1}], ' ')
+                        for i in generate_series(
+                            1, greatest(len(toks) - {NOVELTY_NGRAM - 1}, 1))]))
+                       AS g
+            FROM t
+        ),
+        first AS (
+            SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               ROUND(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS novelty
+        FROM grams JOIN first USING (g)
+        GROUP BY doc_id
+    """,
     "pipeline_end_to_end": f"""
         WITH norm AS (
             SELECT doc_id,

@@ -7,6 +7,7 @@ rows-only, with pytest covering their invariants instead.
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -3711,6 +3712,287 @@ def span_scrub_frame(d: DataFrame) -> DataFrame:
     )
 
 
+MMR_LAMBDA_SQL = "0.7D"
+MMR_K = 5
+MMR_SHORTLIST = 20
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k via Maximal Marginal Relevance (Carbonell &
+    Goldstein 1998): greedily pick 5 of the query's top-20 cosine
+    shortlist, each step maximizing λ·rel − (1−λ)·max-sim-to-selected
+    (λ=0.7) — the rerank RAG retrievers run so the context window isn't
+    5 near-copies of the same passage.
+
+    Scale shape: MMR is inherently sequential in k, so the ONLY
+    scalable formulation is exact-top-R shortlist first (TakeOrdered —
+    distributed), then the greedy over bounded R×R state: shortlist
+    and its pairwise-sim table are pinned small artifacts
+    (materialize_small), and the 5 selection rounds are lazy
+    DataFrame ops over ≤20 rows — no collect, no per-row driver loop,
+    work independent of corpus size beyond the one scored scan.
+    Both the relevance and pairwise sims are rounded to 4 before the
+    greedy, so the argmax comparisons are bit-identical cross-engine."""
+    lam = MMR_LAMBDA_SQL
+    e = load_table(spark, sf_dir, "embeddings")
+    scored = e.select(
+        "vec_id",
+        F.round(
+            cosine(as_double(F.col("embedding")), query_vec_col()), 4
+        ).alias("rel"),
+    )
+    short = materialize_small(
+        scored.orderBy(F.col("rel").desc(), F.col("vec_id").asc()).limit(
+            MMR_SHORTLIST
+        )
+    )
+    sv = e.join(short.select("vec_id"), "vec_id").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    a = sv.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = sv.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    sims = materialize_small(
+        a.crossJoin(broadcast(b))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("s"),
+        )
+    )
+    sel = (
+        short.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(1)
+        .select(
+            "vec_id",
+            "rel",
+            F.lit(1).alias("rank"),
+            F.expr(f"{lam} * rel").alias("mmr"),
+        )
+    )
+    for r in range(2, MMR_K + 1):
+        pen = (
+            sims.join(
+                sel.select(F.col("vec_id").alias("b")), "b"
+            )
+            .groupBy("a")
+            .agg(F.max("s").alias("pen"))
+        )
+        cand = (
+            short.join(sel.select("vec_id"), "vec_id", "left_anti")
+            .join(pen, F.col("vec_id") == F.col("a"))
+            .select(
+                "vec_id",
+                "rel",
+                F.expr(f"{lam} * rel - (1.0D - {lam}) * pen").alias("mmr"),
+            )
+        )
+        pick = (
+            cand.orderBy(F.col("mmr").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .select("vec_id", "rel", F.lit(r).alias("rank"), "mmr")
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "rank", "vec_id", "rel", F.round("mmr", 6).alias("mmr")
+    )
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup graph (the LSH ≥0.5-Jaccard
+    pairs): node/edge counts, triangle count, and global transitivity
+    (3·triangles / wedges) — the one-row report that tells a dedup
+    operator whether families are CLIQUES (true duplicate clusters,
+    transitivity → 1) or CHAINS (drifting near-dup paths where
+    transitive deletion would over-delete).
+
+    Scale shape — the standard distributed triangle recipe: edges are
+    oriented low→high id, so each triangle is counted exactly once as
+    (a<b<c); wedges come from ONE self equi-join on the middle node and
+    close via a left-semi probe against the oriented edge set. Work is
+    Σ_v deg²(v), the irreducible wedge count — and the near-dup edge
+    set is already hygiene-bounded upstream (MAX_BUCKET), so no hot
+    node degenerates the join. Wedge totals for the denominator come
+    from a degree aggregate, never a pair materialization."""
+    pairs = dedup_fuzzy_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    e = materialize_small(pairs)
+    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    closed = (
+        e1.join(e2, "b")
+        .join(
+            e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c")),
+            ["a", "c"],
+            "left_semi",
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        e1.select(F.col("a").alias("v"))
+        .unionAll(e1.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / F.lit(2)).cast("long").alias(
+            "n_wedges"
+        ),
+    )
+    edges_n = e.agg(F.count("*").alias("n_edges"))
+    return (
+        stats.crossJoin(broadcast(edges_n))
+        .crossJoin(broadcast(closed))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+                ),
+            ).alias("transitivity"),
+        )
+    )
+
+
+# ------------------------------------------------ hyperplane-LSH ANN
+
+LSH_N_PLANES = 16
+LSH_N_BANDS = 4  # 4 bands × 4 bits — OR-construction over AND-bands
+LSH_BITS_PER_BAND = LSH_N_PLANES // LSH_N_BANDS
+
+
+@functools.lru_cache(maxsize=1)
+def _lsh_planes() -> tuple[tuple[float, ...], ...]:
+    """16 deterministic random hyperplanes in R^64: component (h, j)
+    derives from md5('hp{h}:{j}') scaled to [-1, 1] — the engine's
+    portable-hash idiom, so the planes are a pure data-independent
+    constant both engines inline as identical literals (no RNG, no
+    model file). Charikar's sign-random-projection family."""
+    import hashlib
+
+    return tuple(
+        tuple(
+            (
+                int(hashlib.md5(f"hp{h}:{j}".encode()).hexdigest()[:8], 16)
+                % 2001
+                - 1000
+            )
+            / 1000.0
+            for j in range(64)
+        )
+        for h in range(LSH_N_PLANES)
+    )
+
+
+def _lsh_band_expr(prefix: str) -> list[str]:
+    """SQL for the 4-bit band values from the dot_h{h} sign columns —
+    identical text in both engines (CASE sums, no bit intrinsics)."""
+    out = []
+    for b in range(LSH_N_BANDS):
+        terms = " + ".join(
+            f"(CASE WHEN {prefix}{b * LSH_BITS_PER_BAND + i} >= 0"
+            f" THEN {1 << (LSH_BITS_PER_BAND - 1 - i)} ELSE 0 END)"
+            for i in range(LSH_BITS_PER_BAND)
+        )
+        out.append(terms)
+    return out
+
+
+def _lsh_query_bands(qvec: list[float] = QUERY_VEC) -> list[int]:
+    """Query-side band values, pure driver arithmetic: _fold_dot
+    reproduces both engines' left-associative dot fold, so the sign
+    bits match what SQL would compute for the same vector."""
+    bits = [
+        1 if _fold_dot(list(plane), qvec) >= 0 else 0
+        for plane in _lsh_planes()
+    ]
+    return [
+        sum(
+            bits[b * LSH_BITS_PER_BAND + i]
+            << (LSH_BITS_PER_BAND - 1 - i)
+            for i in range(LSH_BITS_PER_BAND)
+        )
+        for b in range(LSH_N_BANDS)
+    ]
+
+
+def knn_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via sign-random-projection LSH (Charikar): each
+    vector's 16-bit signature = signs of its dots with 16 deterministic
+    hyperplanes; candidates share at least one of 4 four-bit bands with
+    the query; exact cosine re-ranks only the candidates. Completes the
+    ANN family matrix: brute force, IVF, PQ/ADC — and now hyperplane
+    LSH, the variant that needs NO trained model (no centroids, no
+    codebook), the right tool when the corpus distribution shifts
+    faster than you can re-train a quantizer.
+
+    Plan shape (same skeleton as _ivf_search): posexplode once, ALL 16
+    plane dots + self-dot + query dot as codegen'd SUMs in ONE hash
+    aggregate → signature/band projection → map-side band filter
+    against the query's literal band values (the query is a constant —
+    no join at all) → TakeOrderedAndProject. Work after the aggregate
+    is proportional to the ~23% of the corpus sharing a band, and at
+    100 TB the signature projection is the persisted index: band-
+    partitioned signatures make the filter a partition-pruned read."""
+    import math
+
+    planes = _lsh_planes()
+    qnorm = math.sqrt(_fold_dot(QUERY_VEC, QUERY_VEC))
+    qbands = _lsh_query_bands()
+    e = load_table(spark, sf_dir, "embeddings")
+    x = "cast(x as double)"
+    agg = (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.expr(
+                    f"sum({x} * element_at("
+                    f"{_sql_double_array(list(p))}, pos + 1))"
+                ).alias(f"dh{h}")
+                for h, p in enumerate(planes)
+            ],
+            F.expr(f"sum({x} * {x})").alias("selfdot"),
+            F.expr(
+                f"sum({x} * element_at("
+                f"{_sql_double_array(QUERY_VEC)}, pos + 1))"
+            ).alias("dot_q"),
+        )
+    )
+    bands = _lsh_band_expr("dh")
+    staged = agg.select(
+        "vec_id",
+        F.expr(
+            f"round(dot_q / (sqrt(selfdot) * {_sql_double(qnorm)}), 4)"
+        ).alias("cos_sim"),
+        *[F.expr(b).alias(f"band_{i}") for i, b in enumerate(bands)],
+    )
+    shared = " + ".join(
+        f"(CASE WHEN band_{i} = {qbands[i]} THEN 1 ELSE 0 END)"
+        for i in range(LSH_N_BANDS)
+    )
+    return (
+        staged.filter(
+            F.expr(
+                " OR ".join(
+                    f"band_{i} = {qbands[i]}" for i in range(LSH_N_BANDS)
+                )
+            )
+        )
+        .select(
+            "vec_id",
+            "cos_sim",
+            F.expr(f"cast(({shared}) as int)").alias("n_shared_bands"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_paragraph_exact": dedup_paragraph_exact,
@@ -3743,6 +4025,9 @@ QUERIES = {
     "knn_probe_recall_curve": knn_probe_recall_curve,
     "knn_batch_adc": knn_batch_adc,
     "knn_batch_recall": knn_batch_recall,
+    "knn_lsh_hyperplane": knn_lsh_hyperplane,
+    "graph_triangle_count": graph_triangle_count,
+    "mmr_rerank": mmr_rerank,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_pq_encode": embedding_pq_encode,
     "knn_pq_adc": knn_pq_adc,
@@ -5278,3 +5563,157 @@ ORACLES["knn_batch_recall"] = f"""
     FROM (SELECT DISTINCT qid FROM truth) qq
     LEFT JOIN h ON h.qid = qq.qid
 """
+
+
+def _lsh_oracle_sql() -> str:
+    """DuckDB twin of knn_lsh_hyperplane: the same plane/query literals
+    (repr round-trips doubles exactly), list_dot_product for the same
+    left-associative fold, identical CASE band arithmetic."""
+    import math
+
+    planes = _lsh_planes()
+    qnorm = math.sqrt(_fold_dot(QUERY_VEC, QUERY_VEC))
+    qbands = _lsh_query_bands()
+    dots = ",\n               ".join(
+        f"list_dot_product(e, {list(p)!r}::DOUBLE[]) AS dh{h}"
+        for h, p in enumerate(planes)
+    )
+    bands = ",\n               ".join(
+        f"({b}) AS band_{i}" for i, b in enumerate(_lsh_band_expr("dh"))
+    )
+    shared = " + ".join(
+        f"(CASE WHEN band_{i} = {qbands[i]} THEN 1 ELSE 0 END)"
+        for i in range(LSH_N_BANDS)
+    )
+    any_band = " OR ".join(
+        f"band_{i} = {qbands[i]}" for i in range(LSH_N_BANDS)
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        d AS (
+            SELECT vec_id,
+               {dots},
+               list_dot_product(e, e) AS selfdot,
+               list_dot_product(e, {QUERY_VEC!r}::DOUBLE[]) AS dot_q
+            FROM v
+        ),
+        s AS (
+            SELECT vec_id, dot_q, selfdot,
+               {bands}
+            FROM d
+        )
+        SELECT vec_id,
+               ROUND(dot_q / (sqrt(selfdot)
+                              * CAST('{qnorm!r}' AS DOUBLE)), 4) AS cos_sim,
+               CAST({shared} AS INTEGER) AS n_shared_bands
+        FROM s
+        WHERE {any_band}
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
+ORACLES["knn_lsh_hyperplane"] = _lsh_oracle_sql()
+
+
+# the triangle oracle nests the full brute-force fuzzy-pair SQL as its
+# edge CTE — one green row re-verifies the LSH pair recall AND the
+# triangle/wedge arithmetic
+ORACLES["graph_triangle_count"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+        FROM t
+    ),
+    e AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    deg AS (
+        SELECT v, COUNT(*) AS d
+        FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        GROUP BY v
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           CAST((SELECT SUM(d * (d - 1)) / 2 FROM deg) AS BIGINT) AS n_wedges,
+           (SELECT n_triangles FROM tri) AS n_triangles,
+           CASE WHEN (SELECT SUM(d * (d - 1)) / 2 FROM deg) > 0
+                THEN ROUND(3.0::DOUBLE * (SELECT n_triangles FROM tri)
+                           / CAST((SELECT SUM(d * (d - 1)) / 2 FROM deg)
+                                  AS BIGINT), 6)
+           END AS transitivity
+"""
+
+
+def _mmr_oracle_sql() -> str:
+    """DuckDB twin of mmr_rerank: identical shortlist/sims rounding,
+    then the greedy unrolled as one CTE pair (candidates + pick) per
+    selection round — same λ arithmetic over the same rounded inputs,
+    so every argmax comparison is bit-identical."""
+    lam = "0.7::DOUBLE"
+    steps = []
+    for r in range(2, MMR_K + 1):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM p{i}" for i in range(1, r)
+        )
+        steps.append(f"""
+    sel{r - 1} AS ({prev_sel}),
+    c{r} AS (
+        SELECT sh.vec_id, sh.rel,
+               {lam} * sh.rel - (1.0::DOUBLE - {lam}) * MAX(s.s) AS mmr
+        FROM short sh
+        JOIN sims s ON s.a = sh.vec_id
+        JOIN sel{r - 1} q ON s.b = q.vec_id
+        WHERE sh.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+        GROUP BY sh.vec_id, sh.rel
+    ),
+    p{r} AS (
+        SELECT vec_id, rel, {r} AS rank, mmr
+        FROM c{r} ORDER BY mmr DESC, vec_id ASC LIMIT 1
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM p{i}" for i in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH scored AS (
+        SELECT vec_id,
+               ROUND({_duck_cos("CAST(embedding AS DOUBLE[])",
+                                repr(QUERY_VEC) + "::DOUBLE[]")}, 4) AS rel
+        FROM embeddings
+    ),
+    short AS (
+        SELECT vec_id, rel FROM scored
+        ORDER BY rel DESC, vec_id ASC LIMIT {MMR_SHORTLIST}
+    ),
+    v AS (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec
+        FROM embeddings e JOIN short USING (vec_id)
+    ),
+    sims AS (
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               ROUND({_duck_cos("x.vec", "y.vec")}, 4) AS s
+        FROM v x JOIN v y ON x.vec_id <> y.vec_id
+    ),
+    p1 AS (
+        SELECT vec_id, rel, 1 AS rank, {lam} * rel AS mmr
+        FROM short ORDER BY rel DESC, vec_id ASC LIMIT 1
+    ),{",".join(steps)}
+    SELECT rank, vec_id, rel, ROUND(mmr, 6) AS mmr FROM ({union})
+    """
+
+
+ORACLES["mmr_rerank"] = _mmr_oracle_sql()

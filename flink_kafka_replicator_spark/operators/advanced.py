@@ -291,6 +291,120 @@ def sessionize(ev: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFra
     )
 
 
+# Z-order layout: 8 low bits of each key interleaved into a 16-bit
+# curve value; 256 file buckets = the top 8 curve bits.
+_Z_KEY_BITS = 8
+_Z_BUCKET_SHIFT = 8
+
+
+def _z_interleave(col: str, offset: int) -> str:
+    """SQL summing bit i of ``col`` shifted to curve position 2i+offset
+    — unrolled integer bit arithmetic, identical text in both engines."""
+    return " + ".join(
+        f"((({col} >> {i}) & 1) << {2 * i + offset})"
+        for i in range(_Z_KEY_BITS)
+    )
+
+
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) clustering audit for a two-key scan
+    workload: interleave the low 8 bits of (l_partkey, l_suppkey) into a
+    16-bit curve value, assign each row to one of 256 curve-range file
+    buckets, and report per-bucket row counts plus the min/max of each
+    binned key — the locality evidence: every bucket covers a narrow
+    rectangle of the key space, so a scan filtered on EITHER key prunes
+    most buckets (the property Delta/Iceberg OPTIMIZE ZORDER buys).
+
+    At 100 TB this is the write-path layout job: compute z, repartition
+    by range on it, write. Pure unrolled integer bit arithmetic — one
+    codegen'd projection, one aggregate exchange on the bucket id."""
+    li = load_table(spark, sf_dir, "lineitem")
+    z = li.select(
+        F.expr(f"l_partkey & {(1 << _Z_KEY_BITS) - 1}").alias("xb"),
+        F.expr(f"l_suppkey & {(1 << _Z_KEY_BITS) - 1}").alias("yb"),
+    ).select(
+        "xb",
+        "yb",
+        F.expr(
+            f"({_z_interleave('xb', 0)}) + ({_z_interleave('yb', 1)})"
+        ).alias("z"),
+    )
+    return (
+        z.select("xb", "yb", F.expr(f"z >> {_Z_BUCKET_SHIFT}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("xb").alias("min_x"),
+            F.max("xb").alias("max_x"),
+            F.min("yb").alias("min_y"),
+            F.max("yb").alias("max_y"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_rows",
+            "min_x",
+            "max_x",
+            "min_y",
+            "max_y",
+            # rectangle area each bucket covers: small == good locality
+            (
+                (F.col("max_x") - F.col("min_x") + 1)
+                * (F.col("max_y") - F.col("min_y") + 1)
+            ).alias("key_rect_area"),
+        )
+    )
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event value — the LOCF
+    integral timeseries engines ship as ``twavg``: each value holds
+    until the next observation, so the mean weights each value by its
+    holding duration instead of over-counting burst samples.
+
+    Shape: one lead() window per user (the sessionize exchange), exact
+    integer-microsecond durations, one aggregate — weighted sums in
+    int×int products divided once at the end, so both engines agree
+    bit-for-bit. The last observation of a user carries zero weight
+    (nothing to hold until), the standard open-interval convention."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    d = e.select(
+        "user_id",
+        "value",
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias(
+            "hold_us"
+        ),
+    )
+    return (
+        d.filter(F.col("hold_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            # value has 2 decimals: value*100 is an exact integer, so
+            # sum(value*100*hold_us) is exact bigint arithmetic and the
+            # single final division is deterministic
+            (
+                F.sum(
+                    (F.round(F.col("value") * 100).cast("long"))
+                    * F.col("hold_us")
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("_wsum"),
+            F.sum("hold_us").alias("_tspan"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            F.round(F.col("_wsum") / F.col("_tspan"), 4).alias("twavg"),
+            F.round(F.col("_tspan") / F.lit(1_000_000.0), 4).alias(
+                "span_sec"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "join_asof": join_asof,
     "topk_per_group": topk_per_group,
@@ -300,9 +414,50 @@ QUERIES = {
     "scd2_history": scd2_history,
     "window_ntile": window_ntile,
     "sessionize_events": sessionize_events,
+    "layout_zorder": layout_zorder,
+    "time_weighted_avg": time_weighted_avg,
 }
 
 ORACLES = {
+    "layout_zorder": f"""
+        WITH b AS (
+            SELECT l_partkey & {(1 << _Z_KEY_BITS) - 1} AS xb,
+                   l_suppkey & {(1 << _Z_KEY_BITS) - 1} AS yb
+            FROM lineitem
+        ),
+        z AS (
+            SELECT xb, yb,
+                   (({_z_interleave('xb', 0)})
+                    + ({_z_interleave('yb', 1)})) >> {_Z_BUCKET_SHIFT}
+                       AS bucket
+            FROM b
+        )
+        SELECT bucket,
+               COUNT(*) AS n_rows,
+               MIN(xb) AS min_x, MAX(xb) AS max_x,
+               MIN(yb) AS min_y, MAX(yb) AS max_y,
+               (MAX(xb) - MIN(xb) + 1) * (MAX(yb) - MIN(yb) + 1)
+                   AS key_rect_area
+        FROM z GROUP BY bucket
+    """,
+    "time_weighted_avg": """
+        WITH d AS (
+            SELECT user_id, value,
+                   LEAD(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                   ) - epoch_us(ts) AS hold_us
+            FROM events
+        )
+        SELECT user_id,
+               COUNT(*) AS n_intervals,
+               ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+                              * hold_us) AS DOUBLE) / 100.0
+                     / SUM(hold_us), 4) AS twavg,
+               ROUND(SUM(hold_us) / 1000000.0, 4) AS span_sec
+        FROM d WHERE hold_us IS NOT NULL
+        GROUP BY user_id
+    """,
     "scd2_history": """
         SELECT user_id, event_type,
                ROUND(value, 4) AS attr_value,

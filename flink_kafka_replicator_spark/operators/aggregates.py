@@ -124,6 +124,145 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_group.unionByName(total)
 
 
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (nearest-rank p50/p90/p99) — the
+    ground-truth twin of ``agg_percentile_approx``: where the GK sketch
+    trades accuracy for memory, this pays one sort-shuffle per group
+    for the true order statistic. The hash-exact oracle row documents
+    the semantics the approx variant's error bound is measured against.
+
+    Scale shape: ONE window pass (row_number + count over the group
+    key) and one conditional aggregate — the group's rows sort inside
+    their partition after a single exchange; nothing is collected, and
+    nearest-rank needs no interpolation arithmetic to disagree on.
+    Groups here are the 3-value returnflag; for high-cardinality keys
+    the same plan holds with bounded per-group sort buffers."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").asc()
+    )
+    d = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+
+    def at(p: float):
+        # nearest-rank: the value at ceil(p·n); ties on price are
+        # harmless (equal values at equal ranks)
+        return F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.col("n") * F.lit(p)).cast("long"),
+                F.col("l_extendedprice"),
+            )
+        )
+
+    return d.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_items"),
+        F.round(at(0.5), 4).alias("p50"),
+        F.round(at(0.9), 4).alias("p90"),
+        F.round(at(0.99), 4).alias("p99"),
+    )
+
+
+# Count-Min Sketch over word 3-grams: D portable md5 hash rows × W
+# buckets. Deterministic given the hash family, so — unlike the HLL/GK
+# sketches above — the DuckDB oracle replays the whole sketch exactly.
+CMS_D = 4
+CMS_W = 1024
+CMS_TOPK = 20
+
+
+def _cms_pos(j: int, key_sql: str) -> str:
+    """SQL for CMS hash-row j's bucket of a string key."""
+    return (
+        f"cast(conv(substring(md5(concat('cms{j}:', {key_sql})), 1, 8),"
+        f" 16, 10) as bigint) % {CMS_W}"
+    )
+
+
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a Count-Min Sketch (Cormode-Muthukrishnan) over
+    the corpus' word 3-grams: the true top-20 grams with their exact
+    count, the CMS estimate, and the overestimate — the error the
+    sketch's collision structure actually produced.
+
+    Why this matters at 100 TB: the D×W cell grid (4×1024 longs here)
+    is a CONSTANT-size, MERGEABLE summary — each partition sketches its
+    grams map-side, cells add up across partitions/days, and a frequency
+    query never rescans history. The estimate is biased high only
+    (min over rows of colliding sums), which the report makes visible.
+
+    Plan: one gram explode + exact count agg (the ground truth the
+    report audits against), cells = ≤D·W-row agg over it, top-k via
+    TakeOrderedAndProject, then a broadcast (j, pos) equi-join of the
+    tiny cell grid onto the top-k probes and a min-collapse."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(F.split("text", " ").alias("toks"))
+    grams = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+                " i -> concat_ws(' ', slice(toks, i, 3)))"
+            )
+        ).alias("g")
+    )
+    counts = grams.groupBy("g").agg(F.count("*").alias("exact_cnt"))
+    probes_all = counts.select(
+        "g",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_cms_pos(j, "g")).alias("pos"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("jp"),
+    ).select("g", "exact_cnt", F.col("jp.j").alias("j"), F.col("jp.pos").alias("pos"))
+    cells = probes_all.groupBy("j", "pos").agg(
+        F.sum("exact_cnt").alias("cell")
+    )
+    top = counts.orderBy(
+        F.col("exact_cnt").desc(), F.col("g").asc()
+    ).limit(CMS_TOPK)
+    top_probes = top.select(
+        "g",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_cms_pos(j, "g")).alias("pos"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("jp"),
+    ).select("g", "exact_cnt", F.col("jp.j").alias("j"), F.col("jp.pos").alias("pos"))
+    from pyspark.sql.functions import broadcast
+
+    return (
+        top_probes.join(broadcast(cells), ["j", "pos"])
+        .groupBy("g", "exact_cnt")
+        .agg(F.min("cell").alias("cms_est"))
+        .select(
+            F.col("g").alias("gram"),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overest"),
+        )
+    )
+
+
 QUERIES = {
     "agg_stats": agg_stats,
     "agg_hash_groupby": agg_hash_groupby,
@@ -132,9 +271,72 @@ QUERIES = {
     "agg_approx_distinct": agg_approx_distinct,
     "agg_percentile_approx": agg_percentile_approx,
     "agg_hll_sketch_union": agg_hll_sketch_union,
+    "agg_cms_heavy_hitters": agg_cms_heavy_hitters,
+    "agg_percentile_exact": agg_percentile_exact,
 }
 
+
+def _duck_cms_pos(key_sql: str) -> str:
+    """DuckDB CMS bucket with j bound from the joined range(0,D)."""
+    return (
+        f"('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' "
+        f"|| {key_sql}), 1, 8))::BIGINT % {CMS_W}"
+    )
+
+
 ORACLES = {
+    "agg_percentile_exact": """
+        WITH d AS (
+            SELECT l_returnflag, l_extendedprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice ASC) AS rn,
+                   COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               MAX(n) AS n_items,
+               ROUND(MAX(CASE WHEN rn = CAST(CEIL(n * 0.5::DOUBLE) AS BIGINT)
+                              THEN l_extendedprice END), 4) AS p50,
+               ROUND(MAX(CASE WHEN rn = CAST(CEIL(n * 0.9::DOUBLE) AS BIGINT)
+                              THEN l_extendedprice END), 4) AS p90,
+               ROUND(MAX(CASE WHEN rn = CAST(CEIL(n * 0.99::DOUBLE) AS BIGINT)
+                              THEN l_extendedprice END), 4) AS p99
+        FROM d GROUP BY l_returnflag
+    """,
+    "agg_cms_heavy_hitters": f"""
+        WITH t AS (
+            SELECT string_split(text, ' ') AS toks FROM documents
+        ),
+        grams AS (
+            SELECT unnest([array_to_string(toks[i:i + 2], ' ')
+                           for i in generate_series(1, greatest(len(toks) - 2, 1))])
+                       AS g
+            FROM t
+        ),
+        counts AS (
+            SELECT g, COUNT(*) AS exact_cnt FROM grams GROUP BY g
+        ),
+        cells AS (
+            SELECT j, {_duck_cms_pos('g')} AS pos,
+                   CAST(SUM(exact_cnt) AS BIGINT) AS cell
+            FROM counts, range(0, {CMS_D}) r(j)
+            GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT g, exact_cnt FROM counts
+            ORDER BY exact_cnt DESC, g ASC LIMIT {CMS_TOPK}
+        ),
+        probes AS (
+            SELECT g, exact_cnt, j, {_duck_cms_pos('g')} AS pos
+            FROM top, range(0, {CMS_D}) r(j)
+        )
+        SELECT g AS gram, exact_cnt,
+               MIN(cell) AS cms_est,
+               MIN(cell) - exact_cnt AS overest
+        FROM probes JOIN cells USING (j, pos)
+        GROUP BY g, exact_cnt
+    """,
     "agg_stats": """
         SELECT l_returnflag,
                ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,

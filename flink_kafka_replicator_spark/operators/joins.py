@@ -238,6 +238,185 @@ def join_fuzzy_lev1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom prefilter: M bits, K portable md5-derived hash functions — the
+# same deterministic-hash idiom as the minhash/simhash family, so the
+# DuckDB oracle replays the filter bit-for-bit.
+BLOOM_M = 8192
+BLOOM_K = 3
+
+
+def _bloom_pos(j: int, key_sql: str) -> str:
+    """SQL for bloom hash j of an integer key (portable md5 bucket)."""
+    return (
+        f"cast(conv(substring(md5(concat('bf{j}:', cast({key_sql} as string)))"
+        f", 1, 8), 16, 10) as bigint) % {BLOOM_M}"
+    )
+
+
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pushdown, made explicit and portable: the
+    big-side scan is prefiltered by a broadcast Bloom bitset built from
+    the small side's join keys BEFORE any shuffle — the classic
+    runtime-filter optimization (Spark's AQE injects an opaque version;
+    this one uses portable md5 hashes so the oracle can replay it).
+
+    Shape: small side (urgent orders) → K=3 md5 bucket positions per
+    key → ONE collected bit-position array (≤ M=8192 ints) broadcast to
+    every lineitem partition → map-side array_contains ×3 prefilter →
+    exact semi-join only on survivors. At 100 TB the fact table never
+    shuffles rows the filter can reject: the bitset rides the broadcast,
+    the md5s are codegen'd, and only bloom-passing rows reach the join
+    exchange. Output is the filter's measured effectiveness report
+    (candidates, true matches, false positives) — the numbers a query
+    optimizer's runtime-filter decision needs."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    small = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    ).distinct()
+    bits = (
+        small.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(_bloom_pos(j, "o_orderkey"))
+                        for j in range(BLOOM_K)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .agg(F.array_sort(F.collect_set("pos")).alias("bits"))
+    )
+    probed = li.select("l_orderkey").crossJoin(broadcast(bits))
+    passed = probed.filter(
+        # all K probe positions must be set — array_contains over the
+        # sorted broadcast bitset is a map-side codegen'd check
+        F.expr(
+            " AND ".join(
+                f"array_contains(bits, {_bloom_pos(j, 'l_orderkey')})"
+                for j in range(BLOOM_K)
+            )
+        )
+    ).select("l_orderkey")
+    true_match = passed.join(
+        small.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey",
+        "left_semi",
+    )
+    stats = (
+        li.agg(F.count("*").alias("n_big_rows"))
+        .crossJoin(broadcast(small.agg(F.count("*").alias("n_small_keys"))))
+        .crossJoin(
+            broadcast(bits.select(F.size("bits").alias("n_bits_set")))
+        )
+        .crossJoin(broadcast(passed.agg(F.count("*").alias("n_pass_bloom"))))
+        .crossJoin(
+            broadcast(true_match.agg(F.count("*").alias("n_true_match")))
+        )
+    )
+    return stats.select(
+        "n_big_rows",
+        "n_small_keys",
+        "n_bits_set",
+        "n_pass_bloom",
+        "n_true_match",
+        (F.col("n_pass_bloom") - F.col("n_true_match")).alias("n_false_pos"),
+        F.round(
+            (F.col("n_pass_bloom") - F.col("n_true_match"))
+            / F.col("n_big_rows"),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+# Interval-overlap join: hour-wide buckets; an incident window is ±15
+# minutes around an error event, so it covers at most 2 buckets.
+_HOUR_US = 3_600_000_000
+_INCIDENT_HALF_US = 900_000_000  # 15 min
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (both sides are intervals — the shape
+    range-join optimizers special-case): per-user daily activity spans
+    [min ts, max ts] × global incident windows (error-event ts ± 15
+    min), reporting per user-day how many incidents overlapped and the
+    total overlap seconds.
+
+    Scale design: a naive interval×interval join is a BNLJ cartesian.
+    Binning makes it an equi-join — BOTH sides explode into the fixed
+    hour buckets they cover (activity span ≤ 25, incident ≤ 2), the
+    bucket equi-join prunes candidates to co-bucketed pairs, the exact
+    overlap predicate refines, and the pair dedup collapses multi-bucket
+    matches. All timestamp math in integer microseconds (unix_micros /
+    epoch_us) so both engines agree bit-for-bit."""
+    e = load_table(spark, sf_dir, "events")
+    spans = (
+        # day as a plain string: date dtypes round-trip differently
+        # through the two engines' pandas bridges (datetime.date vs
+        # datetime64), and the day is a label here, not arithmetic
+        e.groupBy(
+            "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.min(F.unix_micros("ts")).alias("a_start"),
+            F.max(F.unix_micros("ts")).alias("a_end"),
+        )
+    )
+    incidents = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        (F.unix_micros("ts") - F.lit(_INCIDENT_HALF_US)).alias("w_start"),
+        (F.unix_micros("ts") + F.lit(_INCIDENT_HALF_US)).alias("w_end"),
+    )
+    a = spans.select(
+        "user_id",
+        "day",
+        "a_start",
+        "a_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"a_start div {_HOUR_US}"),
+                F.expr(f"a_end div {_HOUR_US}"),
+            )
+        ).alias("bucket"),
+    )
+    b = incidents.select(
+        "incident_id",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"w_start div {_HOUR_US}"),
+                F.expr(f"w_end div {_HOUR_US}"),
+            )
+        ).alias("bucket"),
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("a_start") <= F.col("w_end"))
+            & (F.col("w_start") <= F.col("a_end"))
+        )
+        # a span/window pair co-bucketed in 2+ hours matches 2+ times
+        .dropDuplicates(["user_id", "day", "incident_id"])
+    )
+    return (
+        pairs.groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_incidents"),
+            # sum the exact integer microseconds, divide ONCE: summing
+            # per-row doubles is order-dependent across engines
+            F.round(
+                F.sum(
+                    F.least("a_end", "w_end")
+                    - F.greatest("a_start", "w_start")
+                )
+                / F.lit(1_000_000.0),
+                4,
+            ).alias("overlap_sec"),
+        )
+    )
+
+
 QUERIES = {
     "join_inner": join_inner,
     "join_broadcast": join_broadcast,
@@ -248,7 +427,17 @@ QUERIES = {
     "join_range": join_range,
     "join_range_binned": join_range_binned,
     "join_fuzzy_lev1": join_fuzzy_lev1,
+    "join_bloom_prefilter": join_bloom_prefilter,
+    "join_interval_overlap": join_interval_overlap,
 }
+
+
+def _duck_bloom_pos(j: int, key_sql: str) -> str:
+    """DuckDB twin of _bloom_pos (same md5 bucket arithmetic)."""
+    return (
+        f"('0x' || substr(md5('bf{j}:' || CAST({key_sql} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {BLOOM_M}"
+    )
 
 _BAND_VALUES = ", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in PRICE_BANDS)
 
@@ -324,5 +513,63 @@ ORACLES = {
         JOIN (VALUES {_BAND_VALUES}) AS b(band_id, lo, hi)
           ON o_totalprice >= lo AND o_totalprice < hi
         GROUP BY band_id
+    """,
+    "join_bloom_prefilter": f"""
+        WITH small AS (
+            SELECT DISTINCT o_orderkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        ),
+        bits AS (
+            SELECT DISTINCT
+                   ('0x' || substr(md5('bf' || CAST(j AS VARCHAR) || ':'
+                        || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                       % {BLOOM_M} AS pos
+            FROM small, range(0, {BLOOM_K}) t(j)
+        ),
+        pass AS (
+            SELECT l_orderkey FROM lineitem
+            WHERE {" AND ".join(
+                f"({_duck_bloom_pos(j, 'l_orderkey')}) IN (SELECT pos FROM bits)"
+                for j in range(BLOOM_K))}
+        ),
+        tm AS (
+            SELECT COUNT(*) AS n_true_match FROM pass
+            WHERE l_orderkey IN (SELECT o_orderkey FROM small)
+        )
+        SELECT (SELECT COUNT(*) FROM lineitem) AS n_big_rows,
+               (SELECT COUNT(*) FROM small) AS n_small_keys,
+               CAST((SELECT COUNT(*) FROM bits) AS INTEGER) AS n_bits_set,
+               (SELECT COUNT(*) FROM pass) AS n_pass_bloom,
+               (SELECT n_true_match FROM tm) AS n_true_match,
+               (SELECT COUNT(*) FROM pass) - (SELECT n_true_match FROM tm)
+                   AS n_false_pos,
+               ROUND(CAST((SELECT COUNT(*) FROM pass)
+                          - (SELECT n_true_match FROM tm) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM lineitem), 6) AS fp_rate
+    """,
+    "join_interval_overlap": f"""
+        WITH spans AS (
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                   MIN(epoch_us(ts)) AS a_start,
+                   MAX(epoch_us(ts)) AS a_end
+            FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+        ),
+        incidents AS (
+            SELECT event_id AS incident_id,
+                   epoch_us(ts) - {_INCIDENT_HALF_US} AS w_start,
+                   epoch_us(ts) + {_INCIDENT_HALF_US} AS w_end
+            FROM events WHERE event_type = 'error'
+        ),
+        pairs AS (
+            SELECT DISTINCT s.user_id, s.day, i.incident_id,
+                   s.a_start, s.a_end, i.w_start, i.w_end
+            FROM spans s JOIN incidents i
+              ON s.a_start <= i.w_end AND i.w_start <= s.a_end
+        )
+        SELECT user_id, day,
+               COUNT(*) AS n_incidents,
+               ROUND(SUM(LEAST(a_end, w_end) - GREATEST(a_start, w_start))
+                     / 1000000.0, 4) AS overlap_sec
+        FROM pairs GROUP BY user_id, day
     """,
 }

@@ -318,6 +318,20 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     # round-9 addition: the EXECUTED dedup ladder — per-doc decision
     # matrix the corpus-apply-dedup job materializes
     "corpus_apply_dedup",
+    # round-9 widening, second session: runtime-filter join pushdown,
+    # binned interval-overlap join, write-path layout, timeseries twavg,
+    # the exactly-replayable CMS sketch, tokenizer-vocab coverage,
+    # first-occurrence novelty, and the model-free hyperplane-LSH ANN
+    "join_bloom_prefilter",
+    "join_interval_overlap",
+    "layout_zorder",
+    "time_weighted_avg",
+    "agg_cms_heavy_hitters",
+    "vocab_coverage_topk",
+    "doc_ngram_novelty",
+    "knn_lsh_hyperplane",
+    "graph_triangle_count",
+    "mmr_rerank",
 )
 
 

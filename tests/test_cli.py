@@ -451,3 +451,57 @@ def test_vector_search_subcommand_refined(spark, tmp_path):
             ],
             spark=spark,
         )
+
+
+def test_index_stats_subcommand(spark, tmp_path, capsys):
+    """`index-stats` reports committed meta + file counts without
+    touching the artifact (read-only, lease-free), and with --rows the
+    committed row counts per table."""
+    import json
+    import os
+
+    from pyspark.sql import functions as _F
+
+    from flink_kafka_replicator_spark.cli import main
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.sinks import (
+        append_minhash_delta,
+        write_minhash_index,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ix = str(tmp_path / "ix")
+    write_minhash_index(d.filter(_F.col("doc_id") % 2 == 0), ix)
+    append_minhash_delta(d.filter(_F.col("doc_id") % 2 == 1), ix, delta_id=1)
+
+    before = sorted(
+        (p, os.path.getmtime(p))
+        for p in __import__("glob").glob(ix + "/**", recursive=True)
+    )
+    assert main(["index-stats", "--kind", "minhash", "--dir", ix]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["kind"] == "minhash"
+    assert out["meta"]["last_delta_id"] == 1
+    assert out["n_parquet_files"] > 0 and out["total_bytes"] > 0
+    assert "rows" not in out
+    after = sorted(
+        (p, os.path.getmtime(p))
+        for p in __import__("glob").glob(ix + "/**", recursive=True)
+    )
+    assert before == after, "stats must not mutate the artifact"
+
+    from flink_kafka_replicator_spark.cli import index_stats_main
+
+    assert index_stats_main(
+        ["--kind", "minhash", "--dir", ix, "--rows"], spark=spark
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_docs = d.count()
+    # every doc contributes N_BANDS band rows; stats is per band key
+    from flink_kafka_replicator_spark.functions.similarity import N_BANDS
+
+    assert out["rows"]["bands"] == n_docs * N_BANDS
+    assert out["rows"]["band_stats"] > 0

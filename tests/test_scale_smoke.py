@@ -800,3 +800,76 @@ def test_lexical_serving_at_10x(spark, big_dir, tmp_path_factory):
     assert all(v == set(range(1, 11)) for v in by_qid.values())
     assert t_build < 120, f"index build {t_build:.1f}s at 10x"
     assert t_serve < 60, f"serve {t_serve:.1f}s at 10x"
+
+
+def test_round9b_ops_at_10x(spark, big_dir):
+    """Round-9 second-session operators stay linear at 10×:
+
+    - bloom prefilter: the bitset saturates (more keys set more of the
+      FIXED M bits) so fp_rate may RISE, but the plan stays one
+      broadcast + map-side filter — time must scale ~linearly and
+      soundness (pass ⊇ true matches) must hold at any density;
+    - interval overlap: candidate pairs grow with spans×incidents per
+      hour bucket — 10× both sides is bounded by ~100× pairs worst
+      case, but the bucket equi-join must not degenerate to BNLJ (time
+      bound is the proxy);
+    - CMS: the cell grid is CONSTANT-size (≤ D×W rows) regardless of
+      corpus size — the defining property of the sketch;
+    - zorder: pure map + 256-key agg, trivially linear;
+    - LSH: one pass, constant plane count — linear.
+    """
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        knn_lsh_hyperplane,
+    )
+    from flink_kafka_replicator_spark.operators.advanced import layout_zorder
+    from flink_kafka_replicator_spark.operators.aggregates import (
+        CMS_D,
+        CMS_W,
+        agg_cms_heavy_hitters,
+    )
+    from flink_kafka_replicator_spark.operators.joins import (
+        join_bloom_prefilter,
+        join_interval_overlap,
+    )
+
+    for q, bound in (
+        (join_bloom_prefilter, 90),
+        (join_interval_overlap, 120),
+        (agg_cms_heavy_hitters, 90),
+        (layout_zorder, 60),
+        (knn_lsh_hyperplane, 90),
+    ):
+        t_small = _timed(q(spark, SRC))
+        t_big = _timed(q(spark, big_dir))
+        assert t_big < max(t_small, 0.2) * COPIES * 3, (
+            f"{q.__name__} superlinear at 10x: {t_big:.1f}s vs {t_small:.1f}s"
+        )
+        assert t_big < bound, f"{q.__name__} {t_big:.1f}s"
+
+    row = join_bloom_prefilter(spark, big_dir).collect()[0]
+    assert row.n_pass_bloom >= row.n_true_match, "bloom dropped true matches"
+
+    # constant-size sketch state: the cell grid never outgrows D×W
+    from flink_kafka_replicator_spark.io import load_table
+
+    d = load_table(spark, big_dir, "documents")
+    t = d.select(F.split("text", " ").alias("toks"))
+    grams = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+                " i -> concat_ws(' ', slice(toks, i, 3)))"
+            )
+        ).alias("g")
+    )
+    from flink_kafka_replicator_spark.operators.aggregates import _cms_pos
+
+    n_cells = (
+        grams.groupBy("g")
+        .count()
+        .select(F.expr(_cms_pos(0, "g")).alias("pos"))
+        .distinct()
+        .count()
+    )
+    assert n_cells <= CMS_W, f"{n_cells} cells in one row > W={CMS_W}"
+    assert CMS_D * CMS_W == 4096
