@@ -140,6 +140,10 @@ HEADLINE = list(R2_BASKET) + [
     "graph_triangle_count",
     "mmr_rerank",
     "agg_percentile_exact",
+    "knn_batch_lsh",
+    "eval_confusion_matrix",
+    "agg_linear_count_distinct",
+    "join_asof_nearest",
 ]
 
 

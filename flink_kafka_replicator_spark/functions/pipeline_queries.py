@@ -3136,6 +3136,38 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def eval_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval primitive: the confusion matrix of the n-gram
+    language identifier against the labeled ``lang`` column — per
+    (predicted, actual) cell count and its share of the actual class
+    (row-normalized recall), the standard harness every curation
+    classifier is judged by. (On this synthetic corpus the label is
+    independent of the text, so the matrix shows chance-level mixing —
+    exactly what the harness should report for such a labeler.)
+
+    Shape: the per-doc prediction is map-side array arithmetic
+    (lang_id_ngram); the matrix is one ≤|langs|²-key aggregate plus a
+    broadcast per-class total join — scan-bound at 100 TB."""
+    pred = lang_id_ngram(spark, sf_dir)
+    cells = pred.groupBy(
+        F.col("predicted_lang"), F.col("lang").alias("actual_lang")
+    ).agg(F.count("*").alias("n"))
+    totals = cells.groupBy("actual_lang").agg(
+        F.sum("n").alias("n_actual")
+    )
+    return (
+        cells.join(broadcast(totals), "actual_lang")
+        .select(
+            "predicted_lang",
+            "actual_lang",
+            "n",
+            F.round(F.col("n") / F.col("n_actual"), 6).alias(
+                "share_of_actual"
+            ),
+        )
+    )
+
+
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -3712,6 +3744,92 @@ def span_scrub_frame(d: DataFrame) -> DataFrame:
     )
 
 
+def knn_batch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch LSH retrieval — the JOIN form of hyperplane LSH: the
+    single-query variant (knn_lsh_hyperplane) folds the query's band
+    values into a map-side filter; a query BATCH instead materializes
+    band signatures for both sides and meets them in a (band_idx,
+    band_val) equi-join — the shape a serving tier runs when queries
+    arrive in micro-batches, and the third member of the batch-serving
+    family next to knn_batch_adc (codes) and the persisted-index path.
+
+    Plan: one signature aggregate per side (16 codegen'd plane dots),
+    4-row band explode each, equi-join → distinct candidate pairs
+    (a pair sharing 2+ bands must not score twice), exact cosine only
+    on candidates (broadcast query vectors; work ∝ candidates, never
+    |corpus|·|queries|), per-qid WindowGroupLimit top-5. At 100 TB the
+    corpus signature table is the persisted artifact, band-partitioned
+    so each query batch's join prunes to its band partitions."""
+    from pyspark.sql import Window
+
+    planes = _lsh_planes()
+    e = load_table(spark, sf_dir, "embeddings")
+    x = "cast(x as double)"
+
+    def _bands_of(df: DataFrame, idcol: str) -> DataFrame:
+        agg = (
+            df.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("vec_id")
+            .agg(
+                *[
+                    F.expr(
+                        f"sum({x} * element_at("
+                        f"{_sql_double_array(list(p))}, pos + 1))"
+                    ).alias(f"dh{h}")
+                    for h, p in enumerate(planes)
+                ]
+            )
+        )
+        bands = _lsh_band_expr("dh")
+        return agg.select(
+            F.col("vec_id").alias(idcol),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("bi"),
+                            F.expr(b).cast("int").alias("bv"),
+                        )
+                        for i, b in enumerate(bands)
+                    ]
+                )
+            ).alias("jb"),
+        ).select(idcol, F.col("jb.bi").alias("bi"), F.col("jb.bv").alias("bv"))
+
+    corpus = e.filter(F.col("vec_id") % 2 == 0)
+    queries = e.filter(
+        (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < QBATCH_MAX)
+    )
+    cand = (
+        _bands_of(queries, "qid")
+        .join(_bands_of(corpus, "vec_id"), ["bi", "bv"])
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("qid"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    cv = corpus.select("vec_id", as_double(F.col("embedding")).alias("cv"))
+    scored = (
+        cand.join(broadcast(qv), "qid")
+        .join(cv, "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("cv"), F.col("qv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BATCH_TOPK)
+        .select("qid", "rank", "vec_id", "cos_sim")
+    )
+
+
 MMR_LAMBDA_SQL = "0.7D"
 MMR_K = 5
 MMR_SHORTLIST = 20
@@ -4028,6 +4146,8 @@ QUERIES = {
     "knn_lsh_hyperplane": knn_lsh_hyperplane,
     "graph_triangle_count": graph_triangle_count,
     "mmr_rerank": mmr_rerank,
+    "knn_batch_lsh": knn_batch_lsh,
+    "eval_confusion_matrix": eval_confusion_matrix,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_pq_encode": embedding_pq_encode,
     "knn_pq_adc": knn_pq_adc,
@@ -5717,3 +5837,88 @@ def _mmr_oracle_sql() -> str:
 
 
 ORACLES["mmr_rerank"] = _mmr_oracle_sql()
+
+
+def _batch_lsh_oracle_sql() -> str:
+    """DuckDB twin of knn_batch_lsh: plane-literal dots, band values
+    unpivoted via UNION ALL, the same distinct candidate join, cosine
+    re-rank and per-qid ROW_NUMBER tie-break."""
+    planes = _lsh_planes()
+    dots = ",\n               ".join(
+        f"list_dot_product(vec, {list(p)!r}::DOUBLE[]) AS dh{h}"
+        for h, p in enumerate(planes)
+    )
+    bands = ",\n               ".join(
+        f"CAST(({b}) AS INTEGER) AS band_{i}"
+        for i, b in enumerate(_lsh_band_expr("dh"))
+    )
+
+    def unpivot(src: str, idcol: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {idcol}, {i} AS bi, band_{i} AS bv FROM {src}"
+            for i in range(LSH_N_BANDS)
+        )
+
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    cd AS (
+        SELECT vec_id,
+               {dots}
+        FROM v WHERE vec_id % 2 = 0
+    ),
+    cs AS (
+        SELECT vec_id,
+               {bands}
+        FROM cd
+    ),
+    qd AS (
+        SELECT vec_id AS qid,
+               {dots}
+        FROM v WHERE vec_id % 2 = 1 AND vec_id < {QBATCH_MAX}
+    ),
+    qs AS (
+        SELECT qid,
+               {bands}
+        FROM qd
+    ),
+    cbands AS ({unpivot("cs", "vec_id")}),
+    qbands AS ({unpivot("qs", "qid")}),
+    cand AS (
+        SELECT DISTINCT q.qid, c.vec_id
+        FROM qbands q JOIN cbands c ON q.bi = c.bi AND q.bv = c.bv
+    ),
+    scored AS (
+        SELECT cand.qid, cand.vec_id,
+               ROUND({_duck_cos("cv.vec", "qv.vec")}, 4) AS cos_sim
+        FROM cand
+        JOIN v qv ON qv.vec_id = cand.qid
+        JOIN v cv ON cv.vec_id = cand.vec_id
+    )
+    SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cos_sim FROM (
+        SELECT qid, vec_id, cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {BATCH_TOPK}
+    """
+
+
+ORACLES["knn_batch_lsh"] = _batch_lsh_oracle_sql()
+
+ORACLES["eval_confusion_matrix"] = f"""
+    WITH pred AS ({ORACLES["lang_id_ngram"]}),
+    cells AS (
+        SELECT predicted_lang, lang AS actual_lang, COUNT(*) AS n
+        FROM pred GROUP BY predicted_lang, lang
+    ),
+    totals AS (
+        SELECT actual_lang, SUM(n) AS n_actual FROM cells
+        GROUP BY actual_lang
+    )
+    SELECT c.predicted_lang, c.actual_lang, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / t.n_actual, 6) AS share_of_actual
+    FROM cells c JOIN totals t USING (actual_lang)
+"""

@@ -291,6 +291,75 @@ def sessionize(ev: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFra
     )
 
 
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (either direction): each click matched to the
+    view event by the same user with the smallest |Δt| — sensor/event
+    alignment where "latest before" is the wrong bias (pandas
+    merge_asof direction='nearest').
+
+    Scale shape: the SAME union trick as join_asof run in both
+    directions inside ONE (user, time)-sorted window pass — a backward
+    last(ignorenulls) and a forward first(ignorenulls) — then a
+    two-candidate pick. Still one shuffle, zero pair explosion; a
+    |Δt|-argmin range join would be a per-user cross product. An
+    equal-timestamp view sorts before the click (side ordering), so it
+    is the backward candidate — and backward wins exact |Δt| ties, the
+    merge_asof convention. All Δt math in integer microseconds."""
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    ord_cols = [F.col("ts").asc(), F.col("side").asc()]
+    w_b = (
+        Window.partitionBy("user_id")
+        .orderBy(*ord_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_f = (
+        Window.partitionBy("user_id")
+        .orderBy(*ord_cols)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    both = (
+        views.unionByName(clicks)
+        .withColumn("b_ts", F.last("view_ts", ignorenulls=True).over(w_b))
+        .withColumn("f_ts", F.first("view_ts", ignorenulls=True).over(w_f))
+        .filter(F.col("side") == 1)
+    )
+    c_us = F.unix_micros("ts")
+    b_d = c_us - F.unix_micros("b_ts")
+    f_d = F.unix_micros("f_ts") - c_us
+    take_b = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (b_d <= f_d)
+    )
+    chosen = F.when(take_b, F.col("b_ts")).otherwise(F.col("f_ts"))
+    return both.select(
+        "click_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        chosen.alias("view_ts"),
+        # exact signed microseconds, no divided-and-rounded seconds:
+        # a /1e6 quotient can land exactly on a round-half boundary
+        # where the two engines' ROUND disagree by 1e-4
+        (F.unix_micros(chosen) - c_us).alias("delta_us"),
+        F.when(chosen.isNull(), F.lit(None).cast("string"))
+        .when(take_b, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )
+
+
 # Z-order layout: 8 low bits of each key interleaved into a 16-bit
 # curve value; 256 file buckets = the top 8 curve bits.
 _Z_KEY_BITS = 8
@@ -416,9 +485,44 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "layout_zorder": layout_zorder,
     "time_weighted_avg": time_weighted_avg,
+    "join_asof_nearest": join_asof_nearest,
 }
 
 ORACLES = {
+    "join_asof_nearest": """
+        WITH clicks AS (
+            SELECT event_id AS click_id, user_id, ts AS cts
+            FROM events WHERE event_type = 'click'
+        ),
+        views AS (
+            SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'
+        ),
+        cand AS (
+            SELECT c.click_id, c.user_id, c.cts,
+                   (SELECT MAX(v.vts) FROM views v
+                    WHERE v.user_id = c.user_id AND v.vts <= c.cts) AS b_ts,
+                   (SELECT MIN(v.vts) FROM views v
+                    WHERE v.user_id = c.user_id AND v.vts > c.cts) AS f_ts
+            FROM clicks c
+        ),
+        pick AS (
+            SELECT click_id, user_id, cts,
+                   b_ts IS NOT NULL AND (f_ts IS NULL OR
+                       epoch_us(cts) - epoch_us(b_ts)
+                           <= epoch_us(f_ts) - epoch_us(cts)) AS take_b,
+                   b_ts, f_ts
+            FROM cand
+        )
+        SELECT click_id, user_id, cts AS click_ts,
+               CASE WHEN take_b THEN b_ts ELSE f_ts END AS view_ts,
+               epoch_us(CASE WHEN take_b THEN b_ts ELSE f_ts END)
+                   - epoch_us(cts) AS delta_us,
+               CASE WHEN CASE WHEN take_b THEN b_ts ELSE f_ts END IS NULL
+                    THEN NULL
+                    WHEN take_b THEN 'backward' ELSE 'forward'
+               END AS direction
+        FROM pick
+    """,
     "layout_zorder": f"""
         WITH b AS (
             SELECT l_partkey & {(1 << _Z_KEY_BITS) - 1} AS xb,

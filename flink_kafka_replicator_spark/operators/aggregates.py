@@ -169,6 +169,53 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Linear Counting (Whang et al.): m-bit occupancy bitmap, estimate
+# -m·ln(unseen/m). Needs m ≳ n (its documented limit vs HLL) — m=2^20
+# covers the 100× smoke's key range.
+LC_M = 1 << 20
+
+
+def agg_linear_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count sketching with an EXACT oracle: per-group Linear
+    Counting over md5 buckets — the portable-hash counterpart of
+    ``agg_approx_distinct`` (whose HLL internals are engine-specific
+    and therefore rows-only). The report carries the exact distinct,
+    the LC estimate, and the signed error — the calibration row a
+    sketch consumer reads before trusting the estimate family.
+
+    Scale shape: occupancy = one distinct-aggregate over (group,
+    bucket) — 2^20 buckets cap the key domain, so the agg state is
+    bounded per group regardless of corpus size, and bitmaps from
+    different partitions/days MERGE by union (the sketch property).
+    The ln is floor-quantized at 1e-6 (the tfidf idiom) so both
+    engines iterate on the identical double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_returnflag",
+        F.expr(
+            "cast(conv(substring(md5(concat('lc:', cast(l_partkey as string)))"
+            ", 1, 8), 16, 10) as bigint)"
+            f" % {LC_M}"
+        ).alias("bucket"),
+        "l_partkey",
+    )
+    per_group = b.groupBy("l_returnflag").agg(
+        F.count_distinct("bucket").alias("occupied"),
+        F.count_distinct("l_partkey").alias("exact_distinct"),
+    )
+    est = F.expr(
+        f"round(-{LC_M}.0D * (floor(ln((cast({LC_M} as double) - occupied)"
+        f" / {LC_M}.0D) * 1000000.0D) / 1000000.0D), 4)"
+    )
+    return per_group.select(
+        "l_returnflag",
+        "exact_distinct",
+        F.col("occupied").alias("n_buckets_set"),
+        est.alias("lc_estimate"),
+        F.round(est - F.col("exact_distinct"), 4).alias("err"),
+    )
+
+
 # Count-Min Sketch over word 3-grams: D portable md5 hash rows × W
 # buckets. Deterministic given the hash family, so — unlike the HLL/GK
 # sketches above — the DuckDB oracle replays the whole sketch exactly.
@@ -273,6 +320,7 @@ QUERIES = {
     "agg_hll_sketch_union": agg_hll_sketch_union,
     "agg_cms_heavy_hitters": agg_cms_heavy_hitters,
     "agg_percentile_exact": agg_percentile_exact,
+    "agg_linear_count_distinct": agg_linear_count_distinct,
 }
 
 
@@ -285,6 +333,36 @@ def _duck_cms_pos(key_sql: str) -> str:
 
 
 ORACLES = {
+    "agg_linear_count_distinct": f"""
+        WITH b AS (
+            SELECT l_returnflag,
+                   ('0x' || substr(md5('lc:' || CAST(l_partkey AS VARCHAR)),
+                                   1, 8))::BIGINT % {LC_M} AS bucket,
+                   l_partkey
+            FROM lineitem
+        ),
+        g AS (
+            SELECT l_returnflag,
+                   COUNT(DISTINCT bucket) AS occupied,
+                   COUNT(DISTINCT l_partkey) AS exact_distinct
+            FROM b GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               exact_distinct,
+               n_buckets_set,
+               lc_estimate,
+               ROUND(lc_estimate - exact_distinct, 4) AS err
+        FROM (
+            SELECT l_returnflag, exact_distinct,
+                   occupied AS n_buckets_set,
+                   ROUND(-{LC_M}.0::DOUBLE
+                         * (FLOOR(LN((CAST({LC_M} AS DOUBLE) - occupied)
+                                     / {LC_M}.0::DOUBLE)
+                                  * 1000000.0::DOUBLE) / 1000000.0::DOUBLE),
+                         4) AS lc_estimate
+            FROM g
+        )
+    """,
     "agg_percentile_exact": """
         WITH d AS (
             SELECT l_returnflag, l_extendedprice,

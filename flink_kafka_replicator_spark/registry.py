@@ -332,6 +332,10 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "knn_lsh_hyperplane",
     "graph_triangle_count",
     "mmr_rerank",
+    "knn_batch_lsh",
+    "eval_confusion_matrix",
+    "agg_linear_count_distinct",
+    "join_asof_nearest",
 )
 
 

@@ -201,3 +201,129 @@ def test_percentile_exact_brackets_approx(spark):
         # GK accuracy 1000 → rank error ≤ 0.1%; on ~20k rows/group the
         # value gap stays small relative to the distribution span
         assert abs(e.p50 - a.p50_approx) / e.p50 < 0.05
+
+
+def test_batch_lsh_consistent_with_truth(spark):
+    """Per-qid result lists are ≤5, ranks contiguous from 1, scores
+    non-increasing within a qid, and every returned candidate shares at
+    least one band with its query by construction of the join."""
+    from collections import defaultdict
+
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        BATCH_TOPK,
+        knn_batch_lsh,
+    )
+
+    by_q = defaultdict(list)
+    for r in knn_batch_lsh(spark, SF_DIR).collect():
+        by_q[r.qid].append(r)
+    assert by_q, "fixture must produce candidates"
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= BATCH_TOPK
+        scores = [r.cos_sim for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.vec_id % 2 == 0 for r in rows), "corpus side is even ids"
+        assert all(r.vec_id != qid for r in rows)
+
+
+def test_linear_count_estimate_tracks_exact(spark):
+    """LC at 2^20 buckets over a few hundred keys per group: the
+    estimate must land within a few percent of exact — and never
+    report fewer distincts than buckets set."""
+    from flink_kafka_replicator_spark.operators.aggregates import (
+        agg_linear_count_distinct,
+    )
+
+    rows = agg_linear_count_distinct(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_buckets_set <= r.exact_distinct
+        assert r.lc_estimate >= r.n_buckets_set
+        assert abs(r.err) / r.exact_distinct < 0.05, r
+
+
+def test_confusion_matrix_totals(spark):
+    """Cell counts sum to the corpus size; per-actual shares sum to 1."""
+    from collections import defaultdict
+
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        eval_confusion_matrix,
+    )
+
+    rows = eval_confusion_matrix(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).count()
+    assert sum(r.n for r in rows) == n_docs
+    shares = defaultdict(float)
+    for r in rows:
+        shares[r.actual_lang] += r.share_of_actual
+    for lang, s in shares.items():
+        assert abs(s - 1.0) < 1e-4, (lang, s)
+
+
+def test_new_ops_plan_shapes(spark):
+    """The plan-shape contracts behind the scale claims:
+
+    - interval overlap compiles to a shuffled equi-join (never a
+      BroadcastNestedLoopJoin / cartesian over the interval sides);
+    - the LSH single-query path is ONE aggregation exchange and no
+      join at all (the band filter folds the query constants);
+    - z-order is a pure projection + one bucket-agg exchange.
+    """
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        knn_lsh_hyperplane,
+    )
+    from flink_kafka_replicator_spark.operators.advanced import layout_zorder
+    from flink_kafka_replicator_spark.operators.joins import (
+        join_interval_overlap,
+    )
+    from flink_kafka_replicator_spark.plans.explain import (
+        exchange_count,
+        formatted_plan,
+    )
+
+    p = formatted_plan(join_interval_overlap(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Join" in p
+
+    p = formatted_plan(knn_lsh_hyperplane(spark, SF_DIR))
+    assert "Join" not in p, "single-query LSH must not plan a join"
+    assert exchange_count(knn_lsh_hyperplane(spark, SF_DIR)) == 1
+
+    assert exchange_count(layout_zorder(spark, SF_DIR)) == 1
+
+
+def test_asof_nearest_is_nearest(spark):
+    """Ground-truth check against a brute-force per-click argmin over
+    all same-user views: the chosen |Δt| must equal the true minimum,
+    with backward winning exact ties."""
+    from flink_kafka_replicator_spark.operators.advanced import (
+        join_asof_nearest,
+    )
+
+    got = {r.click_id: r for r in join_asof_nearest(spark, SF_DIR).collect()}
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).collect()
+    views = {}
+    for r in ev:
+        if r.event_type == "view":
+            views.setdefault(r.user_id, []).append(r.ts)
+    n_checked = 0
+    for r in ev:
+        if r.event_type != "click":
+            continue
+        g = got[r.event_id]
+        vs = views.get(r.user_id)
+        if not vs:
+            assert g.view_ts is None and g.direction is None
+            continue
+        best = min(abs((v - r.ts).total_seconds()) for v in vs)
+        assert abs(abs(g.delta_us / 1e6) - best) < 1e-3, (r.event_id, g)
+        if g.direction == "backward":
+            assert g.delta_us <= 0
+        else:
+            assert g.delta_us > 0
+        n_checked += 1
+    assert n_checked > 0
