@@ -144,6 +144,8 @@ HEADLINE = list(R2_BASKET) + [
     "eval_confusion_matrix",
     "agg_linear_count_distinct",
     "join_asof_nearest",
+    "dq_rules_engine",
+    "dq_distribution_drift",
 ]
 
 

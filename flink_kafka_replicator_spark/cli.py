@@ -408,6 +408,96 @@ def apply_dedup_main(argv: list[str], spark=None) -> int:
     return 0 if result["n_written"] == result["n_kept"] else 1
 
 
+def drift_monitor_main(argv: list[str], spark=None) -> int:
+    """The ``drift-monitor`` subcommand: score a value stream against a
+    frozen reference histogram, per micro-batch, writing per-bucket PSI
+    rows (streaming/drift_monitor.py). ``--build-ref-from`` freezes the
+    reference first (the vetted-window step), so freeze+monitor is one
+    invocation; the availableNow trigger drains existing files and
+    exits — re-run with the same checkpoint to score only new files."""
+    import argparse
+    import hashlib
+
+    parser = argparse.ArgumentParser(
+        prog="spark-kafka-replicator drift-monitor",
+        description=(
+            "Monitor a parquet value stream for distribution drift vs "
+            "a frozen reference histogram (PSI per bucket per batch)"
+        ),
+        allow_abbrev=False,
+    )
+    parser.add_argument("--source", required=True)
+    parser.add_argument("--ref-dir", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--value-col", default="value")
+    parser.add_argument("--checkpoint-location", default=None)
+    parser.add_argument(
+        "--build-ref-from",
+        default=None,
+        help="parquet dir of the vetted reference window: freeze the "
+        "reference histogram into --ref-dir before monitoring",
+    )
+    parser.add_argument("--timeout-sec", type=int, default=600)
+    args = parser.parse_args(argv)
+
+    if spark is None:
+        from .session import get_session
+
+        spark = get_session(app_name="spark-drift-monitor")
+
+    from .streaming.drift_monitor import (
+        start_streaming_drift_monitor,
+        write_reference_histogram,
+    )
+
+    if args.build_ref_from is not None:
+        write_reference_histogram(
+            spark.read.parquet(args.build_ref_from),
+            args.ref_dir,
+            value_col=args.value_col,
+        )
+
+    checkpoint = args.checkpoint_location
+    if checkpoint is None:
+        ident = f"{args.source}|{args.output}"
+        checkpoint = (
+            "/tmp/spark-drift-monitor-ckpt-"
+            + hashlib.md5(ident.encode()).hexdigest()[:10]
+        )
+
+    schema = spark.read.parquet(args.source).schema
+    stream = spark.readStream.schema(schema).parquet(args.source)
+    q = start_streaming_drift_monitor(
+        spark,
+        stream,
+        args.ref_dir,
+        args.output,
+        checkpoint,
+        value_col=args.value_col,
+        available_now=True,
+    )
+    from .streaming.supervision import await_drained
+
+    await_drained(q, args.timeout_sec, "drift-monitor")
+    import json as _json
+
+    from pyspark.sql import functions as _F
+
+    summary = (
+        spark.read.parquet(args.output)
+        .groupBy("batch_id")
+        .agg(_F.round(_F.sum(_F.abs(_F.col("psi_term"))), 6).alias("psi"))
+        .orderBy("batch_id")
+        .collect()
+    )
+    print(
+        _json.dumps(
+            {"batches": [{"batch_id": r.batch_id, "psi": r.psi} for r in summary]}
+        )
+    )
+    return 0
+
+
 def vector_search_main(argv: list[str], spark=None) -> int:
     """The ``vector-search`` subcommand: answer a stream of (qid,
     embedding) query vectors from a persisted vector index — the serve
@@ -658,6 +748,8 @@ def main(argv: list[str] | None = None, admin_factory=None) -> int:
         return apply_dedup_main(args[1:])
     if args and args[0] == "index-stats":
         return index_stats_main(args[1:])
+    if args and args[0] == "drift-monitor":
+        return drift_monitor_main(args[1:])
 
     cfg, extra = parse_args(args)
     run_preflight(cfg, admin_factory)

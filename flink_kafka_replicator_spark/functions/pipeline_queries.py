@@ -3834,6 +3834,10 @@ MMR_LAMBDA_SQL = "0.7D"
 MMR_K = 5
 MMR_SHORTLIST = 20
 
+# memoized per (session, dataset) like every checkpoint-backed model
+# artifact — the zero-jobs-at-build guard requires warm builds free
+_MMR_ART_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
 
 def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified top-k via Maximal Marginal Relevance (Carbonell &
@@ -3852,32 +3856,38 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both the relevance and pairwise sims are rounded to 4 before the
     greedy, so the argmax comparisons are bit-identical cross-engine."""
     lam = MMR_LAMBDA_SQL
-    e = load_table(spark, sf_dir, "embeddings")
-    scored = e.select(
-        "vec_id",
-        F.round(
-            cosine(as_double(F.col("embedding")), query_vec_col()), 4
-        ).alias("rel"),
-    )
-    short = materialize_small(
-        scored.orderBy(F.col("rel").desc(), F.col("vec_id").asc()).limit(
-            MMR_SHORTLIST
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    cached = _MMR_ART_CACHE.get(key)
+    if cached is not None:
+        short, sims = cached
+    else:
+        e = load_table(spark, sf_dir, "embeddings")
+        scored = e.select(
+            "vec_id",
+            F.round(
+                cosine(as_double(F.col("embedding")), query_vec_col()), 4
+            ).alias("rel"),
         )
-    )
-    sv = e.join(short.select("vec_id"), "vec_id").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    )
-    a = sv.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
-    b = sv.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
-    sims = materialize_small(
-        a.crossJoin(broadcast(b))
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            "a",
-            "b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("s"),
+        short = materialize_small(
+            scored.orderBy(
+                F.col("rel").desc(), F.col("vec_id").asc()
+            ).limit(MMR_SHORTLIST)
         )
-    )
+        sv = e.join(short.select("vec_id"), "vec_id").select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        )
+        a = sv.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+        b = sv.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+        sims = materialize_small(
+            a.crossJoin(broadcast(b))
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                "a",
+                "b",
+                F.round(cosine(F.col("va"), F.col("vb")), 4).alias("s"),
+            )
+        )
+        _cache_put(_MMR_ART_CACHE, key, (short, sims))
     sel = (
         short.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
         .limit(1)
@@ -3916,6 +3926,9 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRI_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the near-dup graph (the LSH ≥0.5-Jaccard
     pairs): node/edge counts, triangle count, and global transitivity
@@ -3932,8 +3945,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is already hygiene-bounded upstream (MAX_BUCKET), so no hot
     node degenerates the join. Wedge totals for the denominator come
     from a degree aggregate, never a pair materialization."""
-    pairs = dedup_fuzzy_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    e = materialize_small(pairs)
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    e = _TRI_EDGE_CACHE.get(key)
+    if e is None:
+        pairs = dedup_fuzzy_minhash(spark, sf_dir).select("doc_a", "doc_b")
+        e = materialize_small(pairs)
+        _cache_put(_TRI_EDGE_CACHE, key, e)
     e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     closed = (

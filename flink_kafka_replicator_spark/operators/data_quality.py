@@ -121,13 +121,209 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Declarative DQ rules: (rule_id, column, op, threshold) — rules are
+# DATA (a broadcast dim the ops team edits), not code, the Deequ-style
+# contract. Applied to the melted numeric columns via one generic
+# CASE-on-op evaluation.
+DQ_RULES: tuple[tuple[str, str, str, float], ...] = (
+    ("price_positive", "o_totalprice", ">", 0.0),
+    ("price_below_cap", "o_totalprice", "<", 550_000.0),
+    ("custkey_positive", "o_custkey", ">", 0.0),
+    ("custkey_in_range", "o_custkey", "<=", 1_000_000_000.0),
+)
+_DQ_RULE_VALUES = ", ".join(
+    f"('{r}', '{c}', '{op}', CAST('{thr!r}' AS DOUBLE))"
+    for r, c, op, thr in DQ_RULES
+)
+_DQ_COLS = tuple(dict.fromkeys(c for _, c, _, _ in DQ_RULES))
+
+
+def dq_rules_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative rule engine: constraints live in a rules TABLE
+    (rule_id, column, op, threshold), the engine melts the checked
+    columns to (column, value) pairs, broadcast-joins the rules, and
+    evaluates one generic CASE-on-op predicate — per-rule violation
+    counts and rates, the Deequ/Great-Expectations contract shape where
+    adding a rule is a row insert, not a code change.
+
+    Scale: one scan of the fact table, a |cols|-way melt (Generate),
+    a broadcast join against the ≤rules-row dim, one count aggregate.
+    NULL values violate every rule on their column (explicit in the
+    CASE), so the report never silently skips missing data."""
+    o = load_table(spark, sf_dir, "orders")
+    melted = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("double").alias("value"),
+                    )
+                    for c in _DQ_COLS
+                ]
+            )
+        ).alias("kv")
+    ).select(F.col("kv.col").alias("col"), F.col("kv.value").alias("value"))
+    rules = spark.sql(
+        f"SELECT * FROM VALUES {_DQ_RULE_VALUES}"
+        " AS t(rule_id, col, op, thr)"
+    )
+    from pyspark.sql.functions import broadcast
+
+    passed = F.expr(
+        "CASE WHEN value IS NULL THEN false"
+        " WHEN op = '>' THEN value > thr"
+        " WHEN op = '>=' THEN value >= thr"
+        " WHEN op = '<' THEN value < thr"
+        " WHEN op = '<=' THEN value <= thr"
+        " ELSE false END"
+    )
+    return (
+        melted.join(broadcast(rules), "col")
+        .groupBy("rule_id", "col", "op", "thr")
+        .agg(
+            F.count("*").alias("n_checked"),
+            F.sum((~passed).cast("long")).alias("n_violations"),
+        )
+        .select(
+            "rule_id",
+            "col",
+            "op",
+            "thr",
+            "n_checked",
+            "n_violations",
+            F.round(
+                F.col("n_violations") / F.col("n_checked"), 6
+            ).alias("violation_rate"),
+        )
+    )
+
+
+# PSI drift bins: fixed width-20 value buckets clamped to [0, 9] — a
+# STABLE bin definition (no data-dependent min/max job), +1/-10
+# Laplace smoothing so empty bins stay finite.
+PSI_BINS = 10
+PSI_BIN_W = 20.0
+
+
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: Population Stability Index between
+    two deterministic halves of the event stream (event_id parity —
+    stand-ins for yesterday/today), per value bucket: counts, smoothed
+    shares, and the PSI term (p−q)·ln(p/q). The monitoring primitive
+    that catches a upstream data change before it poisons a training
+    run; Σ psi_term > 0.2 is the classic alarm line.
+
+    Scale: one scan, map-side binning (fixed-width buckets — no global
+    min/max dependency), a ≤2·bins-key aggregate, and a ≤bins-row
+    join. The ln is floor-quantized at 1e-6 (tfidf idiom)."""
+    e = load_table(spark, sf_dir, "events")
+    binned = e.select(
+        (F.col("event_id") % 2 == 0).alias("is_a"),
+        F.least(
+            F.floor(F.col("value") / F.lit(PSI_BIN_W)).cast("int"),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.col("is_a").cast("long")).alias("n_a"),
+        F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
+    )
+    totals = counts.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    from pyspark.sql.functions import broadcast
+
+    smoothed = counts.crossJoin(broadcast(totals)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        (
+            (F.col("n_a") + 1)
+            / (F.col("t_a") + F.lit(PSI_BINS))
+        ).alias("p"),
+        (
+            (F.col("n_b") + 1)
+            / (F.col("t_b") + F.lit(PSI_BINS))
+        ).alias("q"),
+    )
+    lnq = "floor(ln(p / q) * 1000000.0D) / 1000000.0D"
+    return smoothed.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round("p", 6).alias("share_a"),
+        F.round("q", 6).alias("share_b"),
+        F.round(F.expr(f"(p - q) * ({lnq})"), 6).alias("psi_term"),
+    )
+
+
 QUERIES = {
     "dq_referential_integrity": dq_referential_integrity,
     "dq_profile": dq_profile,
     "dq_outlier_mad": dq_outlier_mad,
+    "dq_rules_engine": dq_rules_engine,
+    "dq_distribution_drift": dq_distribution_drift,
 }
 
 ORACLES = {
+    "dq_rules_engine": f"""
+        WITH melted AS (
+            {" UNION ALL ".join(
+                f"SELECT '{c}' AS col, CAST({c} AS DOUBLE) AS value FROM orders"
+                for c in _DQ_COLS)}
+        ),
+        rules AS (
+            SELECT * FROM (VALUES {_DQ_RULE_VALUES})
+                AS t(rule_id, col, op, thr)
+        ),
+        ev AS (
+            SELECT r.rule_id, r.col, r.op, r.thr, m.value,
+                   CASE WHEN m.value IS NULL THEN false
+                        WHEN r.op = '>' THEN m.value > r.thr
+                        WHEN r.op = '>=' THEN m.value >= r.thr
+                        WHEN r.op = '<' THEN m.value < r.thr
+                        WHEN r.op = '<=' THEN m.value <= r.thr
+                        ELSE false END AS passed
+            FROM melted m JOIN rules r USING (col)
+        )
+        SELECT rule_id, col, op, thr,
+               COUNT(*) AS n_checked,
+               CAST(SUM(CASE WHEN passed THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_violations,
+               ROUND(CAST(SUM(CASE WHEN passed THEN 0 ELSE 1 END) AS DOUBLE)
+                     / COUNT(*), 6) AS violation_rate
+        FROM ev GROUP BY rule_id, col, op, thr
+    """,
+    "dq_distribution_drift": f"""
+        WITH binned AS (
+            SELECT event_id % 2 = 0 AS is_a,
+                   CAST(LEAST(FLOOR(value / {PSI_BIN_W}::DOUBLE),
+                              {PSI_BINS - 1}) AS INTEGER) AS bin
+            FROM events
+        ),
+        counts AS (
+            SELECT bin,
+                   CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+            FROM binned GROUP BY bin
+        ),
+        totals AS (
+            SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM counts
+        ),
+        s AS (
+            SELECT bin, n_a, n_b,
+                   (n_a + 1) / (t_a + {PSI_BINS}) AS p,
+                   (n_b + 1) / (t_b + {PSI_BINS}) AS q
+            FROM counts, totals
+        )
+        SELECT bin, n_a, n_b,
+               ROUND(p, 6) AS share_a,
+               ROUND(q, 6) AS share_b,
+               ROUND((p - q) * (FLOOR(LN(p / q) * 1000000.0::DOUBLE)
+                                / 1000000.0::DOUBLE), 6) AS psi_term
+        FROM s
+    """,
     "dq_referential_integrity": """
         SELECT 'lineitem->orders' AS relationship,
                COUNT(*) AS n_orphans

@@ -336,6 +336,8 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "eval_confusion_matrix",
     "agg_linear_count_distinct",
     "join_asof_nearest",
+    "dq_rules_engine",
+    "dq_distribution_drift",
 )
 
 

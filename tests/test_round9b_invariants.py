@@ -327,3 +327,44 @@ def test_asof_nearest_is_nearest(spark):
             assert g.delta_us > 0
         n_checked += 1
     assert n_checked > 0
+
+
+def test_dq_rules_engine_counts(spark):
+    """Every declared rule reports; a hand-computed violation count for
+    one rule matches; rates are consistent."""
+    from flink_kafka_replicator_spark.operators.data_quality import (
+        DQ_RULES,
+        dq_rules_engine,
+    )
+
+    rows = {r.rule_id: r for r in dq_rules_engine(spark, SF_DIR).collect()}
+    assert set(rows) == {r for r, *_ in DQ_RULES}
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    n = o.count()
+    want = o.filter(~(F.col("o_totalprice") > 0)).count()
+    r = rows["price_positive"]
+    assert r.n_checked == n and r.n_violations == want
+    for r in rows.values():
+        assert 0 <= r.n_violations <= r.n_checked
+        assert abs(r.violation_rate - r.n_violations / r.n_checked) < 1e-5
+
+
+def test_dq_drift_terms_consistent(spark):
+    """PSI terms carry the sign of (share_a - share_b); bin counts sum
+    to the corpus; near-identical halves yield a small total PSI (the
+    parity split is a null test — a large PSI here would mean the
+    monitor alarms on noise)."""
+    from flink_kafka_replicator_spark.operators.data_quality import (
+        dq_distribution_drift,
+    )
+
+    rows = dq_distribution_drift(spark, SF_DIR).collect()
+    ev_n = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
+    assert sum(r.n_a + r.n_b for r in rows) == ev_n
+    for r in rows:
+        if r.share_a > r.share_b:
+            assert r.psi_term >= 0, r
+        elif r.share_a < r.share_b:
+            assert r.psi_term >= 0 or abs(r.psi_term) < 1e-3, r
+    total_psi = sum(abs(r.psi_term) for r in rows)
+    assert total_psi < 0.2, f"null-split PSI {total_psi} should be quiet"
