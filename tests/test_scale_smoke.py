@@ -873,3 +873,28 @@ def test_round9b_ops_at_10x(spark, big_dir):
     )
     assert n_cells <= CMS_W, f"{n_cells} cells in one row > W={CMS_W}"
     assert CMS_D * CMS_W == 4096
+
+
+def test_round9b_dq_and_serving_at_10x(spark, big_dir):
+    """DQ rule engine / PSI drift / batch-LSH stay linear at 10×:
+    rules and drift are scan+tiny-agg shapes; batch LSH's candidate
+    join grows with the corpus side only (fixed query batch)."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        knn_batch_lsh,
+    )
+    from flink_kafka_replicator_spark.operators.data_quality import (
+        dq_distribution_drift,
+        dq_rules_engine,
+    )
+
+    for q, bound in (
+        (dq_rules_engine, 60),
+        (dq_distribution_drift, 60),
+        (knn_batch_lsh, 120),
+    ):
+        t_small = _timed(q(spark, SRC))
+        t_big = _timed(q(spark, big_dir))
+        assert t_big < max(t_small, 0.2) * COPIES * 3, (
+            f"{q.__name__} superlinear at 10x: {t_big:.1f}s vs {t_small:.1f}s"
+        )
+        assert t_big < bound, f"{q.__name__} {t_big:.1f}s"
