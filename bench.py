@@ -146,6 +146,7 @@ HEADLINE = list(R2_BASKET) + [
     "join_asof_nearest",
     "dq_rules_engine",
     "dq_distribution_drift",
+    "eval_pr_curve",
 ]
 
 

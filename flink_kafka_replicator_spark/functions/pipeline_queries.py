@@ -2954,6 +2954,73 @@ def _qc_fit(
     return labels, w, scored, theta
 
 
+PR_CURVE_STEPS = 20
+
+
+def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall curve of the trained quality classifier — the
+    threshold-sweep eval every curation classifier ships with (pick the
+    operating point from the curve, not from θ alone): 21 thresholds
+    spanning [min score, max score] in equal integer steps, each with
+    predicted-positive count, TP/FP, precision, recall, F1.
+
+    The scale design is the HISTOGRAM form, not a 21× data fanout:
+    thresholds are bucket edges by construction (b = (s−lo) div Δ, so
+    pred@k ⇔ b ≥ k exactly), the per-bucket (pos, neg) histogram is a
+    ≤21-row aggregate, and the sweep is suffix sums over that tiny
+    table — at 100 TB the corpus is scanned once and the curve costs
+    nothing more. All in exact integer arithmetic until the final
+    divisions."""
+    _labels, _w, scored, _theta = _qc_fit(spark, sf_dir)
+    bounds = scored.agg(
+        F.min("s").alias("lo"),
+        F.max("s").alias("hi"),
+        F.sum(F.when(F.col("y") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    step = f"greatest(1L, (hi - lo) div {PR_CURVE_STEPS})"
+    binned = scored.crossJoin(broadcast(bounds)).select(
+        F.expr(
+            f"least((s - lo) div {step}, {PR_CURVE_STEPS}L)"
+        ).alias("b"),
+        "y",
+    )
+    hist = binned.groupBy("b").agg(
+        F.sum(F.when(F.col("y") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.sum(F.when(F.col("y") > 0, 0).otherwise(1))
+        .cast("bigint")
+        .alias("neg"),
+    )
+    ks = spark.range(0, PR_CURVE_STEPS + 1).select(F.col("id").alias("k"))
+    agg = (
+        ks.join(broadcast(hist), F.col("b") >= F.col("k"), "left")
+        .groupBy("k")
+        .agg(
+            F.sum(F.coalesce("pos", F.lit(0))).cast("bigint").alias("tp"),
+            F.sum(F.coalesce("neg", F.lit(0))).cast("bigint").alias("fp"),
+        )
+    )
+    p = F.col("tp") / (F.col("tp") + F.col("fp"))
+    r = F.col("tp") / F.col("n_pos")
+    return agg.crossJoin(broadcast(bounds)).select(
+        "k",
+        F.expr(f"lo + k * ({step})").alias("threshold"),
+        "tp",
+        "fp",
+        (F.col("tp") + F.col("fp")).alias("n_pred"),
+        F.when(F.col("tp") + F.col("fp") > 0, F.round(p, 6)).alias(
+            "precision"
+        ),
+        F.round(r, 6).alias("recall"),
+        F.when(F.col("tp") > 0, F.round(2 * p * r / (p + r), 6)).alias(
+            "f1"
+        ),
+    )
+
+
 def _qc_weights(
     feats: DataFrame, labels: DataFrame, counts: DataFrame
 ) -> DataFrame:
@@ -4165,6 +4232,7 @@ QUERIES = {
     "mmr_rerank": mmr_rerank,
     "knn_batch_lsh": knn_batch_lsh,
     "eval_confusion_matrix": eval_confusion_matrix,
+    "eval_pr_curve": eval_pr_curve,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_pq_encode": embedding_pq_encode,
     "knn_pq_adc": knn_pq_adc,
@@ -5938,4 +6006,103 @@ ORACLES["eval_confusion_matrix"] = f"""
     SELECT c.predicted_lang, c.actual_lang, c.n,
            ROUND(CAST(c.n AS DOUBLE) / t.n_actual, 6) AS share_of_actual
     FROM cells c JOIN totals t USING (actual_lang)
+"""
+
+
+# the PR-curve oracle nests the full classifier fit (the same CTE
+# chain as quality_classifier_train's oracle through `scored`), then
+# replays the histogram-edge threshold sweep in identical integer
+# arithmetic
+ORACLES["eval_pr_curve"] = f"""
+    WITH tt AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    fx AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 2 THEN t
+                    ELSE list_concat(t,
+                        [t[i] || ' ' || t[i+1]
+                         for i in generate_series(1, len(t) - 1)])
+               END AS feats
+        FROM tt
+    ),
+    feat AS (
+        SELECT doc_id,
+               {_DUCK_QC_BUCKET} AS bucket,
+               (COUNT(*) * 1000) // MAX(tot) AS f
+        FROM (SELECT doc_id, len(feats) AS tot, UNNEST(feats) AS g
+              FROM fx)
+        GROUP BY doc_id, bucket
+    ),
+    lab AS (
+        SELECT doc_id,
+               CASE WHEN list_contains(string_split(text, ' '),
+                                       '{QC_LABEL_TOKEN}')
+                    THEN 1 ELSE -1 END AS y
+        FROM documents
+    ),
+    n AS (
+        SELECT SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS n_pos,
+               SUM(CASE WHEN y > 0 THEN 0 ELSE 1 END) AS n_neg
+        FROM lab
+    ),
+    w AS (
+        SELECT f.bucket,
+               (SUM(CASE WHEN l.y > 0 THEN f.f ELSE 0 END) * 1000000)
+                   // MAX(n.n_pos)
+               - (SUM(CASE WHEN l.y < 0 THEN f.f ELSE 0 END) * 1000000)
+                   // MAX(n.n_neg) AS w
+        FROM feat f JOIN lab l USING (doc_id) CROSS JOIN n
+        GROUP BY f.bucket
+    ),
+    scored AS (
+        SELECT l.doc_id, l.y, s.s
+        FROM lab l JOIN (
+            SELECT f.doc_id, SUM(f.f * w.w) AS s
+            FROM feat f JOIN w USING (bucket)
+            GROUP BY f.doc_id
+        ) s USING (doc_id)
+    ),
+    bounds AS (
+        SELECT MIN(s) AS lo, MAX(s) AS hi,
+               CAST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos
+        FROM scored
+    ),
+    binned AS (
+        SELECT LEAST((s - lo) // GREATEST(1, (hi - lo) // {PR_CURVE_STEPS}),
+                     {PR_CURVE_STEPS}) AS b,
+               y
+        FROM scored CROSS JOIN bounds
+    ),
+    hist AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+               CAST(SUM(CASE WHEN y > 0 THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        FROM binned GROUP BY b
+    ),
+    ks AS (SELECT k FROM range(0, {PR_CURVE_STEPS + 1}) t(k)),
+    agg AS (
+        SELECT k,
+               CAST(SUM(COALESCE(pos, 0)) AS BIGINT) AS tp,
+               CAST(SUM(COALESCE(neg, 0)) AS BIGINT) AS fp
+        FROM ks LEFT JOIN hist ON hist.b >= ks.k
+        GROUP BY k
+    )
+    SELECT k,
+           CAST(lo + k * GREATEST(1, (hi - lo) // {PR_CURVE_STEPS})
+                AS BIGINT) AS threshold,
+           tp, fp,
+           tp + fp AS n_pred,
+           CASE WHEN tp + fp > 0
+                THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END
+               AS precision,
+           ROUND(CAST(tp AS DOUBLE) / n_pos, 6) AS recall,
+           CASE WHEN tp > 0
+                THEN ROUND(2 * (CAST(tp AS DOUBLE) / (tp + fp))
+                           * (CAST(tp AS DOUBLE) / n_pos)
+                           / ((CAST(tp AS DOUBLE) / (tp + fp))
+                              + (CAST(tp AS DOUBLE) / n_pos)), 6) END
+               AS f1
+    FROM agg CROSS JOIN bounds
 """

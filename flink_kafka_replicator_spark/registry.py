@@ -338,6 +338,7 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "join_asof_nearest",
     "dq_rules_engine",
     "dq_distribution_drift",
+    "eval_pr_curve",
 )
 
 

@@ -368,3 +368,26 @@ def test_dq_drift_terms_consistent(spark):
             assert r.psi_term >= 0 or abs(r.psi_term) < 1e-3, r
     total_psi = sum(abs(r.psi_term) for r in rows)
     assert total_psi < 0.2, f"null-split PSI {total_psi} should be quiet"
+
+
+def test_pr_curve_monotone_structure(spark):
+    """Recall is non-increasing in the threshold; k=0 predicts
+    everything (recall 1, precision = base rate); the curve has the
+    full 21 rows with consistent counts."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        PR_CURVE_STEPS,
+        eval_pr_curve,
+    )
+
+    rows = sorted(eval_pr_curve(spark, SF_DIR).collect(), key=lambda r: r.k)
+    assert len(rows) == PR_CURVE_STEPS + 1
+    assert rows[0].recall == 1.0
+    prev = 2.0
+    for r in rows:
+        assert r.n_pred == r.tp + r.fp
+        assert r.recall <= prev + 1e-9
+        prev = r.recall
+        if r.precision is not None:
+            assert 0.0 <= r.precision <= 1.0
+    ths = [r.threshold for r in rows]
+    assert ths == sorted(ths)
