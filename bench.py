@@ -147,6 +147,15 @@ HEADLINE = list(R2_BASKET) + [
     "dq_rules_engine",
     "dq_distribution_drift",
     "eval_pr_curve",
+    # round-9 third session: smoothing / robust stats / budget fill /
+    # tokenizer induction — the corpus-scan-heavy ones representative
+    "window_ewma",
+    "dq_winsorize",
+    "dq_benford",
+    "corpus_token_budget",
+    "quality_perplexity_buckets",
+    "text_entropy",
+    "bpe_pair_counts",
 ]
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 import functools
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -4195,6 +4195,216 @@ def knn_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- corpus budgeting
+
+# Per-source token budget for the quality-ordered fill (a constant, not
+# sf-scaled: the op's contract is "best docs until the budget is hit",
+# whatever the corpus size — exactly how a per-domain training-mix quota
+# behaves as the crawl grows).
+TOKEN_BUDGET_PER_SOURCE = 800
+
+
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered token-budget fill per source: rank each source's
+    docs by the composite quality score and keep rows while the running
+    token total stays within the per-source budget — the quota step
+    that turns 'scored corpus' into 'training mix with N tokens per
+    domain' (the greedy knapsack every data-mix recipe actually ships).
+
+    Determinism: ordering is (rounded quality DESC, doc_id ASC) — the
+    tiebroken rounded key, never a raw float. Shape: ONE window
+    exchange on source (running sum + rank share the frame), map-side
+    filter; no joins. At 100 TB this is a sort within each source
+    partition — the same shape as pack_token_sequences' shard sort —
+    and the budget makes the output size a constant per source."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        text.token_count("text").cast("bigint").alias("n_tokens"),
+        F.round(text.quality_score("text"), 4).alias("quality"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w).cast("bigint")
+        )
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
+        .select("doc_id", "source", "n_tokens", "quality", "cum_tokens")
+    )
+
+
+def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing: within each language,
+    tertile the documents by their unigram-LM perplexity proxy
+    (doc_unigram_logprob's score) — head = most fluent third. The
+    language-conditioned quality split CCNet/RedPajama use to keep
+    'head' and sample 'middle'.
+
+    Determinism: the tertile ORDER key is an exact BIGINT —
+    (−Σ quantized-logp)·1000 div n_tokens — never a float average, so
+    NTILE assignment is engine-independent even for near-tied docs.
+    Shape: the unigram-LM recipe (explode → vocab agg → broadcast logp
+    join → per-doc agg) + ONE window exchange on lang + a tiny final
+    agg. The vocab table is the model artifact at scale; the ntile
+    runs on doc-level rows (corpus-count, not token-count)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(text.tokens("text")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    total = vocab.agg(F.sum("n_tok").alias("n_corpus_tokens"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.expr(
+            "cast(floor(ln(cast(n_tok as double) / n_corpus_tokens)"
+            " * 1000000.0D) as bigint)"
+        ).alias("logp_q"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (-F.sum("logp_q")).alias("neg_sum_q"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr("(neg_sum_q * 1000L) div n_tokens").alias("rank_key"),
+            F.round(
+                F.col("neg_sum_q")
+                / F.col("n_tokens")
+                / F.lit(1_000_000.0),
+                4,
+            ).alias("avg_neg_logp"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("rank_key").asc(), F.col("doc_id").asc()
+    )
+    bucketed = per_doc.withColumn("_nt", F.ntile(3).over(w)).withColumn(
+        "bucket",
+        F.expr(
+            "case when _nt = 1 then 'head'"
+            " when _nt = 2 then 'middle' else 'tail' end"
+        ),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.avg("avg_neg_logp"), 4).alias("mean_neg_logp"),
+        F.round(F.min("avg_neg_logp"), 4).alias("best_neg_logp"),
+        F.round(F.max("avg_neg_logp"), 4).alias("worst_neg_logp"),
+    )
+
+
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level Shannon entropy per document — the information-
+    density quality signal (low entropy = repetitive boilerplate, the
+    tail the repetition filters miss when duplicates aren't adjacent).
+
+    H = ln(n) − (Σ c·ln c)/n over token multiplicities c. Exactness:
+    each ln is floor-quantized at 1e-6 and SCALED TO BIGINT, so the
+    Σ c·ln_q(c) accumulator is exact integer arithmetic in any
+    iteration order — one float division at the end. Shape: the
+    multiplicities come from an equal-run fold over the SORTED token
+    array (the text_repetition_ratio idiom): map-side, ZERO shuffles,
+    O(n log n) per row inside codegen; a doc is its own unit of work
+    at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    # acc accumulates Σ run·⌊ln(run)·1e6⌋ for each completed equal-run;
+    # the finish lambda folds in the final run.
+    run_term = (
+        "if(acc.run > 0, acc.run * cast(floor(ln(cast(acc.run as double))"
+        " * 1000000.0D) as bigint), 0L)"
+    )
+    ent_fold = (
+        "aggregate(array_sort(toks),"
+        " named_struct('prev', cast(null as string), 'run', 0L, 'acc', 0L),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', if(x <=> acc.prev, acc.run + 1L, 1L),"
+        f"  'acc', if(x <=> acc.prev, acc.acc, acc.acc + {run_term})),"
+        f" acc -> acc.acc + {run_term})"
+    )
+    return (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).cast("bigint").alias(
+                "n_distinct"
+            ),
+            F.expr(ent_fold).alias("_acc"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                (
+                    F.col("n_tokens")
+                    * F.expr(
+                        "cast(floor(ln(cast(n_tokens as double))"
+                        " * 1000000.0D) as bigint)"
+                    )
+                    - F.col("_acc")
+                )
+                / (F.col("n_tokens") * F.lit(1_000_000.0)),
+                4,
+            ).alias("token_entropy"),
+        )
+    )
+
+
+BPE_PAIR_TOPK = 20
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge step of tokenizer training (Sennrich et al.
+    2016): corpus word frequencies → adjacent-character-pair counts
+    weighted by word frequency → the top merge candidates. Run
+    iteratively with a merge applied per round this IS tokenizer
+    induction; one round is the representative (and by far the most
+    expensive) step.
+
+    Shape: explode tokens → word-frequency agg (vocabulary-sized — the
+    classic word-count shuffle, map-side combined), then pairs are
+    generated per DISTINCT word (work ∝ vocabulary·word-length, never
+    corpus size), one more vocabulary-sized agg, global top-k via
+    TakeOrderedAndProject. At 100 TB the corpus-sized cost is exactly
+    one word count; everything after runs on the vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "case when length(w) > 1 then"
+                " transform(sequence(1, length(w) - 1),"
+                " i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"
+                " else array() end"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("weighted_count"))
+        .orderBy(F.col("weighted_count").desc(), F.col("pair").asc())
+        .limit(BPE_PAIR_TOPK)
+    )
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_paragraph_exact": dedup_paragraph_exact,
@@ -4242,6 +4452,10 @@ QUERIES = {
     "lang_breakdown": lang_breakdown,
     "text_quality": text_quality,
     "quality_gopher_rules": quality_gopher_rules,
+    "corpus_token_budget": corpus_token_budget,
+    "quality_perplexity_buckets": quality_perplexity_buckets,
+    "text_entropy": text_entropy,
+    "bpe_pair_counts": bpe_pair_counts,
     "bm25_topk": bm25_topk,
     "hybrid_search_rrf": hybrid_search_rrf,
     "dedup_substring_spans": dedup_substring_spans,
@@ -6105,4 +6319,121 @@ ORACLES["eval_pr_curve"] = f"""
                               + (CAST(tp AS DOUBLE) / n_pos)), 6) END
                AS f1
     FROM agg CROSS JOIN bounds
+"""
+
+ORACLES["corpus_token_budget"] = f"""
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, source,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               ROUND(0.5 * (CAST(len(list_filter(toks,
+                       x -> list_contains([{_STOPLIST}], x))) AS DOUBLE)
+                     / len(toks))
+                   + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / len(toks)), 4) AS quality
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens, quality,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM s
+    )
+    SELECT doc_id, source, n_tokens, quality, cum_tokens
+    FROM c WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE}
+"""
+
+ORACLES["quality_perplexity_buckets"] = """
+    WITH toks AS (
+        SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok),
+    total AS (SELECT SUM(n_tok) AS n_corpus_tokens FROM vocab),
+    lp AS (
+        SELECT tok,
+               CAST(FLOOR(LN(CAST(n_tok AS DOUBLE) / n_corpus_tokens)
+                          * 1000000.0) AS BIGINT) AS logp_q
+        FROM vocab, total
+    ),
+    per_doc AS (
+        SELECT t.doc_id, t.lang,
+               COUNT(*) AS n_tokens,
+               -SUM(lp.logp_q) AS neg_sum_q
+        FROM toks t JOIN lp USING (tok)
+        GROUP BY t.doc_id, t.lang
+    ),
+    keyed AS (
+        SELECT doc_id, lang, n_tokens,
+               (neg_sum_q * 1000) // n_tokens AS rank_key,
+               ROUND(CAST(neg_sum_q AS DOUBLE) / n_tokens / 1000000.0, 4)
+                   AS avg_neg_logp
+        FROM per_doc
+    ),
+    bucketed AS (
+        SELECT lang, n_tokens, avg_neg_logp,
+               CASE NTILE(3) OVER (PARTITION BY lang
+                                   ORDER BY rank_key ASC, doc_id ASC)
+                    WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM keyed
+    )
+    SELECT lang, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(AVG(avg_neg_logp), 4) AS mean_neg_logp,
+           ROUND(MIN(avg_neg_logp), 4) AS best_neg_logp,
+           ROUND(MAX(avg_neg_logp), 4) AS worst_neg_logp
+    FROM bucketed GROUP BY lang, bucket
+"""
+
+ORACLES["text_entropy"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(toks) AS tok FROM t)
+        GROUP BY doc_id, tok
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(c * CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1000000.0)
+                                 AS BIGINT)) AS BIGINT) AS acc
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           ROUND((n_tokens * CAST(FLOOR(LN(CAST(n_tokens AS DOUBLE))
+                                        * 1000000.0) AS BIGINT) - acc)
+                 / (n_tokens * 1000000.0), 4) AS token_entropy
+    FROM s
+"""
+
+ORACLES["bpe_pair_counts"] = f"""
+    WITH words AS (
+        SELECT w, COUNT(*) AS freq
+        FROM (SELECT UNNEST(string_split(LOWER(text), ' ')) AS w
+              FROM documents)
+        GROUP BY w
+    ),
+    pairs AS (
+        SELECT freq,
+               UNNEST(CASE WHEN LENGTH(w) > 1 THEN
+                   [SUBSTRING(w, i, 1) || ' ' || SUBSTRING(w, i + 1, 1)
+                    for i in generate_series(1, LENGTH(w) - 1)]
+                   ELSE [] END) AS pair
+        FROM words
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS weighted_count
+    FROM pairs GROUP BY pair
+    ORDER BY weighted_count DESC, pair ASC
+    LIMIT {BPE_PAIR_TOPK}
 """

@@ -6,7 +6,7 @@ cheap enough to gate every ingest.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -258,8 +258,124 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of ``l_extendedprice``: observed share of
+    each first significant digit vs the log10(1 + 1/d) expectation —
+    the classic fabricated-data / unit-mixup detector a DQ suite runs
+    on monetary columns. (TPC-H-ish prices are NOT Benford-distributed;
+    the deviation column IS the finding.)
+
+    Exactness: the first digit comes from the decimal STRING of the
+    exact cents integer (never float log10, whose edge cases at exact
+    powers of ten differ per engine); expected shares floor-quantize
+    ln()/ln(10) at 1e-6 (the tfidf idiom). Shape: one map-side
+    projection → 9-group agg with map-side combine → broadcast of the
+    1-row total; linear scan cost, the cheapest audit in the suite."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.substring(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count("*").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("n_total"))
+    exp_share = F.expr(
+        "floor(ln(1.0D + 1.0D / digit) / ln(10.0D) * 1000000.0D)"
+        " / 1000000.0D"
+    )
+    obs_share = F.col("n_rows").cast("double") / F.col("n_total")
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n_rows",
+        F.round(obs_share, 6).alias("obs_share"),
+        F.round(exp_share, 6).alias("exp_share"),
+        F.round(F.abs(obs_share - exp_share), 6).alias("abs_dev"),
+    )
+
+
+# Winsorization percentiles (nearest-rank, the agg_percentile_exact
+# idiom so both engines pick the identical element).
+_WINSOR_LO = 0.05
+_WINSOR_HI = 0.95
+
+
+def dq_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized-mean report per event_type: exact P05/P95 bounds,
+    raw vs clamped mean, and how many rows each tail clipped — the
+    outlier-robust aggregate a metrics pipeline publishes instead of
+    a raw mean that one fat-fingered row can move.
+
+    Exactness: value has 2 decimals → all sums run on exact cents
+    BIGINTs; the percentile is nearest-rank (rank == ceil(p·n)) with
+    an event_id tiebreak, so both engines pick the identical element;
+    two float divisions at the end. Shape: ONE window exchange on
+    event_type (rank + count share it), a broadcast join of the
+    |groups|-row bounds table back onto the same already-partitioned
+    scan, one final agg. The rank window concentrates each group in
+    one task — the documented exact-percentile trade (cf.
+    agg_percentile_exact); the unbounded-cardinality scale path is
+    agg_percentile_approx."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    d = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def at(p: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * F.lit(p)).cast("long"),
+                F.col("v100"),
+            )
+        )
+
+    bounds = d.groupBy("event_type").agg(
+        at(_WINSOR_LO).alias("lo100"), at(_WINSOR_HI).alias("hi100")
+    )
+    clamped = d.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "n",
+        "lo100",
+        "hi100",
+        "v100",
+        F.greatest(
+            F.col("lo100"), F.least(F.col("hi100"), F.col("v100"))
+        ).alias("w100"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.max("n").alias("n_rows"),
+        F.round(F.max("lo100") / F.lit(100.0), 4).alias("p05"),
+        F.round(F.max("hi100") / F.lit(100.0), 4).alias("p95"),
+        F.round(
+            F.sum("v100").cast("double") / F.max("n") / F.lit(100.0), 4
+        ).alias("mean_raw"),
+        F.round(
+            F.sum("w100").cast("double") / F.max("n") / F.lit(100.0), 4
+        ).alias("mean_winsor"),
+        F.sum(F.when(F.col("v100") < F.col("lo100"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clip_lo"),
+        F.sum(F.when(F.col("v100") > F.col("hi100"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clip_hi"),
+    )
+
+
 QUERIES = {
     "dq_referential_integrity": dq_referential_integrity,
+    "dq_benford": dq_benford,
+    "dq_winsorize": dq_winsorize,
     "dq_profile": dq_profile,
     "dq_outlier_mad": dq_outlier_mad,
     "dq_rules_engine": dq_rules_engine,
@@ -267,6 +383,65 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dq_benford": """
+        WITH d AS (
+            SELECT CAST(SUBSTRING(CAST(CAST(ROUND(l_extendedprice * 100, 0)
+                                             AS BIGINT) AS VARCHAR), 1, 1)
+                        AS INTEGER) AS digit
+            FROM lineitem
+        ),
+        counts AS (
+            SELECT digit, COUNT(*) AS n_rows FROM d GROUP BY digit
+        ),
+        total AS (SELECT SUM(n_rows) AS n_total FROM counts)
+        SELECT digit, n_rows,
+               ROUND(CAST(n_rows AS DOUBLE) / n_total, 6) AS obs_share,
+               ROUND(FLOOR(LN(1.0 + 1.0 / digit) / LN(10.0) * 1000000.0)
+                     / 1000000.0, 6) AS exp_share,
+               ROUND(ABS(CAST(n_rows AS DOUBLE) / n_total
+                         - FLOOR(LN(1.0 + 1.0 / digit) / LN(10.0)
+                                 * 1000000.0) / 1000000.0), 6) AS abs_dev
+        FROM counts, total
+    """,
+    "dq_winsorize": f"""
+        WITH d AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS v100,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value ASC, event_id ASC)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ),
+        bounds AS (
+            SELECT event_type,
+                   MAX(CASE WHEN rn = CAST(CEIL(n * {_WINSOR_LO})
+                                           AS BIGINT)
+                            THEN v100 END) AS lo100,
+                   MAX(CASE WHEN rn = CAST(CEIL(n * {_WINSOR_HI})
+                                           AS BIGINT)
+                            THEN v100 END) AS hi100
+            FROM d GROUP BY event_type
+        ),
+        clamped AS (
+            SELECT d.event_type, d.n, b.lo100, b.hi100, d.v100,
+                   GREATEST(b.lo100, LEAST(b.hi100, d.v100)) AS w100
+            FROM d JOIN bounds b USING (event_type)
+        )
+        SELECT event_type,
+               MAX(n) AS n_rows,
+               ROUND(MAX(lo100) / 100.0, 4) AS p05,
+               ROUND(MAX(hi100) / 100.0, 4) AS p95,
+               ROUND(CAST(SUM(v100) AS DOUBLE) / MAX(n) / 100.0, 4)
+                   AS mean_raw,
+               ROUND(CAST(SUM(w100) AS DOUBLE) / MAX(n) / 100.0, 4)
+                   AS mean_winsor,
+               CAST(SUM(CASE WHEN v100 < lo100 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clip_lo,
+               CAST(SUM(CASE WHEN v100 > hi100 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clip_hi
+        FROM clamped GROUP BY event_type
+    """,
     "dq_rules_engine": f"""
         WITH melted AS (
             {" UNION ALL ".join(

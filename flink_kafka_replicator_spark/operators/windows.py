@@ -148,8 +148,92 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Finite-horizon EWMA: alpha = 1/2, so the (1-alpha)^i decay weights
+# are exact powers of two — scaled by 2^(LAGS-1) they become exact
+# BIGINT weights and the whole smoother is integer arithmetic until
+# one final division. 8 lags ≡ the last term carries 1/255 of the
+# mass; longer horizons change nothing structurally.
+EWMA_LAGS = 8
+
+
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the event value per
+    user — the smoother every metrics/monitoring pipeline runs before
+    thresholding (pandas ``ewm(alpha=.5, adjust=True)`` over a finite
+    8-sample horizon).
+
+    Cross-engine exactness by construction: value has 2 decimals so
+    ``v100 = round(value·100)`` is an exact BIGINT; with alpha = 1/2
+    the decay weights scale to integers 128,64,…,1, making numerator
+    and denominator exact integer sums over LAG columns — one double
+    division at the end, identical in both engines. ONE window
+    exchange on user_id (all 8 lags share the frame); map-side
+    otherwise, no joins, no state beyond the 8-row frame — at 100 TB
+    this is the per-key sorted-scan shape streaming engines run with
+    rocksdb state, here amortized into a single sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    d = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for i in range(EWMA_LAGS):
+        wt = 1 << (EWMA_LAGS - 1 - i)
+        lag_i = F.col("v100") if i == 0 else F.lag("v100", i).over(w)
+        num = num + F.coalesce(lag_i * F.lit(wt), F.lit(0))
+        den = den + F.when(lag_i.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    return d.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.round(num.cast("double") / den / F.lit(100.0), 4).alias("ewma"),
+    )
+
+
+def _ewma_oracle() -> str:
+    lag_cols = ", ".join(
+        f"LAG(v100, {i}) OVER w AS l{i}" for i in range(1, EWMA_LAGS)
+    )
+    num_terms = " + ".join(
+        ["v100 * 128"]
+        + [
+            f"COALESCE(l{i} * {1 << (EWMA_LAGS - 1 - i)}, 0)"
+            for i in range(1, EWMA_LAGS)
+        ]
+    )
+    den_terms = " + ".join(
+        ["128"]
+        + [
+            f"CASE WHEN l{i} IS NOT NULL THEN {1 << (EWMA_LAGS - 1 - i)}"
+            " ELSE 0 END"
+            for i in range(1, EWMA_LAGS)
+        ]
+    )
+    return f"""
+        WITH d AS (
+            SELECT user_id, event_id, value,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS v100,
+                   {lag_cols}
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        )
+        SELECT user_id, event_id, ROUND(value, 4) AS value,
+               ROUND(CAST({num_terms} AS DOUBLE)
+                     / ({den_terms}) / 100.0, 4) AS ewma
+        FROM d
+    """
+
+
 QUERIES = {
     "window_rank": window_rank,
+    "window_ewma": window_ewma,
     "window_running_sum": window_running_sum,
     "window_lag_delta": window_lag_delta,
     "window_range_frame": window_range_frame,
@@ -160,6 +244,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_ewma": _ewma_oracle(),
     "window_distinct_count": """
         SELECT event_id, user_id,
                CAST(COUNT(DISTINCT event_type) OVER (
