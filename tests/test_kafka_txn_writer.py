@@ -20,6 +20,7 @@ from flink_kafka_replicator_spark.streaming.exactly_once import (
     IdempotentBatchSink,
     KafkaTransactionalBatchWriter,
 )
+from tests.streamutil import drain
 
 # -- fake producer (top-level: pickled into tasks) --------------------------
 
@@ -169,8 +170,7 @@ def test_end_to_end_exactly_once_kafka_replication(spark, tmp_path):
         source_df=stream,
         available_now=True,
     )
-    q.awaitTermination(120)
-
+    drain(q)
     rows = _committed(out)
     # topic regex filtered 'skipme'; envelope preserved byte-exact
     assert sorted(r["key"] for r in rows) == ["k0", "k1", "k2"]
@@ -186,7 +186,7 @@ def test_end_to_end_exactly_once_kafka_replication(spark, tmp_path):
         source_df=spark.readStream.schema(KAFKA_MESSAGE).parquet(src),
         available_now=True,
     )
-    q2.awaitTermination(120)
+    drain(q2)
     assert len(_committed(out)) == len(rows), "replay must be a no-op"
 
 

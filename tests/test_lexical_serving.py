@@ -21,6 +21,7 @@ from flink_kafka_replicator_spark.sinks import (
 from flink_kafka_replicator_spark.streaming.lexical_search import (
     start_streaming_lexical_search,
 )
+from tests.streamutil import drain
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
@@ -110,8 +111,7 @@ def test_streaming_lexical_search_matches_batch(spark, lex_index, tmp_path):
         q = start_streaming_lexical_search(
             spark, stream, lex_index, out, ck, k=5, available_now=True
         )
-        q.awaitTermination(180)
-
+        drain(q)
     run()
     got = sorted(
         (r.qid, r.doc_id, r.bm25, r.rank)
@@ -284,8 +284,7 @@ def test_streaming_hybrid_search_matches_batch_and_replays_clean(
         q = start_streaming_hybrid_search(
             spark, stream, lex_index, vix, e, out, ck, available_now=True
         )
-        q.awaitTermination(180)
-
+        drain(q)
     run()
     got = sorted(
         (r.qid, r.doc_id, r.lex_rank, r.vec_rank, r.rrf_score, r.rank)

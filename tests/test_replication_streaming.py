@@ -23,6 +23,7 @@ from flink_kafka_replicator_spark.streaming.replicate import (
 )
 
 import datetime as dt
+from tests.streamutil import drain
 
 
 def _envelope_rows(n=50):
@@ -54,7 +55,7 @@ def test_replication_preserves_envelope(spark, tmp_path, envelope_dir):
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     cfg = ReplicateConfig(topics=".*")
     q = start_file_replication(spark, cfg, envelope_dir, out, ckpt)
-    q.awaitTermination(120)
+    drain(q)
     got = spark.read.parquet(out)
     assert got.count() == 50
     assert set(got.columns) == {"topic", "partition", "timestamp", "key", "value", "headers"}
@@ -73,7 +74,7 @@ def test_repartitioning_mode_drops_partition(spark, tmp_path, envelope_dir):
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     cfg = ReplicateConfig(topics=".*", preserve_partitioning=False)
     q = start_file_replication(spark, cfg, envelope_dir, out, ckpt)
-    q.awaitTermination(120)
+    drain(q)
     got = spark.read.parquet(out)
     assert "partition" not in got.columns, "repartition mode must drop partition"
     assert got.count() == 50
@@ -83,7 +84,7 @@ def test_exactly_once_replay_is_idempotent(spark, tmp_path, envelope_dir):
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     cfg = ReplicateConfig(topics=".*", exactly_once=True)
     q = start_exactly_once_file_replication(spark, cfg, envelope_dir, out, ckpt)
-    q.awaitTermination(120)
+    drain(q)
     first = spark.read.parquet(os.path.join(out, "*")).count()
     assert first == 50
 
@@ -140,7 +141,7 @@ def test_streaming_tumbling_agg_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     got = spark.read.parquet(str(tmp_path / "stream_out"))
     want = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
@@ -187,7 +188,7 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     got = {
         (r.session_start, r.user_id, r.n_events)
         for r in spark.read.parquet(str(tmp_path / "sess_out")).collect()
@@ -229,7 +230,7 @@ def test_streaming_sliding_window_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     got = {
         (r.window_start, r.n_events)
         for r in spark.read.parquet(str(tmp_path / "slide_out")).collect()
@@ -269,8 +270,7 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
-
+        drain(q)
     on_time = [(base + dt.timedelta(minutes=m), 1) for m in (1, 2, 3)] + [
         (base + dt.timedelta(minutes=60), 1)
     ]
@@ -314,7 +314,7 @@ def test_metrics_listener_counts_every_replicated_row(spark, tmp_path, envelope_
         q = start_file_replication(
             spark, cfg, envelope_dir, str(tmp_path / "m_out"), str(tmp_path / "m_ck")
         )
-        q.awaitTermination(120)
+        drain(q)
         # listener events are delivered asynchronously after termination
         for _ in range(50):
             if listener.total_rows >= 50:

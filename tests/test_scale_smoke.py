@@ -12,6 +12,7 @@ import time
 
 import pytest
 from pyspark.sql import functions as F
+from tests.streamutil import drain
 
 pytestmark = pytest.mark.skipif(
     os.environ.get("SPARK_GRAFT_SCALE_TEST") != "1",
@@ -637,7 +638,7 @@ def test_streaming_serve_under_churn_at_10x(spark, big_dir, tmp_path_factory):
         q = start_streaming_vector_search(
             spark, stream, ix, answers, serve_ck, k=5, available_now=True
         )
-        q.awaitTermination(300)
+        drain(q)
         latest = (
             spark.read.parquet(answers)
             .agg(F.max("batch_id"))
@@ -670,8 +671,7 @@ def test_streaming_serve_under_churn_at_10x(spark, big_dir, tmp_path_factory):
         ix,
         f"{root}/ingest_ck",
     )
-    qi.awaitTermination(300)
-
+    drain(qi)
     post_growth = serve_leg("b")
     assert post_growth != pre_growth, (
         "growth must be visible to the serving path"

@@ -14,6 +14,7 @@ from flink_kafka_replicator_spark.streaming.stateful import (
     running_count_per_user,
     stateful_dedup_per_user,
 )
+from tests.streamutil import drain
 
 SCHEMA = "event_id bigint, ts timestamp, user_id bigint, value double"
 
@@ -47,7 +48,7 @@ def test_running_count_accumulates_across_batches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        drain(q)
         return spark.read.parquet(str(tmp_path / out_name))
 
     run("out")
@@ -76,7 +77,7 @@ def test_stateful_dedup_suppresses_replayed_ids(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     got = spark.read.parquet(str(tmp_path / "out"))
     ids = sorted(r.event_id for r in got.collect())
     assert ids == list(range(15)), f"dedup failed: {ids}"
@@ -104,7 +105,7 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     got = spark.read.parquet(str(tmp_path / "out"))
     assert got.count() == 6, "each id must survive exactly once"
 
@@ -126,7 +127,7 @@ def test_stateful_dedup_drops_in_batch_duplicates(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     ids = sorted(r.event_id for r in spark.read.parquet(str(tmp_path / "out")).collect())
     assert ids == [3, 4, 5], f"in-batch duplicates leaked: {ids}"
 
@@ -167,7 +168,7 @@ def test_timer_based_sessionizer(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     got = {
         (r.user_id, r.session_start.minute, r.n_events)
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
@@ -222,7 +223,7 @@ def test_transform_with_state_running_totals(spark, tmp_path):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            drain(q)
             return spark.read.parquet(str(tmp_path / out_name))
 
         run("out")

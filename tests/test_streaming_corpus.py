@@ -14,6 +14,7 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from flink_kafka_replicator_spark.sinks import with_shard
+from tests.streamutil import drain
 
 SCHEMA = "doc_id bigint, text string, lang string, event_ts timestamp"
 SCHEMA2 = "doc_id bigint, text string, event_ts timestamp"
@@ -75,8 +76,7 @@ def test_streaming_corpus_pipeline_dedups_across_batches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
-
+        drain(q)
     # run 1: a good doc, an exact dup of it (different id), a too-short doc
     run(_docs([(1, GOOD, 0), (2, GOOD, 1), (3, SHORT, 2)]))
     first = spark.read.parquet(str(out))
@@ -135,8 +135,7 @@ def test_streaming_corpus_with_classifier_gate(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-
+    drain(q)
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     want = {
         r.doc_id
@@ -194,8 +193,7 @@ def test_streaming_corpus_with_persisted_model_gate(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-
+    drain(q)
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     want = {
         r.doc_id
@@ -239,8 +237,7 @@ def test_corpus_build_survives_compaction_between_runs(spark, tmp_path):
             ck,
             min_tokens=5,
         )
-        q.awaitTermination(120)
-
+        drain(q)
     mk = lambda i, suffix, m: Row(
         doc_id=i,
         text=GOOD + " " + suffix,
@@ -315,8 +312,7 @@ def test_corpus_build_with_near_dup_index_gate(spark, tmp_path):
         dedup_index_dir=ix,
         dedup_corpus_df=base,
     )
-    q.awaitTermination(120)
-
+    drain(q)
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == {900002}, (
         f"near-dup must be dropped, fresh kept: {got}"
@@ -385,8 +381,7 @@ def test_corpus_build_with_semantic_vector_gate(spark, tmp_path):
             vector_index_dir=ix,
             vector_corpus_df=even_vecs,
         )
-        q.awaitTermination(180)
-
+        drain(q)
     out2 = str(tmp_path / "corpus2b")
     run(out2, str(tmp_path / "ck2"), src, True)
     streamed = {r.doc_id for r in spark.read.parquet(out2).collect()}
@@ -501,8 +496,7 @@ def test_corpus_build_with_gopher_rules_gate(spark, tmp_path):
             min_tokens=1,
             gopher_rules=True,
         )
-        q.awaitTermination(180)
-
+        drain(q)
     out2 = str(tmp_path / "corpus2b")
     run(out2, str(tmp_path / "ck2"), True)
     streamed = {r.doc_id for r in spark.read.parquet(out2).collect()}
@@ -595,8 +589,7 @@ def test_corpus_build_with_decontamination_gate(spark, tmp_path):
             min_tokens=1,
             decontaminate_df=spark.read.parquet(bench_path),
         )
-        q.awaitTermination(180)
-
+        drain(q)
     out2 = str(tmp_path / "corpus2b")
     run(out2, str(tmp_path / "ck2"), True)
     streamed = {r.doc_id for r in spark.read.parquet(out2).collect()}

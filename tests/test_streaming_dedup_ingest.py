@@ -17,6 +17,7 @@ from flink_kafka_replicator_spark.sinks import write_minhash_index
 from flink_kafka_replicator_spark.streaming.dedup_ingest import (
     start_streaming_dedup_against_index,
 )
+from tests.streamutil import drain
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SCHEMA = "doc_id bigint, text string"
@@ -37,9 +38,7 @@ def _run(spark, tmp_path, src):
         checkpoint_location=str(tmp_path / "ck"),
         available_now=True,
     )
-    q.awaitTermination(180)
-
-
+    drain(q)
 def test_streaming_dedup_matches_batch_and_replays_idempotently(
     spark, tmp_path
 ):
@@ -140,8 +139,7 @@ def test_streaming_extend_index_3_batches_and_replayed_middle_batch(
             extend_index=True,
             corpus_store_dir=store,
         )
-        q.awaitTermination(240)
-
+        drain(q)
     # first two batches land...
     for k in (1, 3):
         new.filter(F.col("doc_id") % 6 == k).coalesce(1).write.parquet(
@@ -252,8 +250,7 @@ def test_streaming_dedup_extend_survives_compaction(spark, tmp_path):
             extend_index=True,
             corpus_store_dir=store,
         )
-        q.awaitTermination(240)
-
+        drain(q)
     new.filter(F.col("doc_id") % 6 == 1).coalesce(1).write.parquet(
         src, mode="append"
     )
@@ -329,8 +326,7 @@ def test_fresh_checkpoint_fails_before_pair_output_is_touched(
             extend_index=True,
             corpus_store_dir=store,
         )
-        q.awaitTermination(240)
-
+        drain(q)
     for k in (1, 3):
         new.filter(F.col("doc_id") % 6 == k).coalesce(1).write.parquet(
             src, mode="append"

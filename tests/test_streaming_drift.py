@@ -15,6 +15,7 @@ from flink_kafka_replicator_spark.streaming.drift_monitor import (
     start_streaming_drift_monitor,
     write_reference_histogram,
 )
+from tests.streamutil import drain
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SCHEMA = "event_id bigint, value double"
@@ -40,9 +41,7 @@ def _run(spark, tmp_path, src, ref):
         checkpoint_location=str(tmp_path / "ck"),
         available_now=True,
     )
-    q.awaitTermination(180)
-
-
+    drain(q)
 def test_streaming_drift_matches_batch_and_replays(spark, tmp_path):
     e = load_table(spark, SF_DIR, "events").select("event_id", "value")
     ref_frame = e.filter(F.col("event_id") % 2 == 0)

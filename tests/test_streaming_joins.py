@@ -7,6 +7,7 @@ import datetime as dt
 from pyspark.sql import Row
 
 from flink_kafka_replicator_spark.streaming.joins import interval_join_clicks_to_views
+from tests.streamutil import drain
 
 SCHEMA = "event_id bigint, ts timestamp, user_id bigint, value double"
 BASE = dt.datetime(2024, 1, 1)
@@ -43,7 +44,7 @@ def test_interval_join_matches_batch_semantics(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     got = {
         (r.click_id, r.view_id) for r in spark.read.parquet(out).collect()
     }
@@ -94,7 +95,7 @@ def test_left_outer_interval_join_emits_unmatched_after_watermark(spark, tmp_pat
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     got = {(r.click_id, r.view_id) for r in spark.read.parquet(out).collect()}
     assert (10, 1) in got, f"matched pair missing: {got}"
     assert (12, None) in got, f"unmatched click not emitted: {got}"
@@ -125,6 +126,6 @@ def test_semi_interval_join_no_pair_expansion(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     got = [r.click_id for r in spark.read.parquet(out).collect()]
     assert got == [10], f"semi join must emit one row per matched click: {got}"

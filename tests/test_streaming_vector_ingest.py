@@ -21,6 +21,7 @@ from flink_kafka_replicator_spark.sinks import (
 from flink_kafka_replicator_spark.streaming.vector_ingest import (
     start_streaming_vector_ingest,
 )
+from tests.streamutil import drain
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
@@ -52,8 +53,7 @@ def test_streaming_vector_ingest_equals_rebuild(spark, tmp_path):
         q = start_streaming_vector_ingest(
             spark, stream, ix, str(tmp_path / "ck"), available_now=True
         )
-        q.awaitTermination(180)
-
+        drain(q)
     run()
 
     full_ix = str(tmp_path / "full")
@@ -114,7 +114,7 @@ def test_streaming_vector_ingest_fresh_checkpoint_fails_loudly(
         spark, stream, ix, str(tmp_path / "fresh_ck"), available_now=True
     )
     with pytest.raises(Exception, match="does not match the index"):
-        q.awaitTermination(120)
+        drain(q)
         if q.exception() is not None:
             raise q.exception()
 
@@ -145,8 +145,7 @@ def test_streaming_vector_ingest_survives_compaction(spark, tmp_path):
         q = start_streaming_vector_ingest(
             spark, stream, ix, ck, available_now=True
         )
-        q.awaitTermination(180)
-
+        drain(q)
     # run 1: admit the second third as a streamed batch
     thirds[1].coalesce(1).write.parquet(src, mode="append")
     run()

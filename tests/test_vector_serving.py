@@ -17,6 +17,7 @@ from flink_kafka_replicator_spark.sinks import (
 from flink_kafka_replicator_spark.streaming.vector_search import (
     start_streaming_vector_search,
 )
+from tests.streamutil import drain
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
@@ -119,8 +120,7 @@ def test_streaming_vector_search_matches_batch(spark, tmp_path):
         q = start_streaming_vector_search(
             spark, stream, ix, out, ck, k=pq.BATCH_TOPK, available_now=True
         )
-        q.awaitTermination(180)
-
+        drain(q)
     run()
     got = sorted(
         (r.qid, r.vec_id, r.adc_dist, r.rank)
@@ -267,7 +267,7 @@ def test_streaming_refined_matches_batch_refined(spark, tmp_path):
         available_now=True,
         refine_with=corpus,
     )
-    q.awaitTermination(180)
+    drain(q)
     got = sorted(
         (r.qid, r.vec_id, r.adc_dist, r.cos_sim, r.rank)
         for r in spark.read.parquet(out).collect()
