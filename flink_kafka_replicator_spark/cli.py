@@ -195,8 +195,8 @@ def run_preflight(cfg: ReplicateConfig, admin_factory=None):
 
 def compact_index_main(argv: list[str], spark=None) -> int:
     """The ``compact-index`` maintenance subcommand: small-file
-    compaction for the three streaming-fed on-disk artifacts (sharded
-    corpus, minhash index, vector index) — the job an operator
+    compaction for the streaming-fed on-disk artifacts (sharded
+    corpus, minhash / vector / lexical index) — the job an operator
     schedules against any deployment whose appends accrete one parquet
     partition per micro-batch. Prints the {files_before, files_after}
     result as one JSON line. Compact index artifacts only while their
@@ -211,7 +211,9 @@ def compact_index_main(argv: list[str], spark=None) -> int:
         allow_abbrev=False,
     )
     parser.add_argument(
-        "--kind", required=True, choices=("corpus", "minhash", "vector")
+        "--kind",
+        required=True,
+        choices=("corpus", "minhash", "vector", "lexical"),
     )
     parser.add_argument("--dir", required=True)
     parser.add_argument("--files", type=int, default=1)
@@ -228,17 +230,17 @@ def compact_index_main(argv: list[str], spark=None) -> int:
         result = sinks.compact_corpus_shards(
             spark, args.dir, files_per_shard=args.files
         )
-    elif args.kind == "minhash":
+    else:
         # hold the single-writer lease across the compaction: a
         # concurrent appender (or second compactor) is refused loudly
         # instead of interleaving pointer swaps
+        compact = {
+            "minhash": sinks.compact_minhash_index,
+            "vector": sinks.compact_vector_index,
+            "lexical": sinks.compact_lexical_index,
+        }[args.kind]
         with sinks.writer_lease(args.dir, owner="compact-index") as tok:
-            result = sinks.compact_minhash_index(
-                spark, args.dir, files=args.files, writer_token=tok
-            )
-    else:
-        with sinks.writer_lease(args.dir, owner="compact-index") as tok:
-            result = sinks.compact_vector_index(
+            result = compact(
                 spark, args.dir, files=args.files, writer_token=tok
             )
     print(_json.dumps(result))

@@ -1614,6 +1614,18 @@ def _read_lexindex_meta(out_dir: str) -> dict:
         return json.load(fh)
 
 
+def _lex_tables(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclen) over any (doc_id, text) frame — the shared
+    tokenize/aggregate pass of the base build and every delta append.
+    Tokenization is the engine's whitespace pass — the same token
+    stream every text query uses."""
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = t.select("doc_id", F.explode("toks").alias("term"))
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = t.select("doc_id", F.size("toks").alias("dl"))
+    return postings, dl
+
+
 def write_lexical_index(
     spark: SparkSession,
     sf_dir: str,
@@ -1622,23 +1634,33 @@ def write_lexical_index(
 ) -> None:
     """Persist the BM25 inverted index over the documents corpus:
 
-    - ``postings/`` — (term, doc_id, tf), repartitioned AND sorted by
-      term so every parquet row group carries tight term min/max stats
-      (a literal term predicate prunes row groups; the serving join
-      map-side filters through the broadcast query-term set).
-    - ``doclen/`` — (doc_id, dl) document lengths for the BM25 length
-      normalization.
-    - ``dfreq/`` — (term, df) vocabulary-sized document frequencies.
-    - ``LEXINDEX_META.json`` — corpus stats (n_docs, sum_dl) + the
-      scoring constants (k1, b) FROZEN at build time, so a serving
-      process scores exactly as the build intended; readers refuse a
-      missing meta loudly.
+    - ``postings/delta_id=K/`` — (term, doc_id, tf), hive-partitioned
+      by the delta that introduced them (base build is delta 0). Each
+      delta is repartitioned AND sorted by term so every parquet row
+      group carries tight term min/max stats (a literal term predicate
+      prunes row groups; the serving join map-side filters through the
+      broadcast query-term set). Partitions are immutable once
+      committed; a replayed delta dynamically overwrites only its own.
+    - ``doclen/delta_id=K/`` — (doc_id, dl) document lengths for the
+      BM25 length normalization, same delta partitioning.
+    - ``dfreq_vK/`` — merged (term, df) vocabulary-sized document
+      frequencies as of delta K.
+    - ``LEXINDEX_META.json`` — the atomically-swapped pointer: merged
+      corpus stats (n_docs, sum_dl), the scoring constants (k1, b)
+      FROZEN at build time, the current dfreq version, and the explicit
+      committed-delta-id list readers prune to. A crash between a
+      delta's table writes and its pointer swap leaves the uncommitted
+      partitions invisible.
 
-    Tokenization is the engine's whitespace pass — the same token
-    stream every text query uses. Growth path: rebuild (document
-    frequencies and corpus stats are global, so incremental appends
-    would serve stale idf — the standard reason lexical indexes
-    rebuild or merge segments rather than patch in place).
+    Growth path: :func:`append_lexical_delta`. All three global
+    statistics BM25 needs are ADDITIVE over disjoint new documents —
+    df(term) sums per-delta distinct-doc counts, n_docs and sum_dl sum
+    per-delta counters — so an append merges the vocabulary-sized dfreq
+    table and bumps two meta counters; the huge postings table is never
+    re-aggregated or rewritten. (Per-segment idf patching is why real
+    lexical engines merge segments rather than rebuild; this is the
+    single-merged-segment version of that contract, mirroring
+    ``append_minhash_delta``.)
 
     At 100 TB: postings is one explode (linear in total tokens) + one
     (term, doc_id) map-side-combined aggregate; everything else is
@@ -1653,37 +1675,54 @@ def write_lexical_index(
         if df is not None
         else load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
+    # retract the pointer before the static overwrite (see
+    # write_minhash_index: a crash mid-rebuild must read as "rebuild
+    # required", not as stale meta over vanished partitions)
     try:
         _os.remove(_lexindex_meta_path(out_dir))
     except FileNotFoundError:
         pass
-    t = d.select("doc_id", F.split("text", " ").alias("toks"))
-    toks = t.select("doc_id", F.explode("toks").alias("term"))
-    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    postings, dl = _lex_tables(d)
     (
         postings.repartition(8, "term")
         .sortWithinPartitions("term")
+        .withColumn("delta_id", F.lit(0))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("delta_id")
         .parquet(f"{out_dir}/postings")
     )
-    dl = t.select("doc_id", F.size("toks").alias("dl"))
-    dl.write.mode("overwrite").parquet(f"{out_dir}/doclen")
     (
-        postings.groupBy("term")
+        dl.withColumn("delta_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("delta_id")
+        .parquet(f"{out_dir}/doclen")
+    )
+    # stats from the PERSISTED tables (read-back, like the minhash
+    # build) so they describe exactly what a later reader sees
+    persisted = spark.read.parquet(f"{out_dir}/postings")
+    (
+        persisted.groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{out_dir}/dfreq")
+        .parquet(f"{out_dir}/dfreq_v0")
     )
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).collect()[0]
+    stats = (
+        spark.read.parquet(f"{out_dir}/doclen")
+        .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+        .collect()[0]
+    )
     meta = {
-        "version": 1,
+        "version": 2,
         "n_docs": int(stats["n_docs"]),
         "sum_dl": int(stats["sum_dl"]),
         "k1": LEX_K1,
         "b": LEX_B,
+        "dfreq_version": 0,
+        "last_delta_id": 0,
+        "delta_ids": [0],
     }
     tmp = _lexindex_meta_path(out_dir) + ".tmp"
     with open(tmp, "w", encoding="utf-8") as fh:
@@ -1691,15 +1730,290 @@ def write_lexical_index(
     _os.replace(tmp, _lexindex_meta_path(out_dir))
 
 
-def read_lexical_index(spark: SparkSession, out_dir: str):
-    """(postings, doclen, dfreq, meta) from a committed lexical index."""
+def _check_lex_version(meta: dict, out_dir: str) -> None:
+    if meta.get("version", 1) < 2:
+        raise ValueError(
+            f"lexical index at {out_dir} uses the v1 flat layout; "
+            "rebuild with write_lexical_index to gain the delta-append "
+            "contract (v1 has no committed-delta pointer, so appends "
+            "against it could not be crash-safe)"
+        )
+
+
+def append_lexical_delta(
+    df: DataFrame,
+    out_dir: str,
+    delta_id: int,
+    extra_meta: dict | None = None,
+    writer_token: str | None = None,
+) -> bool:
+    """Extend a persisted lexical index with a batch of NEW documents —
+    WITHOUT rebuilding it. Work is proportional to the DELTA (tokenize
+    + aggregate the batch) plus one outer-merge against the
+    vocabulary-sized dfreq table; the huge postings table is never
+    re-aggregated or rewritten. BM25's global stats stay exact because
+    each is additive over disjoint documents: df(term) gains the
+    delta's distinct-doc count per term, n_docs/sum_dl gain the
+    delta's counters.
+
+    The batch must contain only doc_ids NEW to the index (appends, not
+    updates — the same contract as ``append_minhash_delta``): a re-sent
+    doc_id would double its postings and inflate df. Streaming ingest
+    guarantees this via the batch cursor (``append_lexical_batch``).
+
+    Idempotent under replay and crash-safe with exactly the minhash
+    contract: contiguous delta ids, (1) postings partition write,
+    (2) doclen partition write, (3) merged dfreq version write,
+    (4) atomic pointer swap carrying the updated corpus counters.
+    Readers only ever see pointer-committed state; dfreq versions
+    older than the previous are pruned after the swap (one-cycle
+    grace for in-flight readers)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    _check_writer_fence(out_dir, writer_token)
     meta = _read_lexindex_meta(out_dir)
-    return (
-        spark.read.parquet(f"{out_dir}/postings"),
-        spark.read.parquet(f"{out_dir}/doclen"),
-        spark.read.parquet(f"{out_dir}/dfreq"),
-        meta,
+    _check_lex_version(meta, out_dir)
+    if delta_id <= meta["last_delta_id"]:
+        return False
+    if delta_id != meta["last_delta_id"] + 1:
+        raise ValueError(
+            f"append_lexical_delta: delta_id {delta_id} would skip ids "
+            f"(last committed is {meta['last_delta_id']}); delta ids "
+            "must be contiguous so uncommitted partitions stay invisible"
+        )
+    spark = df.sparkSession
+    postings, dl = _lex_tables(df.select("doc_id", "text"))
+    (
+        postings.repartition(1, "term")
+        .sortWithinPartitions("term")
+        .withColumn("delta_id", F.lit(delta_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("delta_id")
+        .parquet(f"{out_dir}/postings")
     )
+    (
+        dl.withColumn("delta_id", F.lit(delta_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("delta_id")
+        .parquet(f"{out_dir}/doclen")
+    )
+    # merge stats from the PERSISTED delta partitions (read-back) so
+    # the committed pointer describes exactly the on-disk rows
+    delta_df = (
+        spark.read.parquet(f"{out_dir}/postings")
+        .filter(F.col("delta_id") == delta_id)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("ddf"))
+    )
+    old_dfreq = spark.read.parquet(
+        f"{out_dir}/dfreq_v{meta['dfreq_version']}"
+    )
+    (
+        old_dfreq.join(delta_df, "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("df"), F.lit(0))
+                + F.coalesce(F.col("ddf"), F.lit(0))
+            ).alias("df"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/dfreq_v{delta_id}")
+    )
+    dstats = (
+        spark.read.parquet(f"{out_dir}/doclen")
+        .filter(F.col("delta_id") == delta_id)
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    prev_version = meta["dfreq_version"]
+    new_meta = dict(meta)
+    new_meta.update(
+        {
+            "n_docs": int(meta["n_docs"]) + int(dstats["n"]),
+            "sum_dl": int(meta["sum_dl"]) + int(dstats["s"] or 0),
+            "dfreq_version": delta_id,
+            "last_delta_id": delta_id,
+            "delta_ids": list(meta["delta_ids"]) + [delta_id],
+        }
+    )
+    if extra_meta:
+        new_meta.update(extra_meta)
+    # re-fence at the commit point (see append_minhash_delta)
+    _check_writer_fence(out_dir, writer_token)
+    import json as _json
+
+    tmp = _lexindex_meta_path(out_dir) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        _json.dump(new_meta, fh)
+    os.replace(tmp, _lexindex_meta_path(out_dir))
+    for path in _glob.glob(os.path.join(out_dir, "dfreq_v*")):
+        try:
+            v = int(os.path.basename(path)[len("dfreq_v"):])
+        except ValueError:
+            continue
+        if v < prev_version:
+            shutil.rmtree(path, ignore_errors=True)
+    return True
+
+
+def append_lexical_batch(
+    df: DataFrame,
+    out_dir: str,
+    batch_id: int,
+    writer_token: str | None = None,
+) -> bool:
+    """Admit one streaming micro-batch of documents into a persisted
+    lexical index, delta-numbered from the index meta (compaction-safe
+    — see ``_batch_admission``). Returns False for a replayed batch."""
+    meta = _read_lexindex_meta(out_dir)
+    _check_lex_version(meta, out_dir)
+    skip, delta_id = _batch_admission(meta, batch_id, out_dir)
+    if skip:
+        return False
+    return append_lexical_delta(
+        df,
+        out_dir,
+        delta_id,
+        extra_meta={"last_batch_id": batch_id},
+        writer_token=writer_token,
+    )
+
+
+def compact_lexical_index(
+    spark: SparkSession,
+    out_dir: str,
+    files: int = 1,
+    writer_token: str | None = None,
+) -> dict:
+    """Rewrite all committed postings/doclen deltas into ONE fresh
+    partition each — the small-file compaction a streaming deployment
+    needs (same disease and cure as ``compact_minhash_index``; the
+    compacted postings are re-sorted by term so row-group pruning
+    recovers full selectivity after many unsorted micro-deltas). The
+    dfreq table and corpus counters are byte-copied — compaction moves
+    rows between partitions but adds/removes none. Crash-safety reuses
+    the append contract: new rows land as ``delta_id = last + 1``,
+    invisible until the pointer flips to ``delta_ids = [last + 1]``.
+
+    Returns {"files_before", "files_after", "compacted"}."""
+    import glob as _glob
+    import os
+    import shutil
+
+    if files < 1:
+        raise ValueError(f"files must be >= 1, got {files}")
+    _check_writer_fence(out_dir, writer_token)
+    meta = _read_lexindex_meta(out_dir)
+    _check_lex_version(meta, out_dir)
+    committed = meta["delta_ids"]
+    for sub in ("postings", "doclen"):
+        _sweep_orphan_partitions(f"{out_dir}/{sub}", committed)
+
+    def _count_files() -> int:
+        return len(
+            _glob.glob(
+                os.path.join(out_dir, "*", "**", "*.parquet"),
+                recursive=True,
+            )
+        )
+
+    before = _count_files()
+    if len(committed) <= 1:
+        return {
+            "files_before": before,
+            "files_after": before,
+            "compacted": False,
+        }
+    new_id = meta["last_delta_id"] + 1
+    (
+        spark.read.parquet(f"{out_dir}/postings")
+        .filter(F.col("delta_id").isin(committed))
+        .drop("delta_id")
+        .repartition(files, "term")
+        .sortWithinPartitions("term")
+        .withColumn("delta_id", F.lit(new_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("delta_id")
+        .parquet(f"{out_dir}/postings")
+    )
+    (
+        spark.read.parquet(f"{out_dir}/doclen")
+        .filter(F.col("delta_id").isin(committed))
+        .drop("delta_id")
+        .repartition(files)
+        .withColumn("delta_id", F.lit(new_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("delta_id")
+        .parquet(f"{out_dir}/doclen")
+    )
+    old_dfreq = f"{out_dir}/dfreq_v{meta['dfreq_version']}"
+    new_dfreq = f"{out_dir}/dfreq_v{new_id}"
+    shutil.rmtree(new_dfreq, ignore_errors=True)
+    shutil.copytree(old_dfreq, new_dfreq)
+    prev_dfreq_version = meta["dfreq_version"]
+    new_meta = dict(meta)  # preserve extra keys (streaming batch cursor)
+    new_meta.update(
+        {
+            "dfreq_version": new_id,
+            "last_delta_id": new_id,
+            "delta_ids": [new_id],
+        }
+    )
+    _check_writer_fence(out_dir, writer_token)
+    import json as _json
+
+    tmp = _lexindex_meta_path(out_dir) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        _json.dump(new_meta, fh)
+    os.replace(tmp, _lexindex_meta_path(out_dir))
+    for sub in ("postings", "doclen"):
+        for d in committed:
+            shutil.rmtree(
+                os.path.join(out_dir, sub, f"delta_id={d}"),
+                ignore_errors=True,
+            )
+    for path in _glob.glob(os.path.join(out_dir, "dfreq_v*")):
+        try:
+            v = int(os.path.basename(path)[len("dfreq_v"):])
+        except ValueError:
+            continue
+        if v < prev_dfreq_version:
+            shutil.rmtree(path, ignore_errors=True)
+    return {
+        "files_before": before,
+        "files_after": _count_files(),
+        "compacted": True,
+    }
+
+
+def read_lexical_index(spark: SparkSession, out_dir: str):
+    """(postings, doclen, dfreq, meta) from a committed lexical index.
+    The postings/doclen scans are pruned to exactly the
+    pointer-committed delta ids, so partitions from a crashed append
+    stay invisible (same reader contract as ``read_minhash_index``)."""
+    meta = _read_lexindex_meta(out_dir)
+    _check_lex_version(meta, out_dir)
+    committed = meta["delta_ids"]
+    postings = (
+        spark.read.parquet(f"{out_dir}/postings")
+        .filter(F.col("delta_id").isin(committed))
+        .drop("delta_id")
+    )
+    doclen = (
+        spark.read.parquet(f"{out_dir}/doclen")
+        .filter(F.col("delta_id").isin(committed))
+        .drop("delta_id")
+    )
+    dfreq = spark.read.parquet(f"{out_dir}/dfreq_v{meta['dfreq_version']}")
+    return postings, doclen, dfreq, meta
 
 
 def bm25_search_from_index(

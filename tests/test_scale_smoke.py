@@ -802,6 +802,81 @@ def test_lexical_serving_at_10x(spark, big_dir, tmp_path_factory):
     assert t_serve < 60, f"serve {t_serve:.1f}s at 10x"
 
 
+def test_lexical_serve_under_churn_at_10x(spark, big_dir, tmp_path_factory):
+    """The lexical leg of the serve-under-churn lifecycle at 10×:
+    base build → serve → streaming ingest of a held-out third (two
+    micro-batch deltas) → growth visible to serving → compaction →
+    answers unchanged → quiesced full rebuild serves identically.
+    Completes lifecycle parity across all three persisted indexes
+    (VERDICT r9 missing #4)."""
+    from flink_kafka_replicator_spark.sinks import (
+        bm25_search_from_index,
+        compact_lexical_index,
+        write_lexical_index,
+        writer_lease,
+    )
+    from flink_kafka_replicator_spark.streaming.lexical_ingest import (
+        start_streaming_lexical_ingest,
+    )
+
+    t0 = time.perf_counter()
+    root = str(tmp_path_factory.mktemp("lex_churn"))
+    d = spark.read.parquet(f"{big_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ix = f"{root}/lexindex"
+    write_lexical_index(spark, big_dir, ix, df=d.filter(F.col("doc_id") % 3 != 0))
+
+    q = spark.createDataFrame(
+        [(i, ["spark", "join"]) for i in range(6)],
+        "qid int, terms array<string>",
+    )
+
+    def serve():
+        return sorted(
+            (r.qid, r.doc_id, r.bm25, r.rank)
+            for r in bm25_search_from_index(spark, q, ix, k=10).collect()
+        )
+
+    pre_growth = serve()
+
+    delta = d.filter(F.col("doc_id") % 3 == 0)
+    dsrc = f"{root}/delta_src"
+    delta.filter(F.col("doc_id") % 6 == 0).coalesce(1).write.parquet(
+        dsrc, mode="append"
+    )
+    delta.filter(F.col("doc_id") % 6 == 3).coalesce(1).write.parquet(
+        dsrc, mode="append"
+    )
+    qi = start_streaming_lexical_ingest(
+        spark,
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dsrc),
+        ix,
+        f"{root}/ingest_ck",
+    )
+    drain(qi)
+    post_growth = serve()
+    assert post_growth != pre_growth, "growth invisible to serving"
+
+    with writer_lease(ix, owner="smoke-lex-compact") as tok:
+        res = compact_lexical_index(spark, ix, writer_token=tok)
+    assert res["compacted"] is True
+    assert serve() == post_growth, "compaction changed served answers"
+
+    rebuild = f"{root}/rebuild"
+    write_lexical_index(spark, big_dir, rebuild, df=d)
+    want = sorted(
+        (r.qid, r.doc_id, r.bm25, r.rank)
+        for r in bm25_search_from_index(spark, q, rebuild, k=10).collect()
+    )
+    assert serve() == want, "grown+compacted != quiesced rebuild"
+    t = time.perf_counter() - t0
+    print(f"\nlexical serve-under-churn 10x: {t:.1f}s")
+    assert t < 600, f"lexical churn at 10x took {t:.1f}s"
+
+
 def test_round9b_ops_at_10x(spark, big_dir):
     """Round-9 second-session operators stay linear at 10×:
 
