@@ -163,6 +163,27 @@ def run_once(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def calibration_probe(spark) -> float:
+    """Fixed synthetic plan (no IO, no engine code): best-of-3 over a
+    50M-row range agg. Run at session start AND end; the pair separates
+    box/JVM drift from engine drift — if the probes move r/r as much as
+    the queries did, the drift is environmental (VERDICT r9: the frozen
+    r2 basket drifted 21% on UNCHANGED queries and the cause could not
+    be attributed from the record alone)."""
+    df = (
+        spark.range(50_000_000)
+        .selectExpr("id % 97 AS k", "id")
+        .groupBy("k")
+        .agg({"id": "sum"})
+    )
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_once(df)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     queries = all_queries()
     spark = get_session(app_name="fkr-spark-bench")
@@ -178,18 +199,27 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     flagship = queries["agg_hash_groupby"]
     run_once(flagship(spark, SF_DIR))  # warm-up
+    calib_start = calibration_probe(spark)
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for qid in HEADLINE:
         fn = queries.get(qid)
         if fn is None:
             continue
         best = float("inf")
-        for _ in range(3):
+        for i in range(3):
             t0 = time.perf_counter()
             run_once(fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if i == 0:
+                # first run pays one-off codegen + shared-artifact
+                # builds; recorded separately so cold-path drift is
+                # attributable (best-of-3 hides it)
+                cold[qid] = round(dt, 3)
+            best = min(best, dt)
         timings[qid] = round(best, 3)
+    calib_end = calibration_probe(spark)
 
     total = round(sum(timings.values()), 3)
     # vs_baseline: per-query ratio against the frozen first-recorded
@@ -257,6 +287,12 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # drift-attribution record (not part of the driver contract):
+        # per-query first-run times plus the fixed synthetic probe at
+        # session start/end — if calib moved r/r like the queries did,
+        # the drift is the box, not the engine
+        "cold_first_run": cold,
+        "calibration": {"start": calib_start, "end": calib_end},
         "n_queries": len(timings),
         "r2_subset_total": r2_subset,
         "r2_subset_n": len(R2_BASKET),
@@ -278,6 +314,7 @@ def main() -> None:
     # driver contract and stays verbatim).
     line = dict(report)
     line["vs_baseline"] = geomean
+    line.pop("cold_first_run", None)
     line["report"] = "BENCH_REPORT.json"
     print(json.dumps(line))
 

@@ -4277,7 +4277,17 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the unigram-LM recipe (explode → vocab agg → broadcast logp
     join → per-doc agg) + ONE window exchange on lang + a tiny final
     agg. The vocab table is the model artifact at scale; the ntile
-    runs on doc-level rows (corpus-count, not token-count)."""
+    runs on doc-level rows (corpus-count, not token-count).
+
+    Precondition (shared with :func:`doc_unigram_logprob`): the
+    broadcast logp join assumes the DISTINCT-token vocabulary fits the
+    broadcast threshold — true for any capped/normalized tokenizer
+    vocabulary (the production shape: unigram LMs for quality scoring
+    are trained over a fixed vocab, CCNet's is 64k SentencePiece), NOT
+    for a raw open-vocabulary explode of 100 TB of unnormalized text.
+    At that scale drop the F.broadcast hint and let AQE pick the join
+    (a vocab-keyed shuffle hash join — same answer, no driver-side
+    materialization), or cap the vocab with a min-count floor first."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", F.explode(text.tokens("text")).alias("tok")

@@ -270,7 +270,14 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     powers of ten differ per engine); expected shares floor-quantize
     ln()/ln(10) at 1e-6 (the tfidf idiom). Shape: one map-side
     projection → 9-group agg with map-side combine → broadcast of the
-    1-row total; linear scan cost, the cheapest audit in the suite."""
+    1-row total; linear scan cost, the cheapest audit in the suite.
+
+    Domain guard: Benford's law is defined over nonzero magnitudes, so
+    rows whose first significant character is not 1–9 (zero amounts →
+    digit 0, negatives → '-' casting to NULL) are excluded from both
+    the counts and the share denominator rather than producing
+    ln(1+1/0) garbage rows — the audit degrades gracefully on generic
+    monetary columns, not just the all-positive l_extendedprice."""
     li = load_table(spark, sf_dir, "lineitem")
     d = li.select(
         F.substring(
@@ -282,7 +289,7 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("digit")
-    )
+    ).filter(F.col("digit").between(1, 9))
     counts = d.groupBy("digit").agg(F.count("*").alias("n_rows"))
     total = counts.agg(F.sum("n_rows").alias("n_total"))
     exp_share = F.expr(
@@ -385,10 +392,13 @@ QUERIES = {
 ORACLES = {
     "dq_benford": """
         WITH d AS (
-            SELECT CAST(SUBSTRING(CAST(CAST(ROUND(l_extendedprice * 100, 0)
-                                             AS BIGINT) AS VARCHAR), 1, 1)
-                        AS INTEGER) AS digit
-            FROM lineitem
+            SELECT digit FROM (
+                SELECT CAST(SUBSTRING(CAST(CAST(ROUND(l_extendedprice * 100,
+                                                      0)
+                                                 AS BIGINT) AS VARCHAR), 1, 1)
+                            AS INTEGER) AS digit
+                FROM lineitem
+            ) WHERE digit BETWEEN 1 AND 9
         ),
         counts AS (
             SELECT digit, COUNT(*) AS n_rows FROM d GROUP BY digit

@@ -35,20 +35,43 @@ def _plan(df) -> str:
 
 def test_ewma_first_row_equals_value_and_bounded(spark):
     """With no history the smoother must return the sample itself; with
-    history it stays inside the [min, max] hull of the contributing
-    window (convexity of the weights)."""
-    rows = window_ewma(spark, SF_DIR).collect()
+    history it stays inside the [min, max] hull of the CONTRIBUTING
+    8-sample trailing window (convexity of the weights). The window's
+    (ts, event_id) ordering isn't in the query output, so re-derive it
+    from the events table and key the comparison by event_id."""
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.operators.windows import EWMA_LAGS
+
+    ewma_by_event = {
+        r.event_id: r.ewma for r in window_ewma(spark, SF_DIR).collect()
+    }
+    ordering = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
     by_user: dict = {}
-    for r in rows:
+    for r in ordering:
         by_user.setdefault(r.user_id, []).append(r)
+    checked_first = checked_hull = 0
     for user_rows in by_user.values():
-        # rows within a user arrive in window order only after a sort;
-        # re-derive order by event_id is not valid (ts orders), so just
-        # check the hull property on every row's neighborhood instead.
-        vals = [r.value for r in user_rows]
-        lo, hi = min(vals), max(vals)
-        for r in user_rows:
-            assert lo - 1e-9 <= r.ewma <= hi + 1e-9
+        user_rows.sort(key=lambda r: (r.ts, r.event_id))
+        first = user_rows[0]
+        assert (
+            abs(ewma_by_event[first.event_id] - round(first.value, 4))
+            <= 1e-4 + 1e-9
+        ), "first row per user must smooth to the sample itself"
+        checked_first += 1
+        for i, r in enumerate(user_rows):
+            window = user_rows[max(0, i - EWMA_LAGS + 1): i + 1]
+            lo = min(x.value for x in window)
+            hi = max(x.value for x in window)
+            # query output rounds to 4 decimals — allow that quantum
+            assert lo - 1e-4 - 1e-9 <= ewma_by_event[r.event_id] <= (
+                hi + 1e-4 + 1e-9
+            ), f"ewma left the trailing-{EWMA_LAGS} hull"
+            checked_hull += 1
+    assert checked_first > 1 and checked_hull > checked_first
 
 
 def test_ewma_single_window_exchange(spark):
