@@ -156,6 +156,14 @@ HEADLINE = list(R2_BASKET) + [
     "quality_perplexity_buckets",
     "text_entropy",
     "bpe_pair_counts",
+    # round-10 additions: the eval-harness completion (threshold-free
+    # AUC, calibration table, graded retrieval NDCG) and the two audit
+    # reports (header-vs-lines reconciliation, funnel dwell times)
+    "eval_roc_auc",
+    "eval_calibration_bins",
+    "eval_ndcg_bm25",
+    "dq_reconciliation",
+    "funnel_time_to_convert",
 ]
 
 

@@ -3047,6 +3047,208 @@ def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the trained quality classifier — the
+    threshold-free counterpart of :func:`eval_pr_curve` (AUC is the
+    Mann-Whitney U statistic: the probability a random positive
+    outscores a random negative, ties counting half).
+
+    The scale design mirrors the PR curve's histogram form: never a
+    global sort of per-doc rows. Scores collapse to a per-DISTINCT-
+    score (pos, neg) histogram first; a prefix sum over that (small)
+    table counts, for each score s, the negatives strictly below s —
+    then concordant pairs = Σ_s pos_s·neg_below_s and tied pairs =
+    Σ_s pos_s·neg_s, all exact BIGLONG arithmetic in DECIMAL(38,0)
+    (pair counts overflow int64 past ~3M balanced docs), with ONE
+    float division at the end. At 100 TB the corpus is scanned once
+    (by the memoized fit); the AUC itself costs a distinct-score agg.
+
+    Output: 1 row (n_pos, n_neg, n_concordant, n_tied, auc)."""
+    _labels, _w, scored, _theta = _qc_fit(spark, sf_dir)
+    hist = scored.groupBy("s").agg(
+        F.sum(F.when(F.col("y") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.sum(F.when(F.col("y") > 0, 0).otherwise(1))
+        .cast("bigint")
+        .alias("neg"),
+    )
+    w = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the window runs over the distinct-score histogram, not the corpus
+    cum = hist.select(
+        "s",
+        "pos",
+        "neg",
+        (F.sum("neg").over(w) - F.col("neg")).alias("neg_below"),
+    )
+    return cum.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.sum(
+            (F.col("pos") * F.col("neg_below")).cast("decimal(38,0)")
+        ).alias("_conc"),
+        F.sum((F.col("pos") * F.col("neg")).cast("decimal(38,0)")).alias(
+            "_tied"
+        ),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.col("_conc").cast("bigint").alias("n_concordant"),
+        F.col("_tied").cast("bigint").alias("n_tied"),
+        F.round(
+            (
+                F.col("_conc").cast("double")
+                + F.col("_tied").cast("double") / 2.0
+            )
+            / (F.col("n_pos") * F.col("n_neg")).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
+CALIB_BINS = 10
+
+
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the trained classifier: scores bucketed
+    into CALIB_BINS equal-width bins over [min, max], each bin
+    reporting its doc count, positive count, empirical positive rate,
+    and mean score — the table a calibration plot (and any
+    recalibration fit) is drawn from.
+
+    Same histogram discipline as the PR curve: equal-WIDTH integer
+    bins (never ntile — a global rank at corpus scale), the bin id a
+    map-side expression over the broadcast 1-row bounds, the report a
+    ≤CALIB_BINS-row aggregate. Mean score stays exact: scores are
+    int64, summed in DECIMAL(38,0), divided once."""
+    _labels, _w, scored, _theta = _qc_fit(spark, sf_dir)
+    bounds = scored.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    step = f"greatest(1L, (hi - lo) div {CALIB_BINS})"
+    binned = scored.crossJoin(broadcast(bounds)).select(
+        F.expr(f"least((s - lo) div {step}, {CALIB_BINS}L - 1)").alias(
+            "bin"
+        ),
+        "y",
+        "s",
+        F.expr(f"lo + least((s - lo) div {step}, {CALIB_BINS}L - 1)"
+               f" * ({step})").alias("_edge"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.min("_edge").cast("bigint").alias("bin_lo"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("y") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+            F.sum(F.col("s").cast("decimal(38,0)")).alias("_sum_s"),
+        )
+        .select(
+            "bin",
+            "bin_lo",
+            "n_docs",
+            "n_pos",
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n_docs"), 6
+            ).alias("pos_rate"),
+            F.round(
+                F.col("_sum_s").cast("double") / F.col("n_docs"), 4
+            ).alias("mean_score"),
+        )
+    )
+
+
+NDCG_K = 10
+
+
+def eval_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking for the engine's fixed query —
+    the graded-relevance eval that completes the retrieval harness
+    (recall curves grade the ANN leg, P/R/F1/AUC grade the
+    classifier; NDCG grades the lexical ranking itself).
+
+    Relevance labels are deterministic and content-derived: rel(doc) =
+    min(3, total occurrences of the query terms) — a 0–3 graded scale
+    like real judgment sets. DCG@k = Σ (2^rel − 1) · wq(rank) with
+    wq(r) = floor(1e6/log2(r+1))/1e6 (ranks are the constants 1..10,
+    so the quantized weights are engine-identical); the ideal ranking
+    re-sorts by (rel DESC, doc_id ASC). Both cumulative sums run over
+    ≤10-row frames.
+
+    Scale: the candidate set (docs containing a query term) is the
+    same pushed-filter explode BM25 itself runs; both top-10s compile
+    to TakeOrderedAndProject; everything after is 10-row arithmetic.
+
+    Output: one row per rank 1..10 (rank, doc_id, rel, dcg_cum,
+    idcg_cum, ndcg_cum) — row 10's ndcg_cum is NDCG@10."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    rel = (
+        toks.filter(F.col("t").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            F.least(F.count("*"), F.lit(3)).cast("int").alias("rel")
+        )
+    )
+    ranked = (
+        bm25_topk(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(NDCG_K)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .join(rel, "doc_id", "left")
+        .select(
+            "rank", "doc_id", F.coalesce("rel", F.lit(0)).alias("rel")
+        )
+    )
+    ideal = (
+        rel.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+        .limit(NDCG_K)
+        .withColumn(
+            "irank",
+            F.row_number().over(
+                Window.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .select("irank", F.col("rel").alias("irel"))
+    )
+    wq = "(floor(1000000.0D / log2(rank + 1)) / 1000000.0D)"
+    iwq = "(floor(1000000.0D / log2(irank + 1)) / 1000000.0D)"
+    gains = (
+        ranked.join(ideal, F.col("rank") == F.col("irank"))
+        .select(
+            "rank",
+            "doc_id",
+            "rel",
+            F.expr(
+                f"(cast(pow(2, rel) as bigint) - 1) * {wq}"
+            ).alias("_g"),
+            F.expr(
+                f"(cast(pow(2, irel) as bigint) - 1) * {iwq}"
+            ).alias("_ig"),
+        )
+    )
+    wcum = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return gains.select(
+        "rank",
+        "doc_id",
+        "rel",
+        F.round(F.sum("_g").over(wcum), 6).alias("dcg_cum"),
+        F.round(F.sum("_ig").over(wcum), 6).alias("idcg_cum"),
+        F.round(
+            F.sum("_g").over(wcum) / F.sum("_ig").over(wcum), 6
+        ).alias("ndcg_cum"),
+    )
+
+
 def _qc_weights(
     feats: DataFrame, labels: DataFrame, counts: DataFrame
 ) -> DataFrame:
@@ -4479,6 +4681,9 @@ QUERIES = {
     "knn_batch_lsh": knn_batch_lsh,
     "eval_confusion_matrix": eval_confusion_matrix,
     "eval_pr_curve": eval_pr_curve,
+    "eval_roc_auc": eval_roc_auc,
+    "eval_calibration_bins": eval_calibration_bins,
+    "eval_ndcg_bm25": eval_ndcg_bm25,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_pq_encode": embedding_pq_encode,
     "knn_pq_adc": knn_pq_adc,
@@ -6263,8 +6468,10 @@ ORACLES["eval_confusion_matrix"] = f"""
 # chain as quality_classifier_train's oracle through `scored`), then
 # replays the histogram-edge threshold sweep in identical integer
 # arithmetic
-ORACLES["eval_pr_curve"] = f"""
-    WITH tt AS (
+# the classifier fit as a reusable DuckDB CTE chain ending in
+# scored(doc_id, y, s) — the SQL twin of _qc_fit's scored frame, shared
+# by every eval-harness oracle (pr curve, AUC, calibration)
+_DUCK_QC_SCORED_CTES = f"""tt AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
     fx AS (
@@ -6312,7 +6519,10 @@ ORACLES["eval_pr_curve"] = f"""
             FROM feat f JOIN w USING (bucket)
             GROUP BY f.doc_id
         ) s USING (doc_id)
-    ),
+    )"""
+
+ORACLES["eval_pr_curve"] = f"""
+    WITH {_DUCK_QC_SCORED_CTES},
     bounds AS (
         SELECT MIN(s) AS lo, MAX(s) AS hi,
                CAST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -6355,6 +6565,104 @@ ORACLES["eval_pr_curve"] = f"""
                               + (CAST(tp AS DOUBLE) / n_pos)), 6) END
                AS f1
     FROM agg CROSS JOIN bounds
+"""
+
+ORACLES["eval_roc_auc"] = f"""
+    WITH {_DUCK_QC_SCORED_CTES},
+    hist AS (
+        SELECT s,
+               CAST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pos,
+               CAST(SUM(CASE WHEN y > 0 THEN 0 ELSE 1 END) AS BIGINT)
+                   AS neg
+        FROM scored GROUP BY s
+    ),
+    cum AS (
+        SELECT s, pos, neg,
+               CAST(SUM(neg) OVER (
+                   ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - neg AS BIGINT) AS neg_below
+        FROM hist
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           CAST(SUM(CAST(pos AS HUGEINT) * neg_below) AS BIGINT)
+               AS n_concordant,
+           CAST(SUM(CAST(pos AS HUGEINT) * neg) AS BIGINT) AS n_tied,
+           ROUND((CAST(SUM(CAST(pos AS HUGEINT) * neg_below) AS DOUBLE)
+                  + CAST(SUM(CAST(pos AS HUGEINT) * neg) AS DOUBLE) / 2.0)
+                 / CAST(SUM(pos) * SUM(neg) AS DOUBLE), 6) AS auc
+    FROM cum
+"""
+
+ORACLES["eval_calibration_bins"] = f"""
+    WITH {_DUCK_QC_SCORED_CTES},
+    bounds AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM scored),
+    binned AS (
+        SELECT LEAST((s - lo) // GREATEST(1, (hi - lo) // {CALIB_BINS}),
+                     {CALIB_BINS} - 1) AS bin,
+               y, s,
+               lo + LEAST((s - lo) // GREATEST(1, (hi - lo) // {CALIB_BINS}),
+                          {CALIB_BINS} - 1)
+                  * GREATEST(1, (hi - lo) // {CALIB_BINS}) AS _edge
+        FROM scored CROSS JOIN bounds
+    )
+    SELECT bin,
+           CAST(MIN(_edge) AS BIGINT) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+           ROUND(CAST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS pos_rate,
+           ROUND(CAST(SUM(CAST(s AS HUGEINT)) AS DOUBLE) / COUNT(*), 4)
+               AS mean_score
+    FROM binned GROUP BY bin
+"""
+
+ORACLES["eval_ndcg_bm25"] = f"""
+    WITH base AS ({_BM25_ORACLE}),
+    rel AS (
+        SELECT doc_id, CAST(LEAST(COUNT(*), 3) AS INTEGER) AS rel
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t IN ({", ".join(f"'{w}'" for w in BM25_QUERY_TERMS)})
+        GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY b.bm25 DESC, b.doc_id ASC) AS INTEGER)
+                   AS rank,
+               b.doc_id,
+               CAST(COALESCE(rel.rel, 0) AS INTEGER) AS rel
+        FROM (SELECT * FROM base
+              ORDER BY bm25 DESC, doc_id ASC LIMIT {NDCG_K}) b
+        LEFT JOIN rel USING (doc_id)
+    ),
+    ideal AS (
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY rel DESC, doc_id ASC) AS INTEGER) AS irank,
+               rel AS irel
+        FROM (SELECT * FROM rel
+              ORDER BY rel DESC, doc_id ASC LIMIT {NDCG_K})
+    ),
+    gains AS (
+        SELECT r.rank, r.doc_id, r.rel,
+               (CAST(POW(2, r.rel) AS BIGINT) - 1)
+                   * (FLOOR(1000000.0 / log2(r.rank + 1)) / 1000000.0)
+                   AS _g,
+               (CAST(POW(2, i.irel) AS BIGINT) - 1)
+                   * (FLOOR(1000000.0 / log2(i.irank + 1)) / 1000000.0)
+                   AS _ig
+        FROM ranked r JOIN ideal i ON r.rank = i.irank
+    )
+    SELECT rank, doc_id, rel,
+           ROUND(SUM(_g) OVER w, 6) AS dcg_cum,
+           ROUND(SUM(_ig) OVER w, 6) AS idcg_cum,
+           ROUND(SUM(_g) OVER w / SUM(_ig) OVER w, 6) AS ndcg_cum
+    FROM gains
+    WINDOW w AS (ORDER BY rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
 ORACLES["corpus_token_budget"] = f"""

@@ -379,9 +379,71 @@ def dq_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation: recompute each order's
+    total from its line items (Σ extendedprice·(1−discount)·(1+tax))
+    and bucket the orders by how far the stored ``o_totalprice``
+    deviates — the sum-to-header consistency audit every
+    finance/billing pipeline runs between a fact table and its
+    rollup, and the cross-FIELD counterpart of
+    ``dq_referential_integrity``'s cross-KEY check.
+
+    Exactness: all three factors have 2 decimals, so the recomputed
+    line value is the exact integer product e100·(100−d100)·(100+t100)
+    in 1e-6-dollar units — order-free BIGINT sums, zero float drift;
+    the stored total scales by 1e4 to the same units. Buckets: exact /
+    under a cent / under a dollar / a dollar or more / no_lineitems.
+
+    Shape: one l_orderkey-keyed partial-aggregated sum (map-side
+    combine does most of the work), one equi-join to orders (at 100 TB
+    both sides hash-shuffle on the same key, or co-located if the
+    tables are bucketed by orderkey — no broadcast needed, no skew:
+    orderkeys are unique on one side, ≤7 rows on the other), and a
+    ≤5-row report aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "cast(round(l_extendedprice * 100) as bigint)"
+            " * (100L - cast(round(l_discount * 100) as bigint))"
+            " * (100L + cast(round(l_tax * 100) as bigint))"
+        ).alias("v6"),
+    )
+    recomputed = li.groupBy("l_orderkey").agg(
+        F.sum("v6").alias("recomputed6")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.expr("cast(round(o_totalprice * 100) as bigint)") * 10000)
+        .alias("stored6"),
+    )
+    diffed = o.join(
+        recomputed, o.o_orderkey == recomputed.l_orderkey, "left"
+    ).select(
+        F.when(F.col("recomputed6").isNull(), "no_lineitems")
+        .when(F.col("recomputed6") == F.col("stored6"), "exact")
+        .when(
+            F.abs(F.col("recomputed6") - F.col("stored6")) < 10_000,
+            "lt_1_cent",
+        )
+        .when(
+            F.abs(F.col("recomputed6") - F.col("stored6")) < 1_000_000,
+            "lt_1_dollar",
+        )
+        .otherwise("ge_1_dollar")
+        .alias("bucket"),
+        (F.col("recomputed6") - F.col("stored6")).alias("diff6"),
+    )
+    return diffed.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.min("diff6").alias("min_diff6"),
+        F.max("diff6").alias("max_diff6"),
+    )
+
+
 QUERIES = {
     "dq_referential_integrity": dq_referential_integrity,
     "dq_benford": dq_benford,
+    "dq_reconciliation": dq_reconciliation,
     "dq_winsorize": dq_winsorize,
     "dq_profile": dq_profile,
     "dq_outlier_mad": dq_outlier_mad,
@@ -390,6 +452,43 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dq_reconciliation": """
+        WITH li AS (
+            SELECT l_orderkey,
+                   CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                   * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT)) AS v6
+            FROM lineitem
+        ),
+        rec AS (
+            SELECT l_orderkey, SUM(v6) AS recomputed6
+            FROM li GROUP BY l_orderkey
+        ),
+        d AS (
+            SELECT CASE
+                     WHEN recomputed6 IS NULL THEN 'no_lineitems'
+                     WHEN recomputed6 = stored6 THEN 'exact'
+                     WHEN ABS(recomputed6 - stored6) < 10000
+                         THEN 'lt_1_cent'
+                     WHEN ABS(recomputed6 - stored6) < 1000000
+                         THEN 'lt_1_dollar'
+                     ELSE 'ge_1_dollar'
+                   END AS bucket,
+                   recomputed6 - stored6 AS diff6
+            FROM (
+                SELECT o_orderkey,
+                       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                           * 10000 AS stored6
+                FROM orders
+            ) o
+            LEFT JOIN rec ON rec.l_orderkey = o.o_orderkey
+        )
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(diff6) AS BIGINT) AS min_diff6,
+               CAST(MAX(diff6) AS BIGINT) AS max_diff6
+        FROM d GROUP BY bucket
+    """,
     "dq_benford": """
         WITH d AS (
             SELECT digit FROM (

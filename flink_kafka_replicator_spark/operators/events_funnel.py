@@ -185,9 +185,76 @@ def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time distribution per funnel transition: for every user
+    who progressed view→click (and click→purchase), the seconds
+    between the ordered stage timestamps — reported as count, exact
+    nearest-rank P50/P90, and mean per transition. The question a
+    funnel dashboard answers right after "how many convert": how LONG
+    conversion takes, which sets abandonment timeouts and attribution
+    windows.
+
+    Exactness: dwell is an integer (epoch-microsecond difference,
+    floor-divided to whole seconds — both engines' µs arithmetic is
+    exact); the percentile is nearest-rank over the (transition,
+    dwell_s) HISTOGRAM — rank = ceil(p·n) reached by cumulative count
+    in dwell order — so both engines pick the identical element; the
+    mean is one BIGINT-sum division.
+
+    Shape: the funnel's single user_id exchange → a (transition,
+    dwell_s) histogram agg (map-side combined; cardinality ≤ distinct
+    dwell seconds, tiny next to users) → windows over the HISTOGRAM,
+    never over per-user rows — the same scale discipline as
+    eval_pr_curve/eval_roc_auc."""
+    staged = funnel_stages(spark, sf_dir)
+    dwell = staged.select(
+        F.lit("view_to_click").alias("transition"),
+        F.expr(
+            "(unix_micros(t_click) - unix_micros(t_view))"
+            " div 1000000"
+        ).alias("dwell_s"),
+    ).unionByName(
+        staged.select(
+            F.lit("click_to_purchase").alias("transition"),
+            F.expr(
+                "(unix_micros(t_purchase) - unix_micros(t_click))"
+                " div 1000000"
+            ).alias("dwell_s"),
+        )
+    ).filter(F.col("dwell_s").isNotNull())
+    hist = dwell.groupBy("transition", "dwell_s").agg(
+        F.count("*").alias("n")
+    )
+    wt = Window.partitionBy("transition").orderBy("dwell_s")
+    wall = Window.partitionBy("transition")
+    cum = hist.select(
+        "transition",
+        "dwell_s",
+        "n",
+        F.sum("n").over(wt).alias("cum_n"),
+        F.sum("n").over(wall).alias("tot_n"),
+        F.sum(F.col("dwell_s") * F.col("n")).over(wall).alias("sum_s"),
+    )
+    pick = lambda p: F.min(  # noqa: E731 — nearest-rank selector
+        F.when(
+            F.col("cum_n") >= F.expr(f"cast(ceil({p} * tot_n) as bigint)"),
+            F.col("dwell_s"),
+        )
+    )
+    return cum.groupBy("transition").agg(
+        F.max("tot_n").cast("bigint").alias("n_users"),
+        pick(0.5).cast("bigint").alias("p50_s"),
+        pick(0.9).cast("bigint").alias("p90_s"),
+        F.round(
+            F.max("sum_s").cast("double") / F.max("tot_n"), 4
+        ).alias("mean_s"),
+    )
+
+
 QUERIES = {
     "funnel_stages": funnel_stages,
     "funnel_conversion": funnel_conversion,
+    "funnel_time_to_convert": funnel_time_to_convert,
     "retention_cohorts": retention_cohorts,
     "event_trigrams": event_trigrams,
 }
@@ -312,5 +379,74 @@ ORACLES = {
         GROUP BY step1, step2, step3
         ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
         LIMIT 20
+    """,
+    "funnel_time_to_convert": """
+        WITH v AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_view,
+                   event_type, ts
+            FROM events
+        ),
+        c AS (
+            SELECT user_id, t_view,
+                   MIN(CASE WHEN event_type = 'click' AND ts > t_view
+                            THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_click,
+                   event_type, ts
+            FROM v
+        ),
+        p AS (
+            SELECT user_id, t_view, t_click,
+                   MIN(CASE WHEN event_type = 'purchase' AND ts > t_click
+                            THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_purchase
+            FROM c
+        ),
+        per_user AS (
+            SELECT user_id,
+                   MAX(t_view) AS t_view,
+                   MAX(t_click) AS t_click,
+                   MAX(t_purchase) AS t_purchase
+            FROM p GROUP BY user_id
+        ),
+        dwell AS (
+            SELECT transition, dwell_s FROM (
+                SELECT 'view_to_click' AS transition,
+                       (epoch_us(t_click) - epoch_us(t_view)) // 1000000
+                           AS dwell_s
+                FROM per_user
+                UNION ALL
+                SELECT 'click_to_purchase',
+                       (epoch_us(t_purchase) - epoch_us(t_click))
+                           // 1000000
+                FROM per_user
+            ) WHERE dwell_s IS NOT NULL
+        ),
+        hist AS (
+            SELECT transition, dwell_s, COUNT(*) AS n
+            FROM dwell GROUP BY transition, dwell_s
+        ),
+        cum AS (
+            SELECT transition, dwell_s, n,
+                   SUM(n) OVER (PARTITION BY transition ORDER BY dwell_s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_n,
+                   SUM(n) OVER (PARTITION BY transition) AS tot_n,
+                   SUM(dwell_s * n) OVER (PARTITION BY transition)
+                       AS sum_s
+            FROM hist
+        )
+        SELECT transition,
+               CAST(MAX(tot_n) AS BIGINT) AS n_users,
+               CAST(MIN(CASE WHEN cum_n >=
+                                  CAST(CEIL(0.5 * tot_n) AS BIGINT)
+                             THEN dwell_s END) AS BIGINT) AS p50_s,
+               CAST(MIN(CASE WHEN cum_n >=
+                                  CAST(CEIL(0.9 * tot_n) AS BIGINT)
+                             THEN dwell_s END) AS BIGINT) AS p90_s,
+               ROUND(CAST(MAX(sum_s) AS DOUBLE) / MAX(tot_n), 4)
+                   AS mean_s
+        FROM cum GROUP BY transition
     """,
 }

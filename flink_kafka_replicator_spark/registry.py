@@ -339,6 +339,12 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "dq_rules_engine",
     "dq_distribution_drift",
     "eval_pr_curve",
+    # round-10 additions: eval-harness completion + the two audits
+    "eval_roc_auc",
+    "eval_calibration_bins",
+    "eval_ndcg_bm25",
+    "dq_reconciliation",
+    "funnel_time_to_convert",
 )
 
 
