@@ -164,6 +164,11 @@ HEADLINE = list(R2_BASKET) + [
     "eval_ndcg_bm25",
     "dq_reconciliation",
     "funnel_time_to_convert",
+    "dedup_minhash_jaccard_estimate",
+    "dedup_graph_degree_hist",
+    "window_rolling_median",
+    "agg_mode_per_group",
+    "scd2_point_in_time",
 ]
 
 

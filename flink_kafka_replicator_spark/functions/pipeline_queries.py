@@ -29,6 +29,7 @@ from .similarity import (
     jaccard,
     lsh_candidate_pairs,
     lsh_candidate_pairs_payload,
+    minhash_signature_table,
     query_vec_col,
     shingle_pipeline,
     simhash_bands,
@@ -1035,6 +1036,93 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard verifies). Unthresholded variant of
     dedup_fuzzy_minhash."""
     return _minhash_candidates_with_jaccard(spark, sf_dir)
+
+
+N_MINHASHES = len(_MINHASH_PARAMS)
+
+
+def dedup_minhash_jaccard_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch calibration for the MinHash machinery: for every LSH
+    candidate pair, the Jaccard ESTIMATE the 16-slot signature implies
+    (matching slots / 16 — the MinHash collision-probability theorem)
+    next to the exact shingle Jaccard and the signed estimation error.
+    The calibration-row pattern ``agg_linear_count_distinct``
+    established, applied to the dedup sketch: one green row proves the
+    signature arithmetic, the banding, AND the estimator's bias are
+    all exactly what the theory says, engine-independently.
+
+    Scale: the signature table is computed only for candidate docs
+    (left-semi pruned via the broadcast pair table — |candidates|
+    rows, not |corpus|); slot agreement is a 16-element zip per pair.
+    At 100 TB this doubles as the monitoring query that detects a
+    drifted/corrupted persisted signature index: error quantiles
+    shifting from the expected ±1/16 lattice mean the index no longer
+    matches its corpus."""
+    pairs = _minhash_candidates_with_jaccard(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    ids = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    cand = d.join(broadcast(ids), "doc_id", "left_semi")
+    sig = broadcast(
+        materialize_small(minhash_signature_table(cand, "doc_id", "text"))
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("__sig").alias("sig_a")
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("__sig").alias("sig_b")
+    )
+    matches = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))"
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.cast("int").alias("n_slot_matches"),
+            F.round(
+                matches.cast("double") / F.lit(float(N_MINHASHES)), 4
+            ).alias("jaccard_est"),
+            F.col("jaccard").alias("jaccard_exact"),
+            F.round(
+                matches.cast("double") / F.lit(float(N_MINHASHES))
+                - F.col("jaccard"),
+                4,
+            ).alias("est_error"),
+        )
+    )
+
+
+def dedup_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup graph (pairs with exact
+    Jaccard ≥ 0.5, both endpoints counted): how many docs have 1, 2,
+    … near-duplicates — the observability row a dedup operator reads
+    before executing deletions (a fat tail here means boilerplate is
+    about to collapse whole sources into one survivor; a spike at
+    degree |cluster|−1 means clique-shaped template families).
+
+    Composition over the memoized pair table: explode each pair into
+    its two endpoints, count per doc, histogram the counts — two tiny
+    aggregates over the candidate-pair artifact, nothing corpus-sized.
+    """
+    pairs = _minhash_candidates_with_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.5
+    )
+    deg = (
+        pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
 
 
 # (session appId, sf_dir) → hyperplane-LSH candidate-pair table
@@ -4658,6 +4746,8 @@ QUERIES = {
     "dedup_survivors": dedup_survivors,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_jaccard_estimate": dedup_minhash_jaccard_estimate,
+    "dedup_graph_degree_hist": dedup_graph_degree_hist,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_semantic_clusters": dedup_semantic_clusters,
     "contamination_semantic": contamination_semantic,
@@ -6608,7 +6698,7 @@ ORACLES["eval_calibration_bins"] = f"""
                   * GREATEST(1, (hi - lo) // {CALIB_BINS}) AS _edge
         FROM scored CROSS JOIN bounds
     )
-    SELECT bin,
+    SELECT CAST(bin AS BIGINT) AS bin,
            CAST(MIN(_edge) AS BIGINT) AS bin_lo,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -6663,6 +6753,108 @@ ORACLES["eval_ndcg_bm25"] = f"""
     FROM gains
     WINDOW w AS (ORDER BY rank
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+_MINHASH_MATCH_TERMS = " + ".join(
+    f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END"
+    for i in range(len(_MINHASH_PARAMS))
+)
+
+ORACLES["dedup_minhash_jaccard_estimate"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+        FROM t
+    ),
+    hs AS (
+        SELECT doc_id,
+               list_transform(sh, g ->
+                   ('0x' || substr(md5(g), 1, 8))::BIGINT % {_MINHASH_P})
+                   AS h
+        FROM s
+    ),
+    sig AS (SELECT doc_id, {_NGRAM_SIG_COLS} FROM hs),
+    bands AS ({_NGRAM_BAND_SELECTS}),
+    ok AS (
+        SELECT b, r1, r2 FROM bands GROUP BY b, r1, r2
+        HAVING COUNT(*) BETWEEN 2 AND 200
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        FROM bands x
+        JOIN ok k ON k.b = x.b AND k.r1 = x.r1 AND k.r2 = x.r2
+        JOIN bands y ON y.b = x.b AND y.r1 = x.r1 AND y.r2 = x.r2
+                    AND x.doc_id < y.doc_id
+    )
+    SELECT cand.da AS doc_a, cand.db AS doc_b,
+           CAST({_MINHASH_MATCH_TERMS} AS INTEGER) AS n_slot_matches,
+           ROUND(({_MINHASH_MATCH_TERMS})
+                 / {len(_MINHASH_PARAMS)}.0, 4) AS jaccard_est,
+           ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))), 4)
+               AS jaccard_exact,
+           ROUND(({_MINHASH_MATCH_TERMS}) / {len(_MINHASH_PARAMS)}.0
+                 - ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(sa.sh, sb.sh))),
+                         4), 4) AS est_error
+    FROM cand
+    JOIN sig a ON a.doc_id = cand.da
+    JOIN sig b ON b.doc_id = cand.db
+    JOIN s sa ON sa.doc_id = cand.da
+    JOIN s sb ON sb.doc_id = cand.db
+"""
+
+ORACLES["dedup_graph_degree_hist"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+        FROM t
+    ),
+    hs AS (
+        SELECT doc_id,
+               list_transform(sh, g ->
+                   ('0x' || substr(md5(g), 1, 8))::BIGINT % {_MINHASH_P})
+                   AS h
+        FROM s
+    ),
+    sig AS (SELECT doc_id, {_NGRAM_SIG_COLS} FROM hs),
+    bands AS ({_NGRAM_BAND_SELECTS}),
+    ok AS (
+        SELECT b, r1, r2 FROM bands GROUP BY b, r1, r2
+        HAVING COUNT(*) BETWEEN 2 AND 200
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        FROM bands x
+        JOIN ok k ON k.b = x.b AND k.r1 = x.r1 AND k.r2 = x.r2
+        JOIN bands y ON y.b = x.b AND y.r1 = x.r1 AND y.r2 = x.r2
+                    AND x.doc_id < y.doc_id
+    ),
+    kept AS (
+        SELECT cand.da, cand.db
+        FROM cand
+        JOIN s sa ON sa.doc_id = cand.da
+        JOIN s sb ON sb.doc_id = cand.db
+        WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(sa.sh, sb.sh))), 4)
+              >= 0.5
+    ),
+    deg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT da AS doc_id FROM kept
+              UNION ALL SELECT db FROM kept)
+        GROUP BY doc_id
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree
 """
 
 ORACLES["corpus_token_budget"] = f"""

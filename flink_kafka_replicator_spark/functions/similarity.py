@@ -175,14 +175,16 @@ def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
     )
 
 
-def banded_minhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, band_key) exploded LSH bucket keys, with every stage bound to
-    a real column so nothing is recomputed: tokens → shingles → hashes →
-    signature → band keys, one pass each.
+def minhash_signature_table(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, __sig) — the 16-slot minhash signature per row, every stage
+    bound to a real column so nothing is recomputed: tokens → shingles
+    → hashes → signature, one pass each.
 
-    Signature and band-key expressions are single ``F.expr`` SQL strings
-    (not Column-API lambda compositions) — the py4j round-trips to build
-    16 transform lambdas cost more than the banding job itself at small
+    The signature expression is a single ``F.expr`` SQL string (not a
+    Column-API lambda composition) — the py4j round-trips to build 16
+    transform lambdas cost more than the banding job itself at small
     SF (see simhash_table for the same pattern). Plans are identical.
     """
     sig_sql = (
@@ -194,6 +196,16 @@ def banded_minhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         + ")"
     )
+    return (
+        shingle_pipeline(df, id_col, text_col)
+        .select(id_col, shingle_hashes(F.col("shingles")).alias("__hashes"))
+        .select(id_col, F.expr(sig_sql).alias("__sig"))
+    )
+
+
+def banded_minhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, band_key) exploded LSH bucket keys over the signature table
+    (see :func:`minhash_signature_table` for the staging discipline)."""
     keys_sql = (
         "array("
         + ", ".join(
@@ -210,11 +222,8 @@ def banded_minhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         + ")"
     )
-    return (
-        shingle_pipeline(df, id_col, text_col)
-        .select(id_col, shingle_hashes(F.col("shingles")).alias("__hashes"))
-        .select(id_col, F.expr(sig_sql).alias("__sig"))
-        .select(id_col, F.explode(F.expr(keys_sql)).alias("band_key"))
+    return minhash_signature_table(df, id_col, text_col).select(
+        id_col, F.explode(F.expr(keys_sql)).alias("band_key")
     )
 
 

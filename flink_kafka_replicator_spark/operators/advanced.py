@@ -474,8 +474,56 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 dimension history — the
+    read side of :func:`scd2_history` and the query every
+    training-data pipeline runs to avoid feature leakage: "what was
+    this attribute's value AS OF time T", answered from the versioned
+    rows, never from current state.
+
+    The probe instant is derived in-plan — the exact microsecond
+    midpoint of the event time range, a deterministic data-dependent T
+    from ONE min/max aggregate (never a global sort) — and broadcast
+    as one row; the lookup is the half-open interval containment
+    valid_from <= T < valid_to (open-ended current rows match any
+    future T). Exactly one version matches per key by the SCD2
+    construction — pinned in pytest.
+
+    At 100 TB: history is scanned once with a map-side containment
+    filter against the broadcast probe — no join explosion, no window;
+    with the history stored partitioned on valid_from date the filter
+    also prunes partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.agg(
+        F.expr(
+            "timestamp_micros(cast((unix_micros(min(ts))"
+            " + unix_micros(max(ts))) div 2 as bigint))"
+        ).alias("t_probe")
+    )
+    hist = scd2_history(spark, sf_dir)
+    return (
+        hist.crossJoin(F.broadcast(probe))
+        .filter(
+            (F.col("valid_from") <= F.col("t_probe"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("t_probe") < F.col("valid_to"))
+            )
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "attr_value",
+            "version",
+            "is_current",
+            "t_probe",
+        )
+    )
+
+
 QUERIES = {
     "join_asof": join_asof,
+    "scd2_point_in_time": scd2_point_in_time,
     "topk_per_group": topk_per_group,
     "agg_salted_skew": agg_salted_skew,
     "gap_fill_locf": gap_fill_locf,
@@ -489,6 +537,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scd2_point_in_time": """
+        WITH probe AS (
+            SELECT make_timestamp(
+                (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2
+            ) AS t_probe
+            FROM events
+        ),
+        hist AS (
+            SELECT user_id, event_type,
+                   ROUND(value, 4) AS attr_value,
+                   ts AS valid_from,
+                   LEAD(ts) OVER w AS valid_to,
+                   CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+                   LEAD(ts) OVER w IS NULL AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id, event_type
+                         ORDER BY ts ASC, event_id ASC)
+        )
+        SELECT user_id, event_type, attr_value, version, is_current,
+               t_probe
+        FROM hist CROSS JOIN probe
+        WHERE valid_from <= t_probe
+          AND (valid_to IS NULL OR t_probe < valid_to)
+    """,
     "join_asof_nearest": """
         WITH clicks AS (
             SELECT event_id AS click_id, user_id, ts AS cts

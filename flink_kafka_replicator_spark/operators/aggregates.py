@@ -310,8 +310,54 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode (most frequent value) of l_quantity per
+    (l_returnflag, l_linestatus) with a deterministic tiebreak
+    (smallest value wins) — the categorical summary statistic the
+    built-in aggregates skip (Spark's ``mode()`` breaks ties
+    arbitrarily, which can never hash-match an oracle).
+
+    Shape: one (group, value) count aggregate — map-side combined, the
+    histogram is |groups|·|distinct values| rows (tiny for bounded-
+    cardinality columns) — then a row_number window over the HISTOGRAM
+    and a filter; the corpus is scanned once, the window never sees
+    per-row data. Exactness: l_quantity has ≤2 decimals → compare as
+    exact cents; the tiebreak (count DESC, value ASC) totally orders
+    every candidate."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("l_quantity") * 100)
+            .cast("long")
+            .alias("q100"),
+        )
+        .groupBy("l_returnflag", "l_linestatus", "q100")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.col("n").desc(), F.col("q100").asc()
+    )
+    return (
+        hist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("q100").cast("double") / 100.0, 2).alias(
+                "mode_qty"
+            ),
+            F.col("n").alias("n_occurrences"),
+        )
+    )
+
+
 QUERIES = {
     "agg_stats": agg_stats,
+    "agg_mode_per_group": agg_mode_per_group,
     "agg_hash_groupby": agg_hash_groupby,
     "agg_distinct": agg_distinct,
     "agg_rollup": agg_rollup,
@@ -333,6 +379,24 @@ def _duck_cms_pos(key_sql: str) -> str:
 
 
 ORACLES = {
+    "agg_mode_per_group": """
+        WITH hist AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS q100,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus, q100
+        )
+        SELECT l_returnflag, l_linestatus,
+               ROUND(CAST(q100 AS DOUBLE) / 100.0, 2) AS mode_qty,
+               n AS n_occurrences
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY l_returnflag, l_linestatus
+                       ORDER BY n DESC, q100 ASC) AS rn
+            FROM hist
+        ) WHERE rn = 1
+    """,
     "agg_linear_count_distinct": f"""
         WITH b AS (
             SELECT l_returnflag,

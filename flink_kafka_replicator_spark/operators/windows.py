@@ -231,9 +231,96 @@ def _ewma_oracle() -> str:
     """
 
 
+ROLLMED_LAGS = 8
+
+
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of the event value over each user's
+    trailing 8 samples — the robust smoother next to
+    :func:`window_ewma`: one fat-fingered spike moves an EWMA but not
+    a median, which is why alerting pipelines threshold on this.
+
+    Exactness: values have 2 decimals → the frame is a sorted array of
+    exact v100 BIGINTs; the median is elementwise (odd n: the middle,
+    even n: the mean of the two middles — computed as an integer SUM
+    divided once), so both engines pick identical elements. Shape: the
+    EWMA pattern exactly — 8 LAG columns sharing ONE (user_id)
+    window exchange, then map-side array sort over ≤8 elements; no
+    joins, no second shuffle, state bounded by the frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    d = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    lags = [F.col("v100")] + [
+        F.lag("v100", i).over(w) for i in range(1, ROLLMED_LAGS)
+    ]
+    frame = F.array_sort(
+        F.filter(F.array(*lags), lambda x: x.isNotNull())
+    )
+    n = F.size(frame)
+    # 1-indexed middles: odd -> element (n+1)/2 twice; even -> n/2 and
+    # n/2+1 — summed exactly, one division at the end
+    med2 = F.when(
+        n % 2 == 1,
+        F.element_at(frame, ((n + 1) / 2).cast("int")) * 2,
+    ).otherwise(
+        F.element_at(frame, (n / 2).cast("int"))
+        + F.element_at(frame, (n / 2 + 1).cast("int"))
+    )
+    return d.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.size(frame).cast("int").alias("n_window"),
+        F.round(med2.cast("double") / F.lit(200.0), 4).alias(
+            "rolling_median"
+        ),
+    )
+
+
+def _rollmed_oracle() -> str:
+    lag_cols = ", ".join(
+        f"LAG(v100, {i}) OVER w AS l{i}" for i in range(1, ROLLMED_LAGS)
+    )
+    arr = "[v100, " + ", ".join(
+        f"l{i}" for i in range(1, ROLLMED_LAGS)
+    ) + "]"
+    return f"""
+        WITH d AS (
+            SELECT user_id, event_id, value,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS v100,
+                   {lag_cols}
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        f AS (
+            SELECT user_id, event_id, value,
+                   list_sort(list_filter({arr}, x -> x IS NOT NULL))
+                       AS frame
+            FROM d
+        )
+        SELECT user_id, event_id, ROUND(value, 4) AS value,
+               CAST(len(frame) AS INTEGER) AS n_window,
+               ROUND(CAST(CASE WHEN len(frame) % 2 = 1
+                               THEN frame[(len(frame) + 1) // 2] * 2
+                               ELSE frame[len(frame) // 2]
+                                    + frame[len(frame) // 2 + 1]
+                          END AS DOUBLE) / 200.0, 4) AS rolling_median
+        FROM f
+    """
+
+
 QUERIES = {
     "window_rank": window_rank,
     "window_ewma": window_ewma,
+    "window_rolling_median": window_rolling_median,
     "window_running_sum": window_running_sum,
     "window_lag_delta": window_lag_delta,
     "window_range_frame": window_range_frame,
@@ -245,6 +332,7 @@ QUERIES = {
 
 ORACLES = {
     "window_ewma": _ewma_oracle(),
+    "window_rolling_median": _rollmed_oracle(),
     "window_distinct_count": """
         SELECT event_id, user_id,
                CAST(COUNT(DISTINCT event_type) OVER (

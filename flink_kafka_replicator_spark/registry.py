@@ -339,12 +339,18 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "dq_rules_engine",
     "dq_distribution_drift",
     "eval_pr_curve",
-    # round-10 additions: eval-harness completion + the two audits
+    # round-10 additions: eval-harness completion + the two audits +
+    # the minhash sketch-calibration pair
     "eval_roc_auc",
     "eval_calibration_bins",
     "eval_ndcg_bm25",
     "dq_reconciliation",
     "funnel_time_to_convert",
+    "dedup_minhash_jaccard_estimate",
+    "dedup_graph_degree_hist",
+    "window_rolling_median",
+    "agg_mode_per_group",
+    "scd2_point_in_time",
 )
 
 

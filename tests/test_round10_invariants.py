@@ -114,6 +114,46 @@ def test_ndcg_bounds_and_monotone_idcg(spark):
     assert any(r.rel > 0 for r in rows)
 
 
+# ------------------------------------- dedup sketch calibration + degrees
+
+
+def test_minhash_estimate_bounds_and_identity_pairs(spark):
+    """Slot matches ∈ [0, 16]; est = matches/16 exactly; identical
+    shingle sets (exact Jaccard 1.0) must estimate 1.0 — identical
+    inputs hash to identical signatures by construction."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        N_MINHASHES,
+        dedup_minhash_jaccard_estimate,
+    )
+
+    rows = dedup_minhash_jaccard_estimate(spark, SF_DIR).collect()
+    assert rows, "fixture must yield candidate pairs"
+    for r in rows:
+        assert 0 <= r.n_slot_matches <= N_MINHASHES
+        assert abs(r.jaccard_est - r.n_slot_matches / N_MINHASHES) < 1e-9
+        assert abs(r.est_error - round(r.jaccard_est - r.jaccard_exact, 4)) <= 1e-4
+        if r.jaccard_exact == 1.0:
+            assert r.n_slot_matches == N_MINHASHES
+    # the estimator is unbiased-ish: mean |error| well under the
+    # single-pair std dev sqrt(j(1-j)/16) ≈ 0.125 worst case
+    mean_abs = sum(abs(r.est_error) for r in rows) / len(rows)
+    assert mean_abs < 0.25, f"estimator drifted: mean|err|={mean_abs:.3f}"
+
+
+def test_degree_hist_handshake_lemma(spark):
+    """Σ degree·n_docs = 2·|edges| — the histogram must account for
+    every endpoint of every ≥0.5 pair exactly once."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        dedup_fuzzy_minhash,
+        dedup_graph_degree_hist,
+    )
+
+    hist = dedup_graph_degree_hist(spark, SF_DIR).collect()
+    n_edges = dedup_fuzzy_minhash(spark, SF_DIR).count()
+    assert sum(r.degree * r.n_docs for r in hist) == 2 * n_edges
+    assert all(r.degree >= 1 for r in hist)
+
+
 # ------------------------------------------------------- dq_reconciliation
 
 
@@ -177,6 +217,99 @@ def test_reconciliation_exactness_against_recompute(spark):
     )
     if full_n == len(items):
         assert got == want
+
+
+# ------------------------------------ rolling median / mode / PIT lookup
+
+
+def test_rolling_median_matches_collected_frames(spark):
+    """Per user, re-derive each trailing-8 frame driver-side and check
+    the exact middle-element arithmetic."""
+    from flink_kafka_replicator_spark.operators.windows import (
+        ROLLMED_LAGS,
+        window_rolling_median,
+    )
+
+    got = {
+        r.event_id: (r.n_window, r.rolling_median)
+        for r in window_rolling_median(spark, SF_DIR).collect()
+    }
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    checked = 0
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        vals = [round(r.value * 100) for r in rows]
+        for i, r in enumerate(rows):
+            frame = sorted(vals[max(0, i - ROLLMED_LAGS + 1): i + 1])
+            n = len(frame)
+            med2 = (
+                frame[(n - 1) // 2] * 2
+                if n % 2 == 1
+                else frame[n // 2 - 1] + frame[n // 2]
+            )
+            n_w, med = got[r.event_id]
+            assert n_w == n
+            assert abs(med - round(med2 / 200.0, 4)) < 1e-9
+            checked += 1
+    assert checked > 100
+
+
+def test_mode_per_group_is_argmax_of_histogram(spark):
+    from flink_kafka_replicator_spark.operators.aggregates import (
+        agg_mode_per_group,
+    )
+
+    modes = agg_mode_per_group(spark, SF_DIR).collect()
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .collect()
+    )
+    hist: dict = {}
+    for r in li:
+        k = (r.l_returnflag, r.l_linestatus, round(r.l_quantity * 100))
+        hist[k] = hist.get(k, 0) + 1
+    groups = {(f, s) for f, s, _ in hist}
+    assert len(modes) == len(groups), "one mode row per group"
+    for m in modes:
+        cnts = {
+            q: n
+            for (f, s, q), n in hist.items()
+            if (f, s) == (m.l_returnflag, m.l_linestatus)
+        }
+        best = min(
+            (q for q, n in cnts.items() if n == max(cnts.values()))
+        )
+        assert round(m.mode_qty * 100) == best
+        assert m.n_occurrences == max(cnts.values())
+
+
+def test_scd2_point_in_time_unique_version_per_key(spark):
+    """Exactly one version matches the probe per (user, event_type)
+    key that existed at T, and the matched interval contains T."""
+    from flink_kafka_replicator_spark.operators.advanced import (
+        scd2_history,
+        scd2_point_in_time,
+    )
+
+    pit = scd2_point_in_time(spark, SF_DIR).collect()
+    keys = [(r.user_id, r.event_type) for r in pit]
+    assert len(keys) == len(set(keys)), "PIT must match ONE version/key"
+    t = pit[0].t_probe
+    hist = scd2_history(spark, SF_DIR).collect()
+    expect = {
+        (h.user_id, h.event_type)
+        for h in hist
+        if h.valid_from <= t and (h.valid_to is None or t < h.valid_to)
+    }
+    assert set(keys) == expect
 
 
 # -------------------------------------------------- funnel_time_to_convert
