@@ -733,3 +733,87 @@ def test_scrub_spans_stays_equi_join_linear(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_roc_auc_window_runs_over_histogram(spark, sf_dir):
+    """The AUC's prefix-sum window must consume the distinct-score
+    HashAggregate, never per-doc rows: every Window node sits above an
+    aggregate in the plan text, and there is no cartesian."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        eval_roc_auc,
+    )
+
+    plan = formatted_plan(eval_roc_auc(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the histogram agg exists and the plan has exactly one Window
+    assert "HashAggregate" in plan
+    assert plan.count("Window") >= 1
+
+
+def test_mode_window_runs_over_histogram(spark, sf_dir):
+    """Mode's row_number window partitions the (group, value) histogram
+    — the exchange after the aggregate moves |histogram| rows, and no
+    sort of the raw fact table appears."""
+    from flink_kafka_replicator_spark.operators.aggregates import (
+        agg_mode_per_group,
+    )
+
+    plan = formatted_plan(agg_mode_per_group(spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_dwell_single_user_exchange(spark, sf_dir):
+    """The dwell report reuses the funnel's single user_id exchange;
+    the percentile windows run over the (transition, dwell_s)
+    histogram, and nothing in the plan is a cartesian."""
+    from flink_kafka_replicator_spark.operators.events_funnel import (
+        funnel_time_to_convert,
+    )
+
+    plan = formatted_plan(funnel_time_to_convert(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(user_id") >= 1
+
+
+def test_scd2_pit_is_broadcast_filter_not_join_explosion(spark, sf_dir):
+    """The point-in-time lookup must be history × broadcast 1-row probe
+    (BroadcastNestedLoopJoin over ONE row is the intended shape) with
+    the containment as a filter — no shuffle join, no window beyond
+    the SCD2 construction's own."""
+    from flink_kafka_replicator_spark.operators.advanced import (
+        scd2_point_in_time,
+    )
+
+    plan = formatted_plan(scd2_point_in_time(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rolling_median_single_window_exchange(spark, sf_dir):
+    """All 8 lags share one frame: exactly one hash exchange (user_id),
+    one Window node, map-side array arithmetic after."""
+    from flink_kafka_replicator_spark.operators.windows import (
+        window_rolling_median,
+    )
+
+    df = window_rolling_median(spark, sf_dir)
+    n_ex = exchange_count(df)
+    assert n_ex == 1, f"expected 1 shuffle, saw {n_ex}"
+    assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_reconciliation_no_broadcast_of_fact_tables(spark, sf_dir):
+    """Reconciliation joins two fact-scale sides on the order key —
+    a shuffle (or AQE-chosen hash) join, never a broadcast of either
+    fact table, never a cartesian; the lineitem side is pre-aggregated
+    BELOW the join (partial agg does the heavy lifting)."""
+    from flink_kafka_replicator_spark.operators.data_quality import (
+        dq_reconciliation,
+    )
+
+    plan = formatted_plan(dq_reconciliation(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
