@@ -1040,6 +1040,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_MINHASHES = len(_MINHASH_PARAMS)
 
+# (session appId, sf_dir) → pinned candidate-doc signature table —
+# memoized so only the FIRST build runs the eager pin (the
+# zero-jobs-at-build guard's allowlist contract)
+_SIGCAL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def dedup_minhash_jaccard_estimate(
     spark: SparkSession, sf_dir: str
@@ -1061,14 +1066,20 @@ def dedup_minhash_jaccard_estimate(
     shifting from the expected ±1/16 lattice mean the index no longer
     matches its corpus."""
     pairs = _minhash_candidates_with_jaccard(spark, sf_dir)
-    d = load_table(spark, sf_dir, "documents")
-    ids = pairs.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    ).distinct()
-    cand = d.join(broadcast(ids), "doc_id", "left_semi")
-    sig = broadcast(
-        materialize_small(minhash_signature_table(cand, "doc_id", "text"))
-    )
+    ck = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    sig = _SIGCAL_CACHE.get(ck)
+    if sig is None:
+        d = load_table(spark, sf_dir, "documents")
+        ids = pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
+        cand = d.join(broadcast(ids), "doc_id", "left_semi")
+        sig = broadcast(
+            materialize_small(
+                minhash_signature_table(cand, "doc_id", "text")
+            )
+        )
+        _cache_put(_SIGCAL_CACHE, ck, sig)
     a = sig.select(
         F.col("doc_id").alias("doc_a"), F.col("__sig").alias("sig_a")
     )
