@@ -169,6 +169,10 @@ HEADLINE = list(R2_BASKET) + [
     "window_rolling_median",
     "agg_mode_per_group",
     "scd2_point_in_time",
+    "events_markov_transitions",
+    "window_rolling_mad_anomaly",
+    "corpus_weighted_median_len",
+    "corpus_mix_upsample",
 ]
 
 

@@ -13,7 +13,7 @@ quantize BEFORE any cross-engine comparison or ordering.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -645,7 +645,114 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_weighted_median_len(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-WEIGHTED median document length per source: the length L
+    such that half the source's TOKENS (not documents) live in docs of
+    length ≤ L — the statistic that actually predicts sequence-packing
+    waste and truncation rates (a doc-count median is dominated by the
+    many short docs that carry few of the tokens).
+
+    Exactness: nearest-rank over cumulative token weight — the
+    smallest length whose running token total reaches ceil(W/2) —
+    picked from the (source, len) HISTOGRAM by cumulative sum, the
+    same scale discipline as funnel_time_to_convert (windows over the
+    histogram, never per-doc rows). Output also carries the doc-count
+    median for the contrast the docstring claims."""
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select(
+        "source", F.size(F.split("text", " ")).cast("bigint").alias("len")
+    )
+    hist = lens.groupBy("source", "len").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("len").cast("bigint").alias("w"),
+    )
+    wt = Window.partitionBy("source").orderBy("len")
+    wall = Window.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "len",
+        F.sum("n_docs").over(wt).alias("cum_docs"),
+        F.sum("w").over(wt).alias("cum_w"),
+        F.sum("n_docs").over(wall).alias("tot_docs"),
+        F.sum("w").over(wall).alias("tot_w"),
+    )
+    pick = lambda cumc, totc: F.min(  # noqa: E731 — nearest-rank pick
+        F.when(
+            F.col(cumc)
+            >= F.expr(f"cast(ceil(0.5 * {totc}) as bigint)"),
+            F.col("len"),
+        )
+    )
+    return cum.groupBy("source").agg(
+        F.max("tot_docs").alias("n_docs"),
+        F.max("tot_w").alias("total_tokens"),
+        pick("cum_docs", "tot_docs").cast("bigint").alias("median_len"),
+        pick("cum_w", "tot_w")
+        .cast("bigint")
+        .alias("token_weighted_median_len"),
+    )
+
+
+# per-language upsampling factors for the rebalanced training mix —
+# the config a real pipeline passes in; fractional parts are realized
+# by a deterministic md5 coin per (doc, weight) so replays are exact
+UPSAMPLE_WEIGHTS: dict[str, float] = {
+    "en": 1.0,
+    "de": 2.5,
+    "fr": 3.0,
+    "es": 2.25,
+    "zh": 1.5,
+}
+
+
+def corpus_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted UPSAMPLING of the training mix: each doc
+    is repeated floor(w) times plus one more with probability frac(w),
+    realized as an md5-hash threshold on the doc id — the complement
+    of the hash-threshold DOWNsampling in corpus_mix_equalize_hash,
+    and the standard way low-resource languages reach their target
+    share without a shuffle (DoReMi/mT5-style mixes upsample tails).
+
+    Exactness + scale: n_copies is a per-row integer expression
+    (floor + one 32-bit md5 compare against the fraction scaled to
+    2^31), the repetition is explode(sequence(1, n_copies)) — map-side
+    only, zero exchanges, output rows ∝ Σ weights; a replay produces
+    byte-identical copies (copy_idx is part of the output, so
+    downstream shuffles can't collapse the duplicates)."""
+    d = load_table(spark, sf_dir, "documents")
+    whens = None
+    for lang, wgt in UPSAMPLE_WEIGHTS.items():
+        base = int(wgt)
+        frac_scaled = int(round((wgt - base) * (1 << 31)))
+        expr = F.lit(base) + F.when(
+            F.expr(
+                "conv(substr(md5(concat('up:', cast(doc_id as string)"
+                f", ':', '{lang}')), 1, 8), 16, 10) % 2147483648L"
+                f" < {frac_scaled}L"
+            ),
+            1,
+        ).otherwise(0)
+        whens = (
+            F.when(F.col("lang") == lang, expr)
+            if whens is None
+            else whens.when(F.col("lang") == lang, expr)
+        )
+    n_copies = whens.otherwise(F.lit(1)).cast("int")
+    return (
+        d.select("doc_id", "lang", n_copies.alias("n_copies"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr("sequence(1, n_copies)")).alias("copy_idx"),
+        )
+    )
+
+
 QUERIES = {
+    "corpus_weighted_median_len": corpus_weighted_median_len,
+    "corpus_mix_upsample": corpus_mix_upsample,
     "doc_chunk": doc_chunk,
     "tfidf_top_terms": tfidf_top_terms,
     "filter_blocklist": filter_blocklist,
@@ -665,7 +772,61 @@ QUERIES = {
 _STOP = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 _BLOCKED = ", ".join(f"'{s}'" for s in BLOCKED_SOURCES)
 
+_UPSAMPLE_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {int(w)} + CASE WHEN"
+    f" ('0x' || substr(md5('up:' || CAST(doc_id AS VARCHAR) || ':{lang}'),"
+    f" 1, 8))::BIGINT % 2147483648"
+    f" < {int(round((w - int(w)) * (1 << 31)))} THEN 1 ELSE 0 END"
+    for lang, w in UPSAMPLE_WEIGHTS.items()
+)
+
 ORACLES = {
+    "corpus_weighted_median_len": """
+        WITH lens AS (
+            SELECT source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+            FROM documents
+        ),
+        hist AS (
+            SELECT source, len,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len) AS BIGINT) AS w
+            FROM lens GROUP BY source, len
+        ),
+        cum AS (
+            SELECT source, len,
+                   SUM(n_docs) OVER (PARTITION BY source ORDER BY len
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_docs,
+                   SUM(w) OVER (PARTITION BY source ORDER BY len
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_w,
+                   SUM(n_docs) OVER (PARTITION BY source) AS tot_docs,
+                   SUM(w) OVER (PARTITION BY source) AS tot_w
+            FROM hist
+        )
+        SELECT source,
+               CAST(MAX(tot_docs) AS BIGINT) AS n_docs,
+               CAST(MAX(tot_w) AS BIGINT) AS total_tokens,
+               CAST(MIN(CASE WHEN cum_docs >=
+                                  CAST(CEIL(0.5 * tot_docs) AS BIGINT)
+                             THEN len END) AS BIGINT) AS median_len,
+               CAST(MIN(CASE WHEN cum_w >=
+                                  CAST(CEIL(0.5 * tot_w) AS BIGINT)
+                             THEN len END) AS BIGINT)
+                   AS token_weighted_median_len
+        FROM cum GROUP BY source
+    """,
+    "corpus_mix_upsample": f"""
+        WITH c AS (
+            SELECT doc_id, lang,
+                   CAST(CASE {_UPSAMPLE_CASE} ELSE 1 END AS INTEGER)
+                       AS n_copies
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(copy_idx AS INTEGER) AS copy_idx
+        FROM c, UNNEST(generate_series(1, n_copies)) AS t(copy_idx)
+    """,
     "vocab_coverage_topk": f"""
         WITH t AS (
             SELECT string_split(text, ' ') AS toks FROM documents

@@ -251,8 +251,45 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between event types: for
+    every ordered (from, to) adjacency in a user's stream, the count
+    and row-normalized probability — the model behind next-event
+    prediction baselines and the sanity check that a tracking change
+    didn't break flow ordering (a vanishing view→click mass is an
+    instrumentation bug before it is a product insight).
+
+    Shape: ONE lead window over the same user_id exchange the funnel
+    family shares, then a ≤\\|types\\|² count aggregate; the
+    row-normalizing totals come from a window over that ≤25-row
+    HISTOGRAM, never per-event rows. Probability = exact counts, one
+    float division, round 6."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    adj = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type", 1).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    hist = adj.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wrow = Window.partitionBy("from_type")
+    return hist.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wrow), 6
+        ).alias("p"),
+    )
+
+
 QUERIES = {
     "funnel_stages": funnel_stages,
+    "events_markov_transitions": events_markov_transitions,
     "funnel_conversion": funnel_conversion,
     "funnel_time_to_convert": funnel_time_to_convert,
     "retention_cohorts": retention_cohorts,
@@ -379,6 +416,25 @@ ORACLES = {
         GROUP BY step1, step2, step3
         ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
         LIMIT 20
+    """,
+    "events_markov_transitions": """
+        WITH adj AS (
+            SELECT from_type, to_type FROM (
+                SELECT event_type AS from_type,
+                       LEAD(event_type, 1) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS to_type
+                FROM events
+            ) WHERE to_type IS NOT NULL
+        ),
+        hist AS (
+            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM adj GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n,
+               ROUND(CAST(n AS DOUBLE)
+                     / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+        FROM hist
     """,
     "funnel_time_to_convert": """
         WITH v AS (

@@ -285,6 +285,133 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAD_K = 3  # Hampel's standard threshold: |x − med| > K·MAD
+
+
+def window_rolling_mad_anomaly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hampel filter over each user's trailing 8 samples: flag a value
+    as anomalous when it sits more than MAD_K rolling MADs from the
+    rolling median — the streaming-shaped outlier detector robust to
+    the very spikes it hunts (a z-score's mean AND std are both moved
+    by the outlier; the median/MAD pair is not).
+
+    Exactness: everything stays integer until the output. With v100
+    the exact cents, med2 = 2·median (integer: middle element doubled,
+    or the sum of the two middles), dev2_i = |2·v100_i − med2|
+    (= 2·|v−med|, integer), mad4 = 2·median(dev2) (= 4·MAD, integer).
+    The flag |x − med| > K·MAD becomes 2·dev2_self > K·mad4 — an
+    exact integer comparison, no float anywhere. Shape: the EWMA/
+    rolling-median pattern — 8 LAGs in ONE user_id exchange, then
+    map-side ≤8-element array arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    d = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    lags = [F.col("v100")] + [
+        F.lag("v100", i).over(w) for i in range(1, ROLLMED_LAGS)
+    ]
+    staged = d.select(
+        "user_id",
+        "event_id",
+        "value",
+        "v100",
+        F.array_sort(
+            F.filter(F.array(*lags), lambda x: x.isNotNull())
+        ).alias("frame"),
+    )
+    med2_sql = (
+        "case when size(frame) % 2 = 1"
+        " then element_at(frame, cast((size(frame) + 1) / 2 as int)) * 2L"
+        " else element_at(frame, cast(size(frame) / 2 as int))"
+        "      + element_at(frame, cast(size(frame) / 2 + 1 as int))"
+        " end"
+    )
+    staged = staged.withColumn("med2", F.expr(med2_sql)).withColumn(
+        "dev2",
+        F.expr("array_sort(transform(frame, x -> abs(2L * x - med2)))"),
+    )
+    mad4_sql = (
+        "case when size(dev2) % 2 = 1"
+        " then element_at(dev2, cast((size(dev2) + 1) / 2 as int)) * 2L"
+        " else element_at(dev2, cast(size(dev2) / 2 as int))"
+        "      + element_at(dev2, cast(size(dev2) / 2 + 1 as int))"
+        " end"
+    )
+    return staged.withColumn("mad4", F.expr(mad4_sql)).select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.round(F.col("med2").cast("double") / 200.0, 4).alias(
+            "rolling_median"
+        ),
+        F.round(F.col("mad4").cast("double") / 400.0, 4).alias(
+            "rolling_mad"
+        ),
+        F.expr(
+            f"abs(2L * v100 - med2) * 2L > {MAD_K}L * mad4"
+        ).alias("is_anomaly"),
+    )
+
+
+def _rollmad_oracle() -> str:
+    lag_cols = ", ".join(
+        f"LAG(v100, {i}) OVER w AS l{i}" for i in range(1, ROLLMED_LAGS)
+    )
+    arr = "[v100, " + ", ".join(
+        f"l{i}" for i in range(1, ROLLMED_LAGS)
+    ) + "]"
+    med2 = (
+        "CASE WHEN len(frame) % 2 = 1"
+        " THEN frame[(len(frame) + 1) // 2] * 2"
+        " ELSE frame[len(frame) // 2] + frame[len(frame) // 2 + 1] END"
+    )
+    mad4 = (
+        "CASE WHEN len(dev2) % 2 = 1"
+        " THEN dev2[(len(dev2) + 1) // 2] * 2"
+        " ELSE dev2[len(dev2) // 2] + dev2[len(dev2) // 2 + 1] END"
+    )
+    return f"""
+        WITH d AS (
+            SELECT user_id, event_id, value,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS v100,
+                   {lag_cols}
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        f AS (
+            SELECT user_id, event_id, value, v100,
+                   list_sort(list_filter({arr}, x -> x IS NOT NULL))
+                       AS frame
+            FROM d
+        ),
+        m AS (
+            SELECT *, {med2} AS med2 FROM f
+        ),
+        dv AS (
+            SELECT *, list_sort(list_transform(frame,
+                          x -> abs(2 * x - med2))) AS dev2
+            FROM m
+        ),
+        md AS (
+            SELECT *, {mad4} AS mad4 FROM dv
+        )
+        SELECT user_id, event_id, ROUND(value, 4) AS value,
+               ROUND(CAST(med2 AS DOUBLE) / 200.0, 4) AS rolling_median,
+               ROUND(CAST(mad4 AS DOUBLE) / 400.0, 4) AS rolling_mad,
+               abs(2 * v100 - med2) * 2 > {MAD_K} * mad4 AS is_anomaly
+        FROM md
+    """
+
+
 def _rollmed_oracle() -> str:
     lag_cols = ", ".join(
         f"LAG(v100, {i}) OVER w AS l{i}" for i in range(1, ROLLMED_LAGS)
@@ -321,6 +448,7 @@ QUERIES = {
     "window_rank": window_rank,
     "window_ewma": window_ewma,
     "window_rolling_median": window_rolling_median,
+    "window_rolling_mad_anomaly": window_rolling_mad_anomaly,
     "window_running_sum": window_running_sum,
     "window_lag_delta": window_lag_delta,
     "window_range_frame": window_range_frame,
@@ -333,6 +461,7 @@ QUERIES = {
 ORACLES = {
     "window_ewma": _ewma_oracle(),
     "window_rolling_median": _rollmed_oracle(),
+    "window_rolling_mad_anomaly": _rollmad_oracle(),
     "window_distinct_count": """
         SELECT event_id, user_id,
                CAST(COUNT(DISTINCT event_type) OVER (

@@ -351,6 +351,10 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "window_rolling_median",
     "agg_mode_per_group",
     "scd2_point_in_time",
+    "events_markov_transitions",
+    "window_rolling_mad_anomaly",
+    "corpus_weighted_median_len",
+    "corpus_mix_upsample",
 )
 
 

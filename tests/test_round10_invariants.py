@@ -312,6 +312,126 @@ def test_scd2_point_in_time_unique_version_per_key(spark):
     assert set(keys) == expect
 
 
+# --------------------------- markov / hampel / weighted median / upsample
+
+
+def test_markov_rows_are_distributions(spark):
+    from flink_kafka_replicator_spark.operators.events_funnel import (
+        events_markov_transitions,
+    )
+
+    rows = events_markov_transitions(spark, SF_DIR).collect()
+    by_from: dict = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    n_adj = sum(r.n for r in rows)
+    # adjacency count = total events - one per user (no successor)
+    ev = load_table(spark, SF_DIR, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert n_adj == n_events - n_users
+    for fr, rs in by_from.items():
+        assert abs(sum(r.p for r in rs) - 1.0) < 1e-4, (
+            f"row {fr} must normalize to 1"
+        )
+
+
+def test_hampel_flags_planted_spike_not_constant(spark, tmp_path):
+    """A constant series has MAD 0 and flags nothing new... until a
+    spike arrives: the spike must be flagged, its neighbors not."""
+    from pyspark.sql import Row
+
+    from flink_kafka_replicator_spark.operators.windows import (
+        window_rolling_mad_anomaly,
+    )
+
+    vals = [5.0] * 6 + [50.0] + [5.0] * 5
+    rows = [
+        Row(
+            event_id=i,
+            ts=float(i),
+            user_id=1,
+            event_type="x",
+            value=v,
+            props="{}",
+        )
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows).select(
+        "event_id",
+        F.timestamp_seconds("ts").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    src = str(tmp_path / "events.parquet")
+    df.write.parquet(src)
+    out = {
+        r.event_id: r
+        for r in window_rolling_mad_anomaly(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[6].is_anomaly, "the planted spike must be flagged"
+    assert not out[5].is_anomaly and not out[0].is_anomaly
+    # after the spike leaves the window's median, constants unflag
+    assert not out[11].is_anomaly
+
+
+def test_weighted_median_dominates_doc_median(spark):
+    """Token weighting can only move the median toward longer docs
+    (longer docs carry more weight), and both medians are real lengths
+    present in the source."""
+    from flink_kafka_replicator_spark.functions.corpus import (
+        corpus_weighted_median_len,
+    )
+
+    rows = corpus_weighted_median_len(spark, SF_DIR).collect()
+    assert rows
+    lens_by_source: dict = {}
+    for r in (
+        load_table(spark, SF_DIR, "documents")
+        .select("source", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    ):
+        lens_by_source.setdefault(r.source, []).append(r.n)
+    for r in rows:
+        assert r.token_weighted_median_len >= r.median_len
+        assert r.median_len in lens_by_source[r.source]
+        assert r.token_weighted_median_len in lens_by_source[r.source]
+        assert r.total_tokens == sum(lens_by_source[r.source])
+
+
+def test_upsample_copy_counts_bounded_and_deterministic(spark):
+    from flink_kafka_replicator_spark.functions.corpus import (
+        UPSAMPLE_WEIGHTS,
+        corpus_mix_upsample,
+    )
+
+    a = sorted(map(tuple, corpus_mix_upsample(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, corpus_mix_upsample(spark, SF_DIR).collect()))
+    assert a == b, "replay must be byte-identical"
+    import collections
+
+    per_doc = collections.Counter((d, lang) for d, lang, _ in a)
+    import math
+
+    for (_, lang), n in per_doc.items():
+        w = UPSAMPLE_WEIGHTS[lang]
+        assert math.floor(w) <= n <= math.ceil(w)
+    # realized copy totals per lang should approximate the weight
+    by_lang: dict = {}
+    for (doc, lang), n in per_doc.items():
+        by_lang.setdefault(lang, []).append(n)
+    for lang, ns in by_lang.items():
+        mean = sum(ns) / len(ns)
+        assert abs(mean - UPSAMPLE_WEIGHTS[lang]) < 0.35, (
+            f"{lang}: realized {mean:.2f} vs weight "
+            f"{UPSAMPLE_WEIGHTS[lang]}"
+        )
+
+
 # -------------------------------------------------- funnel_time_to_convert
 
 
