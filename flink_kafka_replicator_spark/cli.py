@@ -723,6 +723,86 @@ def hybrid_search_main(argv: list[str], spark=None) -> int:
     return 0
 
 
+# the dq-audit battery: every registered dq_* id, run in this order
+DQ_AUDIT_IDS: tuple[str, ...] = (
+    "dq_profile",
+    "dq_referential_integrity",
+    "dq_rules_engine",
+    "dq_reconciliation",
+    "dq_outlier_mad",
+    "dq_benford",
+    "dq_distribution_drift",
+    "dq_winsorize",
+)
+
+
+def dq_audit_main(argv: list[str], spark=None) -> int:
+    """The ``dq-audit`` subcommand: run the full data-quality battery
+    (profile, referential integrity, declarative rules, financial
+    reconciliation, MAD outliers, Benford, PSI drift, winsorized
+    stats) over one dataset directory, persist each report under
+    ``--output/<check>/``, and print a one-line JSON summary — the
+    scheduled job a warehouse runs after every load, composed entirely
+    of the registry's driver-verified queries."""
+    import argparse
+    import json as _json
+    import time as _time
+
+    parser = argparse.ArgumentParser(
+        prog="spark-kafka-replicator dq-audit",
+        description=(
+            "Run the full DQ battery over a dataset dir of parquet "
+            "tables and persist one report per check"
+        ),
+        allow_abbrev=False,
+    )
+    parser.add_argument(
+        "--data-dir", required=True,
+        help="directory holding the parquet tables (the sf_dir layout)",
+    )
+    parser.add_argument("--output", required=True)
+    parser.add_argument(
+        "--checks",
+        default=None,
+        help="comma-separated subset of checks (default: all "
+        + ",".join(DQ_AUDIT_IDS) + ")",
+    )
+    args = parser.parse_args(argv)
+
+    if spark is None:
+        from .session import get_session
+
+        spark = get_session(app_name="spark-dq-audit")
+
+    from .operators import data_quality as dq
+
+    wanted = (
+        [c.strip() for c in args.checks.split(",") if c.strip()]
+        if args.checks
+        else list(DQ_AUDIT_IDS)
+    )
+    unknown = [c for c in wanted if c not in dq.QUERIES]
+    if unknown:
+        print(_json.dumps({"error": f"unknown checks: {unknown}"}))
+        return 2
+    summary = []
+    for check in wanted:
+        t0 = _time.perf_counter()
+        df = dq.QUERIES[check](spark, args.data_dir)
+        out = f"{args.output}/{check}"
+        df.write.mode("overwrite").parquet(out)
+        n = spark.read.parquet(out).count()
+        summary.append(
+            {
+                "check": check,
+                "rows": n,
+                "sec": round(_time.perf_counter() - t0, 3),
+            }
+        )
+    print(_json.dumps({"audits": summary, "output": args.output}))
+    return 0
+
+
 def main(argv: list[str] | None = None, admin_factory=None) -> int:
     import sys
 
@@ -752,6 +832,8 @@ def main(argv: list[str] | None = None, admin_factory=None) -> int:
         return index_stats_main(args[1:])
     if args and args[0] == "drift-monitor":
         return drift_monitor_main(args[1:])
+    if args and args[0] == "dq-audit":
+        return dq_audit_main(args[1:])
 
     cfg, extra = parse_args(args)
     run_preflight(cfg, admin_factory)

@@ -505,3 +505,43 @@ def test_index_stats_subcommand(spark, tmp_path, capsys):
 
     assert out["rows"]["bands"] == n_docs * N_BANDS
     assert out["rows"]["band_stats"] > 0
+
+
+def test_dq_audit_subcommand(spark, tmp_path, capsys):
+    """One invocation runs the DQ battery over a dataset dir, persists
+    one report per check, and each persisted report equals the
+    registry query's own answer."""
+    import json
+
+    from flink_kafka_replicator_spark.cli import DQ_AUDIT_IDS, dq_audit_main
+    from flink_kafka_replicator_spark.operators import data_quality as dq
+
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    out = str(tmp_path / "audit")
+    rc = dq_audit_main(
+        ["--data-dir", sf, "--output", out,
+         "--checks", "dq_benford,dq_reconciliation"],
+        spark=spark,
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [a["check"] for a in rep["audits"]] == [
+        "dq_benford", "dq_reconciliation",
+    ]
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{out}/dq_benford").collect())
+    )
+    want = sorted(map(tuple, dq.dq_benford(spark, sf).collect()))
+    assert got == want, "persisted report != the registry query"
+
+    # unknown check refused loudly, not silently skipped
+    assert dq_audit_main(
+        ["--data-dir", sf, "--output", out, "--checks", "nope"],
+        spark=spark,
+    ) == 2
+    # the full default battery is the registered dq_* family
+    assert set(DQ_AUDIT_IDS) == {
+        q for q in dq.QUERIES if q.startswith("dq_")
+    }
