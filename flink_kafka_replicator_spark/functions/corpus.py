@@ -750,9 +750,122 @@ def corpus_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: the least-squares slope
+    of ln(frequency) on ln(rank) over the rank-frequency table (natural
+    text sits near −1; a synthetic or template-heavy corpus deviates
+    loudly — one of the cheapest whole-corpus health numbers).
+
+    Exactness: ln(rank) and ln(freq) floor-quantize to 1e-6 BIGINTs
+    (the tfidf idiom), so Σx, Σy, Σxy, Σx², Σy² are exact integer sums
+    in DECIMAL(38,0) (xy products reach ~4e14 per term — int64 would
+    overflow on a large vocab) and the closed-form slope/intercept/r²
+    are three float divisions at the end. Shape: one token explode →
+    vocab agg, then a rank window over the VOCAB histogram (the
+    vocabulary-sized model-artifact scale caveat shared with
+    doc_unigram_logprob) → a 1-row aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    xy = vocab.select(
+        F.expr(
+            "cast(floor(ln(cast(row_number() over (order by n desc,"
+            " tok asc) as double)) * 1000000.0D) as bigint)"
+        ).alias("x"),
+        F.expr(
+            "cast(floor(ln(cast(n as double)) * 1000000.0D) as bigint)"
+        ).alias("y"),
+    )
+    agg = xy.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias(
+            "sxy"
+        ),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias(
+            "sxx"
+        ),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias(
+            "syy"
+        ),
+    )
+    num = "(cast(n_terms as double) * cast(sxy as double)" \
+          " - cast(sx as double) * cast(sy as double))"
+    denx = "(cast(n_terms as double) * cast(sxx as double)" \
+           " - cast(sx as double) * cast(sx as double))"
+    deny = "(cast(n_terms as double) * cast(syy as double)" \
+           " - cast(sy as double) * cast(sy as double))"
+    return agg.select(
+        "n_terms",
+        F.round(F.expr(f"{num} / {denx}"), 6).alias("zipf_slope"),
+        F.round(
+            F.expr(f"{num} * {num} / ({denx} * {deny})"), 6
+        ).alias("r2"),
+    )
+
+
+def corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report per language: how many
+    PACK_BUDGET_TOKENS sequences the concat-and-chunk layout needs,
+    its tail padding, and the efficiency — next to the NAIVE
+    one-doc-per-sequence baseline (each doc padded to its own
+    ceil(n/budget) sequences), whose padding is what packing exists to
+    eliminate. The number a training-infra review asks for before
+    adopting sequence packing.
+
+    Exactness: pure integer arithmetic (token counts, ceil-division)
+    until the two efficiency divisions. Shape: one map-side token
+    count + one per-lang aggregate — cheaper than the packing job it
+    describes; nothing corpus-sized leaves the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    b = PACK_BUDGET_TOKENS
+    toks = d.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n"),
+    )
+    agg = toks.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.sum(F.expr(f"(n + {b - 1}L) div {b}")).cast("bigint").alias(
+            "naive_seqs"
+        ),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.expr(f"(total_tokens + {b - 1}L) div {b}").cast("bigint")
+        .alias("packed_seqs"),
+        F.expr(
+            f"((total_tokens + {b - 1}L) div {b}) * {b}L - total_tokens"
+        ).cast("bigint").alias("packed_padding"),
+        "naive_seqs",
+        (F.col("naive_seqs") * b - F.col("total_tokens"))
+        .cast("bigint")
+        .alias("naive_padding"),
+        F.round(
+            F.col("total_tokens").cast("double")
+            / (F.expr(f"(total_tokens + {b - 1}L) div {b}") * b),
+            6,
+        ).alias("packed_efficiency"),
+        F.round(
+            F.col("total_tokens").cast("double")
+            / (F.col("naive_seqs") * b),
+            6,
+        ).alias("naive_efficiency"),
+    )
+
+
 QUERIES = {
     "corpus_weighted_median_len": corpus_weighted_median_len,
     "corpus_mix_upsample": corpus_mix_upsample,
+    "text_zipf_fit": text_zipf_fit,
+    "corpus_pack_efficiency": corpus_pack_efficiency,
     "doc_chunk": doc_chunk,
     "tfidf_top_terms": tfidf_top_terms,
     "filter_blocklist": filter_blocklist,
@@ -816,6 +929,81 @@ ORACLES = {
                              THEN len END) AS BIGINT)
                    AS token_weighted_median_len
         FROM cum GROUP BY source
+    """,
+    "text_zipf_fit": """
+        WITH vocab AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT UNNEST(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY tok
+        ),
+        xy AS (
+            SELECT CAST(FLOOR(LN(CAST(ROW_NUMBER() OVER (
+                           ORDER BY n DESC, tok ASC) AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS x,
+                   CAST(FLOOR(LN(CAST(n AS DOUBLE)) * 1000000.0)
+                        AS BIGINT) AS y
+            FROM vocab
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(y AS HUGEINT)) AS sy,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   SUM(CAST(y AS HUGEINT) * y) AS syy
+            FROM xy
+        )
+        SELECT n_terms,
+               ROUND((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                   AS zipf_slope,
+               ROUND((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     * (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / ((CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_terms AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6) AS r2
+        FROM agg
+    """,
+    "corpus_pack_efficiency": f"""
+        WITH toks AS (
+            SELECT lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+            FROM documents
+        ),
+        agg AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS total_tokens,
+                   CAST(SUM((n + {PACK_BUDGET_TOKENS - 1})
+                            // {PACK_BUDGET_TOKENS}) AS BIGINT)
+                       AS naive_seqs
+            FROM toks GROUP BY lang
+        )
+        SELECT lang, n_docs, total_tokens,
+               CAST((total_tokens + {PACK_BUDGET_TOKENS - 1})
+                    // {PACK_BUDGET_TOKENS} AS BIGINT) AS packed_seqs,
+               CAST(((total_tokens + {PACK_BUDGET_TOKENS - 1})
+                     // {PACK_BUDGET_TOKENS}) * {PACK_BUDGET_TOKENS}
+                    - total_tokens AS BIGINT) AS packed_padding,
+               naive_seqs,
+               CAST(naive_seqs * {PACK_BUDGET_TOKENS} - total_tokens
+                    AS BIGINT) AS naive_padding,
+               ROUND(CAST(total_tokens AS DOUBLE)
+                     / (((total_tokens + {PACK_BUDGET_TOKENS - 1})
+                         // {PACK_BUDGET_TOKENS})
+                        * {PACK_BUDGET_TOKENS}), 6)
+                   AS packed_efficiency,
+               ROUND(CAST(total_tokens AS DOUBLE)
+                     / (naive_seqs * {PACK_BUDGET_TOKENS}), 6)
+                   AS naive_efficiency
+        FROM agg
     """,
     "corpus_mix_upsample": f"""
         WITH c AS (

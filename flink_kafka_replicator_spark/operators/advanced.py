@@ -73,6 +73,46 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_TOLERANCE_S = 3600
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a MAX STALENESS bound — pandas
+    ``merge_asof(tolerance=...)``: each click matched to the latest
+    same-user view at-or-before it, but only if that view is within
+    ASOF_TOLERANCE_S seconds; older matches null out (left-join
+    semantics keep the click). The bound is what makes as-of joins
+    safe in feature pipelines — an hours-stale "latest" attribution is
+    usually worse than none.
+
+    Same union-trick plan as :func:`join_asof` (one user_id exchange,
+    zero pair explosion); the tolerance is one map-side integer
+    microsecond comparison applied after the carry-forward, so the
+    plan cost is identical to the unbounded form."""
+    matched = join_asof(spark, sf_dir)
+    in_tol = F.expr(
+        "unix_micros(click_ts) - unix_micros(view_ts)"
+        f" <= {ASOF_TOLERANCE_S}L * 1000000L"
+    )
+    return matched.select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        "click_value",
+        F.when(in_tol, F.col("view_ts")).alias("view_ts"),
+        F.when(in_tol, F.col("view_value")).alias("view_value"),
+        F.when(
+            in_tol,
+            F.expr(
+                "(unix_micros(click_ts) - unix_micros(view_ts))"
+                " div 1000000"
+            ),
+        )
+        .cast("bigint")
+        .alias("staleness_s"),
+    )
+
+
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k rows per group (k=3 priciest orders per priority class).
 
@@ -523,6 +563,7 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "join_asof": join_asof,
+    "join_asof_tolerance": join_asof_tolerance,
     "scd2_point_in_time": scd2_point_in_time,
     "topk_per_group": topk_per_group,
     "agg_salted_skew": agg_salted_skew,
@@ -687,6 +728,33 @@ ORACLES = {
         FROM (SELECT * FROM events WHERE event_type = 'click') c
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    "join_asof_tolerance": f"""
+        WITH m AS (
+            SELECT c.event_id AS click_id,
+                   c.user_id,
+                   c.ts AS click_ts,
+                   ROUND(c.value, 4) AS click_value,
+                   v.ts AS view_ts,
+                   ROUND(v.value, 4) AS view_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        )
+        SELECT click_id, user_id, click_ts, click_value,
+               CASE WHEN epoch_us(click_ts) - epoch_us(view_ts)
+                         <= {ASOF_TOLERANCE_S}::BIGINT * 1000000
+                    THEN view_ts END AS view_ts,
+               CASE WHEN epoch_us(click_ts) - epoch_us(view_ts)
+                         <= {ASOF_TOLERANCE_S}::BIGINT * 1000000
+                    THEN view_value END AS view_value,
+               CAST(CASE WHEN epoch_us(click_ts) - epoch_us(view_ts)
+                              <= {ASOF_TOLERANCE_S}::BIGINT * 1000000
+                         THEN (epoch_us(click_ts) - epoch_us(view_ts))
+                              // 1000000
+                    END AS BIGINT) AS staleness_s
+        FROM m
     """,
     "topk_per_group": """
         SELECT o_orderpriority, rk, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice

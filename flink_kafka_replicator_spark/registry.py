@@ -355,6 +355,9 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "window_rolling_mad_anomaly",
     "corpus_weighted_median_len",
     "corpus_mix_upsample",
+    "join_asof_tolerance",
+    "text_zipf_fit",
+    "corpus_pack_efficiency",
 )
 
 

@@ -432,6 +432,69 @@ def test_upsample_copy_counts_bounded_and_deterministic(spark):
         )
 
 
+# ------------------------------- tolerance asof / zipf / pack efficiency
+
+
+def test_asof_tolerance_is_a_nulling_of_the_unbounded_join(spark):
+    from flink_kafka_replicator_spark.operators.advanced import (
+        ASOF_TOLERANCE_S,
+        join_asof,
+        join_asof_tolerance,
+    )
+
+    base = {r.click_id: r for r in join_asof(spark, SF_DIR).collect()}
+    tol = {
+        r.click_id: r
+        for r in join_asof_tolerance(spark, SF_DIR).collect()
+    }
+    assert set(base) == set(tol), "left-join keeps every click"
+    n_nulled = 0
+    for cid, r in tol.items():
+        b = base[cid]
+        if r.view_ts is None:
+            # nulled out: either no match at all, or out of tolerance
+            if b.view_ts is not None:
+                dt = (b.click_ts - b.view_ts).total_seconds()
+                assert dt > ASOF_TOLERANCE_S
+                n_nulled += 1
+        else:
+            assert r.view_ts == b.view_ts, "in-tol match must be asof's"
+            assert 0 <= r.staleness_s <= ASOF_TOLERANCE_S
+    assert n_nulled > 0, "fixture must exercise the tolerance bound"
+
+
+def test_zipf_slope_negative_and_r2_bounded(spark):
+    from flink_kafka_replicator_spark.functions.corpus import text_zipf_fit
+
+    # the synthetic fixture's vocabulary is exactly 31 tokens at every
+    # SF — small, but the fit machinery is the same at any vocab size
+    row = text_zipf_fit(spark, SF_DIR).collect()[0]
+    assert row.n_terms == 31
+    assert row.zipf_slope < 0, "frequency must fall with rank"
+    assert 0.0 <= row.r2 <= 1.0 + 1e-9
+
+
+def test_pack_efficiency_dominates_naive(spark):
+    from flink_kafka_replicator_spark.functions.corpus import (
+        PACK_BUDGET_TOKENS,
+        corpus_pack_efficiency,
+    )
+
+    rows = corpus_pack_efficiency(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.packed_seqs <= r.naive_seqs
+        assert r.packed_padding <= r.naive_padding
+        assert 0 <= r.packed_padding < PACK_BUDGET_TOKENS, (
+            "concat-and-chunk wastes only the final tail"
+        )
+        assert r.packed_efficiency >= r.naive_efficiency - 1e-9
+        assert (
+            r.packed_seqs * PACK_BUDGET_TOKENS
+            == r.total_tokens + r.packed_padding
+        )
+
+
 # -------------------------------------------------- funnel_time_to_convert
 
 
