@@ -770,7 +770,6 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
     xy = vocab.select(
         F.expr(
             "cast(floor(ln(cast(row_number() over (order by n desc,"
