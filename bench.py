@@ -176,6 +176,8 @@ HEADLINE = list(R2_BASKET) + [
     "join_asof_tolerance",
     "text_zipf_fit",
     "corpus_pack_efficiency",
+    "window_cusum_drift",
+    "agg_gini_concentration",
 ]
 
 

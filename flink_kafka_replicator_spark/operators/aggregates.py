@@ -355,9 +355,58 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of order value per priority class — the
+    concentration statistic a revenue/data-balance review reads (0 =
+    uniform spend, →1 = one whale): G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n
+    over the ascending-sorted values.
+
+    Exactness: values are exact cents; rank·value products and both
+    sums are exact integers summed in DECIMAL(38,0) (Σ i·xᵢ reaches
+    n²·x̄ — int64 dies around 100M rows/group); two float divisions at
+    the end. Shape: ONE group exchange (rank + count + sums share it)
+    — the group-bounded exact-order-statistic trade documented at
+    agg_percentile_exact (the sketch path covers unbounded groups)."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("v100"),
+        F.row_number().over(w).alias("i"),
+    )
+    agg = ranked.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("v100").cast("decimal(38,0)")).alias("sv"),
+        F.sum(
+            (F.col("i") * F.col("v100")).cast("decimal(38,0)")
+        ).alias("siv"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("sv").cast("double") / 100.0, 2).alias(
+            "total_value"
+        ),
+        F.round(
+            F.lit(2.0)
+            * F.col("siv").cast("double")
+            / (F.col("n").cast("double") * F.col("sv").cast("double"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
 QUERIES = {
     "agg_stats": agg_stats,
     "agg_mode_per_group": agg_mode_per_group,
+    "agg_gini_concentration": agg_gini_concentration,
     "agg_hash_groupby": agg_hash_groupby,
     "agg_distinct": agg_distinct,
     "agg_rollup": agg_rollup,
@@ -379,6 +428,28 @@ def _duck_cms_pos(key_sql: str) -> str:
 
 
 ORACLES = {
+    "agg_gini_concentration": """
+        WITH ranked AS (
+            SELECT o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v100,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice ASC, o_orderkey ASC) AS i
+            FROM orders
+        ),
+        agg AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(v100 AS HUGEINT)) AS sv,
+                   SUM(CAST(i AS HUGEINT) * v100) AS siv
+            FROM ranked GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, n,
+               ROUND(CAST(sv AS DOUBLE) / 100.0, 2) AS total_value,
+               ROUND(2.0 * CAST(siv AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE))
+                     - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+        FROM agg
+    """,
     "agg_mode_per_group": """
         WITH hist AS (
             SELECT l_returnflag, l_linestatus,

@@ -362,6 +362,109 @@ def window_rolling_mad_anomaly(
     )
 
 
+CUSUM_SLACK_C = 50  # slack in cents: drift must exceed mean + 0.50
+CUSUM_THRESH_C = 500  # alarm when the statistic passes 5.00
+
+
+def window_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector per user: the classic
+    S_t = max(0, S_{t-1} + (x_t − target − slack)) change-point
+    statistic, alarming when S_t exceeds CUSUM_THRESH_C — the
+    sequential test monitoring pipelines run when a mean SHIFT matters
+    but single-point outlier flags (the Hampel filter) stay quiet.
+
+    The recursion LOOKS inherently sequential, but has a closed
+    prefix form: with P_t = Σ_{j≤t}(x_j − target − slack),
+    S_t = P_t − min(0, min_{j≤t} P_j) — so two running windows
+    (prefix sum + running min) over ONE user_id exchange compute it
+    exactly, no recursion, no UDF, no state. target is each user's own
+    exact mean in cents ((Σv100) div n — integer), so everything stays
+    BIGINT and the alarm is an exact integer comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    wall = Window.partitionBy("user_id")
+    wrun = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    staged = d.withColumn(
+        "target", F.expr("sum(v100) over (partition by user_id)")
+    ).withColumn("n_user", F.count("*").over(wall))
+    # per-step increment scaled by n_user so the per-user mean stays
+    # an exact integer: inc = n*x − Σx − n*slack (all BIGINT)
+    staged = staged.withColumn(
+        "inc",
+        F.expr(f"n_user * v100 - target - n_user * {CUSUM_SLACK_C}L"),
+    )
+    staged = staged.withColumn(
+        "p", F.sum("inc").over(wrun)
+    ).withColumn("minp", F.min("p").over(wrun))
+    # S_t (scaled by n_user): P_t − min(0, running-min P)
+    s_scaled = F.expr("p - least(0L, minp)")
+    return staged.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        # floor-quantize via exact integer div (never ROUND on a
+        # division result — the half-tie differs across engines):
+        # S/(n·100) at 4 decimals == (S·100) div n, then /1e4
+        F.expr("cast((p - least(0L, minp)) * 100L div n_user as double)"
+               " / 10000.0D").alias("cusum"),
+        (s_scaled > F.col("n_user") * F.lit(CUSUM_THRESH_C)).alias(
+            "is_drift"
+        ),
+    )
+
+
+def _cusum_oracle() -> str:
+    return f"""
+        WITH d AS (
+            SELECT user_id, event_id, ts, value,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS v100
+            FROM events
+        ),
+        st AS (
+            SELECT user_id, event_id, ts, value, v100,
+                   SUM(v100) OVER (PARTITION BY user_id) AS target,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_user
+            FROM d
+        ),
+        inc AS (
+            SELECT *,
+                   n_user * v100 - target - n_user * {CUSUM_SLACK_C}
+                       AS inc
+            FROM st
+        ),
+        pfx AS (
+            SELECT *,
+                   SUM(inc) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS p
+            FROM inc
+        ),
+        run AS (
+            SELECT *,
+                   MIN(p) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS minp
+            FROM pfx
+        )
+        SELECT user_id, event_id, ROUND(value, 4) AS value,
+               CAST((p - LEAST(0, minp)) * 100 // n_user AS DOUBLE)
+                   / 10000.0 AS cusum,
+               p - LEAST(0, minp) > n_user * {CUSUM_THRESH_C}
+                   AS is_drift
+        FROM run
+    """
+
+
 def _rollmad_oracle() -> str:
     lag_cols = ", ".join(
         f"LAG(v100, {i}) OVER w AS l{i}" for i in range(1, ROLLMED_LAGS)
@@ -449,6 +552,7 @@ QUERIES = {
     "window_ewma": window_ewma,
     "window_rolling_median": window_rolling_median,
     "window_rolling_mad_anomaly": window_rolling_mad_anomaly,
+    "window_cusum_drift": window_cusum_drift,
     "window_running_sum": window_running_sum,
     "window_lag_delta": window_lag_delta,
     "window_range_frame": window_range_frame,
@@ -462,6 +566,7 @@ ORACLES = {
     "window_ewma": _ewma_oracle(),
     "window_rolling_median": _rollmed_oracle(),
     "window_rolling_mad_anomaly": _rollmad_oracle(),
+    "window_cusum_drift": _cusum_oracle(),
     "window_distinct_count": """
         SELECT event_id, user_id,
                CAST(COUNT(DISTINCT event_type) OVER (

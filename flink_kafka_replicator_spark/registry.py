@@ -358,6 +358,8 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "join_asof_tolerance",
     "text_zipf_fit",
     "corpus_pack_efficiency",
+    "window_cusum_drift",
+    "agg_gini_concentration",
 )
 
 

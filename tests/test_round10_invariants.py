@@ -495,6 +495,69 @@ def test_pack_efficiency_dominates_naive(spark):
         )
 
 
+# ------------------------------------------------------ cusum / gini
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    """The prefix-form computation must equal the textbook recursion
+    S_t = max(0, S_{t-1} + x − target − slack), replayed driver-side
+    per user, flags included."""
+    from flink_kafka_replicator_spark.operators.windows import (
+        CUSUM_SLACK_C,
+        CUSUM_THRESH_C,
+        window_cusum_drift,
+    )
+
+    got = {
+        r.event_id: r
+        for r in window_cusum_drift(spark, SF_DIR).collect()
+    }
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    n_flags = checked = 0
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        v = [round(r.value * 100) for r in rows]
+        n = len(v)
+        tgt = sum(v)  # mean scaled by n
+        s = 0
+        for r, x in zip(rows, v):
+            s = max(0, s + (n * x - tgt - n * CUSUM_SLACK_C))
+            g = got[r.event_id]
+            # engine quantizes by integer div: s*100 div n / 1e4
+            assert abs(g.cusum - (s * 100 // n) / 10000.0) < 1e-9
+            assert g.is_drift == (s > n * CUSUM_THRESH_C)
+            n_flags += g.is_drift
+            checked += 1
+    assert checked > 100
+    # the fixture should exercise both sides of the alarm
+    assert 0 < n_flags < checked
+
+
+def test_gini_bounds_and_degenerate_uniform(spark, tmp_path):
+    from flink_kafka_replicator_spark.operators.aggregates import (
+        agg_gini_concentration,
+    )
+
+    for r in agg_gini_concentration(spark, SF_DIR).collect():
+        assert -1e-9 <= r.gini < 1.0
+    # a constant-value group has Gini exactly 0
+    df = spark.createDataFrame(
+        [(i, "P", 10.0, "1996-01-01", "c", 1) for i in range(9)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double,"
+        " o_orderdate string, o_orderstatus string, o_custkey long",
+    )
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    row = agg_gini_concentration(spark, str(tmp_path)).collect()[0]
+    assert row.gini == 0.0 and row.n == 9
+
+
 # -------------------------------------------------- funnel_time_to_convert
 
 
