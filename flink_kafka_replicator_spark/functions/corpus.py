@@ -668,7 +668,14 @@ def corpus_weighted_median_len(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("len").cast("bigint").alias("w"),
     )
-    wt = Window.partitionBy("source").orderBy("len")
+    # explicit ROWS frame to match the oracle's ROWS BETWEEN frame by
+    # construction (len is unique per source in the histogram, but the
+    # default RANGE frame would include peers if it were not)
+    wt = (
+        Window.partitionBy("source")
+        .orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     wall = Window.partitionBy("source")
     cum = hist.select(
         "source",
@@ -783,13 +790,13 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_terms"),
         F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
         F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias(
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias(
             "sxy"
         ),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias(
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias(
             "sxx"
         ),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias(
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias(
             "syy"
         ),
     )

@@ -3186,9 +3186,9 @@ def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("bigint").alias("n_pos"),
         F.sum("neg").cast("bigint").alias("n_neg"),
         F.sum(
-            (F.col("pos") * F.col("neg_below")).cast("decimal(38,0)")
+            F.col("pos").cast("decimal(38,0)") * F.col("neg_below")
         ).alias("_conc"),
-        F.sum((F.col("pos") * F.col("neg")).cast("decimal(38,0)")).alias(
+        F.sum(F.col("pos").cast("decimal(38,0)") * F.col("neg")).alias(
             "_tied"
         ),
     ).select(

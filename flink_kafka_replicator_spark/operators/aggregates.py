@@ -361,10 +361,12 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform spend, →1 = one whale): G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n
     over the ascending-sorted values.
 
-    Exactness: values are exact cents; rank·value products and both
-    sums are exact integers summed in DECIMAL(38,0) (Σ i·xᵢ reaches
-    n²·x̄ — int64 dies around 100M rows/group); two float divisions at
-    the end. Shape: ONE group exchange (rank + count + sums share it)
+    Exactness: values are exact cents; the rank widens to
+    DECIMAL(38,0) BEFORE the multiply (matching the oracle's
+    HUGEINT-then-multiply order), so the per-term i·xᵢ product and
+    both sums are exact at any group size — Σ i·xᵢ reaches n²·x̄ and a
+    post-hoc cast would wrap int64 around 100M rows/group; two float
+    divisions at the end. Shape: ONE group exchange (rank + count + sums share it)
     — the group-bounded exact-order-statistic trade documented at
     agg_percentile_exact (the sketch path covers unbounded groups)."""
     o = load_table(spark, sf_dir, "orders")
@@ -384,7 +386,7 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.col("v100").cast("decimal(38,0)")).alias("sv"),
         F.sum(
-            (F.col("i") * F.col("v100")).cast("decimal(38,0)")
+            F.col("i").cast("decimal(38,0)") * F.col("v100")
         ).alias("siv"),
     )
     return agg.select(

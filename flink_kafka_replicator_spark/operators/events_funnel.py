@@ -225,7 +225,14 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = dwell.groupBy("transition", "dwell_s").agg(
         F.count("*").alias("n")
     )
-    wt = Window.partitionBy("transition").orderBy("dwell_s")
+    # ROWS frame pinned explicitly (the oracle writes ROWS BETWEEN):
+    # dwell_s is unique per transition here, but the default RANGE
+    # frame would silently diverge if this idiom is copied elsewhere
+    wt = (
+        Window.partitionBy("transition")
+        .orderBy("dwell_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     wall = Window.partitionBy("transition")
     cum = hist.select(
         "transition",

@@ -389,8 +389,13 @@ def window_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("v100"),
     )
     wall = Window.partitionBy("user_id")
-    wrun = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
+    # explicit ROWS frame: the default RANGE frame includes peers, so
+    # parity with the oracle's ROWS BETWEEN ... CURRENT ROW would hang
+    # on (ts, event_id) uniqueness instead of holding by construction
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     staged = d.withColumn(
         "target", F.expr("sum(v100) over (partition by user_id)")

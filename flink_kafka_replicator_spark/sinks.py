@@ -674,6 +674,29 @@ def _sweep_orphan_partitions(table_path: str, committed: list) -> None:
             shutil.rmtree(path, ignore_errors=True)
 
 
+def _single_delta_needs_compaction(
+    table_dir: str, delta_id: int, files: int
+) -> bool:
+    """True when the ONE committed delta already spans more parquet
+    files than the requested target — a fresh base build (postings
+    written with repartition(8)) is still compactable via the CLI's
+    ``--files`` even though there is nothing to merge across deltas;
+    only a delta that already fits the target is a no-op."""
+    import glob as _glob
+    import os
+
+    return (
+        len(
+            _glob.glob(
+                os.path.join(
+                    table_dir, f"delta_id={delta_id}", "*.parquet"
+                )
+            )
+        )
+        > files
+    )
+
+
 def compact_minhash_index(
     spark: SparkSession,
     out_dir: str,
@@ -729,7 +752,12 @@ def compact_minhash_index(
     )
     _sweep_orphan_partitions(bands_path, committed)
     before = _count_files()
-    if len(committed) <= 1:
+    if not committed or (
+        len(committed) == 1
+        and not _single_delta_needs_compaction(
+            bands_path, committed[0], files
+        )
+    ):
         return {
             "files_before": before,
             "files_after": before,
@@ -1252,7 +1280,12 @@ def compact_vector_index(
         )
 
     before = _count_files()
-    if len(committed) <= 1:
+    if not committed or (
+        len(committed) == 1
+        and not _single_delta_needs_compaction(
+            os.path.join(out_dir, "postings"), committed[0], files
+        )
+    ):
         return {
             "files_before": before,
             "files_after": before,
@@ -1924,7 +1957,12 @@ def compact_lexical_index(
         )
 
     before = _count_files()
-    if len(committed) <= 1:
+    if not committed or (
+        len(committed) == 1
+        and not _single_delta_needs_compaction(
+            os.path.join(out_dir, "postings"), committed[0], files
+        )
+    ):
         return {
             "files_before": before,
             "files_after": before,

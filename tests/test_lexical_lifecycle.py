@@ -251,9 +251,48 @@ def test_lexical_crash_window_stays_invisible(spark, tmp_path):
         .parquet(f"{ix}/postings")
     )
     assert _answers(spark, ix, q) == before, "orphan partition visible!"
-    # compaction sweeps the orphan
+    # compaction sweeps the orphan FIRST, then (since the 8-file base
+    # exceeds the files=1 target) rewrites the base as a fresh delta —
+    # so the orphan's rows must not leak into the rewrite, and every
+    # on-disk partition must be named by the committed pointer
     compact_lexical_index(spark, ix, files=1)
-    assert not glob.glob(os.path.join(ix, "postings", "delta_id=1")), (
+    meta = json.load(open(os.path.join(ix, "LEXINDEX_META.json")))
+    on_disk = sorted(
+        int(os.path.basename(p).split("=", 1)[1])
+        for p in glob.glob(os.path.join(ix, "postings", "delta_id=*"))
+    )
+    assert on_disk == sorted(meta["delta_ids"]), (
         "orphan survived the compaction sweep"
     )
+    assert _answers(spark, ix, q) == before
+
+
+def test_lexical_single_delta_base_compacts_by_files(spark, tmp_path):
+    """A fresh base build writes its postings with repartition(8); the
+    compact-index CLI advertises --files, so a SINGLE committed delta
+    whose postings span more files than the target must still be
+    rewritten (ADVICE r10: the old early-return made --files a silent
+    no-op on exactly the index a fresh build produces). Answers must
+    be unchanged and a second compaction at the same target a no-op."""
+    d = _docs(spark)
+    ix = str(tmp_path / "ix")
+    write_lexical_index(spark, SF_DIR, ix, df=d)
+    post_files = glob.glob(os.path.join(ix, "postings", "delta_id=0", "*.parquet"))
+    assert len(post_files) > 1, "base build should write >1 postings file"
+    q = _queries(spark)
+    before = _answers(spark, ix, q)
+
+    res = compact_lexical_index(spark, ix, files=1)
+    assert res["compacted"] is True
+    assert res["files_after"] < res["files_before"]
+    meta = json.load(open(os.path.join(ix, "LEXINDEX_META.json")))
+    assert meta["delta_ids"] == [1]
+    assert (
+        len(glob.glob(os.path.join(ix, "postings", "delta_id=1", "*.parquet")))
+        == 1
+    )
+    assert _answers(spark, ix, q) == before, "compaction changed answers"
+    # already at the target → no-op, pointer stays
+    res2 = compact_lexical_index(spark, ix, files=1)
+    assert res2["compacted"] is False
     assert _answers(spark, ix, q) == before
