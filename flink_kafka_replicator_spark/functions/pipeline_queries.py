@@ -3486,6 +3486,44 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- vocabulary broadcast size gate (unigram-LM family) ------------
+# doc_unigram_logprob / quality_perplexity_buckets join the token
+# stream against the vocabulary-sized logp model. For any capped
+# tokenizer vocabulary (the production shape — CCNet's unigram LM is
+# 64k SentencePiece) an explicit broadcast is the right plan; for a
+# raw open-vocabulary explode of 100 TB of unnormalized text the
+# vocab can exceed driver/broadcast limits, so the hint must come OFF
+# and the join shuffle on tok (same answer — AQE may still pick a
+# runtime broadcast from the ACTUAL size, which is the safe
+# direction). The gate counts the vocab once per (session, dataset),
+# memoized like every other model artifact so query build stays
+# zero-jobs on re-use (test_build_guard).
+VOCAB_BROADCAST_MAX_TERMS = 2_000_000
+
+_VOCAB_N_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _gate_vocab_broadcast(
+    spark: SparkSession, sf_dir: str, vocab: DataFrame, lp: DataFrame
+) -> DataFrame:
+    """Return the logp model with the broadcast hint only when the
+    distinct-token vocabulary fits the budget
+    (``SPARK_GRAFT_VOCAB_BROADCAST_MAX_TERMS`` overrides the default
+    cap; the plan test forces it to 0 and asserts the shuffle path)."""
+    cap = int(
+        os.environ.get(
+            "SPARK_GRAFT_VOCAB_BROADCAST_MAX_TERMS",
+            VOCAB_BROADCAST_MAX_TERMS,
+        )
+    )
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    n = _VOCAB_N_CACHE.get(key)
+    if n is None:
+        n = vocab.count()
+        _cache_put(_VOCAB_N_CACHE, key, n)
+    return F.broadcast(lp) if n <= cap else lp
+
+
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality score (the CCNet recipe, one model class
     down): mean negative log-probability of each document's tokens under
@@ -3494,12 +3532,15 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity filter.
 
     Shape: one explode → global token-count aggregate (the unigram
-    model — vocabulary-sized, broadcast back), then a map-side logprob
-    join and a per-doc combine-friendly mean. At 100 TB the vocab table
-    is the model artifact a real pipeline persists; n_corpus_tokens is
-    a scalar aggregate, not a collect. ln() is floor-quantized at 1e-6
-    before averaging (the tfidf_top_terms parity pattern — engines' ln
-    may differ in the last ulp)."""
+    model — vocabulary-sized, broadcast back THROUGH the size gate:
+    :func:`_gate_vocab_broadcast` drops the hint when the vocab
+    exceeds the broadcast budget and lets the join shuffle on tok —
+    same answer either way, pytest-pinned), then a map-side logprob
+    join and a per-doc combine-friendly mean. At 100 TB the vocab
+    table is the model artifact a real pipeline persists;
+    n_corpus_tokens is a scalar aggregate, not a collect. ln() is
+    floor-quantized at 1e-6 before averaging (the tfidf_top_terms
+    parity pattern — engines' ln may differ in the last ulp)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
@@ -3512,7 +3553,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("logp"),
     )
     return (
-        toks.join(F.broadcast(lp), "tok")
+        toks.join(_gate_vocab_broadcast(spark, sf_dir, vocab, lp), "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -4580,15 +4621,13 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg. The vocab table is the model artifact at scale; the ntile
     runs on doc-level rows (corpus-count, not token-count).
 
-    Precondition (shared with :func:`doc_unigram_logprob`): the
-    broadcast logp join assumes the DISTINCT-token vocabulary fits the
-    broadcast threshold — true for any capped/normalized tokenizer
-    vocabulary (the production shape: unigram LMs for quality scoring
-    are trained over a fixed vocab, CCNet's is 64k SentencePiece), NOT
-    for a raw open-vocabulary explode of 100 TB of unnormalized text.
-    At that scale drop the F.broadcast hint and let AQE pick the join
-    (a vocab-keyed shuffle hash join — same answer, no driver-side
-    materialization), or cap the vocab with a min-count floor first."""
+    The logp join goes through the same size gate as
+    :func:`doc_unigram_logprob` (:func:`_gate_vocab_broadcast`): a
+    capped tokenizer vocabulary (the production shape — CCNet's
+    unigram LM is 64k SentencePiece) broadcasts; an open-vocabulary
+    explode past the budget drops the hint and shuffles on tok (same
+    answer, no driver-side materialization — pytest-pinned on both
+    paths)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", F.explode(text.tokens("text")).alias("tok")
@@ -4603,7 +4642,7 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("logp_q"),
     )
     per_doc = (
-        toks.join(F.broadcast(lp), "tok")
+        toks.join(_gate_vocab_broadcast(spark, sf_dir, vocab, lp), "tok")
         .groupBy("doc_id", "lang")
         .agg(
             F.count("*").alias("n_tokens"),

@@ -1,0 +1,91 @@
+"""Round-11 invariants: the vocabulary-broadcast size gate in the
+unigram-LM family (VERDICT r10 "What's wrong" #1 — at 100 TB an
+open-vocabulary corpus exceeds driver/broadcast limits, so the logp
+model join must be able to shuffle instead of broadcast, with
+identical answers on both paths)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_kafka_replicator_spark.functions import pipeline_queries as pq
+from flink_kafka_replicator_spark.plans import formatted_plan
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "qname", ["doc_unigram_logprob", "quality_perplexity_buckets"]
+)
+def test_vocab_gate_low_threshold_forces_shuffle_join(
+    spark, sf_dir, qname, monkeypatch
+):
+    """Forcing the cap to 0 must remove the broadcast hint from the
+    logp join: the vocab side arrives through an Exchange
+    (shuffle-keyed on tok), not a BroadcastExchange — and the answers
+    on both paths are identical."""
+    fn = getattr(pq, qname)
+    default = fn(spark, sf_dir)
+
+    # At sf0.001 every side sits under autoBroadcastJoinThreshold, so
+    # Catalyst broadcasts SOMETHING with or without the hint. The
+    # 100 TB situation the gate exists for is "nothing auto-fits, only
+    # the hint forces a broadcast" — model it by disabling the auto
+    # threshold: the hinted path must STILL broadcast (hints override
+    # the threshold — exactly the OOM hazard), the gated path must
+    # plan a shuffle join.
+    thr = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(thr)
+    try:
+        spark.conf.set(thr, "-1")
+        plan_bc = formatted_plan(fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan_bc, plan_bc[:2000]
+
+        monkeypatch.setenv("SPARK_GRAFT_VOCAB_BROADCAST_MAX_TERMS", "0")
+        gated = fn(spark, sf_dir)
+        plan_sh = formatted_plan(gated)
+        assert "BroadcastHashJoin" not in plan_sh, (
+            f"gate did not drop the vocab broadcast:\n{plan_sh[:2000]}"
+        )
+        assert (
+            "SortMergeJoin" in plan_sh or "ShuffledHashJoin" in plan_sh
+        ), f"expected a shuffle join on tok:\n{plan_sh[:2000]}"
+    finally:
+        spark.conf.set(thr, prev)
+
+    monkeypatch.setenv("SPARK_GRAFT_VOCAB_BROADCAST_MAX_TERMS", "0")
+    assert _rows(fn(spark, sf_dir)) == _rows(default), (
+        "shuffle path answers differ from broadcast path"
+    )
+
+
+def test_vocab_count_memoized_per_session_dataset(spark, sf_dir, monkeypatch):
+    """The gate's vocab count must run at most one job per (session,
+    dataset) — a second query build reuses the memoized count
+    (the zero-jobs-at-build contract, see test_build_guard)."""
+    key = (
+        spark.sparkContext.applicationId,
+        __import__("os").path.normpath(sf_dir),
+    )
+    pq._VOCAB_N_CACHE.pop(key, None)
+    pq.doc_unigram_logprob(spark, sf_dir)
+    assert key in pq._VOCAB_N_CACHE
+    n_before = pq._VOCAB_N_CACHE[key]
+
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    pq.quality_perplexity_buckets(spark, sf_dir)  # build only — no action
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before, "query build re-counted the vocab"
+    assert pq._VOCAB_N_CACHE[key] == n_before
+
+
+def test_vocab_gate_default_path_still_broadcasts(spark, sf_dir):
+    """With the default cap the sf0.001 vocab fits, so the logp join
+    must keep its broadcast plan (no regression from adding the gate:
+    two BroadcastExchanges — corpus total + vocab model)."""
+    plan = formatted_plan(pq.doc_unigram_logprob(spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 2, plan[:2000]
