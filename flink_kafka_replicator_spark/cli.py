@@ -377,6 +377,23 @@ def apply_dedup_main(argv: list[str], spark=None) -> int:
         "(the exact-substring removal)",
     )
     parser.add_argument("--shards", type=int, default=16)
+    parser.add_argument(
+        "--minhash-index",
+        default=None,
+        help="persisted minhash index dir to propagate the deletions "
+        "into (tombstone delta — see delete_minhash_docs)",
+    )
+    parser.add_argument(
+        "--vector-index",
+        default=None,
+        help="persisted vector index dir to propagate the deletions into",
+    )
+    parser.add_argument(
+        "--lexical-index",
+        default=None,
+        help="persisted lexical (BM25) index dir to propagate the "
+        "deletions into",
+    )
     args = parser.parse_args(argv)
 
     rungs = tuple(r.strip() for r in args.rungs.split(",") if r.strip())
@@ -405,6 +422,9 @@ def apply_dedup_main(argv: list[str], spark=None) -> int:
         rungs=rungs,
         scrub_spans=args.scrub_spans,
         n_shards=args.shards,
+        minhash_dir=args.minhash_index,
+        vector_dir=args.vector_index,
+        lexical_dir=args.lexical_index,
     )
     print(_json.dumps(result))
     return 0 if result["n_written"] == result["n_kept"] else 1
