@@ -178,6 +178,9 @@ HEADLINE = list(R2_BASKET) + [
     "corpus_pack_efficiency",
     "window_cusum_drift",
     "agg_gini_concentration",
+    # round-11 additions: the full BPE tokenizer story
+    "bpe_train_merges",
+    "bpe_tokenize_compression",
 ]
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 import functools
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -4781,6 +4781,208 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- BPE tokenizer training (round 11 — VERDICT r10 task 5) --------
+#
+# bpe_pair_counts is merge step 1; bpe_train_merges runs the full
+# bounded induction: BPE_TRAIN_MERGES sequential rounds, each a
+# VOCABULARY-sized aggregate (the k-means/PageRank memoized-iteration
+# pattern — the corpus is scanned exactly once, for the word count).
+#
+# Representation: each distinct word is a delimiter-joined symbol
+# string "␁␁s1␁␁s2␁␁…␁␁" (␁ = \\x01, double between symbols, double at
+# both ends). Applying merge (a, b) → ab is then ONE builtin string
+# replace of "␁a␁␁b␁" with "␁ab␁": left-to-right, non-overlapping —
+# exactly greedy BPE merge application — and, critically, a function
+# DuckDB evaluates with identical semantics, so the oracle replays the
+# identical unrolled merges instead of trusting the engine
+# (re-deriving each round's argmax itself, LIMIT 1 per round). The
+# double delimiter is what keeps consecutive occurrences mergeable:
+# replacing "␁a␁␁b␁" re-emits a full "␁…␁" so the neighbouring pair
+# keeps its boundary (a single-delimiter form would consume it).
+# Words containing the delimiter are excluded on both sides (none
+# exist in real text; the guard keeps the trick airtight).
+
+BPE_TRAIN_MERGES = 8
+_BPE_D = "\x01"
+_BPE_DD = _BPE_D * 2
+
+_BPE_MERGE_CACHE: dict[tuple[str, str, int], list[tuple[str, str, int]]] = {}
+
+
+def _bpe_syms(col: Column) -> Column:
+    """Symbol array of a delimited word-string (drop the empty edges
+    the leading/trailing delimiters produce)."""
+    return F.filter(F.split(col, _BPE_DD), lambda x: x != F.lit(""))
+
+
+def _bpe_words_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, freq, s): the distinct-word table with each word as its
+    initial character-level delimited symbol string. One corpus-sized
+    word count; everything downstream is vocabulary-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+        )
+        .filter((F.col("w") != "") & ~F.col("w").contains(_BPE_D))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    return words.select(
+        "w",
+        "freq",
+        F.concat(
+            F.lit(_BPE_DD),
+            F.regexp_replace(F.col("w"), "(.)", "$1" + _BPE_DD),
+        ).alias("s"),
+    )
+
+
+def _bpe_apply_merge(s: Column, a: str, b: str) -> Column:
+    return F.replace(
+        s,
+        F.lit(_BPE_D + a + _BPE_DD + b + _BPE_D),
+        F.lit(_BPE_D + a + b + _BPE_D),
+    )
+
+
+def _bpe_pair_count_top1(cur: DataFrame) -> list:
+    pairs = cur.select(
+        "freq",
+        F.explode(
+            # guard: Spark's sequence(1, 0) DESCENDS instead of being
+            # empty, so single-symbol words need the explicit branch
+            F.expr(
+                "if(size(__syms) > 1,"
+                " transform(sequence(1, size(__syms) - 1),"
+                " i -> concat(element_at(__syms, i), ' ',"
+                " element_at(__syms, i + 1))),"
+                " array())"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("wc"))
+        .orderBy(F.col("wc").desc(), F.col("pair").asc())
+        .limit(1)
+        .collect()
+    )
+
+
+def _bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_TRAIN_MERGES
+) -> list[tuple[str, str, int]]:
+    """The learned merge list [(left, right, weighted_count)], memoized
+    per (session, dataset) like every model artifact: the first build
+    runs ``n_merges`` bounded vocabulary-sized jobs over the pinned
+    word table (each round's plan is the base plus the ≤r learned
+    replaces — all constants by then); re-use costs zero jobs."""
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.normpath(sf_dir),
+        n_merges,
+    )
+    cached = _BPE_MERGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    base = materialize_small(
+        _bpe_words_delim(spark, sf_dir).select("freq", "s")
+    )
+    merges: list[tuple[str, str, int]] = []
+    cur = base
+    for _ in range(n_merges):
+        top = _bpe_pair_count_top1(
+            cur.withColumn("__syms", _bpe_syms(F.col("s")))
+        )
+        if not top:
+            break
+        a, b = top[0]["pair"].split(" ", 1)
+        merges.append((a, b, int(top[0]["wc"])))
+        cur = cur.withColumn("s", _bpe_apply_merge(F.col("s"), a, b))
+    _cache_put(_BPE_MERGE_CACHE, key, merges)
+    return merges
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full bounded BPE tokenizer induction (Sennrich et al. 2016):
+    the first BPE_TRAIN_MERGES merges learned from the corpus — per
+    merge its rank, the two symbols joined, the merged token, and the
+    weighted pair count at the moment it won. The model artifact a
+    tokenizer-training pipeline persists; ``bpe_pair_counts`` is this
+    query's round 1 in isolation.
+
+    Scale shape: ONE corpus scan (the word count, pinned), then
+    n_merges sequential vocabulary-sized aggregates — work ∝ vocab ·
+    n_merges, never corpus · n_merges (the 10× scale smoke pins this).
+    The oracle replays the identical unrolled rounds, re-deriving each
+    argmax itself."""
+    merges = _bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (i + 1, a, b, a + b, wc)
+            for i, (a, b, wc) in enumerate(merges)
+        ],
+        "merge_rank int, pair_left string, pair_right string,"
+        " merged string, weighted_count bigint",
+    )
+
+
+def bpe_tokenize_compression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The learned merges APPLIED — tokenize-with-merges as a scorer:
+    per language, the corpus token count under the trained BPE
+    vocabulary next to the character count it started from, and the
+    resulting chars-per-token compression — the number a tokenizer
+    review reads to judge whether n_merges bought anything.
+
+    Scale shape: the per-word merged symbol count is computed once on
+    the DISTINCT-word table (the n_merges learned replaces are
+    constants by now — one map-side expression chain), then joined to
+    per-language word frequencies (vocabulary-sized join, unhinted —
+    AQE broadcasts it while it fits, the tfidf_top_terms policy) and
+    aggregated: Σfreq, Σfreq·len, Σfreq·n_syms are all exact BIGINT."""
+    merges = _bpe_merges(spark, sf_dir)
+    vocab = _bpe_words_delim(spark, sf_dir)
+    s = F.col("s")
+    for a, b, _ in merges:
+        s = _bpe_apply_merge(s, a, b)
+    word_syms = vocab.select(
+        "w",
+        F.size(_bpe_syms(s)).cast("bigint").alias("n_syms"),
+        F.length("w").cast("bigint").alias("n_chars"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    lang_words = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        )
+        .filter((F.col("w") != "") & ~F.col("w").contains(_BPE_D))
+        .groupBy("lang", "w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    return (
+        lang_words.join(word_syms, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("freq").cast("bigint").alias("n_words"),
+            F.sum(F.col("freq") * F.col("n_chars"))
+            .cast("bigint")
+            .alias("n_chars"),
+            F.sum(F.col("freq") * F.col("n_syms"))
+            .cast("bigint")
+            .alias("n_bpe_tokens"),
+            F.round(
+                F.sum(F.col("freq") * F.col("n_chars"))
+                / F.sum(F.col("freq") * F.col("n_syms")),
+                4,
+            ).alias("chars_per_token"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_paragraph_exact": dedup_paragraph_exact,
@@ -4837,6 +5039,8 @@ QUERIES = {
     "quality_perplexity_buckets": quality_perplexity_buckets,
     "text_entropy": text_entropy,
     "bpe_pair_counts": bpe_pair_counts,
+    "bpe_train_merges": bpe_train_merges,
+    "bpe_tokenize_compression": bpe_tokenize_compression,
     "bm25_topk": bm25_topk,
     "hybrid_search_rrf": hybrid_search_rrf,
     "dedup_substring_spans": dedup_substring_spans,
@@ -7023,3 +7227,98 @@ ORACLES["bpe_pair_counts"] = f"""
     ORDER BY weighted_count DESC, pair ASC
     LIMIT {BPE_PAIR_TOPK}
 """
+
+
+def _bpe_oracle_rounds(n: int) -> str:
+    """The shared unrolled-merge CTE chain for the BPE oracles: words →
+    r0 (delimited char symbols) → [p_k (round-k argmax pair, LIMIT 1) →
+    r_k (merge applied via the same left-to-right string replace the
+    engine uses)] × n. The oracle re-derives every argmax itself — it
+    replays the ALGORITHM, not the engine's answers."""
+    d = "chr(1)"
+    dd = "chr(1) || chr(1)"
+    parts = [
+        f"""
+    words AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT UNNEST(string_split(LOWER(text), ' ')) AS w
+              FROM documents)
+        WHERE w <> '' AND POSITION(chr(1) IN w) = 0
+        GROUP BY w
+    ),
+    r0 AS (
+        SELECT w, freq,
+               {dd} || regexp_replace(w, '(.)', '\\1' || {dd}, 'g') AS s
+        FROM words
+    )"""
+    ]
+    for k in range(1, n + 1):
+        parts.append(
+            f"""
+    p{k} AS (
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS wc
+        FROM (
+            SELECT freq,
+                   UNNEST(list_transform(range(1, len(syms)),
+                          i -> syms[i] || ' ' || syms[i + 1])) AS pair
+            FROM (SELECT freq,
+                         list_filter(string_split(s, {dd}),
+                                     x -> x <> '') AS syms
+                  FROM r{k - 1})
+        )
+        GROUP BY pair ORDER BY wc DESC, pair ASC LIMIT 1
+    ),
+    r{k} AS (
+        SELECT w, freq,
+               replace(s,
+                   {d} || split_part(pair, ' ', 1) || {dd}
+                       || split_part(pair, ' ', 2) || {d},
+                   {d} || replace(pair, ' ', '') || {d}) AS s
+        FROM r{k - 1} CROSS JOIN p{k}
+    )"""
+        )
+    return ",".join(parts)
+
+
+ORACLES["bpe_train_merges"] = (
+    "WITH "
+    + _bpe_oracle_rounds(BPE_TRAIN_MERGES)
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {k} AS merge_rank,"
+        f" split_part(pair, ' ', 1) AS pair_left,"
+        f" split_part(pair, ' ', 2) AS pair_right,"
+        f" replace(pair, ' ', '') AS merged,"
+        f" wc AS weighted_count FROM p{k}"
+        for k in range(1, BPE_TRAIN_MERGES + 1)
+    )
+)
+
+ORACLES["bpe_tokenize_compression"] = (
+    "WITH "
+    + _bpe_oracle_rounds(BPE_TRAIN_MERGES)
+    + f""",
+    word_syms AS (
+        SELECT w,
+               CAST(len(list_filter(string_split(s, chr(1) || chr(1)),
+                                    x -> x <> '')) AS BIGINT) AS n_syms,
+               CAST(LENGTH(w) AS BIGINT) AS wlen
+        FROM r{BPE_TRAIN_MERGES}
+    ),
+    lang_words AS (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT lang, UNNEST(string_split(LOWER(text), ' ')) AS w
+              FROM documents)
+        WHERE w <> '' AND POSITION(chr(1) IN w) = 0
+        GROUP BY lang, w
+    )
+    SELECT lang,
+           CAST(SUM(freq) AS BIGINT) AS n_words,
+           CAST(SUM(freq * wlen) AS BIGINT) AS n_chars,
+           CAST(SUM(freq * n_syms) AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(SUM(freq * wlen) AS DOUBLE)
+                 / SUM(freq * n_syms), 4) AS chars_per_token
+    FROM lang_words JOIN word_syms USING (w)
+    GROUP BY lang
+"""
+)

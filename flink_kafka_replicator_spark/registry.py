@@ -360,6 +360,10 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "corpus_pack_efficiency",
     "window_cusum_drift",
     "agg_gini_concentration",
+    # round-11 additions: the full BPE tokenizer story (bounded merge
+    # induction + the tokenize-with-merges compression scorer)
+    "bpe_train_merges",
+    "bpe_tokenize_compression",
 )
 
 

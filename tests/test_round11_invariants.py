@@ -89,3 +89,74 @@ def test_vocab_gate_default_path_still_broadcasts(spark, sf_dir):
     two BroadcastExchanges — corpus total + vocab model)."""
     plan = formatted_plan(pq.doc_unigram_logprob(spark, sf_dir))
     assert plan.count("BroadcastExchange") >= 2, plan[:2000]
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def test_bpe_merge_application_is_greedy_left_to_right(spark):
+    """The delimiter-replace trick must implement greedy left-to-right
+    non-overlapping merge application (the Sennrich semantics): 'aaaa'
+    + (a,a) → [aa, aa], 'aaa' → [aa, a], 'baaa' → [b, aa, a] — and a
+    merged symbol never re-matches the raw pair ('aab' → [aa, b], not
+    [aab])."""
+    cases = {
+        "aaaa": ["aa", "aa"],
+        "aaa": ["aa", "a"],
+        "baaa": ["b", "aa", "a"],
+        "aab": ["aa", "b"],
+        "ab": ["a", "b"],
+        "a": ["a"],
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "w string")
+    delim = df.select(
+        "w",
+        F.concat(
+            F.lit(pq._BPE_DD),
+            F.regexp_replace(F.col("w"), "(.)", "$1" + pq._BPE_DD),
+        ).alias("s"),
+    )
+    got = {
+        r.w: list(r.syms)
+        for r in delim.select(
+            "w",
+            pq._bpe_syms(
+                pq._bpe_apply_merge(F.col("s"), "a", "a")
+            ).alias("syms"),
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_bpe_first_merge_equals_pair_counts_top1(spark, sf_dir):
+    """Round 1 of the full induction must be exactly what
+    bpe_pair_counts already reports as its top candidate."""
+    top = pq.bpe_pair_counts(spark, sf_dir).limit(1).collect()[0]
+    merges = pq._bpe_merges(spark, sf_dir)
+    a, b, wc = merges[0]
+    assert f"{a} {b}" == top["pair"]
+    assert wc == top["weighted_count"]
+
+
+def test_bpe_merges_memoized_zero_jobs_on_rebuild(spark, sf_dir):
+    """The second build of either BPE query must run ZERO jobs (the
+    merge list is a memoized model artifact — the build-guard
+    contract)."""
+    pq.bpe_train_merges(spark, sf_dir)  # warm (first call may train)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    pq.bpe_train_merges(spark, sf_dir)
+    pq.bpe_tokenize_compression(spark, sf_dir)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "BPE query build re-ran the training jobs"
+
+
+def test_bpe_compression_is_consistent(spark, sf_dir):
+    """Tokenize-with-merges sanity: BPE tokens per word are bounded by
+    chars (merging only shrinks) and at least 1; totals positive."""
+    rows = pq.bpe_tokenize_compression(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_bpe_tokens <= r.n_chars
+        assert r.n_words > 0
+        assert r.chars_per_token >= 1.0

@@ -984,3 +984,34 @@ def test_round9b_dq_and_serving_at_10x(spark, big_dir):
             f"{q.__name__} superlinear at 10x: {t_big:.1f}s vs {t_small:.1f}s"
         )
         assert t_big < bound, f"{q.__name__} {t_big:.1f}s"
+
+
+def test_bpe_train_at_10x_vocab_bound(spark, big_dir):
+    """BPE induction work is ∝ vocabulary, not corpus (round 11): 10
+    verbatim copies leave the vocab IDENTICAL, so the learned merges
+    are the same pairs with exactly 10× the weighted counts — and the
+    run pays ~one extra corpus scan (the pinned word count), never 10×
+    the per-round training cost."""
+    import time as _time
+
+    from flink_kafka_replicator_spark.functions import (
+        pipeline_queries as pq,
+    )
+
+    pq._BPE_MERGE_CACHE.clear()
+    t0 = _time.perf_counter()
+    small = pq._bpe_merges(spark, SRC)
+    t_small = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    big = pq._bpe_merges(spark, big_dir)
+    t_big = _time.perf_counter() - t0
+    assert [(a, b) for a, b, _ in big] == [(a, b) for a, b, _ in small], (
+        "identical vocab must learn identical merges"
+    )
+    assert [c for _, _, c in big] == [c * COPIES for _, _, c in small], (
+        "10 verbatim copies must scale every pair count by exactly 10"
+    )
+    assert t_big < max(t_small, 1.0) * COPIES, (
+        f"BPE training scaled with the corpus, not the vocab: "
+        f"{t_big:.1f}s vs {t_small:.1f}s"
+    )
