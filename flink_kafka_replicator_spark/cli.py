@@ -823,6 +823,78 @@ def dq_audit_main(argv: list[str], spark=None) -> int:
     return 0
 
 
+def dq_monitor_main(argv: list[str], spark=None) -> int:
+    """The ``dq-monitor`` subcommand: run the dq-audit battery's rules
+    engine + financial reconciliation per micro-batch over a parquet
+    stream of order rows (streaming/dq_monitor.py — the same core
+    functions as the batch path, so stream == batch holds by
+    construction). Prints the MERGED whole-stream reports as one JSON
+    line; the availableNow trigger drains existing files and exits —
+    re-run with the same checkpoint to score only new files."""
+    import argparse
+    import hashlib
+    import json as _json
+
+    parser = argparse.ArgumentParser(
+        prog="spark-kafka-replicator dq-monitor",
+        description=(
+            "Monitor a parquet stream of order rows with the DQ "
+            "battery's rules engine + reconciliation, per micro-batch"
+        ),
+        allow_abbrev=False,
+    )
+    parser.add_argument("--source", required=True)
+    parser.add_argument(
+        "--lineitem-dir",
+        required=True,
+        help="parquet dir of the lineitem table the reconciliation "
+        "recomputes order totals from (frozen once at monitor start)",
+    )
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--checkpoint-location", default=None)
+    parser.add_argument("--timeout-sec", type=int, default=600)
+    args = parser.parse_args(argv)
+
+    if spark is None:
+        from .session import get_session
+
+        spark = get_session(app_name="spark-dq-monitor")
+
+    from .streaming.dq_monitor import (
+        DQ_MONITOR_CHECKS,
+        merged_dq_report,
+        start_streaming_dq_monitor,
+    )
+
+    checkpoint = args.checkpoint_location
+    if checkpoint is None:
+        ident = f"{args.source}|{args.output}"
+        checkpoint = (
+            "/tmp/spark-dq-monitor-ckpt-"
+            + hashlib.md5(ident.encode()).hexdigest()[:10]
+        )
+
+    schema = spark.read.parquet(args.source).schema
+    stream = spark.readStream.schema(schema).parquet(args.source)
+    q = start_streaming_dq_monitor(
+        spark,
+        stream,
+        lineitem_df=spark.read.parquet(args.lineitem_dir),
+        out_dir=args.output,
+        checkpoint_location=checkpoint,
+        available_now=True,
+    )
+    from .streaming.supervision import await_drained
+
+    await_drained(q, args.timeout_sec, "dq-monitor")
+    summary = {}
+    for check in DQ_MONITOR_CHECKS:
+        rows = merged_dq_report(spark, args.output, check).collect()
+        summary[check] = [r.asDict() for r in rows]
+    print(_json.dumps({"merged": summary, "output": args.output}))
+    return 0
+
+
 def main(argv: list[str] | None = None, admin_factory=None) -> int:
     import sys
 
@@ -854,6 +926,8 @@ def main(argv: list[str] | None = None, admin_factory=None) -> int:
         return drift_monitor_main(args[1:])
     if args and args[0] == "dq-audit":
         return dq_audit_main(args[1:])
+    if args and args[0] == "dq-monitor":
+        return dq_monitor_main(args[1:])
 
     cfg, extra = parse_args(args)
     run_preflight(cfg, admin_factory)

@@ -138,19 +138,14 @@ _DQ_RULE_VALUES = ", ".join(
 _DQ_COLS = tuple(dict.fromkeys(c for _, c, _, _ in DQ_RULES))
 
 
-def dq_rules_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative rule engine: constraints live in a rules TABLE
-    (rule_id, column, op, threshold), the engine melts the checked
-    columns to (column, value) pairs, broadcast-joins the rules, and
-    evaluates one generic CASE-on-op predicate — per-rule violation
-    counts and rates, the Deequ/Great-Expectations contract shape where
-    adding a rule is a row insert, not a code change.
-
-    Scale: one scan of the fact table, a |cols|-way melt (Generate),
-    a broadcast join against the ≤rules-row dim, one count aggregate.
-    NULL values violate every rule on their column (explicit in the
-    CASE), so the report never silently skips missing data."""
-    o = load_table(spark, sf_dir, "orders")
+def rules_report(orders_df: DataFrame) -> DataFrame:
+    """The rules-engine CORE over any orders frame — shared verbatim
+    by the batch query (``dq_rules_engine``) and the streaming
+    ``dq-monitor`` (streaming/dq_monitor.py), so stream == batch is a
+    theorem, not a test of two implementations (the
+    ``batch_drift_scores`` pattern)."""
+    o = orders_df
+    spark = orders_df.sparkSession
     melted = o.select(
         F.explode(
             F.array(
@@ -197,6 +192,23 @@ def dq_rules_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("violation_rate"),
         )
     )
+
+
+def dq_rules_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative rule engine: constraints live in a rules TABLE
+    (rule_id, column, op, threshold), the engine melts the checked
+    columns to (column, value) pairs, broadcast-joins the rules, and
+    evaluates one generic CASE-on-op predicate — per-rule violation
+    counts and rates, the Deequ/Great-Expectations contract shape where
+    adding a rule is a row insert, not a code change.
+
+    Scale: one scan of the fact table, a |cols|-way melt (Generate),
+    a broadcast join against the ≤rules-row dim, one count aggregate.
+    NULL values violate every rule on their column (explicit in the
+    CASE), so the report never silently skips missing data. The core
+    is :func:`rules_report` — the same function the streaming
+    dq-monitor runs per micro-batch."""
+    return rules_report(load_table(spark, sf_dir, "orders"))
 
 
 # PSI drift bins: fixed width-20 value buckets clamped to [0, 9] — a
@@ -417,7 +429,19 @@ def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables are bucketed by orderkey — no broadcast needed, no skew:
     orderkeys are unique on one side, ≤7 rows on the other), and a
     ≤5-row report aggregate."""
-    li = load_table(spark, sf_dir, "lineitem").select(
+    return reconciliation_report_from(
+        load_table(spark, sf_dir, "orders"),
+        reconciliation_recomputed(load_table(spark, sf_dir, "lineitem")),
+    )
+
+
+def reconciliation_recomputed(lineitem_df: DataFrame) -> DataFrame:
+    """(l_orderkey, recomputed6): each order's total recomputed from
+    its line items in exact 1e-6-dollar integer units — the
+    lineitem-side half of the reconciliation, split out so the
+    streaming dq-monitor can compute it ONCE at monitor start instead
+    of rescanning lineitem per micro-batch."""
+    li = lineitem_df.select(
         "l_orderkey",
         F.expr(
             "cast(round(l_extendedprice * 100) as bigint)"
@@ -425,16 +449,23 @@ def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (100L + cast(round(l_tax * 100) as bigint))"
         ).alias("v6"),
     )
-    recomputed = li.groupBy("l_orderkey").agg(
-        F.sum("v6").alias("recomputed6")
-    )
-    o = load_table(spark, sf_dir, "orders").select(
+    return li.groupBy("l_orderkey").agg(F.sum("v6").alias("recomputed6"))
+
+
+def reconciliation_report_from(
+    orders_df: DataFrame, recomputed_df: DataFrame
+) -> DataFrame:
+    """The reconciliation CORE over any orders frame + a recomputed
+    per-order totals frame — shared verbatim by the batch query and
+    the streaming dq-monitor (stream == batch as a theorem, the
+    ``batch_drift_scores`` pattern)."""
+    o = orders_df.select(
         "o_orderkey",
         (F.expr("cast(round(o_totalprice * 100) as bigint)") * 10000)
         .alias("stored6"),
     )
     diffed = o.join(
-        recomputed, o.o_orderkey == recomputed.l_orderkey, "left"
+        recomputed_df, o.o_orderkey == recomputed_df.l_orderkey, "left"
     ).select(
         F.when(F.col("recomputed6").isNull(), "no_lineitems")
         .when(F.col("recomputed6") == F.col("stored6"), "exact")

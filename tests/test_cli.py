@@ -545,3 +545,57 @@ def test_dq_audit_subcommand(spark, tmp_path, capsys):
     assert set(DQ_AUDIT_IDS) == {
         q for q in dq.QUERIES if q.startswith("dq_")
     }
+
+
+def test_dq_monitor_subcommand(spark, tmp_path, capsys):
+    """The dq-monitor CLI drains a parquet order stream through the
+    rules engine + reconciliation per micro-batch and prints MERGED
+    whole-stream reports equal to the batch queries' answers."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_kafka_replicator_spark.cli import dq_monitor_main
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.operators import data_quality as dq
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    o = load_table(spark, sf, "orders")
+    src = str(tmp_path / "orders_stream")
+    for m in range(2):
+        o.filter(F.col("o_orderkey") % 2 == m).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+    # lineitem as a plain parquet dir (the CLI reads it raw)
+    li_dir = str(tmp_path / "lineitem")
+    load_table(spark, sf, "lineitem").write.parquet(li_dir)
+    out = str(tmp_path / "dq")
+    rc = dq_monitor_main(
+        [
+            "--source", src,
+            "--lineitem-dir", li_dir,
+            "--output", out,
+            "--checkpoint-location", str(tmp_path / "ck"),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    merged_rules = sorted(
+        (d["rule_id"], d["n_checked"], d["n_violations"], d["violation_rate"])
+        for d in rep["merged"]["dq_rules_engine"]
+    )
+    want_rules = sorted(
+        (r.rule_id, r.n_checked, r.n_violations, r.violation_rate)
+        for r in dq.dq_rules_engine(spark, sf).collect()
+    )
+    assert merged_rules == want_rules
+    merged_recon = sorted(
+        (d["bucket"], d["n_orders"]) for d in rep["merged"]["dq_reconciliation"]
+    )
+    want_recon = sorted(
+        (r.bucket, r.n_orders)
+        for r in dq.dq_reconciliation(spark, sf).collect()
+    )
+    assert merged_recon == want_recon
