@@ -226,9 +226,18 @@ def main() -> None:
     run_once(flagship(spark, SF_DIR))  # warm-up
     calib_start = calibration_probe(spark)
 
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to those ids —
+    # the solo-rerun protocol for settling drift-band flags (SCALE.md:
+    # re-measure flagged ids on an idle box before arguing about them).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = (
+        [q.strip() for q in only.split(",") if q.strip()]
+        if only
+        else HEADLINE
+    )
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for qid in HEADLINE:
+    for qid in headline:
         fn = queries.get(qid)
         if fn is None:
             continue
@@ -282,7 +291,7 @@ def main() -> None:
         # first-appearance queries freeze their baseline NOW (the same
         # "first recorded time" rule the file was seeded with), so the
         # next round's run gets a ratio instead of a blind spot
-        if base:
+        if base and not only:  # never auto-freeze from a subset run
             new_qs = {q: t for q, t in timings.items() if q not in base}
             if new_qs:
                 for q, t in new_qs.items():
@@ -295,7 +304,11 @@ def main() -> None:
     # membership filter) is the loud-failure path: the registry check
     # above plus HEADLINE ⊇ R2_BASKET guarantee every basket id was
     # timed, and a KeyError here beats a silently shrunken basket.
-    r2_subset = round(sum(timings[q] for q in R2_BASKET), 3)
+    r2_subset = (
+        round(sum(timings[q] for q in R2_BASKET), 3)
+        if not only
+        else None
+    )
     geomean = None
     if vs_baseline:
         import math
@@ -330,7 +343,10 @@ def main() -> None:
     # stdout line outgrew the driver's capture window, leaving
     # parsed:null) — the on-disk artifact is the durable record...
     report_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_REPORT.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        # a subset (solo-rerun) run must not clobber the round's full
+        # report — it lands in its own artifact
+        "BENCH_SOLO_REPORT.json" if only else "BENCH_REPORT.json",
     )
     with open(report_path, "w", encoding="utf-8") as fh:
         json.dump(report, fh, indent=1, sort_keys=True)
