@@ -178,9 +178,16 @@ HEADLINE = list(R2_BASKET) + [
     "corpus_pack_efficiency",
     "window_cusum_drift",
     "agg_gini_concentration",
-    # round-11 additions: the full BPE tokenizer story
+    # round-11 additions: the full BPE tokenizer story + the widening
+    # (risk stats, path mining, completeness, bigram LM, P@k harness)
     "bpe_train_merges",
     "bpe_tokenize_compression",
+    "window_drawdown",
+    "agg_theil_index",
+    "events_top_paths",
+    "dq_completeness_matrix",
+    "doc_bigram_logprob",
+    "eval_precision_at_k",
 ]
 
 

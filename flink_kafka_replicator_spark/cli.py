@@ -746,6 +746,7 @@ def hybrid_search_main(argv: list[str], spark=None) -> int:
 # the dq-audit battery: every registered dq_* id, run in this order
 DQ_AUDIT_IDS: tuple[str, ...] = (
     "dq_profile",
+    "dq_completeness_matrix",
     "dq_referential_integrity",
     "dq_rules_engine",
     "dq_reconciliation",

@@ -3562,6 +3562,143 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity proxy — one model class up from
+    :func:`doc_unigram_logprob` (the CCNet ladder's next rung): mean
+    negative log-probability of each document's token TRANSITIONS
+    under the corpus' own add-one-smoothed bigram model,
+    logp(b|a) = ln((c(a,b) + 1) / (c(a) + V)). Catches
+    locally-plausible-but-incoherent text (shuffled sentences, template
+    soup) that unigram frequency cannot see.
+
+    Shape: adjacent-pair explode (map-side from the split array — the
+    same guard as BPE for 1-token docs), a corpus-bounded bigram-count
+    aggregate and a vocab-sized unigram aggregate, V as a broadcast
+    1-row scalar, then the model joins back onto the transition stream
+    UNHINTED (the bigram table is corpus-vocabulary-scale — exactly
+    the open-vocabulary case the round-11 broadcast gate exists for,
+    so Catalyst/AQE picks from actual size). ln floor-quantized at
+    1e-6 and summed as exact BIGINT before ONE division."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    pairs = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "if(size(toks) > 1,"
+                " transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) as a,"
+                " element_at(toks, i + 1) as b)),"
+                " array())"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.a", "p.b")
+    bigrams = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    unigrams = (
+        t.select(F.explode("toks").alias("a"))
+        .groupBy("a")
+        .agg(F.count("*").alias("c_a"))
+    )
+    vsize = unigrams.agg(F.count("*").alias("v"))
+    model = (
+        bigrams.join(unigrams, "a")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "a",
+            "b",
+            F.expr(
+                "cast(floor(ln((c_ab + 1.0D) / (c_a + cast(v as double)))"
+                " * 1000000.0D) as bigint)"
+            ).alias("logp_q"),
+        )
+    )
+    return (
+        pairs.join(model, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_transitions"),
+            F.round(
+                -F.sum("logp_q") / F.count("*") / F.lit(1_000_000.0), 4
+            ).alias("avg_neg_logp"),
+        )
+    )
+
+
+def eval_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@k / Recall@k / reciprocal-rank table of the BM25
+    ranking against the content-derived relevance labels — the binary-
+    relevance half of the retrieval harness next to
+    :func:`eval_ndcg_bm25`'s graded half (rel >= 1 ⇔ relevant, the
+    standard binarization). Row k's reciprocal_rank is 1/r of the
+    FIRST relevant hit at or above k (0 until one appears) — row 10
+    carries P@10, R@10 and the query's MRR contribution.
+
+    Exactness: cumulative relevant counts are integers over the ≤10-row
+    ranked frame; P@k = cum/k and R@k = cum/n_relevant are single
+    divisions of exact integers; first_rel_rank via a conditional MIN.
+    Scale: identical to the NDCG query — the candidate explode is
+    BM25's own pushed-filter scan, both top-10s are
+    TakeOrderedAndProject, everything after is 10-row arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    rel = (
+        toks.filter(F.col("t").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.least(F.count("*"), F.lit(3)).cast("int").alias("rel"))
+    )
+    n_rel = rel.filter(F.col("rel") >= 1).agg(
+        F.count("*").cast("bigint").alias("n_relevant")
+    )
+    ranked = (
+        bm25_topk(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(NDCG_K)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .join(rel, "doc_id", "left")
+        .select(
+            "rank",
+            "doc_id",
+            (F.coalesce("rel", F.lit(0)) >= 1).cast("int").alias("is_rel"),
+        )
+    )
+    wcum = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ranked.withColumn(
+            "n_rel_cum", F.sum("is_rel").over(wcum).cast("bigint")
+        )
+        .withColumn(
+            "first_rel_rank",
+            F.min(F.when(F.col("is_rel") == 1, F.col("rank"))).over(wcum),
+        )
+        .crossJoin(F.broadcast(n_rel))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "is_rel",
+            "n_rel_cum",
+            F.round(F.col("n_rel_cum") / F.col("rank"), 6).alias(
+                "precision_at_k"
+            ),
+            F.round(F.col("n_rel_cum") / F.col("n_relevant"), 6).alias(
+                "recall_at_k"
+            ),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.col("first_rel_rank"), F.lit(0.0)
+                ),
+                6,
+            ).alias("reciprocal_rank"),
+        )
+    )
+
+
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -5039,6 +5176,8 @@ QUERIES = {
     "quality_perplexity_buckets": quality_perplexity_buckets,
     "text_entropy": text_entropy,
     "bpe_pair_counts": bpe_pair_counts,
+    "doc_bigram_logprob": doc_bigram_logprob,
+    "eval_precision_at_k": eval_precision_at_k,
     "bpe_train_merges": bpe_train_merges,
     "bpe_tokenize_compression": bpe_tokenize_compression,
     "bm25_topk": bm25_topk,
@@ -7007,6 +7146,78 @@ ORACLES["eval_ndcg_bm25"] = f"""
     FROM gains
     WINDOW w AS (ORDER BY rank
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["eval_precision_at_k"] = f"""
+    WITH base AS ({{bm25}}),
+    rel AS (
+        SELECT doc_id, CAST(LEAST(COUNT(*), 3) AS INTEGER) AS rel
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t IN ({", ".join(f"'{w}'" for w in BM25_QUERY_TERMS)})
+        GROUP BY doc_id
+    ),
+    nrel AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant
+        FROM rel WHERE rel >= 1
+    ),
+    ranked AS (
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY b.bm25 DESC, b.doc_id ASC) AS INTEGER)
+                   AS rank,
+               b.doc_id,
+               CAST(CASE WHEN COALESCE(rel.rel, 0) >= 1
+                         THEN 1 ELSE 0 END AS INTEGER) AS is_rel
+        FROM (SELECT * FROM base
+              ORDER BY bm25 DESC, doc_id ASC LIMIT {NDCG_K}) b
+        LEFT JOIN rel USING (doc_id)
+    )
+    SELECT rank, doc_id, is_rel,
+           CAST(SUM(is_rel) OVER w AS BIGINT) AS n_rel_cum,
+           ROUND(SUM(is_rel) OVER w / CAST(rank AS DOUBLE), 6)
+               AS precision_at_k,
+           ROUND(SUM(is_rel) OVER w
+                 / CAST((SELECT n_relevant FROM nrel) AS DOUBLE), 6)
+               AS recall_at_k,
+           ROUND(COALESCE(
+               1.0 / MIN(CASE WHEN is_rel = 1 THEN rank END) OVER w,
+               0.0), 6) AS reciprocal_rank
+    FROM ranked
+    WINDOW w AS (ORDER BY rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""".format(bm25=_BM25_ORACLE)
+
+ORACLES["doc_bigram_logprob"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+        FROM (SELECT doc_id, toks,
+                     UNNEST(range(1, len(toks))) AS i
+              FROM t)
+    ),
+    bigrams AS (
+        SELECT a, b, COUNT(*) AS c_ab FROM pairs GROUP BY a, b
+    ),
+    unigrams AS (
+        SELECT a, COUNT(*) AS c_a
+        FROM (SELECT UNNEST(toks) AS a FROM t)
+        GROUP BY a
+    ),
+    v AS (SELECT COUNT(*) AS v FROM unigrams),
+    model AS (
+        SELECT a, b,
+               CAST(FLOOR(LN((c_ab + 1.0) / (c_a + CAST(v AS DOUBLE)))
+                          * 1000000.0) AS BIGINT) AS logp_q
+        FROM bigrams JOIN unigrams USING (a) CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           ROUND(-CAST(SUM(logp_q) AS DOUBLE) / COUNT(*) / 1000000.0, 4)
+               AS avg_neg_logp
+    FROM pairs JOIN model USING (a, b)
+    GROUP BY doc_id
 """
 
 _MINHASH_MATCH_TERMS = " + ".join(

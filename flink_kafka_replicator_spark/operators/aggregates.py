@@ -405,10 +405,60 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of order value per priority class —
+    the decomposable entropy-based concentration statistic next to
+    :func:`agg_gini_concentration` (Theil is additive across
+    subgroups, which is why data-balance reviews report both):
+    T = (Σ xᵢ·ln xᵢ)/S − ln(S/n) over positive values.
+
+    Exactness: values are exact cents; each ln(xᵢ) is floor-quantized
+    at 1e-6 AND SCALED TO BIGINT, the xᵢ·ln_q(xᵢ) product widens one
+    factor to DECIMAL(38,0) BEFORE the multiply (the round-11 overflow
+    rule — the product reaches ~1e15 per term and the sum S·ln(max)),
+    so the accumulator is exact in any order; ln(S/n) quantizes the
+    IEEE-exact double division. Shape: ONE group exchange, map-side
+    combined — no window, no join (Theil needs no rank, which is the
+    scale advantage over Gini's per-group sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v100"),
+    ).filter(F.col("v100") > 0)
+    lnq = (
+        "cast(floor(ln(cast(v100 as double)) * 1000000.0D) as bigint)"
+    )
+    agg = d.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("v100").cast("decimal(38,0)")).alias("sv"),
+        F.sum(F.col("v100").cast("decimal(38,0)") * F.expr(lnq)).alias(
+            "sxlnx"
+        ),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("sv").cast("double") / 100.0, 2).alias(
+            "total_value"
+        ),
+        F.round(
+            F.col("sxlnx").cast("double")
+            / 1e6
+            / F.col("sv").cast("double")
+            - F.expr(
+                "floor(ln(cast(sv as double) / cast(n as double))"
+                " * 1000000.0D) / 1000000.0D"
+            ),
+            6,
+        ).alias("theil_t"),
+    )
+
+
 QUERIES = {
     "agg_stats": agg_stats,
     "agg_mode_per_group": agg_mode_per_group,
     "agg_gini_concentration": agg_gini_concentration,
+    "agg_theil_index": agg_theil_index,
     "agg_hash_groupby": agg_hash_groupby,
     "agg_distinct": agg_distinct,
     "agg_rollup": agg_rollup,
@@ -430,6 +480,30 @@ def _duck_cms_pos(key_sql: str) -> str:
 
 
 ORACLES = {
+    "agg_theil_index": """
+        WITH d AS (
+            SELECT o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v100
+            FROM orders
+        ),
+        agg AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(v100 AS HUGEINT)) AS sv,
+                   SUM(CAST(v100 AS HUGEINT)
+                       * CAST(FLOOR(LN(CAST(v100 AS DOUBLE)) * 1000000.0)
+                              AS BIGINT)) AS sxlnx
+            FROM d WHERE v100 > 0
+            GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, n,
+               ROUND(CAST(sv AS DOUBLE) / 100.0, 2) AS total_value,
+               ROUND(CAST(sxlnx AS DOUBLE) / 1e6 / CAST(sv AS DOUBLE)
+                     - FLOOR(LN(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                             * 1000000.0) / 1000000.0,
+                     6) AS theil_t
+        FROM agg
+    """,
     "agg_gini_concentration": """
         WITH ranked AS (
             SELECT o_orderpriority,

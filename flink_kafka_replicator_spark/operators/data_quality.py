@@ -488,8 +488,124 @@ def reconciliation_report_from(
     )
 
 
+# the completeness audit's column set: (table, column) pairs across the
+# warehouse — adding a column is a tuple append, not a code change
+COMPLETENESS_COLS: tuple[tuple[str, str], ...] = (
+    ("orders", "o_orderkey"),
+    ("orders", "o_custkey"),
+    ("orders", "o_totalprice"),
+    ("orders", "o_orderstatus"),
+    ("customer", "c_custkey"),
+    ("customer", "c_acctbal"),
+    ("customer", "c_name"),
+    ("events", "event_id"),
+    ("events", "user_id"),
+    ("events", "value"),
+    ("events", "props"),
+    ("documents", "doc_id"),
+    ("documents", "text"),
+    ("documents", "lang"),
+)
+
+
+def dq_completeness_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness matrix: per (table, column), row count, null
+    count, blank count (empty/whitespace strings — the nulls that
+    don't say so), and the combined missing rate. The first page of
+    every data-quality report and the check that catches a loader
+    silently writing empty strings where upstream had NULLs.
+
+    Shape: one 1-row aggregate per audited TABLE (all its columns'
+    null/blank counts in one map-side pass — never one scan per
+    column), melted to (table, column) rows and unioned; the union is
+    |tables| tiny frames. Exact integer counts, one division."""
+    per_table: dict[str, list[str]] = {}
+    for t, c in COMPLETENESS_COLS:
+        per_table.setdefault(t, []).append(c)
+    frames = []
+    for t, cols in per_table.items():
+        df = load_table(spark, sf_dir, t)
+        aggs = [F.count("*").cast("bigint").alias("__n")]
+        for c in cols:
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long"))
+                .cast("bigint")
+                .alias(f"__null_{c}")
+            )
+            is_str = dict(df.dtypes).get(c) == "string"
+            blank = (
+                F.col(c).isNotNull() & (F.trim(F.col(c)) == "")
+                if is_str
+                else F.lit(False)
+            )
+            aggs.append(
+                F.sum(blank.cast("long")).cast("bigint").alias(f"__blank_{c}")
+            )
+        one = df.agg(*aggs)
+        melted = one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table_name"),
+                            F.lit(c).alias("column_name"),
+                            F.col("__n").alias("n_rows"),
+                            F.col(f"__null_{c}").alias("n_null"),
+                            F.col(f"__blank_{c}").alias("n_blank"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("kv")
+        ).select("kv.*")
+        frames.append(melted)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "table_name",
+        "column_name",
+        "n_rows",
+        "n_null",
+        "n_blank",
+        F.round(
+            (F.col("n_null") + F.col("n_blank")) / F.col("n_rows"), 6
+        ).alias("missing_rate"),
+    )
+
+
+_COMPLETENESS_STRING_COLS = {
+    "o_orderstatus", "c_name", "props", "text", "lang"
+}
+
+
+def _completeness_oracle() -> str:
+    parts = []
+    for t, c in COMPLETENESS_COLS:
+        blank = (
+            f"SUM(CASE WHEN {c} IS NOT NULL AND TRIM({c}) = ''"
+            " THEN 1 ELSE 0 END)"
+            if c in _COMPLETENESS_STRING_COLS
+            else "0"
+        )
+        parts.append(
+            f"""SELECT '{t}' AS table_name, '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST({blank} AS BIGINT) AS n_blank,
+               ROUND((SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                      + {blank}) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS missing_rate
+        FROM {t}"""
+        )
+    return "\n        UNION ALL ".join(parts)
+
+
+
 QUERIES = {
     "dq_referential_integrity": dq_referential_integrity,
+    "dq_completeness_matrix": dq_completeness_matrix,
     "dq_benford": dq_benford,
     "dq_reconciliation": dq_reconciliation,
     "dq_winsorize": dq_winsorize,
@@ -500,6 +616,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dq_completeness_matrix": _completeness_oracle(),
     "dq_reconciliation": """
         WITH li AS (
             SELECT l_orderkey,

@@ -294,8 +294,46 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOP_PATHS_K = 3
+TOP_PATHS_LIMIT = 20
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top entry paths: each user's FIRST 3 event types in time order,
+    joined 'a>b>c', counted across users and ranked — the Sankey/flow
+    primitive a product-analytics dashboard opens with (which journeys
+    dominate, where the first fork is).
+
+    Exactness: the per-user order key (ts, event_id) is unique, the
+    path is a deterministic string, counts are integers, and the
+    top-20 carries a (count DESC, path ASC) tiebreak. Shape: ONE
+    user_id aggregate building the sorted prefix map-side
+    (sort_array(collect_list(struct)) — work ∝ user's events, bounded
+    per user), one path-keyed count agg (map-side combined), and a
+    global top-k that compiles to TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    paths = (
+        ev.select("user_id", F.struct("ts", "event_id", "event_type").alias("e"))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                f"array_join(transform(slice(sort_array(collect_list(e)),"
+                f" 1, {TOP_PATHS_K}), x -> x.event_type), '>')"
+            ).alias("path"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(TOP_PATHS_LIMIT)
+    )
+
+
 QUERIES = {
     "funnel_stages": funnel_stages,
+    "events_top_paths": events_top_paths,
     "events_markov_transitions": events_markov_transitions,
     "funnel_conversion": funnel_conversion,
     "funnel_time_to_convert": funnel_time_to_convert,
@@ -304,6 +342,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_top_paths": f"""
+        WITH p AS (
+            SELECT user_id,
+                   array_to_string(
+                       list_slice(
+                           array_agg(event_type ORDER BY ts, event_id),
+                           1, {TOP_PATHS_K}),
+                       '>') AS path
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM p GROUP BY path
+        ORDER BY n_users DESC, path ASC
+        LIMIT {TOP_PATHS_LIMIT}
+    """,
     "funnel_stages": """
         WITH v AS (
             SELECT user_id,

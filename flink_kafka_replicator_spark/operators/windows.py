@@ -426,6 +426,92 @@ def window_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the running value total — the
+    peak-to-trough statistic every risk/monitoring dashboard computes
+    on an equity-like curve (here: each user's cumulative event value
+    in time order). Reported per user: final cumulative value, the
+    running peak, and the largest peak-to-trough drop.
+
+    Exactness: values quantize to exact cents once, then cum, peak,
+    and drawdown are pure BIGINT window arithmetic — drawdown_t =
+    max_{j<=t}(cum_j) − cum_t, max over the user. Shape: ONE user_id
+    exchange; both running windows (prefix sum, prefix max) and the
+    final per-user aggregate share it. Explicit ROWS frames (the
+    engine's running-window contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    curve = d.withColumn("cum", F.sum("v100").over(wrun))
+    curve = curve.withColumn("peak", F.max("cum").over(wrun))
+    return curve.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.max("cum").cast("double") / 100.0, 2).alias("peak_value"),
+        # final = cum at the max (ts, event_id) — max_by on the unique
+        # composite key, never F.last (order after a shuffle is not
+        # deterministic inside a hash aggregate)
+        F.round(
+            F.max_by("cum", F.struct("ts", "event_id")).cast("double")
+            / 100.0,
+            2,
+        ).alias("final_value"),
+        F.round(
+            F.max(F.col("peak") - F.col("cum")).cast("double") / 100.0, 2
+        ).alias("max_drawdown"),
+    )
+
+
+def _drawdown_oracle() -> str:
+    return """
+        WITH d AS (
+            SELECT user_id, ts, event_id,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS v100
+            FROM events
+        ),
+        c0 AS (
+            SELECT user_id, ts, event_id,
+                   SUM(v100) OVER w AS cum
+            FROM d
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        c AS (
+            SELECT user_id, ts, event_id, cum,
+                   MAX(cum) OVER w AS peak
+            FROM c0
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(CAST(MAX(cum) AS DOUBLE) / 100.0, 2) AS peak_value,
+               ROUND(CAST(MAX(CASE WHEN rn = n THEN cum END) AS DOUBLE)
+                     / 100.0, 2) AS final_value,
+               ROUND(CAST(MAX(peak - cum) AS DOUBLE) / 100.0, 2)
+                   AS max_drawdown
+        FROM (SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts ASC, event_id ASC)
+                         AS rn,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n
+              FROM c)
+        GROUP BY user_id
+    """
+
+
 def _cusum_oracle() -> str:
     return f"""
         WITH d AS (
@@ -558,6 +644,7 @@ QUERIES = {
     "window_rolling_median": window_rolling_median,
     "window_rolling_mad_anomaly": window_rolling_mad_anomaly,
     "window_cusum_drift": window_cusum_drift,
+    "window_drawdown": window_drawdown,
     "window_running_sum": window_running_sum,
     "window_lag_delta": window_lag_delta,
     "window_range_frame": window_range_frame,
@@ -572,6 +659,7 @@ ORACLES = {
     "window_rolling_median": _rollmed_oracle(),
     "window_rolling_mad_anomaly": _rollmad_oracle(),
     "window_cusum_drift": _cusum_oracle(),
+    "window_drawdown": _drawdown_oracle(),
     "window_distinct_count": """
         SELECT event_id, user_id,
                CAST(COUNT(DISTINCT event_type) OVER (

@@ -364,6 +364,15 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     # induction + the tokenize-with-merges compression scorer)
     "bpe_train_merges",
     "bpe_tokenize_compression",
+    # round-11 widening: drawdown/Theil risk stats, entry-path mining,
+    # the completeness audit, the bigram-LM quality rung, and the
+    # binary-relevance retrieval harness
+    "window_drawdown",
+    "agg_theil_index",
+    "events_top_paths",
+    "dq_completeness_matrix",
+    "doc_bigram_logprob",
+    "eval_precision_at_k",
 )
 
 

@@ -160,3 +160,93 @@ def test_bpe_compression_is_consistent(spark, sf_dir):
         assert 0 < r.n_bpe_tokens <= r.n_chars
         assert r.n_words > 0
         assert r.chars_per_token >= 1.0
+
+
+# ----------------------------------------------- round-11 widening ops
+
+
+def test_window_drawdown_invariants(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.windows import (
+        window_drawdown,
+    )
+
+    rows = window_drawdown(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.max_drawdown >= 0.0, "drawdown is a non-negative drop"
+        assert r.final_value <= r.peak_value + 1e-9
+        assert r.n_events > 0
+
+
+def test_agg_theil_index_nonnegative(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.aggregates import (
+        agg_theil_index,
+    )
+
+    for r in agg_theil_index(spark, sf_dir).collect():
+        # Theil T >= 0 by Jensen; 1e-6 ln quantization can shave the
+        # boundary by at most ~1e-6
+        assert r.theil_t >= -1e-5, r
+
+
+def test_events_top_paths_shape(spark, sf_dir):
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.operators.events_funnel import (
+        events_top_paths,
+    )
+
+    rows = events_top_paths(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    n_users = load_table(spark, sf_dir, "events").select(
+        "user_id"
+    ).distinct().count()
+    assert sum(r.n_users for r in rows) <= n_users
+    for r in rows:
+        assert 1 <= len(r.path.split(">")) <= 3
+
+
+def test_dq_completeness_matrix_covers_declared_columns(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.data_quality import (
+        COMPLETENESS_COLS,
+        dq_completeness_matrix,
+    )
+
+    rows = dq_completeness_matrix(spark, sf_dir).collect()
+    assert {(r.table_name, r.column_name) for r in rows} == set(
+        COMPLETENESS_COLS
+    )
+    for r in rows:
+        assert 0.0 <= r.missing_rate <= 1.0
+        assert r.n_null + r.n_blank <= r.n_rows
+
+
+def test_doc_bigram_logprob_transition_counts(spark, sf_dir):
+    from flink_kafka_replicator_spark.io import load_table
+
+    got = {
+        r.doc_id: (r.n_transitions, r.avg_neg_logp)
+        for r in pq.doc_bigram_logprob(spark, sf_dir).collect()
+    }
+    toks = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    for doc_id, (n_tr, neg) in got.items():
+        assert n_tr == toks[doc_id] - 1, "transitions must be n_tokens-1"
+        assert neg > 0, "smoothed probabilities are < 1, so -logp > 0"
+
+
+def test_eval_precision_at_k_monotonicity(spark, sf_dir):
+    rows = sorted(
+        pq.eval_precision_at_k(spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert b.recall_at_k >= a.recall_at_k, "recall must be monotone"
+        assert b.reciprocal_rank >= a.reciprocal_rank
+    # precision@k equals cumulative relevance over k by construction
+    for r in rows:
+        assert abs(r.precision_at_k - r.n_rel_cum / r.rank) < 1e-6
