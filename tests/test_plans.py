@@ -817,3 +817,56 @@ def test_reconciliation_no_broadcast_of_fact_tables(spark, sf_dir):
     plan = formatted_plan(dq_reconciliation(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_round11_widening_plan_shapes(spark, sf_dir):
+    """Round-11 ops keep their scale-critical shapes: top-k compiles to
+    TakeOrderedAndProject (never a full sort), the single-exchange
+    aggregates stay single-exchange, the completeness audit scans each
+    table exactly once, and nothing introduces a cartesian product
+    (beyond the 1-row scalar-broadcast crossJoins, which plan as
+    BroadcastNestedLoopJoin over one row)."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        doc_bigram_logprob,
+        eval_precision_at_k,
+    )
+    from flink_kafka_replicator_spark.operators.aggregates import (
+        agg_theil_index,
+    )
+    from flink_kafka_replicator_spark.operators.data_quality import (
+        COMPLETENESS_COLS,
+        dq_completeness_matrix,
+    )
+    from flink_kafka_replicator_spark.operators.events_funnel import (
+        events_top_paths,
+    )
+    from flink_kafka_replicator_spark.operators.windows import (
+        window_drawdown,
+    )
+
+    p = formatted_plan(events_top_paths(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p[:1500]
+    assert "CartesianProduct" not in p
+
+    p = formatted_plan(eval_precision_at_k(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p[:1500]
+    assert "CartesianProduct" not in p
+
+    # one group exchange, partial+final agg, no window/join
+    df = agg_theil_index(spark, sf_dir)
+    assert exchange_count(df) == 1, formatted_plan(df)[:1500]
+    assert "Window" not in formatted_plan(df)
+
+    # prefix windows + per-user agg all share ONE user_id exchange
+    df = window_drawdown(spark, sf_dir)
+    assert exchange_count(df) == 1, formatted_plan(df)[:1500]
+
+    # each audited table is scanned exactly once (all its columns'
+    # counts in one aggregate) — never one scan per column
+    n_tables = len({t for t, _ in COMPLETENESS_COLS})
+    p = formatted_plan(dq_completeness_matrix(spark, sf_dir))
+    # formatted plans print each scan twice (tree + detail section)
+    assert p.count("Scan parquet") == 2 * n_tables, p[:2000]
+
+    p = formatted_plan(doc_bigram_logprob(spark, sf_dir))
+    assert "CartesianProduct" not in p
