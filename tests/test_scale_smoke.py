@@ -1015,3 +1015,68 @@ def test_bpe_train_at_10x_vocab_bound(spark, big_dir):
         f"BPE training scaled with the corpus, not the vocab: "
         f"{t_big:.1f}s vs {t_small:.1f}s"
     )
+
+
+def test_index_deletion_at_10x(spark, big_dir, tmp_path_factory):
+    """The round-11 SHRINK lifecycle at 10×: build the lexical index
+    over the full 10× corpus, tombstone-delete a third of it (work ∝
+    the dropped docs' postings + one dfreq merge — never an index
+    rewrite), serve, compact (folds the tombstones physically), serve
+    again — every serve byte-equal to the rebuild over survivors."""
+    from flink_kafka_replicator_spark.sinks import (
+        bm25_search_from_index,
+        compact_lexical_index,
+        delete_lexical_docs,
+        read_lexical_index,
+        write_lexical_index,
+        writer_lease,
+    )
+
+    t0 = time.perf_counter()
+    root = str(tmp_path_factory.mktemp("lex_del"))
+    d = spark.read.parquet(f"{big_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ix = f"{root}/lexindex"
+    write_lexical_index(spark, big_dir, ix, df=d)
+
+    q = spark.createDataFrame(
+        [(i, ["spark", "join"]) for i in range(6)],
+        "qid int, terms array<string>",
+    )
+
+    def serve(path):
+        return sorted(
+            (r.qid, r.doc_id, r.bm25, r.rank)
+            for r in bm25_search_from_index(spark, q, path, k=10).collect()
+        )
+
+    with writer_lease(ix, owner="smoke-delete") as tok:
+        res = delete_lexical_docs(
+            spark,
+            d.filter(F.col("doc_id") % 3 == 0).select("doc_id"),
+            ix,
+            writer_token=tok,
+        )
+    assert res["n_docs_deleted"] == d.filter(F.col("doc_id") % 3 == 0).count()
+
+    rebuild = f"{root}/rebuild"
+    write_lexical_index(
+        spark, big_dir, rebuild, df=d.filter(F.col("doc_id") % 3 != 0)
+    )
+    want = serve(rebuild)
+    assert serve(ix) == want, "serve-after-delete != rebuild at 10x"
+    _, _, _, meta_t = read_lexical_index(spark, ix)
+    _, _, _, meta_r = read_lexical_index(spark, rebuild)
+    assert (meta_t["n_docs"], meta_t["sum_dl"]) == (
+        meta_r["n_docs"],
+        meta_r["sum_dl"],
+    )
+
+    with writer_lease(ix, owner="smoke-delete-compact") as tok:
+        cres = compact_lexical_index(spark, ix, writer_token=tok)
+    assert cres["compacted"] is True
+    assert serve(ix) == want, "compaction changed served answers"
+    t = time.perf_counter() - t0
+    print(f"\nlexical delete lifecycle 10x: {t:.1f}s")
+    assert t < 600, f"deletion lifecycle at 10x took {t:.1f}s"
