@@ -188,6 +188,11 @@ HEADLINE = list(R2_BASKET) + [
     "dq_completeness_matrix",
     "doc_bigram_logprob",
     "eval_precision_at_k",
+    "agg_hhi_concentration",
+    "dq_duplicate_key_report",
+    "events_rfm_segmentation",
+    "text_readability_score",
+    "join_skew_report",
 ]
 
 

@@ -747,6 +747,7 @@ def hybrid_search_main(argv: list[str], spark=None) -> int:
 DQ_AUDIT_IDS: tuple[str, ...] = (
     "dq_profile",
     "dq_completeness_matrix",
+    "dq_duplicate_key_report",
     "dq_referential_integrity",
     "dq_rules_engine",
     "dq_reconciliation",

@@ -867,7 +867,87 @@ def corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per document from three deterministic
+    integer counts — words (whitespace tokens), sentences (terminal
+    punctuation, floor 1) and a syllable PROXY (vowel-group runs, the
+    standard cheap stand-in) — plus the per-language summary a corpus
+    review reads (readability is a quality signal: gibberish and
+    boilerplate both land far off the natural-language band).
+
+    score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    Exactness: all three counts are integers both engines derive from
+    the same regexes ([aeiou]+ runs over the lowercased text; [.!?]
+    occurrences); the score is two IEEE divisions + fixed-order
+    arithmetic on them, rounded at 4. Shape: map-side per-doc counts,
+    ONE lang aggregate — scan-bound at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.regexp_count("text", F.lit("[.!?]")), F.lit(1)
+        )
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.greatest(
+            F.regexp_count(F.lower("text"), F.lit("[aeiou]+")), F.lit(1)
+        )
+        .cast("bigint")
+        .alias("n_syllables"),
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words")),
+        4,
+    )
+    scored = per_doc.withColumn("flesch", flesch)
+    return scored.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_sentences").cast("bigint").alias("n_sentences"),
+        F.sum("n_syllables").cast("bigint").alias("n_syllables"),
+        F.round(F.avg("flesch"), 4).alias("mean_flesch"),
+        F.round(F.min("flesch"), 4).alias("min_flesch"),
+        F.round(F.max("flesch"), 4).alias("max_flesch"),
+    )
+
+_READABILITY_ORACLE = """
+    WITH per_doc AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(GREATEST(len(regexp_extract_all(text, '[.!?]')), 1)
+                    AS BIGINT) AS n_sentences,
+               CAST(GREATEST(
+                   len(regexp_extract_all(LOWER(text), '[aeiou]+')), 1)
+                    AS BIGINT) AS n_syllables
+        FROM documents
+    ),
+    scored AS (
+        SELECT lang, n_words, n_sentences, n_syllables,
+               ROUND(206.835
+                     - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                     - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)),
+                     4) AS flesch
+        FROM per_doc
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_sentences) AS BIGINT) AS n_sentences,
+           CAST(SUM(n_syllables) AS BIGINT) AS n_syllables,
+           ROUND(AVG(flesch), 4) AS mean_flesch,
+           ROUND(MIN(flesch), 4) AS min_flesch,
+           ROUND(MAX(flesch), 4) AS max_flesch
+    FROM scored GROUP BY lang
+"""
+
+
 QUERIES = {
+    "text_readability_score": text_readability_score,
     "corpus_weighted_median_len": corpus_weighted_median_len,
     "corpus_mix_upsample": corpus_mix_upsample,
     "text_zipf_fit": text_zipf_fit,
@@ -900,6 +980,7 @@ _UPSAMPLE_CASE = " ".join(
 )
 
 ORACLES = {
+    "text_readability_score": _READABILITY_ORACLE,
     "corpus_weighted_median_len": """
         WITH lens AS (
             SELECT source,

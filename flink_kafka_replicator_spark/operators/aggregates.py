@@ -454,11 +454,51 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of order-value share per priority —
+    the third leg of the concentration family (Gini ranks, Theil is
+    entropy, HHI is the sum of squared shares the antitrust/market
+    literature uses; 1/n = uniform, 1 = one whale):
+    HHI = Σ (xᵢ/S)² = (Σ xᵢ²) / S².
+
+    Exactness: values are exact cents; xᵢ² widens one factor to
+    DECIMAL(38,0) BEFORE the multiply (the round-11 overflow rule —
+    v100² reaches ~2.5e15 per term), both sums exact in any order; two
+    float operations at the end. Shape: ONE group exchange, map-side
+    combined — like Theil, no rank and no window, the cheapest of the
+    three at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v100"),
+    )
+    agg = d.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("v100").cast("decimal(38,0)")).alias("sv"),
+        F.sum(F.col("v100").cast("decimal(38,0)") * F.col("v100")).alias(
+            "sv2"
+        ),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("sv").cast("double") / 100.0, 2).alias(
+            "total_value"
+        ),
+        F.round(
+            F.col("sv2").cast("double")
+            / (F.col("sv").cast("double") * F.col("sv").cast("double")),
+            8,
+        ).alias("hhi"),
+    )
+
+
 QUERIES = {
     "agg_stats": agg_stats,
     "agg_mode_per_group": agg_mode_per_group,
     "agg_gini_concentration": agg_gini_concentration,
     "agg_theil_index": agg_theil_index,
+    "agg_hhi_concentration": agg_hhi_concentration,
     "agg_hash_groupby": agg_hash_groupby,
     "agg_distinct": agg_distinct,
     "agg_rollup": agg_rollup,
@@ -480,6 +520,26 @@ def _duck_cms_pos(key_sql: str) -> str:
 
 
 ORACLES = {
+    "agg_hhi_concentration": """
+        WITH d AS (
+            SELECT o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v100
+            FROM orders
+        ),
+        agg AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(v100 AS HUGEINT)) AS sv,
+                   SUM(CAST(v100 AS HUGEINT) * v100) AS sv2
+            FROM d GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, n,
+               ROUND(CAST(sv AS DOUBLE) / 100.0, 2) AS total_value,
+               ROUND(CAST(sv2 AS DOUBLE)
+                     / (CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)), 8)
+                   AS hhi
+        FROM agg
+    """,
     "agg_theil_index": """
         WITH d AS (
             SELECT o_orderpriority,

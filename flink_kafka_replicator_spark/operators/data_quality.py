@@ -603,8 +603,80 @@ def _completeness_oracle() -> str:
 
 
 
+# the duplicate-key audit's (table, key column) pairs; lineitem's key
+# is composite, expressed as a tuple of columns
+DUPKEY_TABLES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("orders", ("o_orderkey",)),
+    ("customer", ("c_custkey",)),
+    ("events", ("event_id",)),
+    ("documents", ("doc_id",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+)
+
+
+def dq_duplicate_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit: per table, row count, distinct
+    key count, number of DUPLICATED keys and the worst multiplicity —
+    the load-level check that catches a double-applied batch or a
+    broken MERGE before referential integrity even gets a say (a
+    duplicated PK breaks every downstream join's cardinality
+    assumptions silently).
+
+    Shape: per table ONE key-grouped count aggregate (map-side
+    combined — the partial agg absorbs the duplicates) folded into a
+    1-row summary; the union is |tables| single-row frames. Exact
+    integer counts only."""
+    frames = []
+    for t, keys in DUPKEY_TABLES:
+        df = load_table(spark, sf_dir, t)
+        per_key = df.groupBy(*keys).agg(F.count("*").alias("m"))
+        frames.append(
+            per_key.agg(
+                F.lit(t).alias("table_name"),
+                F.lit(",".join(keys)).alias("key_columns"),
+                F.sum("m").cast("bigint").alias("n_rows"),
+                F.count("*").cast("bigint").alias("n_keys"),
+                F.sum((F.col("m") > 1).cast("long"))
+                .cast("bigint")
+                .alias("n_dup_keys"),
+                F.sum(
+                    F.when(F.col("m") > 1, F.col("m")).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_rows_in_dups"),
+                F.max("m").cast("bigint").alias("max_multiplicity"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+
+def _dupkey_oracle() -> str:
+    parts = []
+    for t, keys in DUPKEY_TABLES:
+        kexpr = ", ".join(keys)
+        parts.append(
+            f"""SELECT '{t}' AS table_name,
+               '{",".join(keys)}' AS key_columns,
+               CAST(SUM(m) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_keys,
+               CAST(SUM(CASE WHEN m > 1 THEN m ELSE 0 END) AS BIGINT)
+                   AS n_rows_in_dups,
+               CAST(MAX(m) AS BIGINT) AS max_multiplicity
+        FROM (SELECT {kexpr}, COUNT(*) AS m FROM {t}
+              GROUP BY {kexpr})"""
+        )
+    return "\n        UNION ALL ".join(parts)
+
+
 QUERIES = {
     "dq_referential_integrity": dq_referential_integrity,
+    "dq_duplicate_key_report": dq_duplicate_key_report,
     "dq_completeness_matrix": dq_completeness_matrix,
     "dq_benford": dq_benford,
     "dq_reconciliation": dq_reconciliation,
@@ -617,6 +689,7 @@ QUERIES = {
 
 ORACLES = {
     "dq_completeness_matrix": _completeness_oracle(),
+    "dq_duplicate_key_report": _dupkey_oracle(),
     "dq_reconciliation": """
         WITH li AS (
             SELECT l_orderkey,

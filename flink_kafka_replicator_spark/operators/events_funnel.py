@@ -331,8 +331,137 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every user scored 1–5 on Recency (last event
+    time), Frequency (event count) and Monetary (total value), then
+    the segment grid reported with user counts and monetary share —
+    the classic marketing/engagement quintile cut.
+
+    Scale + determinism design: quintile scores are NOT a global
+    ntile (a single-partition sort over every user); each dimension's
+    four thresholds come from a NEAREST-RANK pick over that
+    dimension's value HISTOGRAM (cumulative counts in value order —
+    the funnel_time_to_convert discipline), land as a broadcast 1-row
+    artifact, and score assignment is a map-side comparison. Ties
+    share a score by construction (same value ⇒ same side of every
+    threshold), so the output is engine-exact with no tiebreak
+    convention at all. All keys are exact integers (epoch-micros,
+    counts, cents)."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.expr("max(unix_micros(ts))").alias("rec"),
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("bigint")
+        .alias("mon100"),
+    )
+
+    def thresholds(dim: str) -> DataFrame:
+        hist = users.groupBy(dim).agg(F.count("*").alias("c"))
+        wt = (
+            Window.orderBy(dim)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wall = Window.partitionBy(F.lit(1))
+        cum = hist.select(
+            F.col(dim).alias("v"),
+            F.sum("c").over(wt).alias("cum"),
+            F.sum("c").over(wall).alias("n"),
+        )
+        pick = lambda q: F.min(  # noqa: E731 — nearest-rank pick
+            F.when(
+                F.col("cum")
+                >= F.expr(f"cast(ceil({q} * n / 5.0) as bigint)"),
+                F.col("v"),
+            )
+        )
+        return cum.agg(
+            *[pick(q).alias(f"{dim}_t{q}") for q in (1, 2, 3, 4)]
+        )
+
+    def score(dim: str):
+        return (
+            F.lit(1)
+            + sum(
+                (F.col(dim) > F.col(f"{dim}_t{q}")).cast("int")
+                for q in (1, 2, 3, 4)
+            )
+        ).cast("int")
+
+    scored = (
+        users.crossJoin(F.broadcast(thresholds("rec")))
+        .crossJoin(F.broadcast(thresholds("freq")))
+        .crossJoin(F.broadcast(thresholds("mon100")))
+        .select(
+            score("rec").alias("r_score"),
+            score("freq").alias("f_score"),
+            score("mon100").alias("m_score"),
+            "mon100",
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.sum("mon100").cast("double") / 100.0, 2).alias(
+            "monetary_total"
+        ),
+    )
+
+
+def _rfm_oracle() -> str:
+    def thr(dim: str) -> str:
+        picks = ", ".join(
+            f"MIN(CASE WHEN cum >= CAST(CEIL({q} * n / 5.0) AS BIGINT)"
+            f" THEN v END) AS {dim}_t{q}"
+            for q in (1, 2, 3, 4)
+        )
+        return f"""{dim}_thr AS (
+            SELECT {picks}
+            FROM (SELECT v, SUM(c) OVER (ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+                         SUM(c) OVER () AS n
+                  FROM (SELECT {dim} AS v, COUNT(*) AS c
+                        FROM users GROUP BY {dim}))
+        )"""
+
+    def sc(dim: str) -> str:
+        return "1 + " + " + ".join(
+            f"(CASE WHEN {dim} > {dim}_t{q} THEN 1 ELSE 0 END)"
+            for q in (1, 2, 3, 4)
+        )
+
+    return f"""
+        WITH users AS (
+            SELECT user_id,
+                   MAX(epoch_us(ts)) AS rec,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS mon100
+            FROM events GROUP BY user_id
+        ),
+        {thr("rec")},
+        {thr("freq")},
+        {thr("mon100")},
+        scored AS (
+            SELECT CAST({sc("rec")} AS INTEGER) AS r_score,
+                   CAST({sc("freq")} AS INTEGER) AS f_score,
+                   CAST({sc("mon100")} AS INTEGER) AS m_score,
+                   mon100
+            FROM users
+            CROSS JOIN rec_thr CROSS JOIN freq_thr CROSS JOIN mon100_thr
+        )
+        SELECT r_score, f_score, m_score,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               ROUND(CAST(SUM(mon100) AS DOUBLE) / 100.0, 2)
+                   AS monetary_total
+        FROM scored
+        GROUP BY r_score, f_score, m_score
+    """
+
+
 QUERIES = {
     "funnel_stages": funnel_stages,
+    "events_rfm_segmentation": events_rfm_segmentation,
     "events_top_paths": events_top_paths,
     "events_markov_transitions": events_markov_transitions,
     "funnel_conversion": funnel_conversion,
@@ -342,6 +471,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_rfm_segmentation": _rfm_oracle(),
     "events_top_paths": f"""
         WITH p AS (
             SELECT user_id,

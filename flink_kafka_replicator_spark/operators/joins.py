@@ -464,7 +464,63 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic for the orders⋈lineitem key — the
+    report a scale review reads BEFORE choosing a mitigation (AQE
+    skew-split handles moderate skew; a whale key needs salting; this
+    tells you which): per-key fact-side group sizes summarized as key
+    count, row count, max/p50/p99 group size, the mean, and the
+    max/mean skew ratio.
+
+    Shape: one l_orderkey-keyed count aggregate (map-side combined),
+    then every statistic comes from the (group_size, n_keys) HISTOGRAM
+    — cumulative nearest-rank picks for the percentiles (the
+    funnel_time_to_convert discipline), never a sort of per-key rows.
+    Exact integers + two final divisions. 1-row output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("g"))
+    hist = sizes.groupBy("g").agg(F.count("*").alias("k"))
+    from pyspark.sql import Window
+
+    wt = Window.orderBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy(F.lit(1))
+    cum = hist.select(
+        "g",
+        "k",
+        F.sum("k").over(wt).alias("cum_k"),
+        F.sum("k").over(wall).alias("n_keys"),
+        F.sum(F.col("g").cast("bigint") * F.col("k"))
+        .over(wall)
+        .alias("n_rows"),
+    )
+    pick = lambda p: F.min(  # noqa: E731 — nearest-rank selector
+        F.when(
+            F.col("cum_k")
+            >= F.expr(f"cast(ceil({p} * n_keys) as bigint)"),
+            F.col("g"),
+        )
+    )
+    return cum.agg(
+        F.max("n_keys").cast("bigint").alias("n_keys"),
+        F.max("n_rows").cast("bigint").alias("n_rows"),
+        pick(0.5).cast("bigint").alias("p50_group"),
+        pick(0.99).cast("bigint").alias("p99_group"),
+        F.max("g").cast("bigint").alias("max_group"),
+        F.round(
+            F.max("n_rows").cast("double") / F.max("n_keys"), 4
+        ).alias("mean_group"),
+        F.round(
+            F.max("g").cast("double")
+            / (F.max("n_rows").cast("double") / F.max("n_keys")),
+            4,
+        ).alias("skew_max_over_mean"),
+    )
+
+
 QUERIES = {
+    "join_skew_report": join_skew_report,
     "join_inner": join_inner,
     "join_broadcast": join_broadcast,
     "join_left_outer": join_left_outer,
@@ -489,6 +545,37 @@ def _duck_bloom_pos(j: int, key_sql: str) -> str:
 _BAND_VALUES = ", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in PRICE_BANDS)
 
 ORACLES = {
+    "join_skew_report": """
+        WITH sizes AS (
+            SELECT l_orderkey, COUNT(*) AS g FROM lineitem
+            GROUP BY l_orderkey
+        ),
+        hist AS (SELECT g, COUNT(*) AS k FROM sizes GROUP BY g),
+        cum AS (
+            SELECT g, k,
+                   SUM(k) OVER (ORDER BY g
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_k,
+                   SUM(k) OVER () AS n_keys,
+                   SUM(CAST(g AS BIGINT) * k) OVER () AS n_rows
+            FROM hist
+        )
+        SELECT CAST(MAX(n_keys) AS BIGINT) AS n_keys,
+               CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+               CAST(MIN(CASE WHEN cum_k >=
+                    CAST(CEIL(0.5 * n_keys) AS BIGINT) THEN g END)
+                    AS BIGINT) AS p50_group,
+               CAST(MIN(CASE WHEN cum_k >=
+                    CAST(CEIL(0.99 * n_keys) AS BIGINT) THEN g END)
+                    AS BIGINT) AS p99_group,
+               CAST(MAX(g) AS BIGINT) AS max_group,
+               ROUND(CAST(MAX(n_rows) AS DOUBLE) / MAX(n_keys), 4)
+                   AS mean_group,
+               ROUND(CAST(MAX(g) AS DOUBLE)
+                     / (CAST(MAX(n_rows) AS DOUBLE) / MAX(n_keys)), 4)
+                   AS skew_max_over_mean
+        FROM cum
+    """,
     "join_fuzzy_lev1": """
         SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
                CAST(levenshtein(a.c_name, b.c_name) AS INT) AS lev

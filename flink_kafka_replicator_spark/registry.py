@@ -373,6 +373,11 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "dq_completeness_matrix",
     "doc_bigram_logprob",
     "eval_precision_at_k",
+    "agg_hhi_concentration",
+    "dq_duplicate_key_report",
+    "events_rfm_segmentation",
+    "text_readability_score",
+    "join_skew_report",
 )
 
 

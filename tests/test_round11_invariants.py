@@ -250,3 +250,76 @@ def test_eval_precision_at_k_monotonicity(spark, sf_dir):
     # precision@k equals cumulative relevance over k by construction
     for r in rows:
         assert abs(r.precision_at_k - r.n_rel_cum / r.rank) < 1e-6
+
+
+def test_agg_hhi_bounds(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.aggregates import (
+        agg_hhi_concentration,
+    )
+
+    for r in agg_hhi_concentration(spark, sf_dir).collect():
+        # 1/n <= HHI <= 1 for positive shares
+        assert 1.0 / r.n - 1e-9 <= r.hhi <= 1.0 + 1e-9, r
+
+
+def test_dq_duplicate_key_report_on_clean_tables(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.data_quality import (
+        DUPKEY_TABLES,
+        dq_duplicate_key_report,
+    )
+
+    rows = {r.table_name: r for r in dq_duplicate_key_report(spark, sf_dir).collect()}
+    assert set(rows) == {t for t, _ in DUPKEY_TABLES}
+    for t in ("orders", "customer", "events", "documents"):
+        r = rows[t]
+        # these synthetic PKs are clean — the audit must say so
+        assert r.n_dup_keys == 0 and r.max_multiplicity == 1, r
+        assert r.n_keys == r.n_rows
+    # ...and the synthetic lineitem's (l_orderkey, l_linenumber) is
+    # genuinely NON-unique (the generator reuses line numbers) — the
+    # audit must catch a real duplicated key, not just vacuously pass
+    li = rows["lineitem"]
+    assert li.n_dup_keys > 0 and li.max_multiplicity > 1, li
+    assert li.n_keys < li.n_rows
+    assert li.n_rows_in_dups > li.n_dup_keys
+
+
+def test_events_rfm_scores_cover_users(spark, sf_dir):
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.operators.events_funnel import (
+        events_rfm_segmentation,
+    )
+
+    rows = events_rfm_segmentation(spark, sf_dir).collect()
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows) == n_users, "every user scored once"
+    for r in rows:
+        assert 1 <= r.r_score <= 5
+        assert 1 <= r.f_score <= 5
+        assert 1 <= r.m_score <= 5
+    # quintiles are near-balanced per dimension (ties can shift a bin,
+    # never empty the extremes on 10k users)
+    from collections import Counter
+
+    for dim in ("r_score", "f_score", "m_score"):
+        c = Counter()
+        for r in rows:
+            c[getattr(r, dim)] += r.n_users
+        assert set(c) == {1, 2, 3, 4, 5}, (dim, c)
+        assert max(c.values()) <= 2 * min(c.values()) + 5, (dim, c)
+
+
+def test_join_skew_report_consistency(spark, sf_dir):
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.operators.joins import (
+        join_skew_report,
+    )
+
+    r = join_skew_report(spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem")
+    assert r.n_rows == li.count()
+    assert r.n_keys == li.select("l_orderkey").distinct().count()
+    assert r.p50_group <= r.p99_group <= r.max_group
+    assert r.skew_max_over_mean >= 1.0
