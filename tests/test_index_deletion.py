@@ -464,3 +464,52 @@ def test_apply_dedup_corpus_propagates_to_indexes(spark, tmp_path):
     )
     assert res2["n_minhash_index_deleted"] == 0
     assert res2["n_lexical_index_deleted"] == 0
+
+
+def test_lexical_delete_interleaved_with_streaming_ingest(spark, tmp_path):
+    """Deletions claim delta ids in the SAME total order streaming
+    appends use, so a delete landing between micro-batches must not
+    break the batch cursor: ingest B, delete some of A∪B, ingest C
+    against the same checkpoint — serving equals the rebuild over
+    (A∪B∪C) minus the deleted set."""
+    from flink_kafka_replicator_spark.streaming.lexical_ingest import (
+        start_streaming_lexical_ingest,
+    )
+    from tests.streamutil import drain
+
+    d = _docs(spark)
+    part_a = d.filter(F.col("doc_id") % 3 == 0)
+    part_b = d.filter(F.col("doc_id") % 3 == 1)
+    part_c = d.filter(F.col("doc_id") % 3 == 2)
+    ix = str(tmp_path / "ix")
+    write_lexical_index(spark, SF_DIR, ix, df=part_a)
+
+    src = str(tmp_path / "incoming")
+    ck = str(tmp_path / "ck")
+
+    def ingest():
+        stream = spark.readStream.schema(
+            "doc_id bigint, text string"
+        ).option("maxFilesPerTrigger", "1").parquet(src)
+        drain(
+            start_streaming_lexical_ingest(spark, stream, ix, ck)
+        )
+
+    part_b.coalesce(1).write.parquet(src, mode="append")
+    ingest()
+
+    drops = d.filter(F.col("doc_id") % 6 == 1).select("doc_id")
+    res = delete_lexical_docs(spark, drops, ix)
+    assert res["n_docs_deleted"] == drops.count()
+
+    part_c.coalesce(1).write.parquet(src, mode="append")
+    ingest()  # same checkpoint — the cursor must survive the deletion
+
+    rebuilt = str(tmp_path / "rebuilt")
+    write_lexical_index(
+        spark, SF_DIR, rebuilt, df=d.filter(F.col("doc_id") % 6 != 1)
+    )
+    q = _queries(spark)
+    assert _bm25(spark, ix, q) == _bm25(spark, rebuilt, q), (
+        "delete between micro-batches broke append==rebuild"
+    )
