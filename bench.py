@@ -193,6 +193,8 @@ HEADLINE = list(R2_BASKET) + [
     "events_rfm_segmentation",
     "text_readability_score",
     "join_skew_report",
+    "dedup_threshold_sweep",
+    "events_inter_arrival_dist",
 ]
 
 

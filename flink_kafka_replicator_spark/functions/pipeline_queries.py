@@ -5120,8 +5120,58 @@ def bpe_tokenize_compression(
     )
 
 
+DEDUP_SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup aggressiveness sweep: for each candidate Jaccard
+    threshold, how many near-dup pairs fire and how many documents are
+    touched — the table an operator reads BEFORE picking the ladder's
+    cutoff (every threshold is a different deletion budget; this makes
+    the trade visible without re-running the pipeline per setting).
+
+    Shape: the shared memoized LSH candidate table (bounded — work was
+    paid once for the whole dedup family) cross-joined with the ≤5-row
+    broadcast threshold dim, then two tiny aggregates; thresholds that
+    fire nothing still report zeros (left join + coalesce). Exact
+    integer counts over the 4-dp-rounded exact Jaccard both engines
+    compute identically."""
+    pairs = _minhash_candidates_with_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in DEDUP_SWEEP_THRESHOLDS], "threshold double"
+    )
+    flagged = pairs.crossJoin(F.broadcast(thr)).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    n_pairs = flagged.groupBy("threshold").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    n_docs = (
+        flagged.select(
+            "threshold",
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs_affected"))
+    )
+    return (
+        thr.join(n_pairs, "threshold", "left")
+        .join(n_docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_affected"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
+    "dedup_threshold_sweep": dedup_threshold_sweep,
     "dedup_paragraph_exact": dedup_paragraph_exact,
     "dedup_fuzzy_minhash": dedup_fuzzy_minhash,
     "dedup_incremental": dedup_incremental,
@@ -7320,6 +7370,72 @@ ORACLES["dedup_graph_degree_hist"] = f"""
     )
     SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM deg GROUP BY degree
+"""
+
+ORACLES["dedup_threshold_sweep"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+        FROM t
+    ),
+    hs AS (
+        SELECT doc_id,
+               list_transform(sh, g ->
+                   ('0x' || substr(md5(g), 1, 8))::BIGINT % {_MINHASH_P})
+                   AS h
+        FROM s
+    ),
+    sig AS (SELECT doc_id, {_NGRAM_SIG_COLS} FROM hs),
+    bands AS ({_NGRAM_BAND_SELECTS}),
+    ok AS (
+        SELECT b, r1, r2 FROM bands GROUP BY b, r1, r2
+        HAVING COUNT(*) BETWEEN 2 AND 200
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        FROM bands x
+        JOIN ok k ON k.b = x.b AND k.r1 = x.r1 AND k.r2 = x.r2
+        JOIN bands y ON y.b = x.b AND y.r1 = x.r1 AND y.r2 = x.r2
+                    AND x.doc_id < y.doc_id
+    ),
+    kept AS (
+        SELECT cand.da, cand.db,
+               ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(sa.sh, sb.sh))), 4)
+                   AS j
+        FROM cand
+        JOIN s sa ON sa.doc_id = cand.da
+        JOIN s sb ON sb.doc_id = cand.db
+    ),
+    thr AS (
+        SELECT UNNEST([{", ".join(str(t) for t in DEDUP_SWEEP_THRESHOLDS)}])
+            AS threshold
+    ),
+    flagged AS (
+        SELECT threshold, da, db
+        FROM kept CROSS JOIN thr WHERE j >= threshold
+    ),
+    np AS (
+        SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM flagged GROUP BY threshold
+    ),
+    nd AS (
+        SELECT threshold,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_affected
+        FROM (SELECT threshold, da AS doc_id FROM flagged
+              UNION ALL SELECT threshold, db FROM flagged)
+        GROUP BY threshold
+    )
+    SELECT threshold,
+           CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(n_docs_affected, 0) AS BIGINT)
+               AS n_docs_affected
+    FROM thr LEFT JOIN np USING (threshold)
+             LEFT JOIN nd USING (threshold)
 """
 
 ORACLES["corpus_token_budget"] = f"""

@@ -459,8 +459,89 @@ def _rfm_oracle() -> str:
     """
 
 
+# inter-arrival bucket edges in seconds (upper-exclusive CASE ladder —
+# exact integer compares, no log arithmetic to disagree on)
+INTER_ARRIVAL_EDGES = (1, 10, 60, 600, 3600)
+INTER_ARRIVAL_LABELS = (
+    "lt_1s", "1_10s", "10_60s", "1_10m", "10_60m", "ge_1h",
+)
+
+
+def events_inter_arrival_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type: every per-user
+    gap between consecutive events bucketed into human timescales with
+    counts and shares — the observability row behind session-timeout
+    choices and bot/burst detection (a mass in lt_1s that isn't there
+    organically is replay traffic).
+
+    Exactness: gaps are whole microseconds (epoch_us difference —
+    exact in both engines) bucketed by an integer CASE ladder; counts
+    are integers, shares one division. Shape: the funnel family's ONE
+    user_id window exchange (lag), then a ≤(types×buckets)-key
+    aggregate + a broadcast per-type total join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap_us = F.expr("unix_micros(ts)") - F.lag(
+        F.expr("unix_micros(ts)")
+    ).over(w)
+    ladder = F.when(gap_us < 1 * 1_000_000, INTER_ARRIVAL_LABELS[0])
+    for i, e in enumerate(INTER_ARRIVAL_EDGES[1:], start=1):
+        ladder = ladder.when(
+            gap_us < e * 1_000_000, INTER_ARRIVAL_LABELS[i]
+        )
+    ladder = ladder.otherwise(INTER_ARRIVAL_LABELS[-1])
+    gaps = ev.select(
+        "event_type", ladder.alias("bucket"), gap_us.alias("g")
+    ).filter(F.col("g").isNotNull())
+    counts = gaps.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_gaps")
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("n_gaps").alias("n_total")
+    )
+    from pyspark.sql.functions import broadcast as _bc
+
+    return counts.join(_bc(totals), "event_type").select(
+        "event_type",
+        "bucket",
+        "n_gaps",
+        F.round(F.col("n_gaps") / F.col("n_total"), 6).alias("share"),
+    )
+
+
+def _inter_arrival_oracle() -> str:
+    edges = INTER_ARRIVAL_EDGES
+    labels = INTER_ARRIVAL_LABELS
+    ladder = f"CASE WHEN g < {edges[0] * 1_000_000} THEN '{labels[0]}'"
+    for i, e in enumerate(edges[1:], start=1):
+        ladder += f" WHEN g < {e * 1_000_000} THEN '{labels[i]}'"
+    ladder += f" ELSE '{labels[-1]}' END"
+    return f"""
+        WITH gaps AS (
+            SELECT event_type,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS g
+            FROM events
+        ),
+        counts AS (
+            SELECT event_type, {ladder} AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps
+            FROM gaps WHERE g IS NOT NULL
+            GROUP BY event_type, bucket
+        )
+        SELECT event_type, bucket, n_gaps,
+               ROUND(n_gaps / CAST(SUM(n_gaps) OVER (
+                   PARTITION BY event_type) AS DOUBLE), 6) AS share
+        FROM counts
+    """
+
+
 QUERIES = {
     "funnel_stages": funnel_stages,
+    "events_inter_arrival_dist": events_inter_arrival_dist,
     "events_rfm_segmentation": events_rfm_segmentation,
     "events_top_paths": events_top_paths,
     "events_markov_transitions": events_markov_transitions,
@@ -472,6 +553,7 @@ QUERIES = {
 
 ORACLES = {
     "events_rfm_segmentation": _rfm_oracle(),
+    "events_inter_arrival_dist": _inter_arrival_oracle(),
     "events_top_paths": f"""
         WITH p AS (
             SELECT user_id,

@@ -378,6 +378,8 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "events_rfm_segmentation",
     "text_readability_score",
     "join_skew_report",
+    "dedup_threshold_sweep",
+    "events_inter_arrival_dist",
 )
 
 

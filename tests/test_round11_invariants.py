@@ -323,3 +323,34 @@ def test_join_skew_report_consistency(spark, sf_dir):
     assert r.n_keys == li.select("l_orderkey").distinct().count()
     assert r.p50_group <= r.p99_group <= r.max_group
     assert r.skew_max_over_mean >= 1.0
+
+
+def test_dedup_threshold_sweep_monotone(spark, sf_dir):
+    rows = sorted(
+        pq.dedup_threshold_sweep(spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == list(pq.DEDUP_SWEEP_THRESHOLDS)
+    for a, b in zip(rows, rows[1:]):
+        # a stricter threshold can only fire fewer pairs / touch fewer docs
+        assert b.n_pairs <= a.n_pairs
+        assert b.n_docs_affected <= a.n_docs_affected
+    for r in rows:
+        assert r.n_docs_affected <= 2 * r.n_pairs
+
+
+def test_events_inter_arrival_shares_sum_to_one(spark, sf_dir):
+    from collections import defaultdict
+
+    from flink_kafka_replicator_spark.operators.events_funnel import (
+        INTER_ARRIVAL_LABELS,
+        events_inter_arrival_dist,
+    )
+
+    rows = events_inter_arrival_dist(spark, sf_dir).collect()
+    by_type = defaultdict(float)
+    for r in rows:
+        assert r.bucket in INTER_ARRIVAL_LABELS
+        by_type[r.event_type] += r.share
+    for t, total in by_type.items():
+        assert abs(total - 1.0) < 1e-4, (t, total)
