@@ -195,6 +195,8 @@ HEADLINE = list(R2_BASKET) + [
     "join_skew_report",
     "dedup_threshold_sweep",
     "events_inter_arrival_dist",
+    "agg_revenue_mom_change",
+    "agg_pareto_share",
 ]
 
 

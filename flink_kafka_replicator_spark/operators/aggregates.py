@@ -493,8 +493,132 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue: per calendar month, order count,
+    exact revenue, the previous month's revenue, absolute delta and
+    percent change — the first page of every BI deck, here as the
+    period-over-period window staple (LAG over a date-grain aggregate).
+
+    Exactness: revenue sums are exact cents (BIGINT); deltas are
+    integer subtraction; the single division happens on exact
+    integers. The LAG runs over the ≤months-row aggregate — the window
+    after the shuffle touches dozens of rows regardless of corpus
+    size. month is a midnight TIMESTAMP (the retention_cohorts dtype
+    convention — DATE arrives driver-side with a different pandas
+    kind)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            F.date_trunc("MONTH", "o_orderdate").alias("month"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("v100"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("v100").cast("bigint").alias("rev100"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("month")
+    prev = F.lag("rev100").over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        F.round(F.col("rev100").cast("double") / 100.0, 2).alias(
+            "revenue"
+        ),
+        F.round(prev.cast("double") / 100.0, 2).alias("prev_revenue"),
+        F.round(
+            (F.col("rev100") - prev).cast("double") / 100.0, 2
+        ).alias("mom_delta"),
+        F.round(
+            (F.col("rev100") - prev).cast("double") / prev, 6
+        ).alias("mom_pct"),
+    )
+
+
+def agg_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) revenue-concentration curve: customers bucketed
+    into revenue deciles, each decile's customer count, revenue, share
+    and the cumulative share from the TOP — the "top 10% of customers
+    carry X% of revenue" table next to the Gini/Theil/HHI scalars.
+
+    Scale + determinism: decile membership comes from NEAREST-RANK
+    thresholds over the per-customer revenue HISTOGRAM (the
+    events_rfm_segmentation discipline — no global ntile sort;
+    thresholds are a broadcast 1-row artifact, assignment is map-side,
+    ties share a decile by construction). Revenue is exact cents; the
+    cumulative window runs over the ≤10-row decile table."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("bigint")
+        .alias("rev100")
+    )
+    hist = cust.groupBy("rev100").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window
+
+    wt = Window.orderBy("rev100").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy(F.lit(1))
+    cum = hist.select(
+        F.col("rev100").alias("v"),
+        F.sum("c").over(wt).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    pick = lambda q: F.min(  # noqa: E731 — nearest-rank pick
+        F.when(
+            F.col("cum")
+            >= F.expr(f"cast(ceil({q} * n / 10.0) as bigint)"),
+            F.col("v"),
+        )
+    )
+    thr = cum.agg(*[pick(q).alias(f"t{q}") for q in range(1, 10)])
+    decile = (
+        F.lit(1)
+        + sum(
+            (F.col("rev100") > F.col(f"t{q}")).cast("int")
+            for q in range(1, 10)
+        )
+    ).cast("int")
+    scored = cust.crossJoin(F.broadcast(thr)).select(
+        decile.alias("decile"), "rev100"
+    )
+    per_decile = scored.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("rev100").cast("bigint").alias("rev100"),
+    )
+    wtop = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall2 = Window.partitionBy(F.lit(1))
+    return per_decile.select(
+        "decile",
+        "n_customers",
+        F.round(F.col("rev100").cast("double") / 100.0, 2).alias(
+            "revenue"
+        ),
+        F.round(
+            F.col("rev100")
+            / F.sum("rev100").over(wall2).cast("double"),
+            6,
+        ).alias("revenue_share"),
+        F.round(
+            F.sum("rev100").over(wtop)
+            / F.sum("rev100").over(wall2).cast("double"),
+            6,
+        ).alias("cum_share_from_top"),
+    )
+
+
 QUERIES = {
     "agg_stats": agg_stats,
+    "agg_pareto_share": agg_pareto_share,
+    "agg_revenue_mom_change": agg_revenue_mom_change,
     "agg_mode_per_group": agg_mode_per_group,
     "agg_gini_concentration": agg_gini_concentration,
     "agg_theil_index": agg_theil_index,
@@ -520,6 +644,72 @@ def _duck_cms_pos(key_sql: str) -> str:
 
 
 ORACLES = {
+    "agg_pareto_share": """
+        WITH cust AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS rev100
+            FROM orders GROUP BY o_custkey
+        ),
+        cum AS (
+            SELECT v, SUM(c) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   SUM(c) OVER () AS n
+            FROM (SELECT rev100 AS v, COUNT(*) AS c FROM cust
+                  GROUP BY rev100)
+        ),
+        thr AS (
+            SELECT """ + ", ".join(
+                f"MIN(CASE WHEN cum >= CAST(CEIL({q} * n / 10.0)"
+                f" AS BIGINT) THEN v END) AS t{q}"
+                for q in range(1, 10)
+            ) + """
+            FROM cum
+        ),
+        scored AS (
+            SELECT CAST(1 + """ + " + ".join(
+                f"(CASE WHEN rev100 > t{q} THEN 1 ELSE 0 END)"
+                for q in range(1, 10)
+            ) + """ AS INTEGER) AS decile, rev100
+            FROM cust CROSS JOIN thr
+        ),
+        per_decile AS (
+            SELECT decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(rev100) AS BIGINT) AS rev100
+            FROM scored GROUP BY decile
+        )
+        SELECT decile, n_customers,
+               ROUND(CAST(rev100 AS DOUBLE) / 100.0, 2) AS revenue,
+               ROUND(rev100 / CAST(SUM(rev100) OVER () AS DOUBLE), 6)
+                   AS revenue_share,
+               ROUND(SUM(rev100) OVER (ORDER BY decile DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+                     / CAST(SUM(rev100) OVER () AS DOUBLE), 6)
+                   AS cum_share_from_top
+        FROM per_decile
+    """,
+    "agg_revenue_mom_change": """
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS rev100
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(month AS TIMESTAMP) AS month, n_orders,
+               ROUND(CAST(rev100 AS DOUBLE) / 100.0, 2) AS revenue,
+               ROUND(CAST(LAG(rev100) OVER (ORDER BY month) AS DOUBLE)
+                     / 100.0, 2) AS prev_revenue,
+               ROUND(CAST(rev100 - LAG(rev100) OVER (ORDER BY month)
+                          AS DOUBLE) / 100.0, 2) AS mom_delta,
+               ROUND(CAST(rev100 - LAG(rev100) OVER (ORDER BY month)
+                          AS DOUBLE)
+                     / LAG(rev100) OVER (ORDER BY month), 6) AS mom_pct
+        FROM monthly
+    """,
     "agg_hhi_concentration": """
         WITH d AS (
             SELECT o_orderpriority,

@@ -380,6 +380,8 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "join_skew_report",
     "dedup_threshold_sweep",
     "events_inter_arrival_dist",
+    "agg_revenue_mom_change",
+    "agg_pareto_share",
 )
 
 

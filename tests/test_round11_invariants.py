@@ -354,3 +354,44 @@ def test_events_inter_arrival_shares_sum_to_one(spark, sf_dir):
         by_type[r.event_type] += r.share
     for t, total in by_type.items():
         assert abs(total - 1.0) < 1e-4, (t, total)
+
+
+def test_agg_revenue_mom_chain(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.aggregates import (
+        agg_revenue_mom_change,
+    )
+
+    rows = sorted(
+        agg_revenue_mom_change(spark, sf_dir).collect(),
+        key=lambda r: r.month,
+    )
+    assert rows[0].prev_revenue is None and rows[0].mom_pct is None
+    for a, b in zip(rows, rows[1:]):
+        assert b.prev_revenue == a.revenue, "LAG chain broken"
+        assert abs(b.mom_delta - round(b.revenue - a.revenue, 2)) < 0.011
+
+
+def test_agg_pareto_share_sums_and_order(spark, sf_dir):
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.operators.aggregates import (
+        agg_pareto_share,
+    )
+
+    rows = sorted(
+        agg_pareto_share(spark, sf_dir).collect(), key=lambda r: -r.decile
+    )
+    n_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-4
+    # cumulative-from-top is monotone and ends at ~1; the TOP decile
+    # carries at least its population share of revenue
+    assert abs(rows[-1].cum_share_from_top - 1.0) < 1e-4
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_share_from_top >= a.cum_share_from_top - 1e-9
+    top = rows[0]
+    assert top.revenue_share >= top.n_customers / n_cust - 1e-6
