@@ -1326,7 +1326,13 @@ def write_vector_index(
         ids = df.select("vec_id")
         postings = postings.join(ids, "vec_id", "left_semi")
         codes = codes.join(ids, "vec_id", "left_semi")
-    for frame, sub in ((postings, "postings"), (codes, "pq_codes")):
+    # postings sort by IVF cell: the serve paths filter cid to the
+    # probe set, so cid-tight parquet row groups turn probe pruning
+    # into IO pruning (the lexical index's term-sort precedent)
+    for frame, sub in (
+        (postings.sortWithinPartitions("cid"), "postings"),
+        (codes, "pq_codes"),
+    ):
         (
             frame.withColumn("delta_id", F.lit(0))
             .write.mode("overwrite")
@@ -1404,7 +1410,9 @@ def append_vector_delta(
             e, pq._cents_df(spark, cents), dim=len(cents[0][1])
         ).select("vec_id", "nrm", "cid", "pcid")
     frames = (
-        (assignment, "postings"),
+        # cid-sorted for probe-filter row-group pruning (see
+        # write_vector_index)
+        (assignment.sortWithinPartitions("cid"), "postings"),
         (pq._pq_assign(pq._subvectors_of(e), codebook), "pq_codes"),
     )
     for frame, sub in frames:
@@ -1637,8 +1645,17 @@ def compact_vector_index(
         )
         # fold pending tombstones in physically
         rows = _minus_tombstones(rows, tombs, "vec_id")
+        if sub == "postings":
+            # re-establish the cid sort the micro-deltas eroded —
+            # compaction is exactly when selectivity gets recovered
+            # (the lexical compactor's term re-sort precedent)
+            rows = rows.repartition(files, "cid").sortWithinPartitions(
+                "cid"
+            )
+        else:
+            rows = rows.repartition(files)
         (
-            rows.repartition(files)
+            rows
             .withColumn("delta_id", F.lit(new_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
