@@ -860,9 +860,9 @@ def delete_minhash_docs(
 
     Idempotent: already-tombstoned and index-unknown ids are ignored;
     an all-no-op call returns without claiming a delta id. Work ∝ the
-    dropped docs' band rows + one vocabulary... band-stats-sized merge;
-    the band table itself is untouched until compaction folds the
-    tombstones in.
+    dropped docs' band rows + one band-stats-sized merge; the band
+    table itself is untouched until compaction folds the tombstones
+    in.
 
     Returns {"n_docs_deleted", "delta_id" (or None)}."""
     import glob as _glob
