@@ -197,6 +197,8 @@ HEADLINE = list(R2_BASKET) + [
     "events_inter_arrival_dist",
     "agg_revenue_mom_change",
     "agg_pareto_share",
+    "dedup_containment",
+    "events_engagement_dau_mau",
 ]
 
 

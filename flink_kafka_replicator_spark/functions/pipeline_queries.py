@@ -225,6 +225,76 @@ def _minhash_candidates_with_jaccard(spark: SparkSession, sf_dir: str) -> DataFr
     return out
 
 
+CONTAINMENT_MIN = 0.5
+
+_CONTAIN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    C(A→B) = |A∩B| / |A| next to the symmetric Jaccard — the signal
+    that catches quotation/inclusion pairs (a short doc embedded
+    verbatim in a long one) that Jaccard structurally misses (the
+    union in its denominator is dominated by the long side). Reported
+    for every LSH candidate pair whose max containment clears
+    CONTAINMENT_MIN, with both directions and the Jaccard for
+    contrast — the Broder containment companion to
+    ``dedup_fuzzy_minhash``.
+
+    Scale shape: identical to the Jaccard verify — the same memoized
+    banding → candidate pairs (broadcast), shingles computed once for
+    candidate docs only; the three set sizes come from one
+    array_intersect per pair. Memoized per (session, dataset) like
+    the pair table itself."""
+    ck = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    cached = _CONTAIN_CACHE.get(ck)
+    if cached is not None:
+        return cached
+    d = load_table(spark, sf_dir, "documents")
+    banded = _banded_documents(spark, sf_dir)
+    pairs = broadcast(
+        materialize_small(lsh_candidate_pairs(banded, "doc_id"))
+    )
+    ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    cand = d.join(broadcast(ids), "doc_id", "left_semi")
+    sh = broadcast(
+        materialize_small(
+            shingle_pipeline(cand, "doc_id", "text").select(
+                "doc_id", "shingles"
+            )
+        )
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    out = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias(
+                "jaccard"
+            ),
+            F.round(inter / F.size("sh_a"), 4).alias("containment_a"),
+            F.round(inter / F.size("sh_b"), 4).alias("containment_b"),
+        )
+        .withColumn(
+            "max_containment",
+            F.greatest("containment_a", "containment_b"),
+        )
+        .filter(F.col("max_containment") >= CONTAINMENT_MIN)
+    )
+    _cache_put(_CONTAIN_CACHE, ck, out)
+    return out
+
+
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact Jaccard ≥ 0.5.
 
@@ -5172,6 +5242,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_threshold_sweep": dedup_threshold_sweep,
+    "dedup_containment": dedup_containment,
     "dedup_paragraph_exact": dedup_paragraph_exact,
     "dedup_fuzzy_minhash": dedup_fuzzy_minhash,
     "dedup_incremental": dedup_incremental,
@@ -7436,6 +7507,55 @@ ORACLES["dedup_threshold_sweep"] = f"""
                AS n_docs_affected
     FROM thr LEFT JOIN np USING (threshold)
              LEFT JOIN nd USING (threshold)
+"""
+
+ORACLES["dedup_containment"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+        FROM t
+    ),
+    hs AS (
+        SELECT doc_id,
+               list_transform(sh, g ->
+                   ('0x' || substr(md5(g), 1, 8))::BIGINT % {_MINHASH_P})
+                   AS h
+        FROM s
+    ),
+    sig AS (SELECT doc_id, {_NGRAM_SIG_COLS} FROM hs),
+    bands AS ({_NGRAM_BAND_SELECTS}),
+    ok AS (
+        SELECT b, r1, r2 FROM bands GROUP BY b, r1, r2
+        HAVING COUNT(*) BETWEEN 2 AND 200
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        FROM bands x
+        JOIN ok k ON k.b = x.b AND k.r1 = x.r1 AND k.r2 = x.r2
+        JOIN bands y ON y.b = x.b AND y.r1 = x.r1 AND y.r2 = x.r2
+                    AND x.doc_id < y.doc_id
+    ),
+    scored AS (
+        SELECT cand.da AS doc_a, cand.db AS doc_b,
+               ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(sa.sh, sb.sh))), 4)
+                   AS jaccard,
+               ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                     / len(sa.sh), 4) AS containment_a,
+               ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                     / len(sb.sh), 4) AS containment_b
+        FROM cand
+        JOIN s sa ON sa.doc_id = cand.da
+        JOIN s sb ON sb.doc_id = cand.db
+    )
+    SELECT doc_a, doc_b, jaccard, containment_a, containment_b,
+           GREATEST(containment_a, containment_b) AS max_containment
+    FROM scored
+    WHERE GREATEST(containment_a, containment_b) >= {CONTAINMENT_MIN}
 """
 
 ORACLES["corpus_token_budget"] = f"""

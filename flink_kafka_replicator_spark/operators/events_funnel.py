@@ -539,8 +539,86 @@ def _inter_arrival_oracle() -> str:
     """
 
 
+def events_engagement_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU and the DAU/MAU stickiness ratio per active
+    day — the engagement dashboard's first row. WAU/MAU are true
+    trailing distinct-user windows (7 / 30 days INCLUDING the day),
+    not averages of daily counts.
+
+    Scale + exactness: activity collapses to DISTINCT (user, day)
+    first; each activity row then fans out to the ≤30 observation
+    days it keeps the user "active" for (a BOUNDED explode — the
+    standard way to compute rolling distinct counts without a
+    window-distinct operator, which Spark lacks and which would hold
+    per-day user sets in state anyway). One distinct-agg per
+    observation day, reported only for days that actually have
+    activity (semi-join against the day list). Integer counts, one
+    division."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("DAY", "ts").alias("day")
+    ).distinct()
+    days = activity.select("day").distinct()
+    fan = activity.select(
+        "user_id",
+        "day",
+        F.explode(F.expr("sequence(0, 29)")).alias("i"),
+    ).select(
+        "user_id",
+        "day",
+        F.expr("timestampadd(DAY, i, day)").alias("obs_day"),
+        "i",
+    ).join(days.select(F.col("day").alias("obs_day")), "obs_day", "left_semi")
+    counts = fan.groupBy("obs_day").agg(
+        F.count_distinct(
+            F.when(F.col("i") == 0, F.col("user_id"))
+        ).cast("bigint").alias("dau"),
+        F.count_distinct(
+            F.when(F.col("i") < 7, F.col("user_id"))
+        ).cast("bigint").alias("wau"),
+        F.count_distinct("user_id").cast("bigint").alias("mau"),
+    )
+    return counts.select(
+        F.col("obs_day").alias("day"),
+        "dau",
+        "wau",
+        "mau",
+        F.round(F.col("dau") / F.col("mau"), 4).alias("stickiness"),
+    )
+
+
+def _dau_mau_oracle() -> str:
+    return """
+        WITH activity AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM activity),
+        fan AS (
+            SELECT a.user_id, a.day, i,
+                   a.day + INTERVAL (i) DAY AS obs_day
+            FROM activity a, UNNEST(range(0, 30)) AS u(i)
+        ),
+        kept AS (
+            SELECT fan.* FROM fan
+            JOIN days ON days.day = fan.obs_day
+        )
+        SELECT CAST(obs_day AS TIMESTAMP) AS day,
+               CAST(COUNT(DISTINCT CASE WHEN i = 0 THEN user_id END)
+                    AS BIGINT) AS dau,
+               CAST(COUNT(DISTINCT CASE WHEN i < 7 THEN user_id END)
+                    AS BIGINT) AS wau,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau,
+               ROUND(COUNT(DISTINCT CASE WHEN i = 0 THEN user_id END)
+                     / CAST(COUNT(DISTINCT user_id) AS DOUBLE), 4)
+                   AS stickiness
+        FROM kept GROUP BY obs_day
+    """
+
+
 QUERIES = {
     "funnel_stages": funnel_stages,
+    "events_engagement_dau_mau": events_engagement_dau_mau,
     "events_inter_arrival_dist": events_inter_arrival_dist,
     "events_rfm_segmentation": events_rfm_segmentation,
     "events_top_paths": events_top_paths,
@@ -553,6 +631,7 @@ QUERIES = {
 
 ORACLES = {
     "events_rfm_segmentation": _rfm_oracle(),
+    "events_engagement_dau_mau": _dau_mau_oracle(),
     "events_inter_arrival_dist": _inter_arrival_oracle(),
     "events_top_paths": f"""
         WITH p AS (

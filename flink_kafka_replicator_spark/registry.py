@@ -382,6 +382,8 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "events_inter_arrival_dist",
     "agg_revenue_mom_change",
     "agg_pareto_share",
+    "dedup_containment",
+    "events_engagement_dau_mau",
 )
 
 

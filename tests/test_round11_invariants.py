@@ -395,3 +395,26 @@ def test_agg_pareto_share_sums_and_order(spark, sf_dir):
         assert b.cum_share_from_top >= a.cum_share_from_top - 1e-9
     top = rows[0]
     assert top.revenue_share >= top.n_customers / n_cust - 1e-6
+
+
+def test_dedup_containment_dominates_jaccard(spark, sf_dir):
+    rows = pq.dedup_containment(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # containment >= jaccard always (the denominator can only shrink)
+        assert r.containment_a >= r.jaccard - 1e-9
+        assert r.containment_b >= r.jaccard - 1e-9
+        assert r.max_containment >= pq.CONTAINMENT_MIN
+        assert max(r.containment_a, r.containment_b) == r.max_containment
+
+
+def test_events_engagement_dau_mau_ordering(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.events_funnel import (
+        events_engagement_dau_mau,
+    )
+
+    rows = events_engagement_dau_mau(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.dau <= r.wau <= r.mau, "trailing windows must nest"
+        assert 0 < r.stickiness <= 1.0
