@@ -418,3 +418,41 @@ def test_events_engagement_dau_mau_ordering(spark, sf_dir):
     for r in rows:
         assert r.dau <= r.wau <= r.mau, "trailing windows must nest"
         assert 0 < r.stickiness <= 1.0
+
+
+def test_vector_postings_cid_sorted_on_disk(spark, sf_dir, tmp_path):
+    """The postings layout claim, pinned at the file level: base
+    build, delta append, and the compactor all land cid-SORTED parquet
+    (row-group min/max stats tight enough that a probe-cell filter
+    prunes IO — the reason the sort exists)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.sinks import (
+        append_vector_delta,
+        compact_vector_index,
+        write_vector_index,
+    )
+
+    def assert_sorted(ix, delta_glob):
+        files = _glob.glob(f"{ix}/postings/{delta_glob}/*.parquet")
+        assert files
+        for f in files:
+            cids = _pq.read_table(f, columns=["cid"]).column("cid").to_pylist()
+            assert cids == sorted(cids), f"unsorted postings file {f}"
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ix = str(tmp_path / "vix")
+    write_vector_index(
+        spark, sf_dir, ix, df=e.filter(F.col("vec_id") % 2 == 0)
+    )
+    assert_sorted(ix, "delta_id=0")
+    append_vector_delta(
+        spark, e.filter(F.col("vec_id") % 2 == 1), ix, delta_id=1
+    )
+    assert_sorted(ix, "delta_id=1")
+    res = compact_vector_index(spark, ix, files=2)
+    assert res["compacted"] is True
+    assert_sorted(ix, "delta_id=2")
