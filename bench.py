@@ -199,6 +199,7 @@ HEADLINE = list(R2_BASKET) + [
     "agg_pareto_share",
     "dedup_containment",
     "events_engagement_dau_mau",
+    "agg_weekday_seasonality",
 ]
 
 

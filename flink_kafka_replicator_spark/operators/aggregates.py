@@ -615,8 +615,48 @@ def agg_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-volume and revenue seasonality by ISO weekday (1 = Monday
+    … 7 = Sunday): counts, exact revenue, and each weekday's share of
+    both — the calendar-profile row behind staffing/capacity plans and
+    the sanity check that a date-parsing change didn't shift the week.
+
+    Cross-engine note: weekday NUMBERING is a classic parity trap
+    (Spark's dayofweek() is 1=Sunday; DuckDB's dayofweek() is
+    0=Sunday). Both sides use the ISO convention explicitly — Spark
+    ``weekday() + 1``, DuckDB ``isodow()`` — so the key is identical
+    by construction. One ≤7-key aggregate, exact cents, two
+    divisions."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        (F.weekday("o_orderdate") + F.lit(1)).cast("int").alias("iso_weekday"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v100"),
+    )
+    agg = d.groupBy("iso_weekday").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("v100").cast("bigint").alias("rev100"),
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy(F.lit(1))
+    return agg.select(
+        "iso_weekday",
+        "n_orders",
+        F.round(F.col("rev100").cast("double") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.col("n_orders") / F.sum("n_orders").over(wall).cast("double"),
+            6,
+        ).alias("order_share"),
+        F.round(
+            F.col("rev100") / F.sum("rev100").over(wall).cast("double"),
+            6,
+        ).alias("revenue_share"),
+    )
+
+
 QUERIES = {
     "agg_stats": agg_stats,
+    "agg_weekday_seasonality": agg_weekday_seasonality,
     "agg_pareto_share": agg_pareto_share,
     "agg_revenue_mom_change": agg_revenue_mom_change,
     "agg_mode_per_group": agg_mode_per_group,
@@ -644,6 +684,26 @@ def _duck_cms_pos(key_sql: str) -> str:
 
 
 ORACLES = {
+    "agg_weekday_seasonality": """
+        WITH d AS (
+            SELECT CAST(isodow(o_orderdate) AS INTEGER) AS iso_weekday,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v100
+            FROM orders
+        ),
+        agg AS (
+            SELECT iso_weekday,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(v100) AS BIGINT) AS rev100
+            FROM d GROUP BY iso_weekday
+        )
+        SELECT iso_weekday, n_orders,
+               ROUND(CAST(rev100 AS DOUBLE) / 100.0, 2) AS revenue,
+               ROUND(n_orders / CAST(SUM(n_orders) OVER () AS DOUBLE), 6)
+                   AS order_share,
+               ROUND(rev100 / CAST(SUM(rev100) OVER () AS DOUBLE), 6)
+                   AS revenue_share
+        FROM agg
+    """,
     "agg_pareto_share": """
         WITH cust AS (
             SELECT o_custkey,

@@ -384,6 +384,7 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "agg_pareto_share",
     "dedup_containment",
     "events_engagement_dau_mau",
+    "agg_weekday_seasonality",
 )
 
 
