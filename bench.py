@@ -139,6 +139,8 @@ HEADLINE = list(R2_BASKET) + [
     "knn_lsh_hyperplane",
     "graph_triangle_count",
     "mmr_rerank",
+    "mmr_rerank_batch",
+    "bm25_bpe_topk",
     "agg_percentile_exact",
     "knn_batch_lsh",
     "eval_confusion_matrix",
@@ -274,6 +276,44 @@ def main() -> None:
         timings[qid] = round(best, 3)
     calib_end = calibration_probe(spark)
 
+    # era check (VERDICT r11 "What's wrong" #1): a solo re-run's
+    # ratios are only admissible when the box measures like the box
+    # the baselines froze on — BOTH probes must sit within
+    # CALIB_ERA_TOLERANCE of the recorded baseline-era calibration.
+    # An off-era solo run still writes its artifact, but stamps
+    # itself inadmissible so nobody quotes its ratios as settled.
+    era = None
+    base_path_early = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json"
+    )
+    if os.path.isfile(base_path_early):
+        with open(base_path_early, encoding="utf-8") as fh:
+            _bd = json.load(fh)
+        era_cal = _bd.get("calibration_era")
+        if era_cal:
+            ref = float(era_cal["sec"])
+            tol = float(era_cal.get("tolerance", 1.2))
+            ok = all(
+                ref / tol <= p <= ref * tol
+                for p in (calib_start, calib_end)
+            )
+            era = {
+                "baseline_sec": ref,
+                "tolerance": tol,
+                "start": calib_start,
+                "end": calib_end,
+                "ok": ok,
+            }
+            if not ok and only:
+                print(
+                    f"SOLO RUN OFF-ERA: calibration probes "
+                    f"{calib_start}/{calib_end} vs baseline-era {ref} "
+                    f"(tolerance {tol}x) — ratios below are "
+                    "INADMISSIBLE for settling drift flags; re-run on "
+                    "an idle box",
+                    file=sys.stderr,
+                )
+
     total = round(sum(timings.values()), 3)
     # vs_baseline: per-query ratio against the frozen first-recorded
     # times (BASELINE_BENCH.json) — the "within 2x of baseline" gate as
@@ -356,6 +396,14 @@ def main() -> None:
         "vs_baseline": vs_baseline,
         "vs_baseline_geomean": geomean,
         "regressions": regressions,
+        "era": era,
+        # a solo artifact is only evidence for settling a drift flag
+        # when its probes match the baseline era (None = no era
+        # recorded / not a solo run; the full-round report carries the
+        # era block for attribution but is never "settling" evidence)
+        "solo_admissible": (
+            bool(era and era["ok"]) if only else None
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # full report to disk FIRST (BENCH_r08.json was truncated: the one

@@ -247,6 +247,95 @@ def compact_index_main(argv: list[str], spark=None) -> int:
     return 0
 
 
+def recluster_index_main(argv: list[str], spark=None) -> int:
+    """The ``recluster-index`` maintenance subcommand: drift-aware
+    RETRAIN for a persisted vector index. Measures served recall on
+    the bounded drift sample (:func:`sinks.recall_drift_report`)
+    against the exact-vector table, and — when recall sits below the
+    floor, or ``--force`` — re-learns the coarse quantizer + PQ
+    codebook on the committed survivors and pointer-swaps the new
+    generation in under the single-writer lease. ``--dry-run`` prints
+    the recall report and decision without mutating anything. Prints
+    ONE JSON line. Run only while the feeding ingest stream is cleanly
+    stopped (the batch cursor keeps admission valid on resume)."""
+    import argparse
+    import json as _json
+
+    parser = argparse.ArgumentParser(
+        prog="spark-kafka-replicator recluster-index",
+        description="Drift-aware retrain of a persisted vector index",
+        allow_abbrev=False,
+    )
+    parser.add_argument("--dir", required=True, help="vector index dir")
+    parser.add_argument(
+        "--exact",
+        required=True,
+        help="parquet path of the exact-vector table (vec_id, embedding)"
+        " covering every committed survivor",
+    )
+    parser.add_argument("--min-recall", type=float, default=0.8)
+    parser.add_argument("--k", type=int, default=10)
+    parser.add_argument("--n-probe", type=int, default=None)
+    parser.add_argument("--n-centroids", type=int, default=None)
+    parser.add_argument("--kmeans-iters", type=int, default=None)
+    parser.add_argument(
+        "--force",
+        action="store_true",
+        help="retrain regardless of the measured recall",
+    )
+    parser.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="measure and decide only; never mutate",
+    )
+    args = parser.parse_args(argv)
+
+    if spark is None:
+        from .session import get_session
+
+        spark = get_session(app_name="spark-recluster-index")
+
+    from . import sinks
+
+    exact = spark.read.parquet(args.exact)
+    decision = sinks.should_recluster(
+        spark,
+        args.dir,
+        exact,
+        min_recall=args.min_recall,
+        k=args.k,
+        n_probe=args.n_probe,
+    )
+    report: dict = {"dir": args.dir, **decision, "reclustered": False}
+    if (decision["recluster"] or args.force) and not args.dry_run:
+        with sinks.writer_lease(args.dir, owner="recluster-index") as tok:
+            stats = sinks.recluster_vector_index(
+                spark,
+                args.dir,
+                exact,
+                n_centroids=args.n_centroids,
+                kmeans_iters=args.kmeans_iters,
+                writer_token=tok,
+            )
+        after = sinks.should_recluster(
+            spark,
+            args.dir,
+            exact,
+            min_recall=args.min_recall,
+            k=args.k,
+            n_probe=args.n_probe,
+        )
+        report.update(
+            {
+                "reclustered": True,
+                "stats": stats,
+                "recall_after": after["mean_recall"],
+            }
+        )
+    print(_json.dumps(report, sort_keys=True))
+    return 0
+
+
 def index_stats_main(argv: list[str], spark=None) -> int:
     """The ``index-stats`` subcommand: a READ-ONLY health report for
     any of the persisted index artifacts (minhash / vector / lexical)
@@ -553,10 +642,19 @@ def vector_search_main(argv: list[str], spark=None) -> int:
         "ADC shortlist by exact cosine (answers gain cos_sim)",
     )
     parser.add_argument("--shortlist", type=int, default=None)
+    parser.add_argument(
+        "--mmr",
+        action="store_true",
+        help="diversify each query's refined shortlist with the "
+        "per-qid MMR greedy (requires --refine-from; answers become "
+        "qid, rank, vec_id, rel, mmr)",
+    )
     parser.add_argument("--timeout-sec", type=int, default=600)
     args = parser.parse_args(argv)
     if args.shortlist is not None and args.refine_from is None:
         parser.error("--shortlist requires --refine-from")
+    if args.mmr and args.refine_from is None:
+        parser.error("--mmr requires --refine-from")
 
     if spark is None:
         from .session import get_session
@@ -592,6 +690,7 @@ def vector_search_main(argv: list[str], spark=None) -> int:
             else None
         ),
         shortlist=args.shortlist,
+        mmr=args.mmr,
     )
     from .streaming.supervision import await_drained
 
@@ -834,7 +933,6 @@ def dq_monitor_main(argv: list[str], spark=None) -> int:
     line; the availableNow trigger drains existing files and exits —
     re-run with the same checkpoint to score only new files."""
     import argparse
-    import hashlib
     import json as _json
 
     parser = argparse.ArgumentParser(
@@ -846,11 +944,19 @@ def dq_monitor_main(argv: list[str], spark=None) -> int:
         allow_abbrev=False,
     )
     parser.add_argument("--source", required=True)
-    parser.add_argument(
+    group = parser.add_mutually_exclusive_group(required=True)
+    group.add_argument(
         "--lineitem-dir",
-        required=True,
         help="parquet dir of the lineitem table the reconciliation "
-        "recomputes order totals from (frozen once at monitor start)",
+        "recomputes order totals from (frozen once at monitor start; "
+        "use --lineitem-source when lineitems also arrive as a stream)",
+    )
+    group.add_argument(
+        "--lineitem-source",
+        help="parquet STREAM of lineitem rows — the dual-stream "
+        "monitor: per-order totals accumulate as mergeable partials, "
+        "so orders whose lineitems arrive in later batches still "
+        "reconcile against their final totals",
     )
     parser.add_argument("--output", required=True)
     parser.add_argument("--checkpoint-location", default=None)
@@ -862,33 +968,66 @@ def dq_monitor_main(argv: list[str], spark=None) -> int:
 
         spark = get_session(app_name="spark-dq-monitor")
 
+    import os as _os
+
     from .streaming.dq_monitor import (
         DQ_MONITOR_CHECKS,
         merged_dq_report,
         start_streaming_dq_monitor,
+        start_streaming_dq_monitor_dual,
     )
 
     checkpoint = args.checkpoint_location
     if checkpoint is None:
-        ident = f"{args.source}|{args.output}"
-        checkpoint = (
-            "/tmp/spark-dq-monitor-ckpt-"
-            + hashlib.md5(ident.encode()).hexdigest()[:10]
+        # the checkpoint lives INSIDE the output dir so the pair lives
+        # and dies together (ADVICE r11): a /tmp checkpoint that
+        # outlives a deleted output dir made the merged report
+        # silently omit already-scored batches, and /tmp cleanup
+        # caused the reverse (a full rescore against stale partials)
+        checkpoint = _os.path.join(args.output, "_checkpoint")
+    elif _os.path.isdir(checkpoint) and not any(
+        _os.path.isdir(_os.path.join(args.output, c))
+        for c in DQ_MONITOR_CHECKS
+    ):
+        import sys as _sys
+
+        print(
+            f"dq-monitor: checkpoint {checkpoint} exists but output "
+            f"{args.output} has no report partials — already-scored "
+            "batches will be SKIPPED and the merged report will omit "
+            "them; delete the checkpoint to rescore from the start",
+            file=_sys.stderr,
         )
 
     schema = spark.read.parquet(args.source).schema
     stream = spark.readStream.schema(schema).parquet(args.source)
-    q = start_streaming_dq_monitor(
-        spark,
-        stream,
-        lineitem_df=spark.read.parquet(args.lineitem_dir),
-        out_dir=args.output,
-        checkpoint_location=checkpoint,
-        available_now=True,
-    )
     from .streaming.supervision import await_drained
 
-    await_drained(q, args.timeout_sec, "dq-monitor")
+    if args.lineitem_source:
+        li_schema = spark.read.parquet(args.lineitem_source).schema
+        li_stream = spark.readStream.schema(li_schema).parquet(
+            args.lineitem_source
+        )
+        qo, ql = start_streaming_dq_monitor_dual(
+            spark,
+            stream,
+            li_stream,
+            out_dir=args.output,
+            checkpoint_location=checkpoint,
+            available_now=True,
+        )
+        await_drained(qo, args.timeout_sec, "dq-monitor[orders]")
+        await_drained(ql, args.timeout_sec, "dq-monitor[lineitem]")
+    else:
+        q = start_streaming_dq_monitor(
+            spark,
+            stream,
+            lineitem_df=spark.read.parquet(args.lineitem_dir),
+            out_dir=args.output,
+            checkpoint_location=checkpoint,
+            available_now=True,
+        )
+        await_drained(q, args.timeout_sec, "dq-monitor")
     summary = {}
     for check in DQ_MONITOR_CHECKS:
         rows = merged_dq_report(spark, args.output, check).collect()
@@ -924,6 +1063,8 @@ def main(argv: list[str] | None = None, admin_factory=None) -> int:
         return apply_dedup_main(args[1:])
     if args and args[0] == "index-stats":
         return index_stats_main(args[1:])
+    if args and args[0] == "recluster-index":
+        return recluster_index_main(args[1:])
     if args and args[0] == "drift-monitor":
         return drift_monitor_main(args[1:])
     if args and args[0] == "dq-audit":

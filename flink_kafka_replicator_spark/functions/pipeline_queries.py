@@ -1622,6 +1622,24 @@ def _kmeans_centroids(
         (cid, [_quant6(v) for v in cvec]) for cid, cvec, _ in cents_raw
     ]
     e = load_table(spark, sf_dir, "embeddings")
+    out = _lloyd_centroid_rounds(e, cents, iters)
+    _MODEL_CACHE[key] = out
+    return out
+
+
+def _lloyd_centroid_rounds(
+    e: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    iters: int,
+) -> list[tuple[int, list[float], float]]:
+    """The Lloyd iteration loop over ANY (vec_id, embedding) frame and
+    ANY (quantized) seed — shared by the session path above and the
+    persisted-index RETRAIN (which re-learns the coarse quantizer on
+    the index's committed survivors). Identical computation to the
+    historical in-line loop: floor-quantized per-(cluster, dim) means,
+    empty clusters drop out, only k×dim rows reach the driver."""
+    import math
+
     exploded = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
     for _ in range(iters):
         cents3 = [
@@ -1650,11 +1668,42 @@ def _kmeans_centroids(
             (cid, [dims[p] for p in range(len(dims))])
             for cid, dims in sorted(by_cid.items())
         ]
-    out = [
+    return [
         (cid, cvec, math.sqrt(_fold_dot(cvec, cvec))) for cid, cvec in cents
     ]
-    _MODEL_CACHE[key] = out
-    return out
+
+
+def _kmeans_centroids_from(
+    e: DataFrame,
+    iters: int = KMEANS_ITERS,
+    n_centroids: int | None = None,
+) -> list[tuple[int, list[float], float]]:
+    """The learned coarse quantizer over ANY (vec_id, embedding) frame —
+    the RETRAIN half of the persisted vector index's lifecycle
+    (:func:`~..sinks.recluster_vector_index`), where the training set
+    is the index's committed survivors rather than a session table.
+
+    Seeding follows the engine's fixed-seed convention adapted to an
+    arbitrary id space: the k SMALLEST surviving vec_ids (a bounded
+    TakeOrdered — on the session tables, whose ids are contiguous from
+    0, this is exactly the ``vec_id < k`` seed), renumbered to dense
+    centroid ids 0..k-1 so the learned model is independent of the
+    survivors' absolute ids. Deterministic end to end: same survivor
+    set → same model."""
+    k = n_centroids if n_centroids is not None else IVF_N_CENTROIDS
+    seed_rows = (
+        e.select("vec_id", as_double(F.col("embedding")).alias("cvec"))
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("cannot train a quantizer on an empty frame")
+    cents = [
+        (i, [_quant6(float(x)) for x in r["cvec"]])
+        for i, r in enumerate(sorted(seed_rows, key=lambda r: r["vec_id"]))
+    ]
+    return _lloyd_centroid_rounds(e, cents, iters)
 
 
 def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2495,32 +2544,73 @@ def _pq_codebook(
             F.col("vec_id").alias("cid"),
             F.expr(f"transform(s, x -> floor(x * {_Q6}) / {_Q6})").alias("c"),
         )
-        if rounds == 0:
-            rows = [
-                (int(r["m"]), int(r["cid"]), [float(x) for x in r["c"]])
-                for r in seed.collect()
-            ]
-        cb = seed
-        for _ in range(rounds):
-            asg = _pq_assign(sv, cb).select("vec_id", "m", "cid")
-            upd = (
-                asg.join(sv, ["vec_id", "m"])
-                .select("m", "cid", F.posexplode("s").alias("j", "x"))
-                .groupBy("m", "cid", "j")
-                .agg(F.expr(f"floor(avg(x) * {_Q6}) / {_Q6}").alias("cv"))
-                .collect()
-            )
-            by_mc: dict[tuple[int, int], dict[int, float]] = {}
-            for r in upd:
-                by_mc.setdefault((int(r["m"]), int(r["cid"])), {})[
-                    int(r["j"])
-                ] = float(r["cv"])
-            rows = [
-                (m, cid, [dims[j] for j in sorted(dims)])
-                for (m, cid), dims in sorted(by_mc.items())
-            ]
-            cb = spark.createDataFrame(rows, schema=_PQ_CB_SCHEMA)
+        rows = _pq_lloyd_rounds(spark, sv, seed, rounds)
         _PQ_CB_CACHE[key] = rows
+    return spark.createDataFrame(rows, schema=_PQ_CB_SCHEMA)
+
+
+def _pq_lloyd_rounds(
+    spark: SparkSession, sv: DataFrame, seed: DataFrame, rounds: int
+) -> list[tuple[int, int, list[float]]]:
+    """The per-subspace Lloyd loop over ANY subvector frame and ANY
+    (quantized) seed codebook — shared by the session path above and
+    the persisted-index RETRAIN. Identical computation to the
+    historical in-line loop: floor-quantized per-(m, cid, dim) means,
+    empty codes drop out, only the ≤PQ_M·PQ_K-row model is collected."""
+    if rounds == 0:
+        rows = [
+            (int(r["m"]), int(r["cid"]), [float(x) for x in r["c"]])
+            for r in seed.collect()
+        ]
+    cb = seed
+    for _ in range(rounds):
+        asg = _pq_assign(sv, cb).select("vec_id", "m", "cid")
+        upd = (
+            asg.join(sv, ["vec_id", "m"])
+            .select("m", "cid", F.posexplode("s").alias("j", "x"))
+            .groupBy("m", "cid", "j")
+            .agg(F.expr(f"floor(avg(x) * {_Q6}) / {_Q6}").alias("cv"))
+            .collect()
+        )
+        by_mc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in upd:
+            by_mc.setdefault((int(r["m"]), int(r["cid"])), {})[
+                int(r["j"])
+            ] = float(r["cv"])
+        rows = [
+            (m, cid, [dims[j] for j in sorted(dims)])
+            for (m, cid), dims in sorted(by_mc.items())
+        ]
+        cb = spark.createDataFrame(rows, schema=_PQ_CB_SCHEMA)
+    return rows
+
+
+def _pq_codebook_from(
+    spark: SparkSession, e: DataFrame, rounds: int = PQ_LLOYD_ROUNDS
+) -> DataFrame:
+    """The learned PQ codebook over ANY (vec_id, embedding) frame — the
+    RETRAIN half of the persisted vector index's lifecycle. Seeding
+    follows the engine's fixed-seed convention adapted to an arbitrary
+    id space: subvectors of the PQ_K SMALLEST surviving vec_ids (on
+    the session tables this is exactly the ``vec_id < PQ_K`` seed),
+    renumbered to dense code ids 0..PQ_K-1 so the model is independent
+    of the survivors' absolute ids."""
+    seed_ids = [
+        int(r["vec_id"])
+        for r in e.select("vec_id").orderBy("vec_id").limit(PQ_K).collect()
+    ]
+    if not seed_ids:
+        raise ValueError("cannot train a PQ codebook on an empty frame")
+    renum = "CASE " + " ".join(
+        f"WHEN vec_id = {v} THEN {i}" for i, v in enumerate(seed_ids)
+    ) + " END"
+    sv = _subvectors_of(e)
+    seed = sv.filter(F.col("vec_id").isin(seed_ids)).select(
+        "m",
+        F.expr(renum).cast("int").alias("cid"),
+        F.expr(f"transform(s, x -> floor(x * {_Q6}) / {_Q6})").alias("c"),
+    )
+    rows = _pq_lloyd_rounds(spark, sv, seed, rounds)
     return spark.createDataFrame(rows, schema=_PQ_CB_SCHEMA)
 
 
@@ -4568,6 +4658,150 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MMR_BATCH_ART_CACHE: dict[
+    tuple[str, str], tuple[DataFrame, DataFrame]
+] = {}
+
+
+def _mmr_greedy_batch(
+    short: DataFrame, sims: DataFrame, k: int = MMR_K
+) -> DataFrame:
+    """The per-qid MMR greedy over stacked bounded artifacts —
+    ``short`` (qid, vec_id, rel) and ``sims`` (qid, a, b, s) — every
+    query advances together per selection round (one plan per round
+    over per-qid groups; a window argmax replaces the single-query
+    ORDER BY ... LIMIT 1). Shared by the session batch query and the
+    served rerank (:func:`~..sinks.mmr_rerank_from_index`)."""
+    from pyspark.sql import Window
+
+    lam = MMR_LAMBDA_SQL
+    w1 = Window.partitionBy("qid").orderBy(
+        F.col("rel").desc(), F.col("vec_id").asc()
+    )
+    sel = (
+        short.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            "vec_id",
+            "rel",
+            F.lit(1).alias("rank"),
+            F.expr(f"{lam} * rel").alias("mmr"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("mmr").desc(), F.col("vec_id").asc()
+    )
+    for r in range(2, k + 1):
+        pen = (
+            sims.join(
+                sel.select("qid", F.col("vec_id").alias("b")),
+                ["qid", "b"],
+            )
+            .groupBy(F.col("qid").alias("pqid"), F.col("a"))
+            .agg(F.max("s").alias("pen"))
+        )
+        cand = (
+            short.join(
+                sel.select("qid", "vec_id"),
+                ["qid", "vec_id"],
+                "left_anti",
+            )
+            .join(
+                pen,
+                (F.col("qid") == F.col("pqid"))
+                & (F.col("vec_id") == F.col("a")),
+            )
+            .select(
+                "qid",
+                "vec_id",
+                "rel",
+                F.expr(f"{lam} * rel - (1.0D - {lam}) * pen").alias(
+                    "mmr"
+                ),
+            )
+        )
+        pick = (
+            cand.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select("qid", "vec_id", "rel", F.lit(r).alias("rank"), "mmr")
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "qid", "rank", "vec_id", "rel", F.round("mmr", 6).alias("mmr")
+    )
+
+
+def mmr_rerank_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification for a BATCH of queries — production
+    reranking happens per served query batch, not for one fixed
+    vector (:func:`mmr_rerank`). Query set: the knn_batch family's
+    odd vec_ids < QBATCH_MAX, answered in ONE stacked plan.
+
+    Scale shape (the batch twin of mmr_rerank's): per-qid exact-top-R
+    shortlists come from one broadcast-queries × corpus scored scan +
+    a per-qid window top-R (WindowGroupLimit pushes the bound into
+    the shuffle); the pairwise-sim table is a within-qid self-join of
+    the R-row shortlists (|Q|·R² bounded rows); both are pinned small
+    artifacts, and the MMR_K selection rounds are lazy window argmaxes
+    over them — all queries advance together per round, no per-query
+    jobs, no driver loop. Restricting the batch to one query
+    reproduces mmr_rerank's picks exactly (pytest-pinned)."""
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    cached = _MMR_BATCH_ART_CACHE.get(key)
+    if cached is not None:
+        short, sims = cached
+    else:
+        from pyspark.sql import Window
+
+        e = load_table(spark, sf_dir, "embeddings")
+        q = e.filter(
+            (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < QBATCH_MAX)
+        ).select(
+            F.col("vec_id").alias("qid"),
+            as_double(F.col("embedding")).alias("qv"),
+        )
+        scored = e.crossJoin(broadcast(q)).select(
+            "qid",
+            "vec_id",
+            F.round(
+                cosine(as_double(F.col("embedding")), F.col("qv")), 4
+            ).alias("rel"),
+        )
+        ws = Window.partitionBy("qid").orderBy(
+            F.col("rel").desc(), F.col("vec_id").asc()
+        )
+        short = materialize_small(
+            scored.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") <= MMR_SHORTLIST)
+            .select("qid", "vec_id", "rel")
+        )
+        sv = short.select("qid", "vec_id").join(
+            e.select(
+                "vec_id", as_double(F.col("embedding")).alias("v")
+            ),
+            "vec_id",
+        )
+        a = sv.select(
+            "qid", F.col("vec_id").alias("a"), F.col("v").alias("va")
+        )
+        b = sv.select(
+            "qid", F.col("vec_id").alias("b"), F.col("v").alias("vb")
+        )
+        sims = materialize_small(
+            a.join(broadcast(b), "qid")
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                "qid",
+                "a",
+                "b",
+                F.round(cosine(F.col("va"), F.col("vb")), 4).alias("s"),
+            )
+        )
+        _cache_put(_MMR_BATCH_ART_CACHE, key, (short, sims))
+    return _mmr_greedy_batch(short, sims)
+
+
 _TRI_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -5135,6 +5369,126 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_word_symbols(
+    words: DataFrame, merges: list[tuple]
+) -> DataFrame:
+    """(w, syms array<string>): each distinct word's BPE symbol
+    sequence under a trained merge list — the learned replaces are
+    constants by now, so this is one map-side expression chain over
+    the vocabulary (never the corpus). Shared by the compression
+    scorer, the BM25-over-BPE query, and the lexical index's BPE
+    analyzer (:func:`~..sinks.write_lexical_index`)."""
+    base = words.select(
+        "w",
+        F.concat(
+            F.lit(_BPE_DD),
+            F.regexp_replace(F.col("w"), "(.)", "$1" + _BPE_DD),
+        ).alias("s"),
+    )
+    s = F.col("s")
+    for m in merges:
+        a, b = m[0], m[1]
+        s = _bpe_apply_merge(s, a, b)
+    return base.select("w", _bpe_syms(s).alias("syms"))
+
+
+def bpe_token_stream(
+    d: DataFrame, merges: list[tuple]
+) -> DataFrame:
+    """(doc_id, term): the BPE token stream of any (doc_id, text)
+    frame under a trained merge list — the trainer's own word
+    conventions (lowercase, whitespace split, empty and
+    delimiter-containing words dropped), tokenized via ONE
+    vocabulary-sized symbol table joined back to the corpus word
+    stream: work is corpus-linear for the word explode plus
+    vocab-sized for the merge application, never corpus × merges."""
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    ).filter((F.col("w") != "") & ~F.col("w").contains(_BPE_D))
+    wsyms = bpe_word_symbols(words.select("w").distinct(), merges)
+    return words.join(wsyms, "w").select(
+        "doc_id", F.explode("syms").alias("term")
+    )
+
+
+def bm25_bpe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the BPE-tokenized corpus — the learned
+    tokenizer COMPOSED into the lexical leg (round 12, VERDICT r11
+    task 6): the same fixed query as ``bm25_topk``, but both the
+    documents and the query words are tokenized with the trained
+    merge list, so subword matches score (the reason BPE analyzers
+    exist: 'windowing' shares symbols with 'window').
+
+    Scale shape: one corpus word explode + a vocabulary-sized symbol
+    join (``bpe_token_stream``), the postings filter pushed to the
+    broadcast BPE'd query-term set BEFORE the per-(doc, term)
+    aggregate, vocabulary-sized df + 1-row stats broadcast, and a
+    TakeOrdered top-k. Determinism for the data-dependent query-symbol
+    set: per-(doc, term) scores fold in array_sort order (the
+    bm25_search_from_index idiom) — float summation order never
+    depends on shuffle placement. The oracle replays merge training,
+    both tokenizations, and the ordered fold."""
+    merges = _bpe_merges(spark, sf_dir)
+    # the fixed query, tokenized by the SAME learned merges (driver
+    # arithmetic over 3 literal words — the merge list is a constant)
+    qsyms: set[str] = set()
+    for qw in BM25_QUERY_TERMS:
+        s = _BPE_DD + "".join(c + _BPE_DD for c in qw.lower())
+        for m in merges:
+            a, b = m[0], m[1]
+            s = s.replace(
+                _BPE_D + a + _BPE_DD + b + _BPE_D,
+                _BPE_D + a + b + _BPE_D,
+            )
+        qsyms.update(x for x in s.split(_BPE_DD) if x)
+    qterms = sorted(qsyms)
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = bpe_token_stream(d.select("doc_id", "text"), merges)
+    dl = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    matched = toks.filter(F.col("term").isin(*qterms))
+    tf = matched.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+    df_ = matched.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    k1, b = BM25_K1, BM25_B
+    scored = (
+        tf.join(broadcast(df_), "term")
+        .crossJoin(broadcast(stats))
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            F.expr(
+                "floor(ln(1.0D + (n_docs - df + 0.5D) / (df + 0.5D))"
+                " * 1000000.0D) / 1000000.0D"
+                f" * (tf * {k1 + 1.0}D)"
+                f" / (tf + {k1}D * ({1.0 - b}D + {b}D"
+                " * (dl / (sum_dl / n_docs))))"
+            ).alias("s"),
+        )
+    )
+    folded = scored.groupBy("doc_id").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(term, s)))"
+            ", 0.0D, (acc, x) -> acc + x.s)"
+        ).alias("_bm25")
+    )
+    return (
+        folded.orderBy(F.col("_bm25").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP_K)
+        .select("doc_id", F.round(F.col("_bm25"), 4).alias("bm25"))
+    )
+
+
 def bpe_tokenize_compression(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5278,6 +5632,7 @@ QUERIES = {
     "knn_lsh_hyperplane": knn_lsh_hyperplane,
     "graph_triangle_count": graph_triangle_count,
     "mmr_rerank": mmr_rerank,
+    "mmr_rerank_batch": mmr_rerank_batch,
     "knn_batch_lsh": knn_batch_lsh,
     "eval_confusion_matrix": eval_confusion_matrix,
     "eval_pr_curve": eval_pr_curve,
@@ -5302,6 +5657,7 @@ QUERIES = {
     "bpe_train_merges": bpe_train_merges,
     "bpe_tokenize_compression": bpe_tokenize_compression,
     "bm25_topk": bm25_topk,
+    "bm25_bpe_topk": bm25_bpe_topk,
     "hybrid_search_rrf": hybrid_search_rrf,
     "dedup_substring_spans": dedup_substring_spans,
     "scrub_duplicate_spans": scrub_duplicate_spans,
@@ -6983,6 +7339,85 @@ def _mmr_oracle_sql() -> str:
 ORACLES["mmr_rerank"] = _mmr_oracle_sql()
 
 
+def _mmr_batch_oracle_sql() -> str:
+    """DuckDB twin of mmr_rerank_batch: identical per-qid
+    shortlist/sims rounding, then the greedy unrolled per round with
+    the per-qid argmax as a QUALIFY ROW_NUMBER — the mmr_rerank oracle
+    pattern stacked over qids."""
+    lam = "0.7::DOUBLE"
+    steps = []
+    for r in range(2, MMR_K + 1):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT qid, vec_id FROM p{i}" for i in range(1, r)
+        )
+        steps.append(f"""
+    sel{r - 1} AS ({prev_sel}),
+    c{r} AS (
+        SELECT sh.qid, sh.vec_id, sh.rel,
+               {lam} * sh.rel - (1.0::DOUBLE - {lam}) * MAX(s.s) AS mmr
+        FROM short sh
+        JOIN sims s ON s.qid = sh.qid AND s.a = sh.vec_id
+        JOIN sel{r - 1} q ON q.qid = s.qid AND s.b = q.vec_id
+        WHERE NOT EXISTS (
+            SELECT 1 FROM sel{r - 1} x
+            WHERE x.qid = sh.qid AND x.vec_id = sh.vec_id
+        )
+        GROUP BY sh.qid, sh.vec_id, sh.rel
+    ),
+    p{r} AS (
+        SELECT qid, vec_id, rel, {r} AS rank, mmr
+        FROM c{r}
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY mmr DESC, vec_id ASC
+        ) = 1
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM p{i}" for i in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings
+        WHERE vec_id % 2 = 1 AND vec_id < {QBATCH_MAX}
+    ),
+    scored AS (
+        SELECT q.qid, e.vec_id,
+               ROUND({_duck_cos("CAST(e.embedding AS DOUBLE[])", "q.qv")},
+                     4) AS rel
+        FROM embeddings e CROSS JOIN q
+    ),
+    short AS (
+        SELECT qid, vec_id, rel FROM scored
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY rel DESC, vec_id ASC
+        ) <= {MMR_SHORTLIST}
+    ),
+    v AS (
+        SELECT DISTINCT s.vec_id, CAST(e.embedding AS DOUBLE[]) AS vec
+        FROM short s JOIN embeddings e USING (vec_id)
+    ),
+    sims AS (
+        SELECT s1.qid, s1.vec_id AS a, s2.vec_id AS b,
+               ROUND({_duck_cos("x.vec", "y.vec")}, 4) AS s
+        FROM short s1
+        JOIN short s2 ON s1.qid = s2.qid AND s1.vec_id <> s2.vec_id
+        JOIN v x ON x.vec_id = s1.vec_id
+        JOIN v y ON y.vec_id = s2.vec_id
+    ),
+    p1 AS (
+        SELECT qid, vec_id, rel, 1 AS rank, {lam} * rel AS mmr
+        FROM short
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY rel DESC, vec_id ASC
+        ) = 1
+    ),{",".join(steps)}
+    SELECT qid, rank, vec_id, rel, ROUND(mmr, 6) AS mmr FROM ({union})
+    """
+
+
+ORACLES["mmr_rerank_batch"] = _mmr_batch_oracle_sql()
+
+
 def _batch_lsh_oracle_sql() -> str:
     """DuckDB twin of knn_batch_lsh: plane-literal dots, band values
     unpivoted via UNION ALL, the same distinct candidate join, cosine
@@ -7769,3 +8204,92 @@ ORACLES["bpe_tokenize_compression"] = (
     GROUP BY lang
 """
 )
+
+
+def _bm25_bpe_oracle_sql() -> str:
+    """DuckDB twin of bm25_bpe_topk: the shared unrolled merge rounds,
+    both tokenizations via the r{N} symbol table, then BM25 with the
+    floor-quantized idf and the term-ordered float fold.
+
+    The query-word symbols come from the corpus vocab's symbol table
+    (the fixed BM25_QUERY_TERMS are corpus words, so their r{N} row IS
+    the engine's independent query tokenization) — pushing the literal
+    words through their own per-round replace CTEs would reference
+    every p{k} a second time and re-evaluate the whole unrolled merge
+    chain per round (measured: 76 s vs ~4 s at sf0.01)."""
+    dd = "chr(1) || chr(1)"
+    n = BPE_TRAIN_MERGES
+    qlist = ", ".join(f"'{w}'" for w in BM25_QUERY_TERMS)
+    k1, b = BM25_K1, BM25_B
+    return (
+        "WITH "
+        + _bpe_oracle_rounds(n)
+        + f""",
+    wsyms AS MATERIALIZED (
+        SELECT w, list_filter(string_split(s, {dd}), x -> x <> '') AS syms
+        FROM r{n}
+    ),
+    qterms AS (
+        SELECT DISTINCT UNNEST(syms) AS term
+        FROM wsyms WHERE w IN ({qlist})
+    ),
+    docwords AS (
+        SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS w
+        FROM documents
+    ),
+    toks AS MATERIALIZED (
+        SELECT dw.doc_id, UNNEST(ws.syms) AS term
+        FROM (SELECT doc_id, w FROM docwords
+              WHERE w <> '' AND POSITION(chr(1) IN w) = 0) dw
+        JOIN wsyms ws USING (w)
+    ),
+    dl AS MATERIALIZED (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+        FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS sum_dl
+        FROM dl
+    ),
+    matched AS MATERIALIZED (
+        SELECT doc_id, term FROM toks
+        WHERE term IN (SELECT term FROM qterms)
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM matched GROUP BY doc_id, term
+    ),
+    dfq AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df
+        FROM matched GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               floor(ln(1.0::DOUBLE
+                        + (s.n_docs - dfq.df + 0.5::DOUBLE)
+                          / (dfq.df + 0.5::DOUBLE))
+                     * 1000000.0::DOUBLE) / 1000000.0::DOUBLE
+               * (tf.tf * {k1 + 1.0}::DOUBLE)
+               / (tf.tf + {k1}::DOUBLE * ({1.0 - b}::DOUBLE
+                  + {b}::DOUBLE
+                    * (dl.dl / (s.sum_dl / s.n_docs)))) AS sc
+        FROM tf JOIN dfq USING (term)
+        CROSS JOIN stats s
+        JOIN dl ON dl.doc_id = tf.doc_id
+    ),
+    folded AS (
+        SELECT doc_id,
+               list_reduce(list(sc ORDER BY term),
+                           (acc, x) -> acc + x) AS _bm25
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(_bm25, 4) AS bm25
+    FROM folded
+    ORDER BY _bm25 DESC, doc_id ASC
+    LIMIT {BM25_TOP_K}
+    """
+    )
+
+
+ORACLES["bm25_bpe_topk"] = _bm25_bpe_oracle_sql()

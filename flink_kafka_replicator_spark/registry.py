@@ -332,6 +332,8 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "knn_lsh_hyperplane",
     "graph_triangle_count",
     "mmr_rerank",
+    "mmr_rerank_batch",
+    "bm25_bpe_topk",
     "knn_batch_lsh",
     "eval_confusion_matrix",
     "agg_linear_count_distinct",

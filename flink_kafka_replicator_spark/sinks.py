@@ -1205,6 +1205,38 @@ def _write_vindex_meta(out_dir: str, meta: dict) -> None:
     os.replace(path + ".tmp", path)
 
 
+def _vindex_model_dirs(meta: dict) -> tuple[str, str]:
+    """Resolve the coarse-quantizer and PQ-codebook subdirectories
+    through the index meta — the RETRAIN lifecycle writes each
+    re-learned model generation to a fresh sibling dir
+    (``centroids_g<N>`` / ``pq_codebook_g<N>``) and flips these
+    pointers in the same atomic meta swap that commits the re-encoded
+    postings, so readers never see a new model paired with old codes
+    (or vice versa). Pre-retrain indexes resolve to the original
+    unsuffixed dirs."""
+    return (
+        meta.get("centroids_subdir", "centroids"),
+        meta.get("pq_codebook_subdir", "pq_codebook"),
+    )
+
+
+def _sweep_orphan_model_dirs(out_dir: str, meta: dict | None) -> None:
+    """Remove generation-suffixed model dirs not referenced by the
+    committed meta — leftovers of a retrain that crashed before its
+    pointer swap (the delta-partition orphan sweep's twin). Safe by
+    the same argument: an unreferenced dir is invisible to every
+    reader, so deleting it cannot change any committed result."""
+    import glob as _glob
+    import os
+    import shutil
+
+    keep = set(_vindex_model_dirs(meta)) if meta else set()
+    for pat in ("centroids_g*", "pq_codebook_g*"):
+        for d in _glob.glob(os.path.join(out_dir, pat)):
+            if os.path.basename(d) not in keep:
+                shutil.rmtree(d, ignore_errors=True)
+
+
 def _check_vindex_geometry(meta: dict, out_dir: str) -> None:
     """Refuse any index whose quantizer geometry does not match the
     running engine — on the READ path (silently-wrong neighbors
@@ -1294,6 +1326,10 @@ def write_vector_index(
         _os.remove(_vindex_meta_path(out_dir))
     except FileNotFoundError:
         pass
+    # a rebuild over a previously-RETRAINED index must also wipe its
+    # generation-suffixed model dirs (the static partition overwrite
+    # below only covers postings/pq_codes)
+    _sweep_orphan_model_dirs(out_dir, None)
     cents, _ = pq._ivf_model(spark, sf_dir, n_centroids=n_centroids)
     (
         pq._cents_df(spark, cents)
@@ -1390,14 +1426,15 @@ def append_vector_delta(
             f"(last committed is {meta['last_delta_id']}); delta ids "
             "must be contiguous so uncommitted partitions stay invisible"
         )
+    c_sub, cb_sub = _vindex_model_dirs(meta)
     cents = [
         (int(r["cid"]), [float(x) for x in r["cvec"]], float(r["nrm"]))
         for r in sorted(
-            spark.read.parquet(f"{out_dir}/centroids").collect(),
+            spark.read.parquet(f"{out_dir}/{c_sub}").collect(),
             key=lambda r: r["cid"],
         )
     ]
-    codebook = spark.read.parquet(f"{out_dir}/pq_codebook")
+    codebook = spark.read.parquet(f"{out_dir}/{cb_sub}")
     e = df.select("vec_id", "embedding")
     if len(cents) <= 32:
         assignment = pq._assignment_from(e, cents).select(
@@ -1713,12 +1750,423 @@ def read_vector_index(
             "vec_id",
         )
 
+    c_sub, cb_sub = _vindex_model_dirs(meta)
     return (
-        spark.read.parquet(f"{out_dir}/centroids"),
+        spark.read.parquet(f"{out_dir}/{c_sub}"),
         pruned("postings"),
-        spark.read.parquet(f"{out_dir}/pq_codebook"),
+        spark.read.parquet(f"{out_dir}/{cb_sub}"),
         pruned("pq_codes"),
     )
+
+
+def _encode_vectors(
+    spark: SparkSession,
+    e: DataFrame,
+    cents: list[tuple[int, list[float], float]],
+    codebook: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, pq_codes) for ANY (vec_id, embedding) frame under a
+    given model pair — the single encode recipe every index writer
+    shares (base build, delta append, retrain re-encode), so
+    retrain-then-serve can be pinned byte-equal to
+    build-from-survivors-then-serve."""
+    from .functions import pipeline_queries as pq
+
+    if len(cents) <= 32:
+        assignment = pq._assignment_from(e, cents).select(
+            "vec_id", "nrm", "cid", "pcid"
+        )
+    else:
+        assignment = pq._assignment_top2_rowwise(
+            e, pq._cents_df(spark, cents), dim=len(cents[0][1])
+        ).select("vec_id", "nrm", "cid", "pcid")
+    codes = pq._pq_assign(pq._subvectors_of(e), codebook)
+    return assignment, codes
+
+
+def write_vector_index_from_df(
+    spark: SparkSession,
+    e_df: DataFrame,
+    out_dir: str,
+    n_centroids: int | None = None,
+    kmeans_iters: int | None = None,
+) -> None:
+    """Base-build a persisted vector index from ANY (vec_id, embedding)
+    frame, with both models LEARNED on that frame: bounded-Lloyd coarse
+    centroids (seeded from the k smallest vec_ids, the engine's
+    fixed-seed convention) and the per-subspace PQ codebook. This is
+    the from-scratch-rebuild reference that
+    :func:`recluster_vector_index` is pytest-pinned against — retrain
+    on survivors must serve byte-equal to this builder run on the same
+    survivors — and the builder to reach for when the corpus is not a
+    session table (:func:`write_vector_index` trains from ``sf_dir``).
+
+    Same crash-safety contract as :func:`write_vector_index`: the meta
+    pointer is retracted first, partitions land, the pointer swap
+    commits last."""
+    import os as _os
+
+    from .functions import pipeline_queries as pq
+
+    if kmeans_iters is None:
+        kmeans_iters = pq.KMEANS_ITERS
+    try:
+        _os.remove(_vindex_meta_path(out_dir))
+    except FileNotFoundError:
+        pass
+    _sweep_orphan_model_dirs(out_dir, None)
+    e = e_df.select("vec_id", "embedding")
+    cents = pq._kmeans_centroids_from(
+        e, iters=kmeans_iters, n_centroids=n_centroids
+    )
+    codebook = pq._pq_codebook_from(spark, e)
+    (
+        pq._cents_df(spark, cents)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/centroids")
+    )
+    codebook.coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/pq_codebook"
+    )
+    postings, codes = _encode_vectors(spark, e, cents, codebook)
+    for frame, sub in (
+        (postings.sortWithinPartitions("cid"), "postings"),
+        (codes, "pq_codes"),
+    ):
+        (
+            frame.withColumn("delta_id", F.lit(0))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("delta_id")
+            .parquet(f"{out_dir}/{sub}")
+        )
+    _write_vindex_meta(
+        out_dir,
+        {
+            "format_version": 2,
+            "pq_m": pq.PQ_M,
+            "pq_k": pq.PQ_K,
+            "pq_subdim": pq.PQ_SUBDIM,
+            "pq_lloyd_rounds": pq.PQ_LLOYD_ROUNDS,
+            "kmeans_iters": kmeans_iters,
+            "ivf_n_centroids": len(cents),
+            "ivf_n_probe": pq.IVF_N_PROBE,
+            "last_delta_id": 0,
+            "delta_ids": [0],
+        },
+    )
+
+
+def _vindex_survivor_embeddings(
+    spark: SparkSession, out_dir: str, exact_df: DataFrame, meta: dict
+) -> tuple[DataFrame, int]:
+    """(survivor embeddings, count): the index's committed vec_ids
+    (pointer-committed postings minus tombstones) joined to their
+    full-width vectors in ``exact_df`` — the corpus' exact-vector
+    table, the same contract as the refined search path (the index
+    stores codes, not raw vectors). Refuses to proceed when the exact
+    table is missing any survivor: a retrain that silently dropped
+    indexed vectors because the corpus table lost rows would commit a
+    shrunken index with no error."""
+    committed = meta.get(
+        "delta_ids", list(range(meta["last_delta_id"] + 1))
+    )
+    postings = (
+        spark.read.parquet(f"{out_dir}/postings")
+        .filter(F.col("delta_id").isin(committed))
+        .select("vec_id")
+        .distinct()
+    )
+    tombs = _committed_tombstones(spark, out_dir, meta, "vec_id")
+    survivors = _minus_tombstones(postings, tombs, "vec_id")
+    e = exact_df.select("vec_id", "embedding").join(
+        survivors, "vec_id", "left_semi"
+    )
+    n_surv = survivors.count()
+    n_have = e.select("vec_id").distinct().count()
+    if n_have != n_surv:
+        raise ValueError(
+            f"vector index at {out_dir} has {n_surv} committed "
+            f"survivors but exact_df covers only {n_have} of them — "
+            "the exact-vector table does not match the index; refusing "
+            "to retrain/measure against a partial corpus"
+        )
+    return e, n_surv
+
+
+def recluster_vector_index(
+    spark: SparkSession,
+    out_dir: str,
+    exact_df: DataFrame,
+    n_centroids: int | None = None,
+    kmeans_iters: int | None = None,
+    writer_token: str | None = None,
+) -> dict:
+    """RETRAIN — the last verb of the persisted vector index's
+    lifecycle (BUILD/GROW/SERVE/COMPACT/SHRINK/**RETRAIN**): re-learn
+    the coarse quantizer and PQ codebook on the index's committed
+    survivors and re-encode them, WITHOUT a from-scratch rebuild job
+    and without ever exposing a partial state to readers.
+
+    Why it exists: :func:`append_vector_delta` encodes every delta
+    with the models FROZEN at base build. A corpus whose embedding
+    distribution drifts (new language, new modality, new embedding
+    model) piles its new vectors into whichever old cells happen to be
+    nearest — cell skew grows, PQ quantization error grows, and served
+    recall decays (:func:`recall_drift_report` measures exactly this,
+    and :func:`should_recluster` is the trigger). Reclustering
+    re-learns both models on today's distribution with the engine's
+    bounded-Lloyd machinery — only k×dim / PQ_M·PQ_K model rows ever
+    reach the driver; the re-encode is the same linear scan a GROW
+    performs, over survivors instead of a delta.
+
+    Crash-safety (the index writers' pointer discipline, strictly
+    stronger than a directory-rename swap — there is no window where
+    the index is absent):
+
+    1. new model generation lands in sibling dirs
+       (``centroids_g<N>``/``pq_codebook_g<N>``) — invisible, meta
+       still points at the old generation;
+    2. re-encoded survivors land as delta ``last+1`` — invisible,
+       not pointer-committed;
+    3. ONE atomic meta swap flips model pointers + delta pointer +
+       tombstone fold together;
+    4. old partitions/model dirs are pruned only after the swap.
+
+    A crash anywhere before (3) leaves the old index serving
+    byte-identically (pytest-pinned); the orphan sweeps reclaim the
+    debris on the next maintenance call. Tombstones are folded in
+    physically (the compactor's discipline) and the streaming batch
+    cursor (``last_batch_id``) rides through the meta update, so
+    ingest resumes exactly where it left off.
+
+    Returns {"n_vectors", "generation", "delta_id", "n_centroids"}."""
+    import os
+    import shutil
+
+    from .functions import pipeline_queries as pq
+
+    if kmeans_iters is None:
+        kmeans_iters = pq.KMEANS_ITERS
+    _check_writer_fence(out_dir, writer_token)
+    meta = _read_vindex_meta(out_dir)
+    _check_vindex_geometry(meta, out_dir)
+    # reclaim debris of a previously crashed retrain/append
+    _sweep_orphan_model_dirs(out_dir, meta)
+    committed = meta.get(
+        "delta_ids", list(range(meta["last_delta_id"] + 1))
+    )
+    tomb_ids = meta.get("tombstone_delta_ids", [])
+    for sub in ("postings", "pq_codes"):
+        _sweep_orphan_partitions(os.path.join(out_dir, sub), committed)
+    _sweep_orphan_partitions(f"{out_dir}/{TOMBSTONES_SUBDIR}", tomb_ids)
+
+    e, n_surv = _vindex_survivor_embeddings(spark, out_dir, exact_df, meta)
+    if n_surv == 0:
+        raise ValueError(
+            f"vector index at {out_dir} has no committed survivors — "
+            "nothing to retrain on"
+        )
+    cents = pq._kmeans_centroids_from(
+        e, iters=kmeans_iters, n_centroids=n_centroids
+    )
+    codebook = pq._pq_codebook_from(spark, e)
+
+    gen = int(meta.get("generation", 0)) + 1
+    c_sub, cb_sub = f"centroids_g{gen}", f"pq_codebook_g{gen}"
+    (
+        pq._cents_df(spark, cents)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/{c_sub}")
+    )
+    codebook.coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/{cb_sub}"
+    )
+    new_id = meta["last_delta_id"] + 1
+    postings, codes = _encode_vectors(spark, e, cents, codebook)
+    for frame, sub in (
+        (postings.sortWithinPartitions("cid"), "postings"),
+        (codes, "pq_codes"),
+    ):
+        (
+            frame.withColumn("delta_id", F.lit(new_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("delta_id")
+            .parquet(f"{out_dir}/{sub}")
+        )
+
+    old_model_dirs = _vindex_model_dirs(meta)
+    meta.update(
+        {
+            "generation": gen,
+            "centroids_subdir": c_sub,
+            "pq_codebook_subdir": cb_sub,
+            "ivf_n_centroids": len(cents),
+            "kmeans_iters": kmeans_iters,
+            "last_delta_id": new_id,
+            "delta_ids": [new_id],
+            "tombstone_delta_ids": [],
+        }
+    )
+    # re-fence at the commit point (see append_vector_delta), then the
+    # single atomic pointer swap
+    _check_writer_fence(out_dir, writer_token)
+    _write_vindex_meta(out_dir, meta)
+    for sub in ("postings", "pq_codes"):
+        for d in committed:
+            shutil.rmtree(
+                os.path.join(out_dir, sub, f"delta_id={d}"),
+                ignore_errors=True,
+            )
+    for t in tomb_ids:
+        shutil.rmtree(
+            os.path.join(out_dir, TOMBSTONES_SUBDIR, f"delta_id={t}"),
+            ignore_errors=True,
+        )
+    for d in old_model_dirs:
+        if d not in (c_sub, cb_sub):
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+    return {
+        "n_vectors": int(n_surv),
+        "generation": gen,
+        "delta_id": new_id,
+        "n_centroids": len(cents),
+    }
+
+
+RECALL_DRIFT_SAMPLE = 16
+
+
+def recall_drift_report(
+    spark: SparkSession,
+    out_dir: str,
+    exact_df: DataFrame,
+    k: int = 10,
+    n_probe: int | None = None,
+    sample: int = RECALL_DRIFT_SAMPLE,
+) -> DataFrame:
+    """Served recall measured AGAINST THE PERSISTED INDEX — the drift
+    monitor that closes the RETRAIN loop (``knn_recall_eval`` measures
+    the in-session build; this measures what the serving path actually
+    returns after any number of frozen-quantizer GROWs).
+
+    Protocol (``tune_n_probe``'s bounded-sample discipline): the query
+    set is the ``sample`` committed survivors with the smallest
+    ``md5(vec_id)`` — deterministic yet distribution-blind, so a
+    drifted append is sampled in proportion to its share of the index
+    (smallest-vec_id sampling would only ever probe the oldest
+    vectors and could not see drift at all). Ground truth is exact
+    brute-force cosine top-k over all survivors from ``exact_df``
+    (broadcast of the bounded sample over the corpus scan — map-side,
+    linear, no index shuffle); the served side is
+    :func:`knn_batch_search_from_index` at the index's own n_probe.
+    Self-matches are excluded from both sides.
+
+    Returns (qid, n_hits, n_truth, recall) per sampled query — feed to
+    :func:`should_recluster` for the boolean trigger."""
+    from pyspark.sql import Window
+
+    from .functions.similarity import as_double, cosine
+
+    meta = _read_vindex_meta(out_dir)
+    _check_vindex_geometry(meta, out_dir)
+    e, _ = _vindex_survivor_embeddings(spark, out_dir, exact_df, meta)
+    qs = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(sample)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    # exact truth: broadcast the bounded sample over the survivor scan
+    pairs = e.select(
+        "vec_id", as_double(F.col("embedding")).alias("__cv")
+    ).join(
+        broadcast(
+            qs.select("qid", as_double(F.col("embedding")).alias("__qv"))
+        ),
+        F.col("vec_id") != F.col("qid"),
+    )
+    wt = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    truth = (
+        pairs.select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("__cv"), F.col("__qv")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    # served: fetch k+1 so dropping the self-match still leaves k
+    served = (
+        knn_batch_search_from_index(
+            spark, qs, out_dir, k=k + 1, n_probe=n_probe
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("rank").asc())
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    hits = truth.join(served, ["qid", "vec_id"], "left_semi")
+    return (
+        truth.groupBy("qid")
+        .agg(F.count("*").alias("n_truth"))
+        .join(
+            hits.groupBy("qid").agg(F.count("*").alias("n_hits")),
+            "qid",
+            "left",
+        )
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_truth"),
+                4,
+            ).alias("recall"),
+        )
+    )
+
+
+def should_recluster(
+    spark: SparkSession,
+    out_dir: str,
+    exact_df: DataFrame,
+    min_recall: float = 0.8,
+    k: int = 10,
+    n_probe: int | None = None,
+    sample: int = RECALL_DRIFT_SAMPLE,
+) -> dict:
+    """The RETRAIN trigger: micro-averaged served recall over the
+    bounded drift sample, compared against a floor. Driver arithmetic
+    over ≤``sample`` report rows — never a corpus pass beyond what
+    :func:`recall_drift_report` itself measures.
+
+    Returns {"mean_recall", "n_queries", "min_recall", "recluster"}."""
+    rows = recall_drift_report(
+        spark, out_dir, exact_df, k=k, n_probe=n_probe, sample=sample
+    ).collect()
+    n_hits = sum(int(r["n_hits"]) for r in rows)
+    n_truth = sum(int(r["n_truth"]) for r in rows)
+    mean = (n_hits / n_truth) if n_truth else 1.0
+    return {
+        "mean_recall": round(mean, 4),
+        "n_queries": len(rows),
+        "min_recall": min_recall,
+        "recluster": mean < min_recall,
+    }
 
 
 def knn_ivf_pq_from_index(
@@ -1911,6 +2359,84 @@ def knn_batch_search_refined_from_index(
     )
 
 
+def mmr_rerank_from_index(
+    spark: SparkSession,
+    queries_df: DataFrame,
+    out_dir: str,
+    exact_df: DataFrame,
+    k: int | None = None,
+    mmr_shortlist: int | None = None,
+    n_probe: int | None = None,
+    adc_shortlist: int | None = None,
+) -> DataFrame:
+    """Diversified serving from the persisted index — MMR over each
+    served query's refined shortlist (round 12, VERDICT r11 task 3):
+    production reranking happens per query batch, not for one fixed
+    vector. Per qid, the exact-cosine-ranked shortlist comes from
+    :func:`knn_batch_search_refined_from_index` (``rel`` = its
+    ``cos_sim``), pairwise sims are computed over just the shortlist
+    members' exact vectors (|Q|·R² bounded rows, broadcast
+    point-fetches — never a corpus rescan), and the greedy is the
+    engine's stacked per-qid selection
+    (``pipeline_queries._mmr_greedy_batch``): all queries advance
+    together per round, no driver loop. With probe-all + an
+    ADC shortlist covering the corpus, a single-query batch reproduces
+    the in-session ``mmr_rerank`` picks exactly (pytest-pinned).
+
+    Returns (qid, rank<=k, vec_id, rel, mmr)."""
+    from .functions import pipeline_queries as pq
+    from .functions.similarity import as_double, cosine
+    from .io import materialize_small
+
+    if k is None:
+        k = pq.MMR_K
+    if mmr_shortlist is None:
+        mmr_shortlist = pq.MMR_SHORTLIST
+    if mmr_shortlist < k:
+        raise ValueError(
+            f"mmr_shortlist {mmr_shortlist} must be >= k {k}"
+        )
+    sl = knn_batch_search_refined_from_index(
+        spark,
+        queries_df,
+        out_dir,
+        exact_df,
+        k=mmr_shortlist,
+        n_probe=n_probe,
+        shortlist=(
+            adc_shortlist
+            if adc_shortlist is not None
+            else max(pq.PQ_REFINE_SHORTLIST, 2 * mmr_shortlist)
+        ),
+    )
+    short = materialize_small(
+        sl.select("qid", "vec_id", F.col("cos_sim").alias("rel"))
+    )
+    sv = short.select("qid", "vec_id").join(
+        exact_df.select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        ),
+        "vec_id",
+    )
+    a = sv.select(
+        "qid", F.col("vec_id").alias("a"), F.col("v").alias("va")
+    )
+    b = sv.select(
+        "qid", F.col("vec_id").alias("b"), F.col("v").alias("vb")
+    )
+    sims = materialize_small(
+        a.join(broadcast(b), "qid")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "qid",
+            "a",
+            "b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("s"),
+        )
+    )
+    return pq._mmr_greedy_batch(short, sims, k=k)
+
+
 # ------------------------------------------------------------ classifier model
 
 CLASSIFIER_META_FILE = "MODEL_META.json"
@@ -2026,11 +2552,90 @@ def _lex_tables(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     return postings, dl
 
 
+# ----------------------------------------------- lexical analyzers
+#
+# The index's tokenizer is part of its on-disk identity: postings
+# written by one analyzer are silently-wrong under another (a BPE
+# index's 'win' symbol is not the whitespace token 'win'). The meta
+# records {"name", and for bpe "n_merges" + "fingerprint"}; the
+# trained merge list itself is persisted next to the postings
+# (analyzer_merges/) so appends and query tokenization NEVER depend
+# on the building session's model cache — the band_hash refusal
+# pattern: a reader/writer refuses an analyzer it cannot reproduce.
+
+LEX_MERGES_SUBDIR = "analyzer_merges"
+
+
+def _merges_fingerprint(merges: list[tuple]) -> str:
+    import hashlib
+    import json
+
+    return hashlib.md5(
+        json.dumps([[m[0], m[1]] for m in merges]).encode()
+    ).hexdigest()
+
+
+def _lex_analyzer(meta: dict) -> str:
+    name = meta.get("analyzer", {}).get("name", "whitespace")
+    if name not in ("whitespace", "bpe"):
+        raise ValueError(
+            f"lexical index was built with analyzer {name!r}, which "
+            "this engine cannot reproduce — searching or appending "
+            "with a different tokenizer would be silently wrong; "
+            "rebuild the index or upgrade the engine"
+        )
+    return name
+
+
+def _lex_load_merges(
+    spark: SparkSession, out_dir: str, meta: dict
+) -> list[tuple[str, str]]:
+    """Load + verify the persisted merge list: the meta fingerprint
+    must match the on-disk rows (a torn write or hand-edited merges
+    dir must fail loudly, not tokenize differently)."""
+    rows = sorted(
+        spark.read.parquet(f"{out_dir}/{LEX_MERGES_SUBDIR}").collect(),
+        key=lambda r: r["merge_rank"],
+    )
+    merges = [(r["left"], r["right"]) for r in rows]
+    want = meta["analyzer"]["fingerprint"]
+    got = _merges_fingerprint(merges)
+    if got != want:
+        raise ValueError(
+            f"lexical index at {out_dir}: persisted analyzer merges do "
+            f"not match the committed fingerprint ({got} != {want}) — "
+            "the analyzer artifact is torn or was modified; rebuild "
+            "the index"
+        )
+    return merges
+
+
+def _lex_analyzer_tables(
+    spark: SparkSession, out_dir: str, meta: dict, d: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclen) under the INDEX's analyzer — the build and
+    every append must tokenize identically, resolved from the
+    persisted artifact, never the session."""
+    if _lex_analyzer(meta) == "whitespace":
+        return _lex_tables(d)
+    from .functions import pipeline_queries as pq
+
+    merges = _lex_load_merges(spark, out_dir, meta)
+    toks = pq.bpe_token_stream(d.select("doc_id", "text"), merges)
+    postings = toks.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    return postings, dl
+
+
 def write_lexical_index(
     spark: SparkSession,
     sf_dir: str,
     out_dir: str,
     df: DataFrame | None = None,
+    analyzer: str = "whitespace",
+    n_merges: int | None = None,
 ) -> None:
     """Persist the BM25 inverted index over the documents corpus:
 
@@ -2082,7 +2687,45 @@ def write_lexical_index(
         _os.remove(_lexindex_meta_path(out_dir))
     except FileNotFoundError:
         pass
-    postings, dl = _lex_tables(d)
+    if analyzer not in ("whitespace", "bpe"):
+        raise ValueError(
+            f"unknown lexical analyzer {analyzer!r}; "
+            "supported: whitespace, bpe"
+        )
+    if analyzer == "bpe":
+        # BPE analyzer (round 12, VERDICT r11 task 6): train the merge
+        # list on the corpus, PERSIST it next to the postings so
+        # appends and query tokenization resolve from the artifact
+        # (never the session), and fingerprint it in the meta — the
+        # band_hash refusal pattern
+        from .functions import pipeline_queries as pq
+
+        trained = pq._bpe_merges(
+            spark, sf_dir, n_merges or pq.BPE_TRAIN_MERGES
+        )
+        merges = [(a, b) for a, b, _ in trained]
+        (
+            spark.createDataFrame(
+                [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+                "merge_rank int, left string, right string",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/{LEX_MERGES_SUBDIR}")
+        )
+        analyzer_meta = {
+            "name": "bpe",
+            "n_merges": len(merges),
+            "fingerprint": _merges_fingerprint(merges),
+        }
+        toks = pq.bpe_token_stream(d, merges)
+        postings = toks.groupBy("term", "doc_id").agg(
+            F.count("*").alias("tf")
+        )
+        dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    else:
+        analyzer_meta = {"name": "whitespace"}
+        postings, dl = _lex_tables(d)
     (
         postings.repartition(8, "term")
         .sortWithinPartitions("term")
@@ -2120,6 +2763,7 @@ def write_lexical_index(
         "sum_dl": int(stats["sum_dl"]),
         "k1": LEX_K1,
         "b": LEX_B,
+        "analyzer": analyzer_meta,
         "dfreq_version": 0,
         "last_delta_id": 0,
         "delta_ids": [0],
@@ -2184,7 +2828,11 @@ def append_lexical_delta(
             "must be contiguous so uncommitted partitions stay invisible"
         )
     spark = df.sparkSession
-    postings, dl = _lex_tables(df.select("doc_id", "text"))
+    # the delta MUST tokenize with the index's analyzer (resolved
+    # from the persisted artifact, never this session's model cache)
+    postings, dl = _lex_analyzer_tables(
+        spark, out_dir, meta, df.select("doc_id", "text")
+    )
     (
         postings.repartition(1, "term")
         .sortWithinPartitions("term")
@@ -2592,10 +3240,21 @@ def bm25_search_from_index(
     postings, doclen, dfreq, meta = read_lexical_index(spark, out_dir)
     n_docs, sum_dl = int(meta["n_docs"]), int(meta["sum_dl"])
     k1, b = float(meta["k1"]), float(meta["b"])
-    qterms = (
-        queries_df.select("qid", F.explode("terms").alias("term"))
-        .distinct()
-    )
+    qwords = queries_df.select("qid", F.explode("terms").alias("term"))
+    if _lex_analyzer(meta) == "bpe":
+        # tokenize the query WORDS with the index's persisted merges —
+        # a BPE index's postings are symbols, so the raw words would
+        # silently match nothing (or the wrong thing)
+        from .functions import pipeline_queries as pq
+
+        merges = _lex_load_merges(spark, out_dir, meta)
+        wsyms = pq.bpe_word_symbols(
+            qwords.select(F.lower("term").alias("w")).distinct(), merges
+        )
+        qwords = qwords.join(
+            wsyms, F.lower(F.col("term")) == F.col("w")
+        ).select("qid", F.explode("syms").alias("term"))
+    qterms = qwords.distinct()
     scored = (
         postings.join(broadcast(qterms), "term")
         .join(broadcast(dfreq), "term")

@@ -43,6 +43,7 @@ def start_streaming_vector_search(
     available_now: bool = True,
     refine_with: DataFrame | None = None,
     shortlist: int | None = None,
+    mmr: bool = False,
 ):
     """Stream (qid, embedding) query rows; per micro-batch, write each
     query's top-``k`` (qid, vec_id, adc_dist, rank) answers to
@@ -52,15 +53,37 @@ def start_streaming_vector_search(
     ``refine_with`` (a (vec_id, embedding) exact-vector table) switches
     each batch to the REFINED path — ADC shortlist then exact cosine
     re-rank (``sinks.knn_batch_search_refined_from_index``); answers
-    then carry ``cos_sim`` and are ranked by exact similarity."""
+    then carry ``cos_sim`` and are ranked by exact similarity.
+    ``mmr=True`` (requires ``refine_with``) diversifies each query's
+    refined shortlist with the stacked per-qid MMR greedy
+    (``sinks.mmr_rerank_from_index``); answers become (qid, rank,
+    vec_id, rel, mmr)."""
     from ..sinks import (
         knn_batch_search_from_index,
         knn_batch_search_refined_from_index,
+        mmr_rerank_from_index,
     )
+
+    if mmr and refine_with is None:
+        raise ValueError(
+            "mmr=True requires refine_with (the exact-vector table): "
+            "MMR's relevance and pairwise sims are exact cosines over "
+            "the shortlist members"
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         queries = batch_df.select("qid", "embedding")
-        if refine_with is not None:
+        if mmr:
+            answers = mmr_rerank_from_index(
+                spark,
+                queries,
+                index_dir,
+                refine_with,
+                k=k,
+                n_probe=n_probe,
+                adc_shortlist=shortlist,
+            )
+        elif refine_with is not None:
             answers = knn_batch_search_refined_from_index(
                 spark,
                 queries,

@@ -870,3 +870,23 @@ def test_round11_widening_plan_shapes(spark, sf_dir):
 
     p = formatted_plan(doc_bigram_logprob(spark, sf_dir))
     assert "CartesianProduct" not in p
+
+
+def test_mmr_batch_plan_shapes(spark, sf_dir):
+    """mmr_rerank_batch's scale contract: the per-qid shortlists and
+    sims are pinned bounded artifacts (the greedy rounds replan over
+    ExistingRDD, never re-scan the corpus), the query side of the
+    scored scan is broadcast, and no CartesianProduct appears (the
+    |Q|-row query broadcast plans as BroadcastNestedLoopJoin over
+    bounded rows)."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        mmr_rerank_batch,
+    )
+
+    df = mmr_rerank_batch(spark, sf_dir)
+    p = formatted_plan(df)
+    assert "CartesianProduct" not in p
+    # greedy rounds run over the two materialized artifacts — the
+    # embeddings table is never scanned by the returned plan
+    assert "Scan parquet" not in p, p[:2000]
+    assert "ExistingRDD" in p

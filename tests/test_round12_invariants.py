@@ -1,0 +1,230 @@
+"""Round-12 invariants: batch/served MMR, the bench era stamp, and
+the dq-monitor checkpoint co-location."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_kafka_replicator_spark import sinks
+from flink_kafka_replicator_spark.functions import pipeline_queries as pq
+from flink_kafka_replicator_spark.io import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_mmr_batch_single_query_reproduces_fixed_query(spark):
+    """mmr_rerank_batch restricted to one query whose embedding IS the
+    fixed QUERY_VEC must pick the exact rows mmr_rerank picks — the
+    batch machinery is a strict generalization, not a second
+    implementation."""
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in pq.QUERY_VEC])],
+        "qid bigint, embedding array<float>",
+    ).select("qid", pq.as_double(F.col("embedding")).alias("qv"))
+    from pyspark.sql import Window
+
+    from flink_kafka_replicator_spark.functions.similarity import (
+        as_double,
+        cosine,
+    )
+
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        F.round(cosine(as_double(F.col("embedding")), F.col("qv")), 4).alias(
+            "rel"
+        ),
+    )
+    ws = Window.partitionBy("qid").orderBy(
+        F.col("rel").desc(), F.col("vec_id").asc()
+    )
+    short = (
+        scored.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= pq.MMR_SHORTLIST)
+        .select("qid", "vec_id", "rel")
+    )
+    sv = short.select("qid", "vec_id").join(
+        e.select("vec_id", as_double(F.col("embedding")).alias("v")),
+        "vec_id",
+    )
+    a = sv.select("qid", F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = sv.select("qid", F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    sims = (
+        a.join(b, "qid")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "qid",
+            "a",
+            "b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("s"),
+        )
+    )
+    from flink_kafka_replicator_spark.io import materialize_small
+
+    got = sorted(
+        (r.rank, r.vec_id, r.rel, r.mmr)
+        for r in pq._mmr_greedy_batch(
+            materialize_small(short), materialize_small(sims)
+        ).collect()
+    )
+    want = sorted(
+        (r.rank, r.vec_id, r.rel, r.mmr)
+        for r in pq.mmr_rerank(spark, SF_DIR).collect()
+    )
+    assert got == want
+
+
+def test_mmr_batch_rank1_is_top_rel_and_picks_distinct(spark):
+    """Structural invariants per qid: rank 1 is the relevance argmax,
+    picks are distinct, ranks are 1..MMR_K, and every pick comes from
+    that qid's shortlist."""
+    rows = pq.mmr_rerank_batch(spark, SF_DIR).collect()
+    by_qid: dict[int, list] = {}
+    for r in rows:
+        by_qid.setdefault(r.qid, []).append(r)
+    assert len(by_qid) == pq.QBATCH_MAX // 2
+    for qid, picks in by_qid.items():
+        assert sorted(p.rank for p in picks) == list(
+            range(1, pq.MMR_K + 1)
+        )
+        assert len({p.vec_id for p in picks}) == pq.MMR_K
+        first = next(p for p in picks if p.rank == 1)
+        # the batch query set queries ARE corpus members: rank 1 is the
+        # self-match (rel 1.0) under (rel DESC, vec_id ASC)
+        assert first.rel == max(p.rel for p in picks)
+
+
+def test_mmr_served_from_index_matches_session_fixed_query(spark, tmp_path):
+    """The served MMR (persisted index + exact table) with probe-all
+    and a corpus-wide ADC shortlist must reproduce the in-session
+    mmr_rerank picks for the fixed query — build/serve parity for the
+    diversified read path."""
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    ix = str(tmp_path / "vix")
+    sinks.write_vector_index(spark, SF_DIR, ix)
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in pq.QUERY_VEC])],
+        "qid bigint, embedding array<float>",
+    )
+    served = sinks.mmr_rerank_from_index(
+        spark,
+        q,
+        ix,
+        e,
+        n_probe=pq.IVF_N_CENTROIDS,
+        adc_shortlist=e.count(),
+    )
+    got = sorted(
+        (r.rank, r.vec_id, r.rel, r.mmr) for r in served.collect()
+    )
+    want = sorted(
+        (r.rank, r.vec_id, r.rel, r.mmr)
+        for r in pq.mmr_rerank(spark, SF_DIR).collect()
+    )
+    assert got == want
+
+
+def test_streaming_vector_search_mmr_flag(spark, tmp_path):
+    """--mmr on the serving stream: answers are diversified per qid
+    and match the batch served MMR; mmr without refine_with refuses."""
+    from flink_kafka_replicator_spark.streaming.vector_search import (
+        start_streaming_vector_search,
+    )
+    from tests.streamutil import drain
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    ix = str(tmp_path / "vix")
+    sinks.write_vector_index(spark, SF_DIR, ix)
+    queries = spark.createDataFrame(
+        [
+            (int(r.vec_id), [float(x) for x in r.embedding])
+            for r in e.filter(
+                (F.col("vec_id") % 2 == 1)
+                & (F.col("vec_id") < pq.QBATCH_MAX)
+            ).collect()
+        ],
+        "qid bigint, embedding array<float>",
+    )
+    src = str(tmp_path / "queries")
+    queries.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "answers")
+
+    with pytest.raises(ValueError, match="requires refine_with"):
+        start_streaming_vector_search(
+            spark,
+            spark.readStream.schema(queries.schema).parquet(src),
+            ix,
+            out,
+            str(tmp_path / "ck0"),
+            mmr=True,
+        )
+
+    q = start_streaming_vector_search(
+        spark,
+        spark.readStream.schema(queries.schema).parquet(src),
+        ix,
+        out,
+        str(tmp_path / "ck"),
+        k=pq.MMR_K,
+        refine_with=e,
+        mmr=True,
+    )
+    drain(q)
+    got = sorted(
+        (r.qid, r.rank, r.vec_id, r.rel, r.mmr)
+        for r in spark.read.parquet(out).drop("batch_id").collect()
+    )
+    want = sorted(
+        (r.qid, r.rank, r.vec_id, r.rel, r.mmr)
+        for r in sinks.mmr_rerank_from_index(spark, queries, ix, e).collect()
+    )
+    assert got == want
+
+
+def test_bench_solo_era_stamp():
+    """BASELINE_BENCH.json carries the baseline-era calibration and
+    bench.py's report writer exposes the era fields (structural pin:
+    the admissibility logic keys off these)."""
+    import json
+
+    with open(
+        os.path.join(os.path.dirname(__file__), "..", "BASELINE_BENCH.json"),
+        encoding="utf-8",
+    ) as fh:
+        doc = json.load(fh)
+    era = doc["calibration_era"]
+    assert era["sec"] > 0 and era["tolerance"] > 1.0
+
+    import bench
+
+    src = open(bench.__file__, encoding="utf-8").read()
+    assert "solo_admissible" in src and "era" in src
+
+
+def test_dq_monitor_default_checkpoint_colocated(spark, tmp_path, capsys):
+    """ADVICE r11: with no --checkpoint-location the dq-monitor
+    checkpoint must live INSIDE --output, so deleting the output dir
+    also resets the checkpoint (no silently-omitted batches)."""
+    from flink_kafka_replicator_spark.cli import dq_monitor_main
+
+    o = load_table(spark, SF_DIR, "orders")
+    src = str(tmp_path / "orders_stream")
+    o.limit(50).coalesce(1).write.parquet(src)
+    li_dir = str(tmp_path / "lineitem")
+    load_table(spark, SF_DIR, "lineitem").limit(100).write.parquet(li_dir)
+    out = str(tmp_path / "dq")
+    rc = dq_monitor_main(
+        ["--source", src, "--lineitem-dir", li_dir, "--output", out],
+        spark=spark,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    assert os.path.isdir(os.path.join(out, "_checkpoint"))

@@ -1080,3 +1080,119 @@ def test_index_deletion_at_10x(spark, big_dir, tmp_path_factory):
     t = time.perf_counter() - t0
     print(f"\nlexical delete lifecycle 10x: {t:.1f}s")
     assert t < 600, f"deletion lifecycle at 10x took {t:.1f}s"
+
+
+# ------------------------------------------- 100× relational (TPC-H)
+# VERDICT r11 task 7: the relational core at 100× — lineitem/orders
+# replicated with CONSISTENT orderkey offsets (same stride both sides,
+# so referential structure and per-key distributions are preserved:
+# 100× the orders, same lineitems-per-order), dims verbatim (each
+# customer/supplier simply owns 100× the business, the realistic way a
+# fact table outgrows its dimensions).
+
+
+@pytest.fixture(scope="module")
+def big100_rel_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sf10rel"))
+    o = spark.read.parquet(f"{SRC}/orders.parquet")
+    stride = (
+        o.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"] + 1
+    ) * 10
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        copies = [
+            df.withColumn(key, F.col(key) + F.lit(i * stride))
+            for i in range(COPIES100)
+        ]
+        union = copies[0]
+        for c in copies[1:]:
+            union = union.unionByName(c)
+        union.repartition(32).write.parquet(f"{out}/{name}.parquet")
+    for name in ("customer", "supplier", "part", "nation", "region"):
+        spark.read.parquet(f"{SRC}/{name}.parquet").write.parquet(
+            f"{out}/{name}.parquet"
+        )
+    return out
+
+
+def test_tpch_heavy_at_100x_linear_plan_safe(spark, big100_rel_dir):
+    """The 3 heaviest TPC-H shapes (q9 multi-join profit, q21
+    triple-self-join waiting-supplier, q18 large-orders having) at
+    100× facts: runtime ∝ rows, and the plans keep their scale-safe
+    shapes — no BroadcastNestedLoopJoin / CartesianProduct anywhere,
+    and the AQE re-planner (skew-split) stays in the plan."""
+    from flink_kafka_replicator_spark.operators.sql_surface import (
+        sql_q18_large_orders,
+    )
+    from flink_kafka_replicator_spark.operators.tpch import (
+        sql_q21_waiting_supplier,
+        sql_q9_product_profit,
+    )
+    from flink_kafka_replicator_spark.plans import formatted_plan
+
+    assert (
+        spark.conf.get("spark.sql.adaptive.enabled", "true") == "true"
+    ), "AQE must stay on: the skew-split is part of the 100TB contract"
+
+    for q in (sql_q9_product_profit, sql_q21_waiting_supplier,
+              sql_q18_large_orders):
+        t_small = _timed(q(spark, SRC))
+        n_small = q(spark, SRC).count()
+        df_big = q(spark, big100_rel_dir)
+        plan = formatted_plan(df_big)
+        assert "CartesianProduct" not in plan, (q.__name__, plan[:1500])
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            q.__name__,
+            plan[:1500],
+        )
+        assert "AdaptiveSparkPlan" in plan, (q.__name__, plan[:400])
+        t0 = time.perf_counter()
+        n_big = df_big.count()
+        t_big = time.perf_counter() - t0
+        print(
+            f"\n{q.__name__} 1x: {t_small:.1f}s/{n_small} rows; "
+            f"100x: {t_big:.1f}s/{n_big} rows"
+        )
+        assert t_big < max(t_small, 0.5) * COPIES100 * 3, (
+            f"{q.__name__} superlinear: {t_big:.1f}s vs {t_small:.1f}s"
+        )
+        assert n_big > 0
+        if q is sql_q18_large_orders:
+            # q18's output is per qualifying ORDER — it must scale with
+            # the fact table (the aggregation key space grows 100×)
+            assert n_big >= 50 * max(n_small, 1), (n_small, n_big)
+
+
+def test_vector_retrain_at_10x(spark, big_dir, tmp_path_factory):
+    """RETRAIN at 10× vectors: recluster_vector_index stays ~linear
+    (its work is the bounded-Lloyd fits + one survivor re-encode —
+    the same scan shape as a GROW over the whole index) and the
+    recall trigger machinery runs against the grown index."""
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.sinks import (
+        recall_drift_report,
+        recluster_vector_index,
+        write_vector_index,
+    )
+
+    def run(sf_dir, tag):
+        ix = str(tmp_path_factory.mktemp(f"vix{tag}") / "ix")
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        write_vector_index(spark, sf_dir, ix)
+        t0 = time.perf_counter()
+        stats = recluster_vector_index(spark, ix, e, kmeans_iters=2)
+        t = time.perf_counter() - t0
+        rep = recall_drift_report(spark, ix, e).count()
+        return t, stats["n_vectors"], rep
+
+    t_small, n_small, _ = run(SRC, "1x")
+    t_big, n_big, n_rep = run(big_dir, "10x")
+    print(f"\nretrain 1x: {t_small:.1f}s/{n_small}; "
+          f"10x: {t_big:.1f}s/{n_big}")
+    assert n_big == n_small * COPIES
+    assert n_rep > 0
+    assert t_big < max(t_small, 1.0) * COPIES * 3, (
+        f"superlinear retrain: {t_big:.1f}s vs {t_small:.1f}s"
+    )
