@@ -127,3 +127,114 @@ def test_streaming_dq_monitor_partial_coverage_reconciles(spark, tmp_path):
         ).collect()
     }
     assert merged == want
+
+
+def _run_dual(spark, tmp_path, o_src, li_src):
+    from flink_kafka_replicator_spark.streaming.dq_monitor import (
+        start_streaming_dq_monitor_dual,
+    )
+
+    o_schema = load_table(spark, SF_DIR, "orders").schema
+    li_schema = load_table(spark, SF_DIR, "lineitem").schema
+    o_stream = spark.readStream.schema(o_schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(o_src)
+    li_stream = spark.readStream.schema(li_schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(li_src)
+    qo, ql = start_streaming_dq_monitor_dual(
+        spark,
+        o_stream,
+        li_stream,
+        out_dir=str(tmp_path / "dq"),
+        checkpoint_location=str(tmp_path / "ck"),
+        available_now=True,
+    )
+    drain(qo)
+    drain(ql)
+
+
+def test_dual_stream_monitor_interleaved_lineitems_match_batch(
+    spark, tmp_path
+):
+    """The round-12 pin (VERDICT r11 task 5): lineitems arriving in
+    batches AFTER their order row must still reconcile against their
+    FINAL totals — the merged dual-stream report equals the batch
+    report over the complete tables, which the start-frozen
+    single-stream snapshot cannot do when the lineitem side grows."""
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    o_src = str(tmp_path / "orders_in")
+    li_src = str(tmp_path / "lineitem_in")
+    # orders land in 2 batches; every order's lineitems are split
+    # ACROSS 3 batches by line number, so most orders are incomplete
+    # when scored and only total up at the end of the stream
+    for m in range(2):
+        o.filter(F.col("o_orderkey") % 2 == m).coalesce(1).write.parquet(
+            o_src, mode="append"
+        )
+    for m in range(3):
+        li.filter(F.col("l_linenumber") % 3 == m).coalesce(
+            1
+        ).write.parquet(li_src, mode="append")
+
+    _run_dual(spark, tmp_path, o_src, li_src)
+    out = str(tmp_path / "dq")
+
+    assert _rows(merged_dq_report(spark, out, "dq_rules_engine")) == _rows(
+        dq_rules_engine(spark, SF_DIR)
+    )
+    assert _rows(
+        merged_dq_report(spark, out, "dq_reconciliation")
+    ) == _rows(dq_reconciliation(spark, SF_DIR))
+
+    # replay: draining the same sources against the same checkpoints
+    # changes nothing (dynamic overwrite of each batch's own partition)
+    before = _rows(merged_dq_report(spark, out, "dq_reconciliation"))
+    _run_dual(spark, tmp_path, o_src, li_src)
+    assert _rows(
+        merged_dq_report(spark, out, "dq_reconciliation")
+    ) == before
+
+
+def test_dual_stream_monitor_late_lineitems_rebucket(spark, tmp_path):
+    """Sharp edge the snapshot design gets wrong: an order scored
+    while its lineitems are missing would be stuck in no_lineitems
+    forever; the dual monitor's merge re-buckets it once the late
+    rows land."""
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    keys = [r.o_orderkey for r in o.select("o_orderkey").limit(3).collect()]
+    o_sub = o.filter(F.col("o_orderkey").isin(keys))
+    li_sub = li.filter(F.col("l_orderkey").isin(keys))
+
+    o_src = str(tmp_path / "orders_in")
+    li_src = str(tmp_path / "lineitem_in")
+    o_sub.coalesce(1).write.parquet(o_src, mode="append")
+    # batch 0 of lineitems: EMPTY coverage for these orders (a
+    # different key range), their real rows only land in batch 1
+    li.filter(~F.col("l_orderkey").isin(keys)).limit(10).coalesce(
+        1
+    ).write.parquet(li_src, mode="append")
+    li_sub.coalesce(1).write.parquet(li_src, mode="append")
+
+    _run_dual(spark, tmp_path, o_src, li_src)
+    merged = {
+        r.bucket: r.n_orders
+        for r in merged_dq_report(
+            spark, str(tmp_path / "dq"), "dq_reconciliation"
+        ).collect()
+    }
+    assert merged.get("no_lineitems", 0) == 0, merged
+    from flink_kafka_replicator_spark.operators.data_quality import (
+        reconciliation_recomputed,
+        reconciliation_report_from,
+    )
+
+    want = {
+        r.bucket: r.n_orders
+        for r in reconciliation_report_from(
+            o_sub, reconciliation_recomputed(li_sub)
+        ).collect()
+    }
+    assert merged == want
