@@ -550,23 +550,30 @@ def agg_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds over the per-customer revenue HISTOGRAM (the
     events_rfm_segmentation discipline — no global ntile sort;
     thresholds are a broadcast 1-row artifact, assignment is map-side,
-    ties share a decile by construction). Revenue is exact cents; the
-    cumulative window runs over the ≤10-row decile table."""
+    ties share a decile by construction). The histogram keys on
+    DOLLAR-grain revenue, not exact cents (ADVICE r11): exact-cent
+    values rarely collide, so a cent-keyed histogram has ~one row per
+    customer and its cumulative window degenerates to a single-task
+    global sort at scale — the dollar quantization bounds the key
+    space by the VALUE DOMAIN instead (decile boundaries are
+    insensitive to sub-dollar precision). Revenue SUMS stay exact
+    cents; the cumulative share window runs over the ≤10-row decile
+    table."""
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("bigint")
         .alias("rev100")
-    )
-    hist = cust.groupBy("rev100").agg(F.count("*").alias("c"))
+    ).withColumn("revq", F.expr("rev100 div 100"))
+    hist = cust.groupBy("revq").agg(F.count("*").alias("c"))
     from pyspark.sql import Window
 
-    wt = Window.orderBy("rev100").rowsBetween(
+    wt = Window.orderBy("revq").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     wall = Window.partitionBy(F.lit(1))
     cum = hist.select(
-        F.col("rev100").alias("v"),
+        F.col("revq").alias("v"),
         F.sum("c").over(wt).alias("cum"),
         F.sum("c").over(wall).alias("n"),
     )
@@ -581,7 +588,7 @@ def agg_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile = (
         F.lit(1)
         + sum(
-            (F.col("rev100") > F.col(f"t{q}")).cast("int")
+            (F.col("revq") > F.col(f"t{q}")).cast("int")
             for q in range(1, 10)
         )
     ).cast("int")
@@ -716,8 +723,8 @@ ORACLES = {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS cum,
                    SUM(c) OVER () AS n
-            FROM (SELECT rev100 AS v, COUNT(*) AS c FROM cust
-                  GROUP BY rev100)
+            FROM (SELECT rev100 // 100 AS v, COUNT(*) AS c FROM cust
+                  GROUP BY rev100 // 100)
         ),
         thr AS (
             SELECT """ + ", ".join(
@@ -729,7 +736,7 @@ ORACLES = {
         ),
         scored AS (
             SELECT CAST(1 + """ + " + ".join(
-                f"(CASE WHEN rev100 > t{q} THEN 1 ELSE 0 END)"
+                f"(CASE WHEN rev100 // 100 > t{q} THEN 1 ELSE 0 END)"
                 for q in range(1, 10)
             ) + """ AS INTEGER) AS decile, rev100
             FROM cust CROSS JOIN thr

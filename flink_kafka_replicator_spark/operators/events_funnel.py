@@ -345,16 +345,26 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact, and score assignment is a map-side comparison. Ties
     share a score by construction (same value ⇒ same side of every
     threshold), so the output is engine-exact with no tiebreak
-    convention at all. All keys are exact integers (epoch-micros,
-    counts, cents)."""
+    convention at all.
+
+    The recency and monetary histograms key on QUANTIZED grains —
+    epoch-HOUR recency and whole-DOLLAR totals (ADVICE r11): raw
+    epoch-micros / exact cents are ~unique per user, so their
+    histograms degenerate to one row per user and the cumulative
+    window becomes a single-task global sort at scale; hour/dollar
+    grains bound the key space by the VALUE DOMAIN (hours in the
+    retention window, dollars in the price range), and quintile
+    boundaries are insensitive to sub-hour/sub-dollar precision.
+    Frequency (an event count) collides naturally and stays raw.
+    Monetary SUMS stay exact cents."""
     ev = load_table(spark, sf_dir, "events")
     users = ev.groupBy("user_id").agg(
-        F.expr("max(unix_micros(ts))").alias("rec"),
+        F.expr("max(unix_micros(ts)) div 3600000000").alias("rec"),
         F.count("*").cast("bigint").alias("freq"),
         F.sum(F.round(F.col("value") * 100).cast("long"))
         .cast("bigint")
         .alias("mon100"),
-    )
+    ).withColumn("mond", F.expr("mon100 div 100"))
 
     def thresholds(dim: str) -> DataFrame:
         hist = users.groupBy(dim).agg(F.count("*").alias("c"))
@@ -391,11 +401,11 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         users.crossJoin(F.broadcast(thresholds("rec")))
         .crossJoin(F.broadcast(thresholds("freq")))
-        .crossJoin(F.broadcast(thresholds("mon100")))
+        .crossJoin(F.broadcast(thresholds("mond")))
         .select(
             score("rec").alias("r_score"),
             score("freq").alias("f_score"),
-            score("mon100").alias("m_score"),
+            score("mond").alias("m_score"),
             "mon100",
         )
     )
@@ -433,22 +443,24 @@ def _rfm_oracle() -> str:
     return f"""
         WITH users AS (
             SELECT user_id,
-                   MAX(epoch_us(ts)) AS rec,
+                   MAX(epoch_us(ts)) // 3600000000 AS rec,
                    CAST(COUNT(*) AS BIGINT) AS freq,
                    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
-                        AS BIGINT) AS mon100
+                        AS BIGINT) AS mon100,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                        AS BIGINT) // 100 AS mond
             FROM events GROUP BY user_id
         ),
         {thr("rec")},
         {thr("freq")},
-        {thr("mon100")},
+        {thr("mond")},
         scored AS (
             SELECT CAST({sc("rec")} AS INTEGER) AS r_score,
                    CAST({sc("freq")} AS INTEGER) AS f_score,
-                   CAST({sc("mon100")} AS INTEGER) AS m_score,
+                   CAST({sc("mond")} AS INTEGER) AS m_score,
                    mon100
             FROM users
-            CROSS JOIN rec_thr CROSS JOIN freq_thr CROSS JOIN mon100_thr
+            CROSS JOIN rec_thr CROSS JOIN freq_thr CROSS JOIN mond_thr
         )
         SELECT r_score, f_score, m_score,
                CAST(COUNT(*) AS BIGINT) AS n_users,
