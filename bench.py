@@ -141,6 +141,12 @@ HEADLINE = list(R2_BASKET) + [
     "mmr_rerank",
     "mmr_rerank_batch",
     "bm25_bpe_topk",
+    "window_bollinger_bands",
+    "agg_decay_weighted_revenue",
+    "events_hourly_heatmap",
+    "dedup_rate_by_source",
+    "vocab_growth_curve",
+    "corpus_mix_divergence",
     "agg_percentile_exact",
     "knn_batch_lsh",
     "eval_confusion_matrix",

@@ -946,7 +946,145 @@ _READABILITY_ORACLE = """
 """
 
 
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate pressure per corpus source: document count,
+    distinct content hashes, duplicate count and rate — the per-slice
+    view of ``dedup_exact_docs`` an operator reads to decide WHICH
+    feed is polluting the mix (a global dup rate hides a single bad
+    crawler). One scan, one (source) aggregate over md5 hashes —
+    map-side combinable, no joins."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("source", F.md5(F.col("text")).alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("h").cast("bigint").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            (F.col("n_docs") - F.col("n_unique")).alias("n_duplicates"),
+            F.round(
+                (F.col("n_docs") - F.col("n_unique")).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps'-law curve): the corpus split into 10
+    deterministic buckets (doc_id % 10, a stable proxy for ingest
+    order), reporting per bucket the new-word count, cumulative
+    vocabulary size, and cumulative token count — the curve a corpus
+    review reads to judge whether more data still buys new vocabulary
+    or only repeats it.
+
+    Shape: ONE token explode; each word's FIRST bucket is a min
+    aggregate (never 10 repeated vocab scans); the cumulative columns
+    are windows over the ≤10-row bucket table."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        (F.col("doc_id") % 10).cast("int").alias("bucket"),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    first_b = words.groupBy("w").agg(F.min("bucket").alias("bucket"))
+    new_words = first_b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_new_words")
+    )
+    toks = words.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_tokens")
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # drive from the token buckets: a bucket that adds NO new words is
+    # the interesting data point (saturation), not a dropped row
+    return (
+        toks.join(new_words, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_new_words", F.lit(0))
+            .cast("bigint")
+            .alias("n_new_words"),
+            "n_tokens",
+        )
+        .select(
+            "bucket",
+            "n_new_words",
+            "n_tokens",
+            F.sum("n_new_words").over(wcum).cast("bigint").alias(
+                "vocab_size"
+            ),
+            F.sum("n_tokens").over(wcum).cast("bigint").alias(
+                "cum_tokens"
+            ),
+        )
+    )
+
+
+def corpus_mix_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How far the language mix sits from uniform: share entropy, KL
+    divergence to the uniform target, and the dominant share — the
+    one-row scorecard a mixing policy (equalize/temperature/upsample)
+    is judged against before and after.
+
+    Exactness: shares are single divisions over exact counts; each
+    p·ln(p) term floor-quantizes its ln at 1e-6 (the tfidf idiom) and
+    the ≤|langs| terms fold in sorted-lang order (the served-BM25
+    idiom), so the float sum is order-fixed cross-engine.
+    KL(p‖uniform) = ln(k) + Σ p·ln(p) — one extra quantized ln."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    wall = Window.partitionBy(F.lit(1))
+    shares = (
+        d.groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "lang",
+            "n",
+            (F.col("n") / F.sum("n").over(wall)).alias("p"),
+        )
+    )
+    terms = shares.select(
+        "lang",
+        "p",
+        F.expr(
+            "p * (floor(ln(p) * 1000000.0D) / 1000000.0D)"
+        ).alias("t"),
+    )
+    return terms.agg(
+        F.count("*").cast("bigint").alias("n_langs"),
+        F.round(F.max("p"), 6).alias("max_share"),
+        F.round(
+            -F.expr(
+                "aggregate(array_sort(collect_list(struct(lang, t)))"
+                ", 0.0D, (acc, x) -> acc + x.t)"
+            ),
+            6,
+        ).alias("entropy"),
+        F.round(
+            F.expr(
+                "floor(ln(cast(count(*) as double)) * 1000000.0D)"
+                " / 1000000.0D"
+                " + aggregate(array_sort(collect_list(struct(lang, t)))"
+                ", 0.0D, (acc, x) -> acc + x.t)"
+            ),
+            6,
+        ).alias("kl_to_uniform"),
+    )
+
+
 QUERIES = {
+    "dedup_rate_by_source": dedup_rate_by_source,
+    "vocab_growth_curve": vocab_growth_curve,
+    "corpus_mix_divergence": corpus_mix_divergence,
     "text_readability_score": text_readability_score,
     "corpus_weighted_median_len": corpus_weighted_median_len,
     "corpus_mix_upsample": corpus_mix_upsample,
@@ -980,6 +1118,69 @@ _UPSAMPLE_CASE = " ".join(
 )
 
 ORACLES = {
+    "dedup_rate_by_source": """
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+               CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+                   AS n_duplicates,
+               ROUND(CAST(COUNT(*) - COUNT(DISTINCT md5(text))
+                     AS DOUBLE) / COUNT(*), 6) AS dup_rate
+        FROM documents
+        GROUP BY source
+    """,
+    "vocab_growth_curve": """
+        WITH words AS (
+            SELECT CAST(doc_id % 10 AS INTEGER) AS bucket,
+                   UNNEST(string_split(LOWER(text), ' ')) AS w
+            FROM documents
+        ),
+        clean AS (SELECT bucket, w FROM words WHERE w <> ''),
+        firstb AS (
+            SELECT w, MIN(bucket) AS bucket FROM clean GROUP BY w
+        ),
+        newb AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new_words
+            FROM firstb GROUP BY bucket
+        ),
+        toks AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM clean GROUP BY bucket
+        )
+        SELECT t.bucket,
+               CAST(COALESCE(n.n_new_words, 0) AS BIGINT) AS n_new_words,
+               t.n_tokens,
+               CAST(SUM(COALESCE(n.n_new_words, 0)) OVER (
+                    ORDER BY t.bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS vocab_size,
+               CAST(SUM(t.n_tokens) OVER (ORDER BY t.bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
+        FROM toks t LEFT JOIN newb n USING (bucket)
+    """,
+    "corpus_mix_divergence": """
+        WITH shares AS (
+            SELECT lang,
+                   COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS p
+            FROM documents GROUP BY lang
+        ),
+        terms AS (
+            SELECT lang, p,
+                   p * (floor(ln(p) * 1000000.0) / 1000000.0) AS t
+            FROM shares
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_langs,
+               ROUND(MAX(p), 6) AS max_share,
+               ROUND(-list_reduce(list(t ORDER BY lang),
+                                  (acc, x) -> acc + x), 6) AS entropy,
+               ROUND(floor(ln(CAST(COUNT(*) AS DOUBLE)) * 1000000.0)
+                     / 1000000.0
+                     + list_reduce(list(t ORDER BY lang),
+                                   (acc, x) -> acc + x), 6)
+                   AS kl_to_uniform
+        FROM terms
+    """,
     "text_readability_score": _READABILITY_ORACLE,
     "corpus_weighted_median_len": """
         WITH lens AS (

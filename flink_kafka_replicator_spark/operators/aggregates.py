@@ -661,7 +661,71 @@ def agg_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECAY_HALF_LIFE_DAYS = 90
+
+
+def agg_decay_weighted_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recency-decayed revenue per order priority: each order's
+    revenue weighted by 0.5^(age/half-life) at 90-day grain — the
+    time-decay weighting recommendation/LTV pipelines apply so last
+    quarter's dollar counts more than last decade's.
+
+    Exactness discipline: the decay uses the INTEGER bucket
+    age div 90, so the weight is a pure power of two — exactly
+    representable and bit-identical in every engine (a fractional
+    exponent would hang parity on pow()'s last ulp). The weight is
+    scaled to 1e6 integer units and multiplied into exact cents, so
+    every SUM is BIGINT; the single double division happens at output.
+    One scan, one small groupBy — map-side combinable."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    wall = Window.partitionBy(F.lit(1))
+    staged = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("rev100"),
+        F.col("o_orderdate").alias("d"),
+    ).withColumn("anchor", F.max("d").over(wall))
+    staged = staged.withColumn(
+        "hl",
+        F.expr(
+            f"datediff(anchor, d) div {DECAY_HALF_LIFE_DAYS}"
+        ),
+    ).withColumn(
+        # 1e6 div 2^hl: exact integer halving per half-life bucket
+        "w6",
+        F.expr("1000000L div cast(pow(2.0D, cast(hl as double)) as bigint)"),
+    )
+    return (
+        staged.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("rev100").cast("bigint").alias("rev100"),
+            F.sum(F.expr("w6 * rev100")).cast("bigint").alias("dec8"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round(F.col("rev100").cast("double") / 100.0, 2).alias(
+                "revenue"
+            ),
+            # 1e-6 weight units × cents = 1e-8 dollars
+            F.round(F.col("dec8").cast("double") / 1e8, 4).alias(
+                "decayed_revenue"
+            ),
+            F.round(
+                F.col("dec8").cast("double")
+                / (F.col("rev100") * F.lit(1000000.0)),
+                6,
+            ).alias("retention_factor"),
+        )
+    )
+
+
 QUERIES = {
+    "agg_decay_weighted_revenue": agg_decay_weighted_revenue,
     "agg_stats": agg_stats,
     "agg_weekday_seasonality": agg_weekday_seasonality,
     "agg_pareto_share": agg_pareto_share,
@@ -691,6 +755,31 @@ def _duck_cms_pos(key_sql: str) -> str:
 
 
 ORACLES = {
+    "agg_decay_weighted_revenue": f"""
+        WITH staged AS (
+            SELECT o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS rev100,
+                   1000000 // CAST(pow(2.0,
+                       CAST(date_diff('day', o_orderdate,
+                            MAX(o_orderdate) OVER ())
+                            // {DECAY_HALF_LIFE_DAYS} AS DOUBLE))
+                       AS BIGINT) AS w6
+            FROM orders
+        ),
+        agg AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(rev100) AS BIGINT) AS rev100,
+                   CAST(SUM(w6 * rev100) AS BIGINT) AS dec8
+            FROM staged GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, n_orders,
+               ROUND(CAST(rev100 AS DOUBLE) / 100.0, 2) AS revenue,
+               ROUND(CAST(dec8 AS DOUBLE) / 1e8, 4) AS decayed_revenue,
+               ROUND(CAST(dec8 AS DOUBLE) / (rev100 * 1000000.0), 6)
+                   AS retention_factor
+        FROM agg
+    """,
     "agg_weekday_seasonality": """
         WITH d AS (
             SELECT CAST(isodow(o_orderdate) AS INTEGER) AS iso_weekday,

@@ -628,7 +628,45 @@ def _dau_mau_oracle() -> str:
     """
 
 
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap by (ISO weekday, hour of day): event and
+    distinct-user counts plus each cell's share of all events — the
+    ≤168-row grid behind every 'when are our users active' dashboard
+    and the capacity-planning load profile.
+
+    Shape: one scan, one (dow, hour) groupBy (≤168 keys, map-side
+    combinable), shares from a full-window sum over the tiny grid —
+    never a second scan for the denominator. Exact integers until the
+    final share division."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.select(
+        F.expr("extract(dayofweek_iso from ts)").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+        "user_id",
+    )
+    wall = Window.partitionBy(F.lit(1))
+    return (
+        cells.groupBy("dow", "hour")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            "n_users",
+            F.round(
+                F.col("n_events").cast("double")
+                / F.sum("n_events").over(wall),
+                6,
+            ).alias("share"),
+        )
+    )
+
+
 QUERIES = {
+    "events_hourly_heatmap": events_hourly_heatmap,
     "funnel_stages": funnel_stages,
     "events_engagement_dau_mau": events_engagement_dau_mau,
     "events_inter_arrival_dist": events_inter_arrival_dist,
@@ -642,6 +680,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_hourly_heatmap": """
+        SELECT CAST(isodow(ts) AS INTEGER) AS dow,
+               CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               ROUND(CAST(COUNT(*) AS DOUBLE)
+                     / SUM(COUNT(*)) OVER (), 6) AS share
+        FROM events
+        GROUP BY 1, 2
+    """,
     "events_rfm_segmentation": _rfm_oracle(),
     "events_engagement_dau_mau": _dau_mau_oracle(),
     "events_inter_arrival_dist": _inter_arrival_oracle(),

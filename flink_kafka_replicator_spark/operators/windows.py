@@ -638,8 +638,100 @@ def _rollmed_oracle() -> str:
     """
 
 
+BOLLINGER_N = 20
+BOLLINGER_K = 2
+
+
+def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands per user over the event-value series: rolling
+    mean ± K·stddev on a BOLLINGER_N-row window, plus the breakout
+    flag — the volatility envelope monitoring dashboards draw around
+    any noisy metric.
+
+    Exactness discipline (the cusum/drawdown family's): NEVER a float
+    STDDEV aggregate (its partial-merge order differs across engines);
+    instead the frame's Σv and Σv² run as exact-BIGINT rolling sums
+    over cents, and mean/variance come from the closed forms
+    mean = s/n, var = (n·Σv² − s²)/(n·(n−1)) — each ONE IEEE division
+    over identical integers, so both engines produce identical bits.
+    Only full frames are emitted (bands on a half-filled window are
+    not comparable rows). Shape: one user_id exchange shared by both
+    rolling sums; explicit ROWS frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-(BOLLINGER_N - 1), Window.currentRow)
+    )
+    d = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    staged = (
+        d.withColumn("n", F.count("*").over(w))
+        .withColumn("s", F.sum("v100").over(w))
+        .withColumn("ss", F.sum(F.expr("v100 * v100")).over(w))
+        .filter(F.col("n") == BOLLINGER_N)
+    )
+    mean_c = F.expr("s / n")  # cents, one exact division
+    sd_c = F.expr("sqrt((n * ss - s * s) / (n * (n - 1.0D)))")
+    return staged.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.round(mean_c / 100.0, 4).alias("ma"),
+        F.round(sd_c / 100.0, 4).alias("sd"),
+        F.round((mean_c + BOLLINGER_K * sd_c) / 100.0, 4).alias("upper"),
+        F.round((mean_c - BOLLINGER_K * sd_c) / 100.0, 4).alias("lower"),
+        (
+            (F.col("v100") > mean_c + BOLLINGER_K * sd_c)
+            | (F.col("v100") < mean_c - BOLLINGER_K * sd_c)
+        ).alias("is_breakout"),
+    )
+
+
+def _bollinger_oracle() -> str:
+    n, k = BOLLINGER_N, BOLLINGER_K
+    return f"""
+        WITH d AS (
+            SELECT user_id, event_id, ts, value,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS v100
+            FROM events
+        ),
+        staged AS (
+            SELECT user_id, event_id, value, v100,
+                   COUNT(*) OVER w AS n,
+                   SUM(v100) OVER w AS s,
+                   SUM(v100 * v100) OVER w AS ss
+            FROM d
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, event_id,
+               ROUND(value, 4) AS value,
+               ROUND((s / n) / 100.0, 4) AS ma,
+               ROUND(sqrt((n * ss - s * s) / (n * (n - 1.0)))
+                     / 100.0, 4) AS sd,
+               ROUND((s / n + {k} * sqrt((n * ss - s * s)
+                     / (n * (n - 1.0)))) / 100.0, 4) AS upper,
+               ROUND((s / n - {k} * sqrt((n * ss - s * s)
+                     / (n * (n - 1.0)))) / 100.0, 4) AS lower,
+               (v100 > s / n + {k} * sqrt((n * ss - s * s)
+                    / (n * (n - 1.0)))
+                OR v100 < s / n - {k} * sqrt((n * ss - s * s)
+                    / (n * (n - 1.0)))) AS is_breakout
+        FROM staged
+        WHERE n = {n}
+    """
+
+
 QUERIES = {
     "window_rank": window_rank,
+    "window_bollinger_bands": window_bollinger_bands,
     "window_ewma": window_ewma,
     "window_rolling_median": window_rolling_median,
     "window_rolling_mad_anomaly": window_rolling_mad_anomaly,
@@ -656,6 +748,7 @@ QUERIES = {
 
 ORACLES = {
     "window_ewma": _ewma_oracle(),
+    "window_bollinger_bands": _bollinger_oracle(),
     "window_rolling_median": _rollmed_oracle(),
     "window_rolling_mad_anomaly": _rollmad_oracle(),
     "window_cusum_drift": _cusum_oracle(),

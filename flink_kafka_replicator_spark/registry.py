@@ -334,6 +334,12 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "mmr_rerank",
     "mmr_rerank_batch",
     "bm25_bpe_topk",
+    "window_bollinger_bands",
+    "agg_decay_weighted_revenue",
+    "events_hourly_heatmap",
+    "dedup_rate_by_source",
+    "vocab_growth_curve",
+    "corpus_mix_divergence",
     "knn_batch_lsh",
     "eval_confusion_matrix",
     "agg_linear_count_distinct",

@@ -228,3 +228,96 @@ def test_dq_monitor_default_checkpoint_colocated(spark, tmp_path, capsys):
     assert rc == 0
     capsys.readouterr()
     assert os.path.isdir(os.path.join(out, "_checkpoint"))
+
+
+def test_bollinger_bands_structure(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.windows import (
+        BOLLINGER_K,
+        window_bollinger_bands,
+    )
+
+    rows = window_bollinger_bands(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:500]:
+        assert r.sd >= 0
+        assert r.lower <= r.ma <= r.upper
+        # band width is 2K·σ, symmetric around the mean (4dp rounding)
+        assert abs((r.upper - r.ma) - (r.ma - r.lower)) < 2e-4
+        if r.value > r.upper or r.value < r.lower:
+            assert r.is_breakout
+
+
+def test_decay_weighted_revenue_bounds(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.aggregates import (
+        agg_decay_weighted_revenue,
+    )
+
+    rows = agg_decay_weighted_revenue(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # decayed revenue can never exceed raw revenue, and the
+        # retention factor is a weight average in (0, 1]
+        assert 0 < r.decayed_revenue <= r.revenue + 1e-9
+        assert 0 < r.retention_factor <= 1.0
+
+
+def test_hourly_heatmap_covers_all_events(spark, sf_dir):
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.operators.events_funnel import (
+        events_hourly_heatmap,
+    )
+
+    rows = events_hourly_heatmap(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == total
+    assert all(1 <= r.dow <= 7 and 0 <= r.hour <= 23 for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+
+
+def test_dedup_rate_by_source_consistent_with_exact_docs(spark, sf_dir):
+    from flink_kafka_replicator_spark.functions.corpus import (
+        dedup_rate_by_source,
+    )
+    from flink_kafka_replicator_spark.io import load_table
+
+    rows = dedup_rate_by_source(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    total_unique = d.select(F.md5("text")).distinct().count()
+    # per-source uniques can only over-count the global distinct set
+    # (the same content in two sources is unique in each)
+    assert sum(r.n_unique for r in rows) >= total_unique
+    for r in rows:
+        assert 0 <= r.dup_rate < 1
+        assert r.n_duplicates == r.n_docs - r.n_unique
+
+
+def test_vocab_growth_monotone_and_complete(spark, sf_dir):
+    from flink_kafka_replicator_spark.functions.corpus import (
+        vocab_growth_curve,
+    )
+
+    rows = sorted(
+        vocab_growth_curve(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(10))
+    assert all(
+        a.vocab_size <= b.vocab_size and a.cum_tokens < b.cum_tokens
+        for a, b in zip(rows, rows[1:])
+    )
+    assert rows[-1].vocab_size == sum(r.n_new_words for r in rows)
+
+
+def test_mix_divergence_identities(spark, sf_dir):
+    import math
+
+    from flink_kafka_replicator_spark.functions.corpus import (
+        corpus_mix_divergence,
+    )
+
+    r = corpus_mix_divergence(spark, sf_dir).collect()[0]
+    # 0 <= entropy <= ln(k); KL >= 0; KL == ln(k) - entropy (quantized)
+    assert 0 <= r.entropy <= math.log(r.n_langs) + 1e-6
+    assert r.kl_to_uniform >= -1e-6
+    assert abs(r.kl_to_uniform - (math.log(r.n_langs) - r.entropy)) < 1e-4
