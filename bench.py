@@ -147,6 +147,10 @@ HEADLINE = list(R2_BASKET) + [
     "dedup_rate_by_source",
     "vocab_growth_curve",
     "corpus_mix_divergence",
+    "window_rsi",
+    "events_new_vs_returning",
+    "dq_freshness_report",
+    "corpus_source_lang_matrix",
     "agg_percentile_exact",
     "knn_batch_lsh",
     "eval_confusion_matrix",

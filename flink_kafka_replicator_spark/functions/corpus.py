@@ -1081,8 +1081,50 @@ def corpus_mix_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_source_lang_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The source × language composition matrix: doc and token counts
+    per cell, each cell's share within its source, and its share of
+    the whole corpus — the cross-dimensional view the per-dimension
+    mixing reports (lang_breakdown, corpus_mix_*) can't show (a
+    balanced language mix can still hide a source that is 100% one
+    language).
+
+    Shape: one scan, one (source, lang) aggregate (≤|sources|·|langs|
+    keys, map-side combinable); both share denominators come from
+    windows over the tiny grouped table. Exact integers until the two
+    share divisions."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    wsrc = Window.partitionBy("source")
+    wall = Window.partitionBy(F.lit(1))
+    return cells.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(wsrc),
+            6,
+        ).alias("share_in_source"),
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(wall),
+            6,
+        ).alias("share_of_corpus"),
+    )
+
+
 QUERIES = {
     "dedup_rate_by_source": dedup_rate_by_source,
+    "corpus_source_lang_matrix": corpus_source_lang_matrix,
     "vocab_growth_curve": vocab_growth_curve,
     "corpus_mix_divergence": corpus_mix_divergence,
     "text_readability_score": text_readability_score,
@@ -1118,6 +1160,22 @@ _UPSAMPLE_CASE = " ".join(
 )
 
 ORACLES = {
+    "corpus_source_lang_matrix": """
+        WITH cells AS (
+            SELECT source, lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source, lang
+        )
+        SELECT source, lang, n_docs, n_tokens,
+               ROUND(CAST(n_docs AS DOUBLE)
+                     / SUM(n_docs) OVER (PARTITION BY source), 6)
+                   AS share_in_source,
+               ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6)
+                   AS share_of_corpus
+        FROM cells
+    """,
     "dedup_rate_by_source": """
         SELECT source,
                CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -665,8 +665,102 @@ def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split: per activity day, distinct active
+    users, how many were seen for the FIRST time that day, how many
+    returned, and the new-user share — the growth-vs-retention
+    decomposition every DAU chart gets cut by.
+
+    Shape: one user_id aggregate anchors each user's first day (the
+    retention_cohorts anchor), one (day) distinct-count over activity,
+    and a ≤|days| join — never a self-join of the event stream. Exact
+    integers until the share division. Midnight TIMESTAMP day keys
+    (the retention_cohorts dtype note)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("DAY", F.min("ts")).alias("day")
+    )
+    new_per_day = first_day.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    active = (
+        ev.select(F.date_trunc("DAY", "ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+    )
+    return (
+        active.join(new_per_day, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            (
+                F.col("n_active")
+                - F.coalesce("n_new", F.lit(0))
+            ).cast("bigint").alias("n_returning"),
+            F.round(
+                F.coalesce("n_new", F.lit(0)).cast("double")
+                / F.col("n_active"),
+                6,
+            ).alias("new_share"),
+        )
+    )
+
+
+def dq_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness audit per event type: last-seen timestamp, whole
+    hours behind the stream head, and the last-24h/last-7d event
+    counts — the staleness table an ingest on-call reads before
+    anything else (a silent dead producer shows up here first).
+
+    Exactness: the lag is integer epoch-micros arithmetic
+    ((head − last) div 3600000000 — never float date math), and the
+    recency counts are integer micros comparisons against the head.
+    Shape: one scan, one ≤|types| aggregate; the head is a full-window
+    max over the tiny grouped table, not a second scan."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.expr("max(unix_micros(ts))").alias("last_us"),
+    )
+    # the stream head is a 1-row reduction of the per-type table —
+    # broadcast back for the recency-window counts (no second pass to
+    # find the head itself; the one recount pass is the recency scan)
+    head = per_type.agg(F.max("last_us").alias("head_us"))
+    rec = (
+        ev.select("event_type", F.expr("unix_micros(ts)").alias("us"))
+        .crossJoin(F.broadcast(head))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.expr("cast(us > head_us - 86400000000L as bigint)")
+            ).cast("bigint").alias("n_last_24h"),
+            F.sum(
+                F.expr("cast(us > head_us - 604800000000L as bigint)")
+            ).cast("bigint").alias("n_last_7d"),
+        )
+    )
+    wall = Window.partitionBy(F.lit(1))
+    return (
+        per_type.withColumn("head_us", F.max("last_us").over(wall))
+        .join(rec, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            F.expr("timestamp_micros(last_us)").alias("last_ts"),
+            F.expr("(head_us - last_us) div 3600000000L")
+            .cast("bigint")
+            .alias("hours_behind_head"),
+            "n_last_24h",
+            "n_last_7d",
+        )
+    )
+
+
 QUERIES = {
     "events_hourly_heatmap": events_hourly_heatmap,
+    "events_new_vs_returning": events_new_vs_returning,
+    "dq_freshness_report": dq_freshness_report,
     "funnel_stages": funnel_stages,
     "events_engagement_dau_mau": events_engagement_dau_mau,
     "events_inter_arrival_dist": events_inter_arrival_dist,
@@ -680,6 +774,57 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_new_vs_returning": """
+        WITH first_day AS (
+            SELECT user_id,
+                   date_trunc('day', MIN(ts)) AS day
+            FROM events GROUP BY user_id
+        ),
+        new_per_day AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new
+            FROM first_day GROUP BY day
+        ),
+        active AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+            FROM events GROUP BY 1
+        )
+        SELECT CAST(a.day AS TIMESTAMP) AS day,
+               a.n_active,
+               CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+               CAST(a.n_active - COALESCE(n.n_new, 0) AS BIGINT)
+                   AS n_returning,
+               ROUND(CAST(COALESCE(n.n_new, 0) AS DOUBLE)
+                     / a.n_active, 6) AS new_share
+        FROM active a LEFT JOIN new_per_day n USING (day)
+    """,
+    "dq_freshness_report": """
+        WITH per_type AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MAX(epoch_us(ts)) AS last_us
+            FROM events GROUP BY event_type
+        ),
+        head AS (SELECT MAX(last_us) AS head_us FROM per_type),
+        rec AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN epoch_us(ts)
+                            > head_us - 86400000000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_last_24h,
+                   CAST(SUM(CASE WHEN epoch_us(ts)
+                            > head_us - 604800000000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_last_7d
+            FROM events CROSS JOIN head
+            GROUP BY event_type
+        )
+        SELECT p.event_type, p.n_events,
+               make_timestamp(p.last_us) AS last_ts,
+               CAST((h.head_us - p.last_us) // 3600000000 AS BIGINT)
+                   AS hours_behind_head,
+               r.n_last_24h, r.n_last_7d
+        FROM per_type p CROSS JOIN head h
+        JOIN rec r USING (event_type)
+    """,
     "events_hourly_heatmap": """
         SELECT CAST(isodow(ts) AS INTEGER) AS dow,
                CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,

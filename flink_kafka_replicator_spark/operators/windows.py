@@ -729,9 +729,101 @@ def _bollinger_oracle() -> str:
     """
 
 
+RSI_N = 14
+
+
+def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index (Wilder's RSI, simple-average form)
+    per user over the event-value series: the bounded 0-100 momentum
+    oscillator every monitoring/trading dashboard pairs with the
+    Bollinger envelope. RSI = 100·ΣG/(ΣG+ΣL) over the last RSI_N
+    value deltas (gains G, losses L).
+
+    Exactness: deltas are exact cent BIGINTs (lag over the same
+    (ts, event_id) order every series query uses), the gain/loss
+    split and both rolling sums stay BIGINT, and the single division
+    happens at output — no float aggregate anywhere. Zero-movement
+    frames (ΣG+ΣL = 0) emit the conventional neutral 50. Only full
+    frames are emitted. One user_id exchange shared by the lag and
+    both rolling sums."""
+    ev = load_table(spark, sf_dir, "events")
+    word = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    d = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    ).withColumn("delta", F.col("v100") - F.lag("v100").over(word))
+    d = d.filter(F.col("delta").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-(RSI_N - 1), Window.currentRow)
+    )
+    staged = (
+        d.withColumn("n", F.count("*").over(w))
+        .withColumn(
+            "sg", F.sum(F.expr("greatest(delta, 0L)")).over(w)
+        )
+        .withColumn(
+            "sl", F.sum(F.expr("greatest(-delta, 0L)")).over(w)
+        )
+        .filter(F.col("n") == RSI_N)
+    )
+    return staged.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("delta").cast("double") / 100.0, 2).alias("delta"),
+        F.when(F.col("sg") + F.col("sl") == 0, F.lit(50.0))
+        .otherwise(
+            F.round(
+                100.0 * F.col("sg") / (F.col("sg") + F.col("sl")), 4
+            )
+        )
+        .alias("rsi"),
+    )
+
+
+def _rsi_oracle() -> str:
+    n = RSI_N
+    return f"""
+        WITH d AS (
+            SELECT user_id, event_id, ts,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS v100
+            FROM events
+        ),
+        deltas AS (
+            SELECT user_id, event_id, ts,
+                   v100 - LAG(v100) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS delta
+            FROM d
+        ),
+        clean AS (SELECT * FROM deltas WHERE delta IS NOT NULL),
+        staged AS (
+            SELECT user_id, event_id, delta,
+                   COUNT(*) OVER w AS n,
+                   SUM(GREATEST(delta, 0)) OVER w AS sg,
+                   SUM(GREATEST(-delta, 0)) OVER w AS sl
+            FROM clean
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, event_id,
+               ROUND(CAST(delta AS DOUBLE) / 100.0, 2) AS delta,
+               CASE WHEN sg + sl = 0 THEN 50.0
+                    ELSE ROUND(100.0 * sg / (sg + sl), 4) END AS rsi
+        FROM staged
+        WHERE n = {n}
+    """
+
+
 QUERIES = {
     "window_rank": window_rank,
     "window_bollinger_bands": window_bollinger_bands,
+    "window_rsi": window_rsi,
     "window_ewma": window_ewma,
     "window_rolling_median": window_rolling_median,
     "window_rolling_mad_anomaly": window_rolling_mad_anomaly,
@@ -749,6 +841,7 @@ QUERIES = {
 ORACLES = {
     "window_ewma": _ewma_oracle(),
     "window_bollinger_bands": _bollinger_oracle(),
+    "window_rsi": _rsi_oracle(),
     "window_rolling_median": _rollmed_oracle(),
     "window_rolling_mad_anomaly": _rollmad_oracle(),
     "window_cusum_drift": _cusum_oracle(),

@@ -340,6 +340,10 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "dedup_rate_by_source",
     "vocab_growth_curve",
     "corpus_mix_divergence",
+    "window_rsi",
+    "events_new_vs_returning",
+    "dq_freshness_report",
+    "corpus_source_lang_matrix",
     "knn_batch_lsh",
     "eval_confusion_matrix",
     "agg_linear_count_distinct",

@@ -321,3 +321,62 @@ def test_mix_divergence_identities(spark, sf_dir):
     assert 0 <= r.entropy <= math.log(r.n_langs) + 1e-6
     assert r.kl_to_uniform >= -1e-6
     assert abs(r.kl_to_uniform - (math.log(r.n_langs) - r.entropy)) < 1e-4
+
+
+def test_rsi_bounds_and_neutral(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.windows import window_rsi
+
+    rows = window_rsi(spark, sf_dir).collect()
+    assert rows
+    assert all(0.0 <= r.rsi <= 100.0 for r in rows)
+
+
+def test_new_vs_returning_reconciles(spark, sf_dir):
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.operators.events_funnel import (
+        events_new_vs_returning,
+    )
+
+    rows = sorted(
+        events_new_vs_returning(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    # every user is new exactly once, so Σ n_new == distinct users
+    assert sum(r.n_new for r in rows) == (
+        ev.select("user_id").distinct().count()
+    )
+    # day 1 of the stream: everyone active is new
+    assert rows[0].n_new == rows[0].n_active
+    assert all(
+        r.n_active == r.n_new + r.n_returning and r.n_active > 0
+        for r in rows
+    )
+
+
+def test_freshness_report_head_consistency(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.events_funnel import (
+        dq_freshness_report,
+    )
+
+    rows = dq_freshness_report(spark, sf_dir).collect()
+    assert rows
+    # exactly the head type(s) sit at 0 hours behind
+    assert min(r.hours_behind_head for r in rows) == 0
+    for r in rows:
+        assert 0 <= r.n_last_24h <= r.n_last_7d <= r.n_events
+
+
+def test_source_lang_matrix_shares(spark, sf_dir):
+    from collections import defaultdict
+
+    from flink_kafka_replicator_spark.functions.corpus import (
+        corpus_source_lang_matrix,
+    )
+
+    rows = corpus_source_lang_matrix(spark, sf_dir).collect()
+    by_src = defaultdict(float)
+    for r in rows:
+        by_src[r.source] += r.share_in_source
+    assert all(abs(v - 1.0) < 1e-3 for v in by_src.values()), by_src
+    assert abs(sum(r.share_of_corpus for r in rows) - 1.0) < 1e-3
