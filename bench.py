@@ -151,6 +151,13 @@ HEADLINE = list(R2_BASKET) + [
     "events_new_vs_returning",
     "dq_freshness_report",
     "corpus_source_lang_matrix",
+    "knn_graph_symmetry",
+    "embedding_norm_profile",
+    "retention_revenue_cohorts",
+    "agg_order_lines_hist",
+    "events_activity_streaks",
+    "events_peak_concurrency",
+    "dedup_cluster_size_hist",
     "agg_percentile_exact",
     "knn_batch_lsh",
     "eval_confusion_matrix",

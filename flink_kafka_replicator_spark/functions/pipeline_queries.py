@@ -4802,6 +4802,138 @@ def mmr_rerank_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mmr_greedy_batch(short, sims)
 
 
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size distribution of the near-dup clusters: per cluster size,
+    how many clusters, how many documents they hold, and how many
+    would be dropped (size − 1 each) — the histogram that tells a
+    dedup review whether duplication is a long tail of pairs or a few
+    giant families (the two need different deletion policies).
+
+    Pure aggregation over the memoized connected-components labels —
+    no new graph work; the histogram is ≤|max cluster size| rows. The
+    oracle replays the CC recursion over the brute-force pair graph
+    and histograms identically."""
+    from pyspark.sql import Window
+
+    cc = dedup_cluster_cc(spark, sf_dir)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("size")
+    )
+    wall = Window.partitionBy(F.lit(1))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .select(
+            "size",
+            "n_clusters",
+            (F.col("size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            ((F.col("size") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.round(
+                (F.col("size") * F.col("n_clusters")).cast("double")
+                / F.sum(F.col("size") * F.col("n_clusters")).over(wall),
+                6,
+            ).alias("doc_share"),
+        )
+    )
+
+
+def knn_graph_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health report of the k-NN graph the dedup/clustering family
+    consumes (``knn_ivf_join``'s neighbor lists): directed edge count,
+    mutual (i→j AND j→i) edge count, the symmetry rate, and how many
+    nodes have at least one mutual neighbor — the standard diagnostic
+    before trusting a kNN graph for clustering (mutual-kNN graphs are
+    what robust clustering actually uses; a low symmetry rate means
+    the cell quantization is splitting true neighborhoods).
+
+    Shape: the neighbor lists are a bounded |V|·k artifact (shared,
+    memoized); mutuality is ONE self-equi-join on the reversed key;
+    the report is a 1-row aggregate. No new corpus work at all."""
+    knn = knn_ivf_join(spark, sf_dir).select("vec_id", "neighbor_id")
+    rev = knn.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("vec_id").alias("neighbor_id"),
+    )
+    mutual = knn.join(rev, ["vec_id", "neighbor_id"], "left_semi")
+    stats = knn.agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.count_distinct("vec_id").cast("bigint").alias("n_nodes"),
+    )
+    mstats = mutual.agg(
+        F.count("*").cast("bigint").alias("n_mutual"),
+        F.count_distinct("vec_id")
+        .cast("bigint")
+        .alias("n_nodes_with_mutual"),
+    )
+    return stats.crossJoin(mstats).select(
+        "n_nodes",
+        "n_edges",
+        "n_mutual",
+        "n_nodes_with_mutual",
+        F.round(
+            F.col("n_mutual").cast("double") / F.col("n_edges"), 6
+        ).alias("symmetry_rate"),
+    )
+
+
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profile of the embedding L2 norms: count, exact
+    mean (quantized-integer arithmetic), min/max, and nearest-rank
+    quartiles — the first sanity table an embedding pipeline prints
+    (an unnormalized or collapsed encoder shows up here before any
+    recall metric moves).
+
+    Exactness: each norm is the position-ordered fold both engines
+    share (sqrt of the self-dot), floor-quantized to 1e-6 BIGINT;
+    mean = (Σ div n) at the same grain; the quartiles are nearest-rank
+    picks over the quantized-norm HISTOGRAM (the engine's rank-stat
+    discipline — no global sort of vectors, and the key space is the
+    norm's value domain)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = e.select(
+        F.expr(
+            "cast(floor(sqrt(aggregate(transform(embedding,"
+            " x -> cast(x as double)), 0D,"
+            " (acc, x) -> acc + x * x)) * 1000000.0D) as bigint)"
+        ).alias("nrm6")
+    )
+    hist = norms.groupBy("nrm6").agg(F.count("*").alias("c"))
+    wt = Window.orderBy("nrm6").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy(F.lit(1))
+    cum = hist.select(
+        F.col("nrm6").alias("v"),
+        F.sum("c").over(wt).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+        F.sum(F.col("nrm6") * F.col("c")).over(wall).alias("s"),
+    )
+    pick = lambda q: F.min(  # noqa: E731 — nearest-rank pick
+        F.when(
+            F.col("cum")
+            >= F.expr(f"cast(ceil({q} * n / 4.0) as bigint)"),
+            F.col("v"),
+        )
+    )
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_vectors"),
+        F.round(
+            F.expr("max(s div n)").cast("double") / 1e6, 6
+        ).alias("mean_norm"),
+        F.round(F.min("v").cast("double") / 1e6, 6).alias("min_norm"),
+        F.round(pick(1).cast("double") / 1e6, 6).alias("p25_norm"),
+        F.round(pick(2).cast("double") / 1e6, 6).alias("median_norm"),
+        F.round(pick(3).cast("double") / 1e6, 6).alias("p75_norm"),
+        F.round(F.max("v").cast("double") / 1e6, 6).alias("max_norm"),
+    )
+
+
 _TRI_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -5622,6 +5754,9 @@ QUERIES = {
     "ivf_cell_histogram": ivf_cell_histogram,
     "sim_topk_ivf_kmeans": sim_topk_ivf_kmeans,
     "knn_ivf_join": knn_ivf_join,
+    "knn_graph_symmetry": knn_graph_symmetry,
+    "embedding_norm_profile": embedding_norm_profile,
+    "dedup_cluster_size_hist": dedup_cluster_size_hist,
     "knn_ivf_multiprobe": knn_ivf_multiprobe,
     "knn_label_vote": knn_label_vote,
     "knn_recall_eval": knn_recall_eval,
@@ -7416,6 +7551,91 @@ def _mmr_batch_oracle_sql() -> str:
 
 
 ORACLES["mmr_rerank_batch"] = _mmr_batch_oracle_sql()
+
+
+def _knn_graph_symmetry_oracle() -> str:
+    """Reuses the driver-green knn_ivf_join oracle verbatim as the
+    neighbor-list CTE — the symmetry report replays the ALGORITHM's
+    edge list, then one reversed-key semi-join + a 1-row aggregate."""
+    return f"""
+    WITH knn AS ({ORACLES["knn_ivf_join"]}),
+    edges AS (SELECT vec_id, neighbor_id FROM knn),
+    mutual AS (
+        SELECT e.vec_id, e.neighbor_id
+        FROM edges e
+        WHERE EXISTS (
+            SELECT 1 FROM edges r
+            WHERE r.vec_id = e.neighbor_id
+              AND r.neighbor_id = e.vec_id
+        )
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) FROM edges)
+               AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mutual) AS n_mutual,
+           (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) FROM mutual)
+               AS n_nodes_with_mutual,
+           ROUND((SELECT CAST(COUNT(*) AS DOUBLE) FROM mutual)
+                 / (SELECT COUNT(*) FROM edges), 6) AS symmetry_rate
+    """
+
+
+ORACLES["knn_graph_symmetry"] = _knn_graph_symmetry_oracle()
+
+
+def _cluster_size_hist_oracle() -> str:
+    """Reuses the driver-green dedup_cluster_cc oracle (the recursive
+    CTE over the brute-force pair graph) verbatim, then histograms."""
+    return f"""
+    WITH cc AS MATERIALIZED ({ORACLES["dedup_cluster_cc"]}),
+    sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+        FROM cc GROUP BY cluster_id
+    )
+    SELECT size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((size - 1) * COUNT(*) AS BIGINT) AS n_dropped,
+           ROUND(CAST(size * COUNT(*) AS DOUBLE)
+                 / SUM(size * COUNT(*)) OVER (), 6) AS doc_share
+    FROM sizes
+    GROUP BY size
+    """
+
+
+ORACLES["dedup_cluster_size_hist"] = _cluster_size_hist_oracle()
+
+ORACLES["embedding_norm_profile"] = """
+    WITH norms AS (
+        SELECT CAST(floor(sqrt(list_dot_product(
+                   CAST(embedding AS DOUBLE[]),
+                   CAST(embedding AS DOUBLE[]))) * 1000000.0)
+               AS BIGINT) AS nrm6
+        FROM embeddings
+    ),
+    cum AS (
+        SELECT v, SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               SUM(c) OVER () AS n,
+               SUM(v * c) OVER () AS s
+        FROM (SELECT nrm6 AS v, COUNT(*) AS c FROM norms GROUP BY nrm6)
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_vectors,
+           ROUND(CAST(MAX(s // n) AS DOUBLE) / 1e6, 6) AS mean_norm,
+           ROUND(CAST(MIN(v) AS DOUBLE) / 1e6, 6) AS min_norm,
+           ROUND(CAST(MIN(CASE WHEN cum >=
+                 CAST(CEIL(1 * n / 4.0) AS BIGINT) THEN v END)
+                 AS DOUBLE) / 1e6, 6) AS p25_norm,
+           ROUND(CAST(MIN(CASE WHEN cum >=
+                 CAST(CEIL(2 * n / 4.0) AS BIGINT) THEN v END)
+                 AS DOUBLE) / 1e6, 6) AS median_norm,
+           ROUND(CAST(MIN(CASE WHEN cum >=
+                 CAST(CEIL(3 * n / 4.0) AS BIGINT) THEN v END)
+                 AS DOUBLE) / 1e6, 6) AS p75_norm,
+           ROUND(CAST(MAX(v) AS DOUBLE) / 1e6, 6) AS max_norm
+    FROM cum
+"""
 
 
 def _batch_lsh_oracle_sql() -> str:

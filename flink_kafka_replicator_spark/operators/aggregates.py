@@ -724,8 +724,54 @@ def agg_decay_weighted_revenue(
     )
 
 
+def agg_order_lines_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size histogram: orders bucketed by their lineitem count,
+    with order share and exact revenue per bucket — the order-shape
+    profile capacity planning and fraud screens both read.
+
+    Shape: one (l_orderkey) aggregate (the fact table's natural key —
+    map-side combinable), then a ≤|max lines| histogram; shares from
+    full-window sums over the tiny histogram. Revenue is the exact
+    extended-price cents sum carried through both aggregates."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("int").alias("n_lines"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).cast("bigint").alias("rev100"),
+    )
+    wall = Window.partitionBy(F.lit(1))
+    return (
+        per_order.groupBy("n_lines")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("rev100").cast("bigint").alias("rev100"),
+        )
+        .select(
+            "n_lines",
+            "n_orders",
+            F.round(
+                F.col("n_orders").cast("double")
+                / F.sum("n_orders").over(wall),
+                6,
+            ).alias("order_share"),
+            F.round(F.col("rev100").cast("double") / 100.0, 2).alias(
+                "revenue"
+            ),
+            F.round(
+                F.col("rev100").cast("double")
+                / F.sum("rev100").over(wall),
+                6,
+            ).alias("revenue_share"),
+        )
+    )
+
+
 QUERIES = {
     "agg_decay_weighted_revenue": agg_decay_weighted_revenue,
+    "agg_order_lines_hist": agg_order_lines_hist,
     "agg_stats": agg_stats,
     "agg_weekday_seasonality": agg_weekday_seasonality,
     "agg_pareto_share": agg_pareto_share,
@@ -755,6 +801,24 @@ def _duck_cms_pos(key_sql: str) -> str:
 
 
 ORACLES = {
+    "agg_order_lines_hist": """
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   CAST(COUNT(*) AS INTEGER) AS n_lines,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0)
+                        AS BIGINT)) AS BIGINT) AS rev100
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT n_lines,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(CAST(COUNT(*) AS DOUBLE)
+                     / SUM(COUNT(*)) OVER (), 6) AS order_share,
+               ROUND(CAST(SUM(rev100) AS DOUBLE) / 100.0, 2) AS revenue,
+               ROUND(CAST(SUM(rev100) AS DOUBLE)
+                     / SUM(SUM(rev100)) OVER (), 6) AS revenue_share
+        FROM per_order
+        GROUP BY n_lines
+    """,
     "agg_decay_weighted_revenue": f"""
         WITH staged AS (
             SELECT o_orderpriority,

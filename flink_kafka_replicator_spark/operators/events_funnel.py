@@ -757,10 +757,235 @@ def dq_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retention_revenue_cohorts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The retention triangle with MONEY on it: users cohorted by
+    first-activity day, and per (cohort, week offset) the active-user
+    count, exact revenue, cumulative revenue, and revenue per cohort
+    user — LTV-by-cohort, the table a growth team actually budgets
+    from (``retention_cohorts`` counts heads; this follows the
+    dollars).
+
+    Shape: one user_id window anchors the cohort (shared with the
+    event row it annotates), one (cohort, offset) aggregate whose key
+    count is days × weeks (independent of user count), cohort sizes
+    from a per-user aggregate, and the cumulative column runs over
+    the tiny triangle. Cents stay exact BIGINTs until output."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id")
+    anchored = ev.withColumn("first_ts", F.min("ts").over(w))
+    cells = (
+        anchored.select(
+            F.date_trunc("DAY", "first_ts").alias("cohort_date"),
+            (
+                F.datediff(F.to_date("ts"), F.to_date("first_ts"))
+                / F.lit(7)
+            ).cast("int").alias("week_offset"),
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("v100"),
+        )
+        .groupBy("cohort_date", "week_offset")
+        .agg(
+            F.count_distinct("user_id")
+            .cast("bigint")
+            .alias("n_active_users"),
+            F.sum("v100").cast("bigint").alias("rev100"),
+        )
+    )
+    sizes = (
+        anchored.groupBy("user_id")
+        .agg(F.date_trunc("DAY", F.min("first_ts")).alias("cohort_date"))
+        .groupBy("cohort_date")
+        .agg(F.count("*").cast("bigint").alias("cohort_size"))
+    )
+    wcum = (
+        Window.partitionBy("cohort_date")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(sizes, "cohort_date")
+        .select(
+            "cohort_date",
+            "week_offset",
+            "cohort_size",
+            "n_active_users",
+            F.round(F.col("rev100").cast("double") / 100.0, 2).alias(
+                "revenue"
+            ),
+            F.round(
+                F.sum("rev100").over(wcum).cast("double") / 100.0, 2
+            ).alias("cum_revenue"),
+            # exact-integer per-user cents, then one output division
+            F.round(
+                F.expr(
+                    "cast(sum(rev100) over (partition by cohort_date"
+                    " order by week_offset rows between unbounded"
+                    " preceding and current row) div cohort_size"
+                    " as double)"
+                )
+                / 100.0,
+                2,
+            ).alias("cum_revenue_per_user"),
+        )
+    )
+
+
+STREAK_TOP_K = 20
+
+
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (gaps-and-
+    islands on the daily grain), top-STREAK_TOP_K — the engagement
+    streak leaderboard every habit-loop product tracks.
+
+    Shape: distinct (user, day) first (collapses the event stream to
+    ≤ users×days rows), then the classic island key day_number −
+    row_number inside ONE user_id window exchange, a per-island count,
+    a per-user max (longest streak, earliest start on ties via
+    min_by), and a TakeOrdered top-k. All integer arithmetic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id",
+            F.datediff(
+                F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+            ).alias("day_n"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_n")
+    islands = days.withColumn(
+        "grp", F.col("day_n") - F.row_number().over(w)
+    )
+    per_island = islands.groupBy("user_id", "grp").agg(
+        F.count("*").cast("int").alias("streak_days"),
+        F.min("day_n").alias("start_day_n"),
+    )
+    best = per_island.groupBy("user_id").agg(
+        F.max("streak_days").alias("longest_streak"),
+        # earliest start among the longest (max on (len, -start) ==
+        # min start at max len; struct order gives the tie-break)
+        F.min_by(
+            "start_day_n", F.struct(-F.col("streak_days"), "start_day_n")
+        ).alias("start_day_n"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+    )
+    return (
+        best.select(
+            "user_id",
+            F.col("longest_streak").cast("int").alias("longest_streak"),
+            F.expr(
+                "timestamp(date_add(to_date('1970-01-01'), start_day_n))"
+            ).alias("streak_start"),
+            "n_streaks",
+        )
+        .orderBy(
+            F.col("longest_streak").desc(), F.col("user_id").asc()
+        )
+        .limit(STREAK_TOP_K)
+    )
+
+
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions over the whole stream — the capacity
+    number (how many sessions were open AT ONCE at the worst moment),
+    computed as a sweep-line over session boundaries with the
+    DISTRIBUTED two-level prefix sum instead of one global sort:
+
+    1. sessions (min/max ts per (user, session_seq) over the engine's
+       sessionizer) emit (+1 at start, −1 at end) deltas — 2 rows per
+       SESSION, already far smaller than the event stream;
+    2. deltas key by hour bucket; per-bucket totals are a tiny
+       aggregate, and each bucket's BASE offset is a running sum over
+       the ≤|hours| bucket table;
+    3. the within-bucket running sum shares one bucket-keyed exchange,
+       and concurrency = base + within — the classic distributed
+       prefix-sum, no single-partition sort of all boundaries.
+
+    Tie semantics at identical microseconds: ends sort before starts
+    (half-open sessions — a session ending exactly when another starts
+    never counts as overlap); deterministic (us, delta, user, seq)
+    order. Returns ONE row: sessions, peak, first time the peak is
+    reached."""
+    from pyspark.sql import Window
+
+    from .advanced import SESSION_GAP_SECONDS, sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev, gap_seconds=SESSION_GAP_SECONDS)
+        .join(ev.select("event_id", "ts"), "event_id")
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.expr("min(unix_micros(ts))").alias("start_us"),
+            F.expr("max(unix_micros(ts))").alias("end_us"),
+        )
+    )
+    deltas = sess.select(
+        F.col("start_us").alias("us"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "session_seq",
+    ).unionByName(
+        sess.select(
+            F.col("end_us").alias("us"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "session_seq",
+        )
+    ).withColumn("bucket", F.expr("us div 3600000000L"))
+    btot = deltas.groupBy("bucket").agg(
+        F.sum("delta").cast("bigint").alias("btotal")
+    )
+    wprev = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    base = btot.select(
+        "bucket",
+        F.coalesce(F.sum("btotal").over(wprev), F.lit(0)).alias("base"),
+    )
+    wrun = (
+        Window.partitionBy("bucket")
+        .orderBy(
+            F.col("us").asc(),
+            F.col("delta").asc(),
+            F.col("user_id").asc(),
+            F.col("session_seq").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = deltas.join(base, "bucket").select(
+        "us",
+        (F.col("base") + F.sum("delta").over(wrun)).alias("concurrent"),
+    )
+    wall = Window.partitionBy(F.lit(1))
+    peak = swept.withColumn(
+        "peak", F.max("concurrent").over(wall)
+    ).filter(F.col("concurrent") == F.col("peak"))
+    n_sessions = sess.agg(
+        F.count("*").cast("bigint").alias("n_sessions")
+    )
+    return n_sessions.crossJoin(
+        peak.agg(
+            F.max("peak").cast("bigint").alias("peak_concurrent"),
+            F.expr("timestamp_micros(min(us))").alias("peak_at"),
+        )
+    ).select("n_sessions", "peak_concurrent", "peak_at")
+
+
 QUERIES = {
     "events_hourly_heatmap": events_hourly_heatmap,
     "events_new_vs_returning": events_new_vs_returning,
     "dq_freshness_report": dq_freshness_report,
+    "retention_revenue_cohorts": retention_revenue_cohorts,
+    "events_activity_streaks": events_activity_streaks,
+    "events_peak_concurrency": events_peak_concurrency,
     "funnel_stages": funnel_stages,
     "events_engagement_dau_mau": events_engagement_dau_mau,
     "events_inter_arrival_dist": events_inter_arrival_dist,
@@ -773,7 +998,139 @@ QUERIES = {
     "event_trigrams": event_trigrams,
 }
 
+def _streaks_oracle() -> str:
+    return f"""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day_n
+            FROM events
+        ),
+        islands AS (
+            SELECT user_id, day_n,
+                   day_n - ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY day_n) AS grp
+            FROM days
+        ),
+        per_island AS (
+            SELECT user_id, grp,
+                   CAST(COUNT(*) AS INTEGER) AS streak_days,
+                   MIN(day_n) AS start_day_n
+            FROM islands GROUP BY user_id, grp
+        ),
+        best AS (
+            SELECT user_id,
+                   streak_days AS longest_streak,
+                   start_day_n,
+                   CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+                       AS n_streaks
+            FROM per_island
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY streak_days DESC, start_day_n ASC) = 1
+        )
+        SELECT user_id,
+               CAST(longest_streak AS INTEGER) AS longest_streak,
+               CAST(DATE '1970-01-01' + to_days(CAST(start_day_n
+                    AS INTEGER)) AS TIMESTAMP) AS streak_start,
+               n_streaks
+        FROM best
+        ORDER BY longest_streak DESC, user_id ASC
+        LIMIT {STREAK_TOP_K}
+    """
+
+
+def _peak_concurrency_oracle() -> str:
+    from .advanced import SESSION_GAP_SECONDS
+
+    return f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(LAG(ts) OVER w)
+                           > {float(SESSION_GAP_SECONDS)}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC)
+        ),
+        sessioned AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_seq
+            FROM flagged
+        ),
+        sess AS MATERIALIZED (
+            SELECT user_id, session_seq,
+                   MIN(epoch_us(ts)) AS start_us,
+                   MAX(epoch_us(ts)) AS end_us
+            FROM sessioned GROUP BY user_id, session_seq
+        ),
+        deltas AS (
+            SELECT start_us AS us, 1 AS delta, user_id, session_seq
+            FROM sess
+            UNION ALL
+            SELECT end_us AS us, -1 AS delta, user_id, session_seq
+            FROM sess
+        ),
+        swept AS (
+            SELECT us,
+                   SUM(delta) OVER (ORDER BY us ASC, delta ASC,
+                       user_id ASC, session_seq ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS concurrent
+            FROM deltas
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sess) AS n_sessions,
+               CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent,
+               make_timestamp(MIN(CASE WHEN concurrent =
+                   (SELECT MAX(concurrent) FROM swept) THEN us END))
+                   AS peak_at
+        FROM swept
+    """
+
+
 ORACLES = {
+    "events_activity_streaks": _streaks_oracle(),
+    "events_peak_concurrency": _peak_concurrency_oracle(),
+    "retention_revenue_cohorts": """
+        WITH anchored AS (
+            SELECT user_id, ts,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS v100,
+                   MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+            FROM events
+        ),
+        cells AS (
+            SELECT date_trunc('day', first_ts) AS cohort_date,
+                   CAST(date_diff('day', CAST(first_ts AS DATE),
+                        CAST(ts AS DATE)) // 7 AS INTEGER)
+                       AS week_offset,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                       AS n_active_users,
+                   CAST(SUM(v100) AS BIGINT) AS rev100
+            FROM anchored
+            GROUP BY 1, 2
+        ),
+        sizes AS (
+            SELECT cohort_date,
+                   CAST(COUNT(*) AS BIGINT) AS cohort_size
+            FROM (SELECT user_id,
+                         date_trunc('day', MIN(first_ts)) AS cohort_date
+                  FROM anchored GROUP BY user_id)
+            GROUP BY cohort_date
+        )
+        SELECT CAST(c.cohort_date AS TIMESTAMP) AS cohort_date,
+               c.week_offset, s.cohort_size, c.n_active_users,
+               ROUND(CAST(c.rev100 AS DOUBLE) / 100.0, 2) AS revenue,
+               ROUND(CAST(SUM(c.rev100) OVER w AS DOUBLE) / 100.0, 2)
+                   AS cum_revenue,
+               ROUND(CAST(SUM(c.rev100) OVER w // s.cohort_size
+                     AS DOUBLE) / 100.0, 2) AS cum_revenue_per_user
+        FROM cells c JOIN sizes s USING (cohort_date)
+        WINDOW w AS (PARTITION BY c.cohort_date ORDER BY c.week_offset
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
     "events_new_vs_returning": """
         WITH first_day AS (
             SELECT user_id,

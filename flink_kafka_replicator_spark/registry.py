@@ -344,6 +344,13 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "events_new_vs_returning",
     "dq_freshness_report",
     "corpus_source_lang_matrix",
+    "knn_graph_symmetry",
+    "embedding_norm_profile",
+    "retention_revenue_cohorts",
+    "agg_order_lines_hist",
+    "events_activity_streaks",
+    "events_peak_concurrency",
+    "dedup_cluster_size_hist",
     "knn_batch_lsh",
     "eval_confusion_matrix",
     "agg_linear_count_distinct",

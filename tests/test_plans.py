@@ -890,3 +890,21 @@ def test_mmr_batch_plan_shapes(spark, sf_dir):
     # embeddings table is never scanned by the returned plan
     assert "Scan parquet" not in p, p[:2000]
     assert "ExistingRDD" in p
+
+
+def test_bm25_bpe_filter_pushed_before_agg(spark, sf_dir):
+    """bm25_bpe_topk's scale contract: the BPE'd query-term filter
+    reaches the token stream BEFORE the per-(doc, term) aggregate (the
+    matched-postings agg never sees the whole symbol stream), the
+    top-k compiles to TakeOrderedAndProject, and no CartesianProduct
+    appears beyond the 1-row stats broadcast."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        bm25_bpe_topk,
+    )
+
+    df = bm25_bpe_topk(spark, sf_dir)
+    p = formatted_plan(df)
+    assert "TakeOrderedAndProject" in p, p[:1500]
+    assert "CartesianProduct" not in p
+    # the pushed term filter shows as an IN-set predicate on term
+    assert "term" in p and ("IN (" in p or "isin" in p.lower()), p[:2000]

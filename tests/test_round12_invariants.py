@@ -380,3 +380,126 @@ def test_source_lang_matrix_shares(spark, sf_dir):
         by_src[r.source] += r.share_in_source
     assert all(abs(v - 1.0) < 1e-3 for v in by_src.values()), by_src
     assert abs(sum(r.share_of_corpus for r in rows) - 1.0) < 1e-3
+
+
+def test_knn_graph_symmetry_consistency(spark, sf_dir):
+    r = pq.knn_graph_symmetry(spark, sf_dir).collect()[0]
+    knn = pq.knn_ivf_join(spark, sf_dir)
+    assert r.n_edges == knn.count()
+    assert 0 <= r.n_mutual <= r.n_edges
+    assert 0 <= r.n_nodes_with_mutual <= r.n_nodes
+    assert 0.0 <= r.symmetry_rate <= 1.0
+
+
+def test_embedding_norm_profile_ordering(spark, sf_dir):
+    from flink_kafka_replicator_spark.io import load_table
+
+    r = pq.embedding_norm_profile(spark, sf_dir).collect()[0]
+    assert r.n_vectors == load_table(spark, sf_dir, "embeddings").count()
+    assert (
+        r.min_norm <= r.p25_norm <= r.median_norm
+        <= r.p75_norm <= r.max_norm
+    )
+    assert r.min_norm <= r.mean_norm <= r.max_norm
+
+
+def test_retention_revenue_cohorts_reconciles(spark, sf_dir):
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.operators.events_funnel import (
+        retention_cohorts,
+        retention_revenue_cohorts,
+    )
+
+    rows = retention_revenue_cohorts(spark, sf_dir).collect()
+    # head-count triangle must agree with the head-count query
+    want = {
+        (r.cohort_date, r.week_offset): r.n_active_users
+        for r in retention_cohorts(spark, sf_dir).collect()
+    }
+    got = {
+        (r.cohort_date, r.week_offset): r.n_active_users for r in rows
+    }
+    assert got == want
+    # total revenue reconciles with the raw table to the cent
+    total = sum(r.revenue for r in rows)
+    ev = load_table(spark, sf_dir, "events")
+    want_total = (
+        ev.select(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
+        ).collect()[0]["c"]
+        / 100.0
+    )
+    assert abs(total - want_total) < 0.01
+    # cumulative is monotone within each cohort
+    from collections import defaultdict
+
+    by_c = defaultdict(list)
+    for r in rows:
+        by_c[r.cohort_date].append(r)
+    for cohort, rs in by_c.items():
+        rs.sort(key=lambda r: r.week_offset)
+        assert all(
+            a.cum_revenue <= b.cum_revenue + 1e-9
+            for a, b in zip(rs, rs[1:])
+        )
+
+
+def test_order_lines_hist_reconciles(spark, sf_dir):
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.operators.aggregates import (
+        agg_order_lines_hist,
+    )
+
+    rows = agg_order_lines_hist(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    assert sum(r.n_orders * r.n_lines for r in rows) == li.count()
+    assert sum(r.n_orders for r in rows) == (
+        li.select("l_orderkey").distinct().count()
+    )
+    assert abs(sum(r.order_share for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-3
+
+
+def test_activity_streaks_within_data_span(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.events_funnel import (
+        events_activity_streaks,
+    )
+
+    rows = events_activity_streaks(spark, sf_dir).collect()
+    assert rows and len(rows) <= 20
+    # the fixture spans ~30 days — no streak can exceed the span
+    assert all(1 <= r.longest_streak <= 31 for r in rows)
+    assert all(r.n_streaks >= 1 for r in rows)
+    # leaderboard order: streak desc, user asc
+    keys = [(-r.longest_streak, r.user_id) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_peak_concurrency_bounds(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.events_funnel import (
+        events_peak_concurrency,
+    )
+
+    r = events_peak_concurrency(spark, sf_dir).collect()[0]
+    from flink_kafka_replicator_spark.io import load_table
+
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # at most one OPEN session per user at any instant by construction
+    assert 1 <= r.peak_concurrent <= n_users
+    assert r.n_sessions >= n_users
+
+
+def test_cluster_size_hist_reconciles_with_survivors(spark, sf_dir):
+    rows = pq.dedup_cluster_size_hist(spark, sf_dir).collect()
+    surv = pq.dedup_survivors(spark, sf_dir).collect()
+    assert sum(r.n_clusters for r in rows) == len(surv)
+    assert sum(r.n_docs for r in rows) == sum(s.n_members for s in surv)
+    assert sum(r.n_dropped for r in rows) == sum(
+        s.n_members - 1 for s in surv
+    )
+    assert all(r.size >= 2 for r in rows)  # pairs make clusters of >=2
