@@ -409,6 +409,13 @@ def index_stats_main(argv: list[str], spark=None) -> int:
             rows["postings"] = postings.count()
             rows["pq_codebook"] = codebook.count()
             rows["pq_codes"] = codes.count()
+            # cell-skew summary — the cheap drift indicator an operator
+            # checks before paying for recluster-index --dry-run
+            cells = sinks.index_cell_histogram(spark, args.dir).collect()
+            rows["n_cells"] = len(cells)
+            rows["max_cell_skew_vs_mean"] = max(
+                float(c.skew_vs_mean) for c in cells
+            )
         elif args.kind == "lexical":
             postings, doclen, dfreq, _meta = sinks.read_lexical_index(
                 spark, args.dir

@@ -2037,6 +2037,43 @@ def recluster_vector_index(
     }
 
 
+def index_cell_histogram(spark: SparkSession, out_dir: str) -> DataFrame:
+    """IVF cell-occupancy histogram of the PERSISTED index at its
+    committed state — the skew dial ``ivf_cell_histogram`` provides
+    for the in-session build, measured where it matters after frozen-
+    quantizer GROWs: drifted appends pile into few cells, and this is
+    the cheap leading indicator (`recall_drift_report` is the
+    expensive confirming one; `should_recluster` acts on it).
+
+    Returns (cid, n_vectors, share, skew_vs_mean) per committed cell —
+    one postings aggregate, no codes/vectors touched."""
+    from pyspark.sql import Window
+
+    meta = _read_vindex_meta(out_dir)
+    _check_vindex_geometry(meta, out_dir)
+    _, postings, _, _ = read_vector_index(spark, out_dir)
+    wall = Window.partitionBy(F.lit(1))
+    return (
+        postings.groupBy("cid")
+        .agg(F.count("*").cast("bigint").alias("n_vectors"))
+        .select(
+            "cid",
+            "n_vectors",
+            F.round(
+                F.col("n_vectors").cast("double")
+                / F.sum("n_vectors").over(wall),
+                6,
+            ).alias("share"),
+            F.round(
+                F.col("n_vectors")
+                * F.count("*").over(wall)
+                / F.sum("n_vectors").over(wall).cast("double"),
+                4,
+            ).alias("skew_vs_mean"),
+        )
+    )
+
+
 RECALL_DRIFT_SAMPLE = 16
 
 

@@ -336,3 +336,66 @@ def test_recluster_index_cli(spark, tmp_path, corpus, capsys):
     # the lease was released (a follow-up writer can acquire)
     tok = sinks.acquire_writer_lease(ix, owner="t")
     sinks.release_writer_lease(ix, tok)
+
+
+def test_index_cell_histogram_sees_drift_skew(spark, tmp_path, corpus):
+    """The cheap leading indicator: a CONCENTRATED drifted append (one
+    new cluster, the hot case — a new feed with one embedding mode)
+    piles into few cells of the frozen quantizer — the persisted-index
+    cell histogram's max skew must jump, and retrain must bring it
+    back down (the new quantizer gives the drifted region its own
+    cells)."""
+    base, _ = corpus
+    # outward drift ALONG an existing mode (+8 in block 0, twice the
+    # base magnitude): every drifted vector's nearest frozen centroid
+    # is a block-0 cell, so the mass concentrates — the hot case a
+    # magnitude/scale shift in one feed produces. (A drift into the
+    # all-centroids-equidistant region spreads by tie-noise instead;
+    # that case is caught by recall_drift_report, not the histogram.)
+    drifted = spark.createDataFrame(
+        _cluster_rows([0], 200000, +2.0, members=4 * MEMBERS),
+        "vec_id bigint, embedding array<float>",
+    )
+    ix = str(tmp_path / "vix")
+    sinks.write_vector_index_from_df(spark, base, ix, kmeans_iters=4)
+
+    def stats():
+        rows = sinks.index_cell_histogram(spark, ix).collect()
+        total = sum(r.n_vectors for r in rows)
+        return total, max(r.skew_vs_mean for r in rows), rows
+
+    n0, skew0, _ = stats()
+    assert n0 == base.count()
+
+    assert sinks.append_vector_delta(spark, drifted, ix, 1)
+    n1, skew1, rows1 = stats()
+    assert n1 == base.count() + drifted.count()
+    assert abs(sum(r.share for r in rows1) - 1.0) < 1e-3
+    assert skew1 > skew0 * 1.5, (skew0, skew1)
+
+    sinks.recluster_vector_index(
+        spark, ix, base.unionByName(drifted), kmeans_iters=4
+    )
+    n2, skew2, _ = stats()
+    assert n2 == n1
+    assert skew2 < skew1, (skew1, skew2)
+
+
+def test_index_stats_vector_reports_cell_skew(spark, tmp_path, corpus, capsys):
+    """index-stats --kind vector --rows carries the cell-skew summary
+    (the operator's cheap drift check)."""
+    import json
+
+    from flink_kafka_replicator_spark.cli import index_stats_main
+
+    base, _ = corpus
+    ix = str(tmp_path / "vix")
+    sinks.write_vector_index_from_df(spark, base, ix, kmeans_iters=2)
+    assert index_stats_main(
+        ["--kind", "vector", "--dir", ix, "--rows"], spark=spark
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rows = out["rows"]
+    assert rows["postings"] == base.count()
+    assert rows["n_cells"] >= 1
+    assert rows["max_cell_skew_vs_mean"] >= 1.0
