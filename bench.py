@@ -158,6 +158,9 @@ HEADLINE = list(R2_BASKET) + [
     "events_activity_streaks",
     "events_peak_concurrency",
     "dedup_cluster_size_hist",
+    "dedup_cross_source_pairs",
+    "session_length_stats",
+    "dq_enum_conformity",
     "agg_percentile_exact",
     "knn_batch_lsh",
     "eval_confusion_matrix",

@@ -4802,6 +4802,80 @@ def mmr_rerank_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mmr_greedy_batch(short, sims)
 
 
+def dedup_cross_source_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup pairs cut by SOURCE: per (source, source) cell the pair
+    count, whether it crosses feeds, mean Jaccard, and each cell's
+    share — the table that distinguishes within-feed re-posts (fix the
+    crawler) from cross-feed syndication (fix the dedup policy), which
+    a flat pair count cannot.
+
+    Shape: the shared memoized LSH pair table joined twice to the
+    documents' (doc_id, source) projection (pair table is bounded and
+    broadcast); sources are ordered least/greatest per pair so the
+    grouping is symmetric. Exactness: jaccard is already 4dp, so
+    j4 = round(j·10⁴) is an exact BIGINT — sums stay integer and the
+    mean is ONE division at output."""
+    from pyspark.sql import Window
+
+    pairs = _minhash_candidates_with_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.5
+    )
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    joined = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("sb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            F.round(F.col("jaccard") * 10000)
+            .cast("long")
+            .alias("j4"),
+        )
+    )
+    wall = Window.partitionBy(F.lit(1))
+    return (
+        joined.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("j4").cast("bigint").alias("sj4"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            (F.col("source_a") != F.col("source_b")).alias(
+                "cross_source"
+            ),
+            "n_pairs",
+            F.round(
+                F.col("sj4").cast("double")
+                / (F.col("n_pairs") * 10000.0),
+                4,
+            ).alias("mean_jaccard"),
+            F.round(
+                F.col("n_pairs").cast("double")
+                / F.sum("n_pairs").over(wall),
+                6,
+            ).alias("pair_share"),
+        )
+    )
+
+
 def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Size distribution of the near-dup clusters: per cluster size,
     how many clusters, how many documents they hold, and how many
@@ -5757,6 +5831,7 @@ QUERIES = {
     "knn_graph_symmetry": knn_graph_symmetry,
     "embedding_norm_profile": embedding_norm_profile,
     "dedup_cluster_size_hist": dedup_cluster_size_hist,
+    "dedup_cross_source_pairs": dedup_cross_source_pairs,
     "knn_ivf_multiprobe": knn_ivf_multiprobe,
     "knn_label_vote": knn_label_vote,
     "knn_recall_eval": knn_recall_eval,
@@ -7604,6 +7679,35 @@ def _cluster_size_hist_oracle() -> str:
 
 
 ORACLES["dedup_cluster_size_hist"] = _cluster_size_hist_oracle()
+
+
+def _cross_source_pairs_oracle() -> str:
+    """Reuses the brute-force all-pairs Jaccard oracle verbatim (the
+    dedup_fuzzy_minhash contract: LSH recall AND precision re-verified
+    at test scale), then the same symmetric source cut."""
+    return f"""
+    WITH pairs AS MATERIALIZED ({ORACLES["dedup_fuzzy_minhash"]}),
+    joined AS (
+        SELECT LEAST(da.source, db.source) AS source_a,
+               GREATEST(da.source, db.source) AS source_b,
+               CAST(ROUND(p.jaccard * 10000, 0) AS BIGINT) AS j4
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT source_a, source_b,
+           (source_a <> source_b) AS cross_source,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(j4) AS DOUBLE) / (COUNT(*) * 10000.0), 4)
+               AS mean_jaccard,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6)
+               AS pair_share
+    FROM joined
+    GROUP BY source_a, source_b
+    """
+
+
+ORACLES["dedup_cross_source_pairs"] = _cross_source_pairs_oracle()
 
 ORACLES["embedding_norm_profile"] = """
     WITH norms AS (

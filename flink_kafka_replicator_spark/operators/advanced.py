@@ -561,7 +561,57 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shape distribution over the engine's own sessionizer:
+    per session LENGTH (event count), how many sessions, their share,
+    and the mean duration — the table that justifies (or indicts) the
+    session gap setting before anything downstream consumes sessions.
+
+    Shape: the sessionizer's one user_id exchange, a per-(user,
+    session) aggregate carrying exact min/max epoch-micros, then a
+    ≤|max length| histogram; the mean duration divides exact integer
+    micros sums ONCE at output. No float aggregates anywhere."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev, gap_seconds=SESSION_GAP_SECONDS)
+        .join(ev.select("event_id", "ts"), "event_id")
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").cast("int").alias("session_len"),
+            (
+                F.expr("max(unix_micros(ts))")
+                - F.expr("min(unix_micros(ts))")
+            ).alias("dur_us"),
+        )
+    )
+    wall = Window.partitionBy(F.lit(1))
+    return (
+        sess.groupBy("session_len")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum("dur_us").cast("bigint").alias("sdur"),
+        )
+        .select(
+            "session_len",
+            "n_sessions",
+            F.round(
+                F.col("n_sessions").cast("double")
+                / F.sum("n_sessions").over(wall),
+                6,
+            ).alias("session_share"),
+            F.round(
+                F.col("sdur").cast("double")
+                / (F.col("n_sessions") * 1000000.0),
+                3,
+            ).alias("mean_duration_sec"),
+        )
+    )
+
+
 QUERIES = {
+    "session_length_stats": session_length_stats,
     "join_asof": join_asof,
     "join_asof_tolerance": join_asof_tolerance,
     "scd2_point_in_time": scd2_point_in_time,
@@ -577,7 +627,45 @@ QUERIES = {
     "join_asof_nearest": join_asof_nearest,
 }
 
+def _session_length_stats_oracle() -> str:
+    return f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(LAG(ts) OVER w)
+                           > {float(SESSION_GAP_SECONDS)}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC)
+        ),
+        sessioned AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_seq
+            FROM flagged
+        ),
+        sess AS (
+            SELECT user_id, session_seq,
+                   CAST(COUNT(*) AS INTEGER) AS session_len,
+                   MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us
+            FROM sessioned GROUP BY user_id, session_seq
+        )
+        SELECT session_len,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               ROUND(CAST(COUNT(*) AS DOUBLE)
+                     / SUM(COUNT(*)) OVER (), 6) AS session_share,
+               ROUND(CAST(SUM(dur_us) AS DOUBLE)
+                     / (COUNT(*) * 1000000.0), 3) AS mean_duration_sec
+        FROM sess
+        GROUP BY session_len
+    """
+
+
 ORACLES = {
+    "session_length_stats": _session_length_stats_oracle(),
     "scd2_point_in_time": """
         WITH probe AS (
             SELECT make_timestamp(

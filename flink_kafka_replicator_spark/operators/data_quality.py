@@ -674,7 +674,79 @@ def _dupkey_oracle() -> str:
     return "\n        UNION ALL ".join(parts)
 
 
+# declared enum/pattern conformity rules: (table, column, regex).
+# Adding a column is a tuple append, not a code change (the
+# COMPLETENESS_COLS convention).
+ENUM_CONFORMITY_RULES: tuple[tuple[str, str, str], ...] = (
+    ("orders", "o_orderstatus", "^[OFP]$"),
+    ("orders", "o_orderpriority", "^[1-5]-[A-Z]+$"),
+    ("events", "event_type", "^[a-z_]+$"),
+    ("documents", "lang", "^[a-z]{2}$"),
+)
+
+
+def dq_enum_conformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enum/pattern conformity audit: for each declared (table, column,
+    pattern) rule, how many rows conform, how many violate, the
+    violation rate, and how many DISTINCT bad values exist — the check
+    that catches a producer shipping a new unexpected code (the
+    completeness matrix sees nulls; this sees wrong non-nulls).
+
+    Shape: one scan per audited table with all its rules' counts in
+    one aggregate (regexps are map-side codegen); the union is
+    ≤|rules| rows. Exact integers until the rate division."""
+    from ..io import load_table
+
+    parts = []
+    by_table: dict[str, list[tuple[str, str]]] = {}
+    for table, col, pat in ENUM_CONFORMITY_RULES:
+        by_table.setdefault(table, []).append((col, pat))
+    for table, rules in by_table.items():
+        t = load_table(spark, sf_dir, table)
+        aggs = []
+        for col, pat in rules:
+            ok = F.col(col).rlike(pat)
+            aggs.extend(
+                [
+                    F.count(F.col(col)).cast("bigint").alias(
+                        f"{col}__n"
+                    ),
+                    F.sum(ok.cast("bigint")).cast("bigint").alias(
+                        f"{col}__ok"
+                    ),
+                    F.count_distinct(
+                        F.when(~ok, F.col(col))
+                    ).cast("bigint").alias(f"{col}__bad"),
+                ]
+            )
+        wide = t.agg(*aggs)
+        for col, pat in rules:
+            parts.append(
+                wide.select(
+                    F.lit(table).alias("table_name"),
+                    F.lit(col).alias("column_name"),
+                    F.lit(pat).alias("pattern"),
+                    F.col(f"{col}__n").alias("n_values"),
+                    (F.col(f"{col}__n") - F.col(f"{col}__ok"))
+                    .cast("bigint")
+                    .alias("n_violations"),
+                    F.round(
+                        (F.col(f"{col}__n") - F.col(f"{col}__ok"))
+                        .cast("double")
+                        / F.col(f"{col}__n"),
+                        6,
+                    ).alias("violation_rate"),
+                    F.col(f"{col}__bad").alias("n_distinct_bad"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 QUERIES = {
+    "dq_enum_conformity": dq_enum_conformity,
     "dq_referential_integrity": dq_referential_integrity,
     "dq_duplicate_key_report": dq_duplicate_key_report,
     "dq_completeness_matrix": dq_completeness_matrix,
@@ -687,7 +759,29 @@ QUERIES = {
     "dq_distribution_drift": dq_distribution_drift,
 }
 
+def _enum_conformity_oracle() -> str:
+    parts = []
+    for table, col, pat in ENUM_CONFORMITY_RULES:
+        parts.append(f"""
+        SELECT '{table}' AS table_name, '{col}' AS column_name,
+               '{pat}' AS pattern,
+               CAST(COUNT({col}) AS BIGINT) AS n_values,
+               CAST(COUNT({col})
+                    - SUM(CASE WHEN regexp_matches({col}, '{pat}')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+               ROUND(CAST(COUNT({col})
+                     - SUM(CASE WHEN regexp_matches({col}, '{pat}')
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT({col}), 6) AS violation_rate,
+               CAST(COUNT(DISTINCT CASE WHEN NOT
+                    regexp_matches({col}, '{pat}') THEN {col} END)
+                    AS BIGINT) AS n_distinct_bad
+        FROM {table}""")
+    return "\n        UNION ALL\n".join(parts)
+
+
 ORACLES = {
+    "dq_enum_conformity": _enum_conformity_oracle(),
     "dq_completeness_matrix": _completeness_oracle(),
     "dq_duplicate_key_report": _dupkey_oracle(),
     "dq_reconciliation": """

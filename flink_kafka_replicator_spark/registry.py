@@ -351,6 +351,9 @@ PRIORITY_EXTENSION_IDS: tuple[str, ...] = (
     "events_activity_streaks",
     "events_peak_concurrency",
     "dedup_cluster_size_hist",
+    "dedup_cross_source_pairs",
+    "session_length_stats",
+    "dq_enum_conformity",
     "knn_batch_lsh",
     "eval_confusion_matrix",
     "agg_linear_count_distinct",

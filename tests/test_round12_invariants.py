@@ -503,3 +503,45 @@ def test_cluster_size_hist_reconciles_with_survivors(spark, sf_dir):
         s.n_members - 1 for s in surv
     )
     assert all(r.size >= 2 for r in rows)  # pairs make clusters of >=2
+
+
+def test_cross_source_pairs_reconcile_with_flat_pairs(spark, sf_dir):
+    rows = pq.dedup_cross_source_pairs(spark, sf_dir).collect()
+    flat = pq.dedup_fuzzy_minhash(spark, sf_dir).count()
+    assert sum(r.n_pairs for r in rows) == flat
+    assert abs(sum(r.pair_share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.source_a <= r.source_b
+        assert r.cross_source == (r.source_a != r.source_b)
+        assert 0.5 <= r.mean_jaccard <= 1.0
+
+
+def test_session_length_stats_reconcile(spark, sf_dir):
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.operators.advanced import (
+        session_length_stats,
+    )
+
+    rows = session_length_stats(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    # Σ len·count == total events; single-event sessions last 0s
+    assert sum(r.session_len * r.n_sessions for r in rows) == ev.count()
+    for r in rows:
+        if r.session_len == 1:
+            assert r.mean_duration_sec == 0.0
+        assert r.mean_duration_sec >= 0.0
+    assert abs(sum(r.session_share for r in rows) - 1.0) < 1e-3
+
+
+def test_enum_conformity_clean_fixture(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.data_quality import (
+        ENUM_CONFORMITY_RULES,
+        dq_enum_conformity,
+    )
+
+    rows = dq_enum_conformity(spark, sf_dir).collect()
+    assert len(rows) == len(ENUM_CONFORMITY_RULES)
+    for r in rows:
+        assert r.n_values > 0
+        assert 0 <= r.n_violations <= r.n_values
+        assert r.n_distinct_bad <= r.n_violations
