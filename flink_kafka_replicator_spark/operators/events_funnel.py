@@ -979,7 +979,167 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_sessions", "peak_concurrent", "peak_at")
 
 
+ENTROPY_LNQ = "floor(ln({x}) * 1000000.0D) / 1000000.0D"
+ENTROPY_LNQ_SQL = "FLOOR(LN({x}) * 1000000.0) / 1000000.0"
+# integer-valued quantized ln: exact BIGINT, safe to SUM across
+# partial aggregates (double sums are merge-order-dependent)
+ENTROPY_LNQI = "cast(floor(ln({x}) * 1000000.0D) as bigint)"
+ENTROPY_LNQI_SQL = "CAST(FLOOR(LN({x}) * 1000000.0) AS BIGINT)"
+
+
+def events_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy (nats) of the event-type mix — the
+    behavioral-diversity feature churn/segmentation models consume
+    next to RFM: H=0 is a single-note user, H=ln(5) a uniform one.
+
+    H = ln(n) − (Σ c·ln c)/n over the user's per-type counts. The
+    quantized ln (floor(ln·1e6), the tfidf idiom) is kept as an exact
+    BIGINT so the Σ c·lnq(c) aggregate is INTEGER — double sums are
+    merge-order-dependent across partial aggregates, integers are
+    not — and H = (n·lnq(n) − Σ c·lnq(c)) / n / 1e6 does its only
+    float division at output. Shape: two hash aggregates — (user,
+    type) then user — both map-side combinable; the shuffle carries
+    one row per (user, type) pair (≤ |users|·|types|), nothing per
+    event. At 100 TB this is the canonical two-level partial-agg
+    plan; no window, no sort, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    lnq_c = F.expr(ENTROPY_LNQI.format(x="cast(c as double)"))
+    lnq_n = F.expr(ENTROPY_LNQI.format(x="cast(n as double)"))
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count("*").cast("int").alias("n_types"),
+            F.sum(F.col("c") * lnq_c).alias("_clnc"),
+        )
+        .select(
+            "user_id",
+            "n",
+            "n_types",
+            F.round(
+                (F.col("n") * lnq_n - F.col("_clnc")).cast("double")
+                / F.col("n").cast("double")
+                / F.lit(1000000.0),
+                6,
+            ).alias("entropy_nats"),
+        )
+    )
+
+
+def _type_entropy_oracle() -> str:
+    lnq_c = ENTROPY_LNQI_SQL.format(x="CAST(c AS DOUBLE)")
+    lnq_n = ENTROPY_LNQI_SQL.format(x="CAST(n AS DOUBLE)")
+    return f"""
+        WITH per_type AS (
+            SELECT user_id, event_type, COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT user_id, SUM(c) AS n,
+                   CAST(COUNT(*) AS INTEGER) AS n_types,
+                   SUM(c * ({lnq_c})) AS clnc
+            FROM per_type GROUP BY user_id
+        )
+        SELECT user_id, n, n_types,
+               ROUND(CAST(n * ({lnq_n}) - clnc AS DOUBLE)
+                     / CAST(n AS DOUBLE) / 1000000.0, 6)
+                   AS entropy_nats
+        FROM g
+    """
+
+
+def events_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event-type pairs at user
+    granularity — which behaviors travel together (PMI > 0) vs repel
+    (PMI < 0). The association-mining primitive behind "users who do
+    X also do Y" features.
+
+    p(x) = share of users emitting type x; p(x,y) = share emitting
+    both; PMI = ln(p_xy/(p_x·p_y)), quantized at 1e-6. Shape: distinct
+    (user, type) — one hash agg whose output is ≤ |users|·|types| —
+    then a self-join ON user_id. The join explodes only per-user type
+    combinations (≤ types² per user, types is a small enum), so the
+    pair stage is O(users·types²) — never O(users²). Final agg is
+    ≤ types² rows. Deterministic, no sampling; unordered pairs kept
+    once (x < y)."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ut.agg(F.count_distinct("user_id").alias("nu"))
+    per_type = ut.groupBy("event_type").agg(F.count("*").alias("nx"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(b, on="user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_x"),
+            F.col("b.event_type").alias("type_y"),
+        )
+        .agg(F.count("*").alias("nxy"))
+    )
+    px = per_type.select(
+        F.col("event_type").alias("type_x"), F.col("nx").alias("nx_x")
+    )
+    py = per_type.select(
+        F.col("event_type").alias("type_y"), F.col("nx").alias("nx_y")
+    )
+    ratio = (
+        F.col("nxy").cast("double")
+        * F.col("nu").cast("double")
+        / (F.col("nx_x").cast("double") * F.col("nx_y").cast("double"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_users))
+        .join(F.broadcast(px), "type_x")
+        .join(F.broadcast(py), "type_y")
+        .withColumn("r", ratio)
+        .select(
+            "type_x",
+            "type_y",
+            "nxy",
+            F.round(F.expr(ENTROPY_LNQ.format(x="r")), 6).alias(
+                "pmi_nats"
+            ),
+        )
+    )
+
+
+def _cooccurrence_pmi_oracle() -> str:
+    lnq = ENTROPY_LNQ_SQL.format(x="r")
+    return f"""
+        WITH ut AS (
+            SELECT DISTINCT user_id, event_type FROM events
+        ),
+        n_users AS (SELECT COUNT(DISTINCT user_id) AS nu FROM ut),
+        per_type AS (
+            SELECT event_type, COUNT(*) AS nx FROM ut GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.event_type AS type_x, b.event_type AS type_y,
+                   COUNT(*) AS nxy
+            FROM ut a JOIN ut b USING (user_id)
+            WHERE a.event_type < b.event_type
+            GROUP BY 1, 2
+        ),
+        staged AS (
+            SELECT type_x, type_y, nxy,
+                   CAST(nxy AS DOUBLE) * CAST(nu AS DOUBLE)
+                   / (CAST(px.nx AS DOUBLE) * CAST(py.nx AS DOUBLE)) AS r
+            FROM pairs, n_users
+            JOIN per_type px ON px.event_type = pairs.type_x
+            JOIN per_type py ON py.event_type = pairs.type_y
+        )
+        SELECT type_x, type_y, nxy, ROUND({lnq}, 6) AS pmi_nats
+        FROM staged
+    """
+
+
 QUERIES = {
+    "events_type_entropy": events_type_entropy,
+    "events_cooccurrence_pmi": events_cooccurrence_pmi,
     "events_hourly_heatmap": events_hourly_heatmap,
     "events_new_vs_returning": events_new_vs_returning,
     "dq_freshness_report": dq_freshness_report,
@@ -1092,6 +1252,8 @@ def _peak_concurrency_oracle() -> str:
 
 
 ORACLES = {
+    "events_type_entropy": _type_entropy_oracle(),
+    "events_cooccurrence_pmi": _cooccurrence_pmi_oracle(),
     "events_activity_streaks": _streaks_oracle(),
     "events_peak_concurrency": _peak_concurrency_oracle(),
     "retention_revenue_cohorts": """

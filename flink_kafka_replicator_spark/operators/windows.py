@@ -820,6 +820,295 @@ def _rsi_oracle() -> str:
     """
 
 
+ACF_MIN_PAIRS = 8
+
+
+def window_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 and lag-2 autocorrelation of the event-value
+    series — the stationarity probe a forecasting/monitoring pipeline
+    runs before choosing a smoother (white noise → ACF≈0; a sticky
+    level → ACF1 near 1; ACF2 tells you whether it persists).
+
+    Pearson r over (v_t, v_{t-k}) pairs, per user, each lag over its
+    own pair set. Exactness: values are exact cent BIGINTs, the five
+    sufficient statistics per lag (n, Σx, Σy, Σxy, Σx², Σy²) stay
+    integer — cross products in DECIMAL(38,0), the eval_roc_auc
+    overflow discipline (n·Σxy exceeds int64 past ~10⁶ rows/user) —
+    and the only float math is the final (num, √(varx·vary)) division,
+    identical IEEE in both engines. Shape: ONE user_id window exchange
+    shared by both lags, then a hash aggregate whose output is one row
+    per user — at 100 TB this is the per-key sorted scan plus a
+    map-side-combinable agg; no joins, no global sort. Users with
+    fewer than ACF_MIN_PAIRS lag-1 pairs are dropped (r over a
+    handful of points is noise); zero-variance series emit NULL.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    ).select(
+        "user_id",
+        "x",
+        F.lag("x", 1).over(w).alias("y1"),
+        F.lag("x", 2).over(w).alias("y2"),
+    )
+    dec = "decimal(38,0)"
+
+    def _stats(ycol: str, tag: str):
+        y = F.col(ycol)
+        has = y.isNotNull()
+        xx = F.when(has, F.col("x")).cast(dec)
+        yy = y.cast(dec)
+        return [
+            F.sum(F.when(has, 1).otherwise(0)).cast("long").alias(f"n{tag}"),
+            F.sum(xx).alias(f"sx{tag}"),
+            F.sum(yy).alias(f"sy{tag}"),
+            F.sum(xx * yy).alias(f"sxy{tag}"),
+            F.sum(xx * xx).alias(f"sxx{tag}"),
+            F.sum(yy * yy).alias(f"syy{tag}"),
+        ]
+
+    g = d.groupBy("user_id").agg(*(_stats("y1", "1") + _stats("y2", "2")))
+
+    def _corr(tag: str):
+        n = F.col(f"n{tag}").cast(dec)
+        num = (n * F.col(f"sxy{tag}") - F.col(f"sx{tag}") * F.col(f"sy{tag}")).cast(
+            "double"
+        )
+        vx = (n * F.col(f"sxx{tag}") - F.col(f"sx{tag}") * F.col(f"sx{tag}")).cast(
+            "double"
+        )
+        vy = (n * F.col(f"syy{tag}") - F.col(f"sy{tag}") * F.col(f"sy{tag}")).cast(
+            "double"
+        )
+        return F.when(
+            (vx > 0) & (vy > 0), F.round(num / F.sqrt(vx * vy), 4)
+        ).otherwise(F.lit(None).cast("double"))
+
+    return g.filter(F.col("n1") >= ACF_MIN_PAIRS).select(
+        "user_id",
+        F.col("n1").alias("n_pairs_lag1"),
+        _corr("1").alias("acf1"),
+        _corr("2").alias("acf2"),
+    )
+
+
+def _autocorr_oracle() -> str:
+    def stats(tag: str) -> str:
+        y = f"y{tag}"
+        return f"""
+               SUM(CASE WHEN {y} IS NOT NULL THEN 1 ELSE 0 END) AS n{tag},
+               SUM(CASE WHEN {y} IS NOT NULL
+                   THEN CAST(x AS DECIMAL(38,0)) END) AS sx{tag},
+               SUM(CAST({y} AS DECIMAL(38,0))) AS sy{tag},
+               SUM(CAST(x AS DECIMAL(38,0))
+                   * CAST({y} AS DECIMAL(38,0))) AS sxy{tag},
+               SUM(CASE WHEN {y} IS NOT NULL
+                   THEN CAST(x AS DECIMAL(38,0))
+                      * CAST(x AS DECIMAL(38,0)) END) AS sxx{tag},
+               SUM(CAST({y} AS DECIMAL(38,0))
+                   * CAST({y} AS DECIMAL(38,0))) AS syy{tag}"""
+
+    def corr(tag: str) -> str:
+        n = f"CAST(n{tag} AS DECIMAL(38,0))"
+        num = f"CAST({n} * sxy{tag} - sx{tag} * sy{tag} AS DOUBLE)"
+        vx = f"CAST({n} * sxx{tag} - sx{tag} * sx{tag} AS DOUBLE)"
+        vy = f"CAST({n} * syy{tag} - sy{tag} * sy{tag} AS DOUBLE)"
+        return (
+            f"CASE WHEN {vx} > 0 AND {vy} > 0"
+            f" THEN ROUND({num} / SQRT({vx} * {vy}), 4) END"
+        )
+
+    return f"""
+        WITH d AS (
+            SELECT user_id,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS x,
+                   LAG(CAST(ROUND(value * 100, 0) AS BIGINT), 1) OVER w AS y1,
+                   LAG(CAST(ROUND(value * 100, 0) AS BIGINT), 2) OVER w AS y2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        g AS (
+            SELECT user_id, {stats("1")}, {stats("2")}
+            FROM d GROUP BY user_id
+        )
+        SELECT user_id,
+               n1 AS n_pairs_lag1,
+               {corr("1")} AS acf1,
+               {corr("2")} AS acf2
+        FROM g
+        WHERE n1 >= {ACF_MIN_PAIRS}
+    """
+
+
+# MACD: finite-horizon adjust=True EWMAs with dyadic alphas so every
+# decay weight is an exact integer after scaling. Fast leg alpha=1/2
+# over 8 lags (weights 2^(7-i)); slow leg alpha=1/4 over 12 lags
+# (weights (3/4)^i scaled by 4^11 → 3^i·4^(11-i), max ~4.2e6 — times
+# cent values times 12 terms stays ≤ ~5e12, comfortably BIGINT).
+MACD_FAST_LAGS = 8
+MACD_SLOW_LAGS = 12
+MACD_SIGNAL_LAGS = 8
+
+
+def window_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD oscillator per user over the event-value series: fast
+    EWMA − slow EWMA, plus the signal line (an EWMA of the MACD) and
+    the divergence histogram — the trend-change detector layered on
+    the same smoother family as :func:`window_ewma`.
+
+    Exactness: both legs are ratios of exact BIGINT sums (integer
+    decay weights over exact cent values — see the lag constants
+    above), so macd is a deterministic double; the signal line is an
+    integer-weighted average over lagged macd doubles — identical
+    IEEE expression trees in both engines, one ROUND(…, 4) at output.
+    Shape: THREE window passes but all on the identical
+    (user_id | ts, event_id) spec, so Catalyst plans ONE exchange +
+    ONE sort and evaluates the lag stacks in two Window operators
+    over it — per-key sorted-scan at 100 TB, no joins, frame-bounded
+    state."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    d = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    )
+
+    def _ewma_terms(lags: int, wt_of, src: F.Column):
+        num = F.lit(0).cast("long")
+        den = F.lit(0).cast("long")
+        for i in range(lags):
+            wt = wt_of(i)
+            lag_i = src if i == 0 else F.lag(src, i).over(w)
+            num = num + F.coalesce(lag_i * F.lit(wt), F.lit(0))
+            den = den + F.when(lag_i.isNotNull(), F.lit(wt)).otherwise(
+                F.lit(0)
+            )
+        return num, den
+
+    fnum, fden = _ewma_terms(
+        MACD_FAST_LAGS,
+        lambda i: 1 << (MACD_FAST_LAGS - 1 - i),
+        F.col("v100"),
+    )
+    snum, sden = _ewma_terms(
+        MACD_SLOW_LAGS,
+        lambda i: 3**i * 4 ** (MACD_SLOW_LAGS - 1 - i),
+        F.col("v100"),
+    )
+    staged = d.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            fnum.cast("double") / fden.cast("double")
+            - snum.cast("double") / sden.cast("double")
+        ).alias("macd_raw"),
+    )
+    # signal line: integer-weighted EWMA over the (double) macd series
+    gnum = F.lit(0.0)
+    gden = F.lit(0).cast("long")
+    for i in range(MACD_SIGNAL_LAGS):
+        wt = 1 << (MACD_SIGNAL_LAGS - 1 - i)
+        lag_i = (
+            F.col("macd_raw") if i == 0 else F.lag("macd_raw", i).over(w)
+        )
+        gnum = gnum + F.coalesce(lag_i * F.lit(float(wt)), F.lit(0.0))
+        gden = gden + F.when(lag_i.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    sig = gnum / gden.cast("double")
+    return staged.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("macd_raw") / 100.0, 4).alias("macd"),
+        F.round(sig / 100.0, 4).alias("signal"),
+        F.round((F.col("macd_raw") - sig) / 100.0, 4).alias("macd_hist"),
+    )
+
+
+def _macd_oracle() -> str:
+    def lag_cols(name: str, src: str, lags: int) -> str:
+        return ", ".join(
+            f"LAG({src}, {i}) OVER w AS {name}{i}" for i in range(1, lags)
+        )
+
+    def terms(name: str, src: str, lags: int, wt_of, zero: str):
+        num = " + ".join(
+            [f"{src} * {wt_of(0)}"]
+            + [
+                f"COALESCE({name}{i} * {wt_of(i)}, {zero})"
+                for i in range(1, lags)
+            ]
+        )
+        den = " + ".join(
+            [str(wt_of(0))]
+            + [
+                f"CASE WHEN {name}{i} IS NOT NULL THEN {wt_of(i)} ELSE 0 END"
+                for i in range(1, lags)
+            ]
+        )
+        return num, den
+
+    fw = lambda i: 1 << (MACD_FAST_LAGS - 1 - i)  # noqa: E731
+    sw = lambda i: 3**i * 4 ** (MACD_SLOW_LAGS - 1 - i)  # noqa: E731
+    gw = lambda i: 1 << (MACD_SIGNAL_LAGS - 1 - i)  # noqa: E731
+    fnum, fden = terms("f", "v100", MACD_FAST_LAGS, fw, "0")
+    snum, sden = terms("s", "v100", MACD_SLOW_LAGS, sw, "0")
+    gnum, gden = terms(
+        "g", "macd_raw", MACD_SIGNAL_LAGS, lambda i: f"{float(gw(i))!r}", "0.0"
+    )
+    # the CASE weights in gden are integers even though the gnum
+    # weights are float literals (mirrors the Spark expression tree)
+    gden = " + ".join(
+        [str(gw(0))]
+        + [
+            f"CASE WHEN g{i} IS NOT NULL THEN {gw(i)} ELSE 0 END"
+            for i in range(1, MACD_SIGNAL_LAGS)
+        ]
+    )
+    return f"""
+        WITH d AS (
+            SELECT user_id, event_id, ts,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS v100
+            FROM events
+        ),
+        lagged AS (
+            SELECT user_id, event_id, ts, v100,
+                   {lag_cols("f", "v100", MACD_FAST_LAGS)},
+                   {lag_cols("s", "v100", MACD_SLOW_LAGS)}
+            FROM d
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        staged AS (
+            SELECT user_id, event_id, ts,
+                   CAST({fnum} AS DOUBLE) / CAST({fden} AS DOUBLE)
+                   - CAST({snum} AS DOUBLE) / CAST({sden} AS DOUBLE)
+                       AS macd_raw
+            FROM lagged
+        ),
+        siglag AS (
+            SELECT user_id, event_id, macd_raw,
+                   {lag_cols("g", "macd_raw", MACD_SIGNAL_LAGS)}
+            FROM staged
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        )
+        SELECT user_id, event_id,
+               ROUND(macd_raw / 100.0, 4) AS macd,
+               ROUND(({gnum}) / CAST({gden} AS DOUBLE) / 100.0, 4) AS signal,
+               ROUND((macd_raw - ({gnum}) / CAST({gden} AS DOUBLE))
+                     / 100.0, 4) AS macd_hist
+        FROM siglag
+    """
+
+
 QUERIES = {
     "window_rank": window_rank,
     "window_bollinger_bands": window_bollinger_bands,
@@ -836,9 +1125,13 @@ QUERIES = {
     "window_moving_avg": window_moving_avg,
     "window_distinct_count": window_distinct_count,
     "window_cume_dist": window_cume_dist,
+    "window_autocorr": window_autocorr,
+    "window_macd": window_macd,
 }
 
 ORACLES = {
+    "window_autocorr": _autocorr_oracle(),
+    "window_macd": _macd_oracle(),
     "window_ewma": _ewma_oracle(),
     "window_bollinger_bands": _bollinger_oracle(),
     "window_rsi": _rsi_oracle(),

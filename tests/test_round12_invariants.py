@@ -545,3 +545,87 @@ def test_enum_conformity_clean_fixture(spark, sf_dir):
         assert r.n_values > 0
         assert 0 <= r.n_violations <= r.n_values
         assert r.n_distinct_bad <= r.n_violations
+
+
+# ---------------------------------------------------------------- batch: series + association ops
+
+
+def test_autocorr_bounded_and_constant_series_null(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.windows import (
+        ACF_MIN_PAIRS,
+        window_autocorr,
+    )
+
+    rows = window_autocorr(spark, sf_dir).collect()
+    assert rows, "sf fixture has users with enough pairs"
+    for r in rows:
+        assert r.n_pairs_lag1 >= ACF_MIN_PAIRS
+        if r.acf1 is not None:
+            assert -1.0 - 1e-9 <= r.acf1 <= 1.0 + 1e-9
+        if r.acf2 is not None:
+            assert -1.0 - 1e-9 <= r.acf2 <= 1.0 + 1e-9
+    # a constant series has zero variance -> NULL acf, not a crash
+    const = spark.createDataFrame(
+        [(1, i, 5.0) for i in range(20)], "user_id long, event_id long, value double"
+    ).withColumn("ts", F.timestamp_seconds(F.col("event_id") + 1_600_000_000))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        const.select("event_id", "ts", "user_id",
+                     F.lit("view").alias("event_type"), "value",
+                     F.lit("{}").alias("props")).write.parquet(td + "/events.parquet")
+        got = window_autocorr(spark, td).collect()
+        assert len(got) == 1 and got[0].acf1 is None and got[0].acf2 is None
+
+
+def test_macd_single_exchange_and_smoother_identity(spark, sf_dir):
+    """All three MACD window stacks share ONE (user_id | ts,event_id)
+    sort: the physical plan must contain exactly one shuffle exchange.
+    And on any constant series fast == slow -> macd == 0 == signal."""
+    from flink_kafka_replicator_spark.operators.windows import window_macd
+
+    df = window_macd(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, plan[:2000]
+    rows = df.limit(50).collect()
+    assert rows
+    # histogram identity: macd_hist == macd - signal (to rounding)
+    for r in rows:
+        assert abs(r.macd_hist - (r.macd - r.signal)) < 2e-4
+
+
+def test_type_entropy_bounds(spark, sf_dir):
+    import math
+
+    from flink_kafka_replicator_spark.operators.events_funnel import (
+        events_type_entropy,
+    )
+
+    rows = events_type_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.entropy_nats + 1e-6
+        # H <= ln(n_types) (quantization slack)
+        assert r.entropy_nats <= math.log(r.n_types) + 1e-5
+        if r.n_types == 1:
+            assert abs(r.entropy_nats) < 2e-6
+
+
+def test_cooccurrence_pmi_symmetric_domain(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.events_funnel import (
+        events_cooccurrence_pmi,
+    )
+
+    rows = events_cooccurrence_pmi(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.type_x < r.type_y  # unordered pairs, kept once
+        assert (r.type_x, r.type_y) not in seen
+        seen.add((r.type_x, r.type_y))
+        assert r.nxy >= 1
+        # PMI <= min(ln(1/px), ln(1/py)) <= ln(n_users); loose sanity
+        assert r.pmi_nats < 20.0
