@@ -5799,7 +5799,220 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LINKPRED_TOP_K = 20
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the near-dup graph: the
+    top-K wedge-connected doc pairs ranked by shared neighbors, each
+    flagged is_edge — the non-edge rows are the "these two are
+    probably dups the LSH bands missed" review queue a dedup operator
+    works through (two docs near-dup to the same three docs but not
+    to each other are a banding miss or a chain break); the edge rows
+    calibrate what a confirmed dup's score looks like. On a clean
+    clique-structured corpus every wedge pair IS an edge — a non-edge
+    appearing at the top of this table is itself the signal.
+
+    Scale shape — wedge enumeration, the triangle-census recipe run
+    one step short of closure: symmetrize edges, self-join on the
+    middle node (work Σ_v deg²(v), degree-bounded upstream by the LSH
+    MAX_BUCKET hygiene), flag direct edges with a left join, count
+    per pair, attach degrees, and take the top-K via
+    TakeOrderedAndProject — never a global sort of the wedge set.
+    Neighborhood Jaccard = common / (deg_a + deg_b − common) breaks
+    ties; (doc_a, doc_b) breaks the rest deterministically."""
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    e = _TRI_EDGE_CACHE.get(key)
+    if e is None:
+        pairs = dedup_fuzzy_minhash(spark, sf_dir).select("doc_a", "doc_b")
+        e = materialize_small(pairs)
+        _cache_put(_TRI_EDGE_CACHE, key, e)
+    nbr = e.select(
+        F.col("doc_a").alias("v"), F.col("doc_b").alias("w")
+    ).unionAll(e.select(F.col("doc_b").alias("v"), F.col("doc_a").alias("w")))
+    deg = nbr.groupBy("v").agg(F.count("*").alias("d"))
+    n1 = nbr.select(F.col("w").alias("m"), F.col("v").alias("x"))
+    n2 = nbr.select(F.col("w").alias("m"), F.col("v").alias("y"))
+    edge_flag = e.select(
+        F.col("doc_a").alias("x"),
+        F.col("doc_b").alias("y"),
+        F.lit(True).alias("is_edge"),
+    )
+    wedges = (
+        n1.join(n2, "m")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n_common"))
+        .join(broadcast(edge_flag), ["x", "y"], "left")
+        .withColumn("is_edge", F.coalesce("is_edge", F.lit(False)))
+    )
+    da = deg.select(F.col("v").alias("x"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("v").alias("y"), F.col("d").alias("deg_b"))
+    scored = (
+        wedges.join(broadcast(da), "x")
+        .join(broadcast(db), "y")
+        .select(
+            F.col("x").alias("doc_a"),
+            F.col("y").alias("doc_b"),
+            "is_edge",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("nbr_jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("n_common").desc(),
+        F.col("nbr_jaccard").desc(),
+        F.col("doc_a").asc(),
+        F.col("doc_b").asc(),
+    ).limit(LINKPRED_TOP_K)
+
+
+# per-component quantization for the centroid similarity matrix:
+# floats scaled to exact 1e6-grid BIGINTs so per-dim sums (and the
+# cosine built from them) are merge-order-free integers
+CENTROID_Q = 1_000_000
+
+
+def sim_centroid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the class-confusability matrix: which label pairs sit
+    close in embedding space (candidates for merging, or for hard-
+    negative mining in a training-data pipeline).
+
+    Exactness: each float component is quantized to an exact 1e6-grid
+    BIGINT, per-(label, dim) sums stay integer (merge-order-free, the
+    events_type_entropy discipline), and because cosine is scale-
+    invariant the mean never needs to be taken — cos(ā, b̄) computed
+    directly from the SUM vectors (counts cancel), cross products in
+    DECIMAL(38,0), ONE sqrt/division at output. Shape: posexplode →
+    hash agg to (labels × dims) rows — constant-size regardless of
+    corpus — then a dim-equi self-join over that tiny table. At
+    100 TB only the first aggregate touches data; the pair stage is
+    labels²·dims rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sums = (
+        e.select(
+            "label",
+            F.posexplode(as_double(F.col("embedding"))).alias("dim", "v"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(
+                F.round(F.col("v") * CENTROID_Q).cast("long")
+            ).alias("s")
+        )
+    )
+    sums = materialize_small(sums)
+    norms = sums.groupBy("label").agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("n2")
+    )
+    a = sums.select(
+        F.col("label").alias("label_a"), "dim", F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"), "dim", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                F.col("sa").cast("decimal(38,0)") * F.col("sb")
+            ).alias("dot")
+        )
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(broadcast(na), "label_a")
+        .join(broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("na2").cast("double") * F.col("nb2").cast("double")
+                ),
+                6,
+            ).alias("centroid_cosine"),
+        )
+    )
+
+
+def eval_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table of the trained quality classifier: score bins
+    from the top down, each reporting cumulative docs, cumulative
+    positives, gain (share of all positives captured) and lift
+    (precision so far ÷ base rate) — the table a "score the corpus,
+    keep the top X%" curation decision reads.
+
+    Same histogram discipline as the PR curve and calibration bins:
+    equal-WIDTH integer bins over broadcast [lo, hi] bounds (never
+    ntile — that's a global sort at corpus scale), one corpus-scan
+    hash aggregate to a ≤CALIB_BINS-row histogram, the cumulative
+    sweep a window over that tiny table. Exact integer counts; the
+    two ratios divide once at output."""
+    _labels, _w, scored, _theta = _qc_fit(spark, sf_dir)
+    bounds = scored.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    step = f"greatest(1L, (hi - lo) div {CALIB_BINS})"
+    binned = scored.crossJoin(broadcast(bounds)).select(
+        F.expr(f"least((s - lo) div {step}, {CALIB_BINS}L - 1)").alias(
+            "bin"
+        ),
+        "y",
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("y") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    totals = hist.agg(
+        F.sum("n_docs").alias("t_docs"), F.sum("n_pos").alias("t_pos")
+    )
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the window runs over the ≤CALIB_BINS-row histogram, not the corpus
+    cum = hist.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        F.sum("n_docs").over(w).cast("bigint").alias("cum_docs"),
+        F.sum("n_pos").over(w).cast("bigint").alias("cum_pos"),
+    )
+    return cum.crossJoin(broadcast(totals)).select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        "cum_docs",
+        "cum_pos",
+        F.round(
+            F.col("cum_pos").cast("double") / F.col("t_pos").cast("double"),
+            6,
+        ).alias("gain"),
+        F.round(
+            (F.col("cum_pos").cast("double") / F.col("cum_docs"))
+            / (F.col("t_pos").cast("double") / F.col("t_docs")),
+            6,
+        ).alias("lift"),
+    )
+
+
 QUERIES = {
+    "graph_link_prediction": graph_link_prediction,
+    "sim_centroid_pairs": sim_centroid_pairs,
+    "eval_lift_gains": eval_lift_gains,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_threshold_sweep": dedup_threshold_sweep,
     "dedup_containment": dedup_containment,
@@ -7489,6 +7702,78 @@ ORACLES["graph_triangle_count"] = """
 """
 
 
+ORACLES["graph_link_prediction"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+        FROM t
+    ),
+    e AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+    ),
+    nbr AS (
+        SELECT a AS v, b AS w FROM e
+        UNION ALL SELECT b AS v, a AS w FROM e
+    ),
+    deg AS (SELECT v, COUNT(*) AS d FROM nbr GROUP BY v),
+    wedges AS (
+        SELECT n1.v AS x, n2.v AS y, COUNT(*) AS n_common,
+               EXISTS (SELECT 1 FROM e
+                       WHERE e.a = n1.v AND e.b = n2.v) AS is_edge
+        FROM nbr n1 JOIN nbr n2 ON n1.w = n2.w
+        WHERE n1.v < n2.v
+        GROUP BY 1, 2
+    )
+    SELECT x AS doc_a, y AS doc_b, is_edge, n_common,
+           da.d AS deg_a, db.d AS deg_b,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / CAST(da.d + db.d - n_common AS DOUBLE), 6)
+               AS nbr_jaccard
+    FROM wedges
+    JOIN deg da ON da.v = wedges.x
+    JOIN deg db ON db.v = wedges.y
+    ORDER BY n_common DESC, nbr_jaccard DESC, doc_a ASC, doc_b ASC
+    LIMIT {LINKPRED_TOP_K}
+"""
+
+ORACLES["sim_centroid_pairs"] = f"""
+    WITH comp AS (
+        SELECT label,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+                   AS dim,
+               CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE)
+                          * {CENTROID_Q}, 0) AS BIGINT) AS q
+        FROM embeddings
+    ),
+    sums AS (
+        SELECT label, dim, SUM(q) AS s FROM comp GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT label, SUM(CAST(s AS HUGEINT) * s) AS n2
+        FROM sums GROUP BY label
+    ),
+    dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               SUM(CAST(a.s AS HUGEINT) * b.s) AS dot
+        FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT label_a, label_b,
+           ROUND(CAST(dot AS DOUBLE)
+                 / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+               AS centroid_cosine
+    FROM dots
+    JOIN norms na ON na.label = dots.label_a
+    JOIN norms nb ON nb.label = dots.label_b
+"""
+
 def _mmr_oracle_sql() -> str:
     """DuckDB twin of mmr_rerank: identical shortlist/sims rounding,
     then the greedy unrolled as one CTE pair (candidates + pick) per
@@ -7981,6 +8266,41 @@ ORACLES["eval_calibration_bins"] = f"""
            ROUND(CAST(SUM(CAST(s AS HUGEINT)) AS DOUBLE) / COUNT(*), 4)
                AS mean_score
     FROM binned GROUP BY bin
+"""
+
+ORACLES["eval_lift_gains"] = f"""
+    WITH {_DUCK_QC_SCORED_CTES},
+    bounds AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM scored),
+    binned AS (
+        SELECT LEAST((s - lo) // GREATEST(1, (hi - lo) // {CALIB_BINS}),
+                     {CALIB_BINS} - 1) AS bin,
+               y
+        FROM scored CROSS JOIN bounds
+    ),
+    hist AS (
+        SELECT CAST(bin AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos
+        FROM binned GROUP BY bin
+    ),
+    totals AS (
+        SELECT SUM(n_docs) AS t_docs, SUM(n_pos) AS t_pos FROM hist
+    ),
+    cum AS (
+        SELECT bin, n_docs, n_pos,
+               CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+               CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos
+        FROM hist
+        WINDOW w AS (ORDER BY bin DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT bin, n_docs, n_pos, cum_docs, cum_pos,
+           ROUND(CAST(cum_pos AS DOUBLE) / CAST(t_pos AS DOUBLE), 6)
+               AS gain,
+           ROUND((CAST(cum_pos AS DOUBLE) / cum_docs)
+                 / (CAST(t_pos AS DOUBLE) / t_docs), 6) AS lift
+    FROM cum CROSS JOIN totals
 """
 
 ORACLES["eval_ndcg_bm25"] = f"""

@@ -745,7 +745,96 @@ def dq_enum_conformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# cross-FIELD consistency rules: (table, rule_id, violation predicate)
+# — the predicate is shared VERBATIM between the Spark plan (F.expr)
+# and the DuckDB oracle, so the contract is the rule text itself.
+# The completeness matrix sees nulls, enum conformity sees wrong
+# values; this sees rows whose fields disagree with EACH OTHER.
+CROSS_FIELD_RULES: tuple[tuple[str, str, str], ...] = (
+    ("lineitem", "nonpositive_charge",
+     "l_extendedprice * (1 - l_discount) <= 0"),
+    ("lineitem", "unit_price_implausible",
+     "l_quantity > 0 AND l_extendedprice / l_quantity > 100000"),
+    ("lineitem", "returned_but_open",
+     "l_returnflag = 'R' AND l_linestatus = 'O'"),
+    ("lineitem", "discount_out_of_range",
+     "l_discount < 0 OR l_discount > 0.5"),
+    ("documents", "n_chars_mismatch", "n_chars <> length(text)"),
+    ("orders", "nonpositive_total", "o_totalprice <= 0"),
+)
+
+
+def dq_cross_field_consistency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-field consistency audit: for each declared (table, rule,
+    violation-predicate) — fields that must agree WITHIN a row, like
+    ship ≤ receipt or a stored length matching the payload — count the
+    rows where they don't. The third leg of the declarative DQ
+    battery next to :func:`dq_completeness_matrix` (nulls) and
+    :func:`dq_enum_conformity` (bad values).
+
+    Shape: ONE scan per audited table carrying all of that table's
+    rule counts in a single conditional aggregate (predicates are
+    map-side codegen); the report is ≤|rules| rows. The predicate
+    string itself is the cross-engine contract — both engines compile
+    the same expression text. Exact integers until the rate
+    division."""
+    parts = []
+    by_table: dict[str, list[tuple[str, str]]] = {}
+    for table, rule, pred in CROSS_FIELD_RULES:
+        by_table.setdefault(table, []).append((rule, pred))
+    for table, rules in by_table.items():
+        t = load_table(spark, sf_dir, table)
+        aggs = [F.count("*").cast("bigint").alias("__n")]
+        for rule, pred in rules:
+            aggs.append(
+                F.sum(
+                    F.when(F.expr(pred), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"{rule}__bad")
+            )
+        wide = t.agg(*aggs)
+        for rule, pred in rules:
+            parts.append(
+                wide.select(
+                    F.lit(table).alias("table_name"),
+                    F.lit(rule).alias("rule_id"),
+                    F.lit(pred).alias("violation_predicate"),
+                    F.col("__n").alias("n_rows"),
+                    F.col(f"{rule}__bad").alias("n_violations"),
+                    F.round(
+                        F.col(f"{rule}__bad").cast("double")
+                        / F.col("__n"),
+                        6,
+                    ).alias("violation_rate"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _cross_field_oracle() -> str:
+    parts = []
+    for table, rule, pred in CROSS_FIELD_RULES:
+        pred_sql = pred.replace("'", "''")
+        parts.append(f"""
+        SELECT '{table}' AS table_name, '{rule}' AS rule_id,
+               '{pred_sql}' AS violation_predicate,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violations,
+               ROUND(CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END)
+                     AS DOUBLE) / COUNT(*), 6) AS violation_rate
+        FROM {table}""")
+    return "\n        UNION ALL\n".join(parts)
+
+
 QUERIES = {
+    "dq_cross_field_consistency": dq_cross_field_consistency,
     "dq_enum_conformity": dq_enum_conformity,
     "dq_referential_integrity": dq_referential_integrity,
     "dq_duplicate_key_report": dq_duplicate_key_report,
@@ -781,6 +870,7 @@ def _enum_conformity_oracle() -> str:
 
 
 ORACLES = {
+    "dq_cross_field_consistency": _cross_field_oracle(),
     "dq_enum_conformity": _enum_conformity_oracle(),
     "dq_completeness_matrix": _completeness_oracle(),
     "dq_duplicate_key_report": _dupkey_oracle(),

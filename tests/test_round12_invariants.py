@@ -629,3 +629,72 @@ def test_cooccurrence_pmi_symmetric_domain(spark, sf_dir):
         assert r.nxy >= 1
         # PMI <= min(ln(1/px), ln(1/py)) <= ln(n_users); loose sanity
         assert r.pmi_nats < 20.0
+
+
+def test_link_prediction_wedges_cover_triangles(spark, sf_dir):
+    """On a clique-structured dup corpus every wedge pair is an edge
+    (open-wedge count == 0 ⇔ transitivity == 1 families); scores are
+    bounded and the pair domain is canonical."""
+    rows = pq.graph_link_prediction(spark, sf_dir).collect()
+    assert rows, "dup families produce wedge pairs"
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.n_common >= 1
+        assert 0.0 < r.nbr_jaccard <= 1.0
+        assert r.n_common <= min(r.deg_a, r.deg_b)
+    tri = pq.graph_triangle_count(spark, sf_dir).collect()[0]
+    if tri.transitivity == 1.0:
+        assert all(r.is_edge for r in rows)
+
+
+def test_centroid_pairs_full_matrix_and_self_similarity(spark, sf_dir):
+    rows = pq.sim_centroid_pairs(spark, sf_dir).collect()
+    labels = set()
+    for r in rows:
+        assert r.label_a < r.label_b
+        assert -1.0 - 1e-9 <= r.centroid_cosine <= 1.0 + 1e-9
+        labels.add(r.label_a)
+        labels.add(r.label_b)
+    n = len(labels)
+    assert len(rows) == n * (n - 1) // 2  # every unordered pair once
+
+
+def test_lift_gains_monotone_and_reconciles(spark, sf_dir):
+    rows = sorted(
+        pq.eval_lift_gains(spark, sf_dir).collect(),
+        key=lambda r: -r.bin,
+    )
+    assert rows
+    # cumulative columns are running sums from the top bin down
+    cd = cp = 0
+    for r in rows:
+        cd += r.n_docs
+        cp += r.n_pos
+        assert r.cum_docs == cd and r.cum_pos == cp
+        assert 0.0 <= r.gain <= 1.0 + 1e-9
+        assert r.lift >= 0.0
+    # the bottom row covers everything: gain == 1, lift == 1
+    assert abs(rows[-1].gain - 1.0) < 1e-9
+    assert abs(rows[-1].lift - 1.0) < 1e-6
+    # gain is monotone nonincreasing as bins are removed from the top
+    gains = [r.gain for r in rows]
+    assert gains == sorted(gains)
+
+
+def test_cross_field_consistency_clean_and_dirty(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.data_quality import (
+        CROSS_FIELD_RULES,
+        dq_cross_field_consistency,
+    )
+
+    rows = dq_cross_field_consistency(spark, sf_dir).collect()
+    assert len(rows) == len(CROSS_FIELD_RULES)
+    by_rule = {r.rule_id: r for r in rows}
+    # the generator writes consistent data: structural rules hold
+    assert by_rule["nonpositive_charge"].n_violations == 0
+    assert by_rule["n_chars_mismatch"].n_violations == 0
+    assert by_rule["nonpositive_total"].n_violations == 0
+    for r in rows:
+        assert 0 <= r.n_violations <= r.n_rows
+        # rate is ROUND(…, 6)
+        assert abs(r.violation_rate - r.n_violations / r.n_rows) < 5e-7
