@@ -610,7 +610,126 @@ def session_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TSD_PERIOD = 7  # weekly seasonality over the daily series
+
+
+def time_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily order-
+    revenue series: revenue = trend + seasonal + residual, with trend
+    a centered 7-day moving average, seasonal the ISO-weekday mean of
+    the detrended series, residual the remainder — the moving-average
+    step of STL, the first thing a forecasting pipeline fits and the
+    view an anomaly review reads (is the dip trend, weekday, or
+    genuinely anomalous?).
+
+    Scale shape — the histogram discipline applied to time series:
+    the corpus-sized scan collapses FIRST to one exact-cent row per
+    calendar day (a hash agg; the shuffle carries ≤ days rows
+    regardless of order count), and every window/self-join after that
+    runs over the bounded daily series (~2.5k rows for 7 years — the
+    eval_roc_auc distinct-histogram argument), so the unpartitioned
+    ORDER BY day window is a bounded-cardinality sort by
+    construction, not a corpus sort. Exactness: trend·7 and the
+    seasonal numerator (Σ of rev·7 − trend·7, i.e. 700× the real
+    values) stay exact BIGINT cents; only the three output divisions
+    are float, identically structured in both engines. Only days with
+    a full 7-observed-day centered frame emit (calendar gaps widen
+    the frame's span — documented, matching statsmodels' NaN edge)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev100"
+        )
+    )
+    half = TSD_PERIOD // 2
+    w = (
+        Window.orderBy(F.col("day").asc())
+        .rowsBetween(-half, half)
+    )
+    # the window runs over the daily series, not the orders table
+    trended = (
+        daily.withColumn("n_frame", F.count("*").over(w))
+        .withColumn("trend7", F.sum("rev100").over(w))
+        .filter(F.col("n_frame") == TSD_PERIOD)
+        .withColumn(
+            "iso_weekday",
+            (F.weekday("day") + F.lit(1)).cast("int"),
+        )
+        .withColumn(
+            "detrend7", F.col("rev100") * TSD_PERIOD - F.col("trend7")
+        )
+    )
+    seasonal = trended.groupBy("iso_weekday").agg(
+        F.sum("detrend7").alias("snum"),
+        F.count("*").alias("scnt"),
+    )
+    rev = F.col("rev100").cast("double") / 100.0
+    trend = F.col("trend7").cast("double") / (TSD_PERIOD * 100.0)
+    seas = F.col("snum").cast("double") / (
+        F.col("scnt").cast("double") * (TSD_PERIOD * 100.0)
+    )
+    return (
+        trended.join(F.broadcast(seasonal), "iso_weekday")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "iso_weekday",
+            F.round(rev, 2).alias("revenue"),
+            F.round(trend, 4).alias("trend"),
+            F.round(seas, 4).alias("seasonal"),
+            F.round(rev - trend - seas, 4).alias("residual"),
+        )
+    )
+
+
+def _seasonal_decompose_oracle() -> str:
+    p = TSD_PERIOD
+    half = p // 2
+    return f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                       AS rev100
+            FROM orders GROUP BY 1
+        ),
+        trended AS (
+            SELECT day, rev100,
+                   COUNT(*) OVER w AS n_frame,
+                   SUM(rev100) OVER w AS trend7,
+                   CAST(isodow(day) AS INTEGER) AS iso_weekday,
+                   rev100 * {p} - SUM(rev100) OVER w AS detrend7
+            FROM daily
+            WINDOW w AS (ORDER BY day ASC
+                         ROWS BETWEEN {half} PRECEDING
+                         AND {half} FOLLOWING)
+        ),
+        full_frames AS (
+            SELECT * FROM trended WHERE n_frame = {p}
+        ),
+        seasonal AS (
+            SELECT iso_weekday, SUM(detrend7) AS snum,
+                   COUNT(*) AS scnt
+            FROM full_frames GROUP BY iso_weekday
+        )
+        SELECT CAST(day AS TIMESTAMP) AS day, f.iso_weekday,
+               ROUND(CAST(rev100 AS DOUBLE) / 100.0, 2) AS revenue,
+               ROUND(CAST(trend7 AS DOUBLE) / ({p} * 100.0), 4) AS trend,
+               ROUND(CAST(snum AS DOUBLE)
+                     / (CAST(scnt AS DOUBLE) * ({p} * 100.0)), 4)
+                   AS seasonal,
+               ROUND(CAST(rev100 AS DOUBLE) / 100.0
+                     - CAST(trend7 AS DOUBLE) / ({p} * 100.0)
+                     - CAST(snum AS DOUBLE)
+                       / (CAST(scnt AS DOUBLE) * ({p} * 100.0)), 4)
+                   AS residual
+        FROM full_frames f
+        JOIN seasonal s ON s.iso_weekday = f.iso_weekday
+    """
+
+
 QUERIES = {
+    "time_seasonal_decompose": time_seasonal_decompose,
     "session_length_stats": session_length_stats,
     "join_asof": join_asof,
     "join_asof_tolerance": join_asof_tolerance,
@@ -665,6 +784,7 @@ def _session_length_stats_oracle() -> str:
 
 
 ORACLES = {
+    "time_seasonal_decompose": _seasonal_decompose_oracle(),
     "session_length_stats": _session_length_stats_oracle(),
     "scd2_point_in_time": """
         WITH probe AS (

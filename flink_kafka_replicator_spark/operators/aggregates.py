@@ -769,7 +769,60 @@ def agg_order_lines_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-user counts per event type via mergeable 64-bit
+    bucket bitmaps — the roaring-bitmap recipe in pure relational
+    form: user u sets bit (u mod 63) of bucket (u div 63) — 63, not 64, keeps every shift off the sign bit, which DuckDB rejects and Java wraps, buckets
+    OR across partitions/days (bit_or is associative-commutative and
+    map-side combinable), popcounts sum. Unlike COUNT(DISTINCT) this
+    state is REUSABLE: persisted per-day bitmap buckets union into
+    any date range without rescanning history — exactness where the
+    HLL sketch (agg_hll_sketch_union) trades it away, at bitmap cost
+    bounded by the id-space/63, not the row count.
+
+    Shape: one (type, bucket) hash agg — shuffle carries ≤
+    |types|·(max_id/63) bitmap rows regardless of event count — then
+    a ≤|types| popcount-sum. Everything integer; oracle =
+    COUNT(DISTINCT), which must agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") / 63).cast("long").alias("bucket"),
+            F.expr(
+                "shiftleft(cast(1 as bigint),"
+                " cast(user_id % 63 as int))"
+            ).alias("bit"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bit_or(bit)").alias("bm"))
+    )
+    return (
+        buckets.groupBy("event_type")
+        .agg(
+            F.sum(F.bit_count("bm")).cast("bigint").alias("n_distinct_users"),
+            F.count("*").cast("bigint").alias("n_buckets"),
+        )
+    )
+
+
+_BITMAP_DISTINCT_ORACLE = """
+    WITH buckets AS (
+        SELECT event_type,
+               CAST(user_id // 63 AS BIGINT) AS bucket,
+               BIT_OR(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER))
+                   AS bm
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(SUM(bit_count(bm)) AS BIGINT) AS n_distinct_users,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM buckets GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "agg_bitmap_distinct": agg_bitmap_distinct,
     "agg_decay_weighted_revenue": agg_decay_weighted_revenue,
     "agg_order_lines_hist": agg_order_lines_hist,
     "agg_stats": agg_stats,
@@ -801,6 +854,7 @@ def _duck_cms_pos(key_sql: str) -> str:
 
 
 ORACLES = {
+    "agg_bitmap_distinct": _BITMAP_DISTINCT_ORACLE,
     "agg_order_lines_hist": """
         WITH per_order AS (
             SELECT l_orderkey,

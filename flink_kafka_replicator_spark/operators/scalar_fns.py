@@ -179,6 +179,31 @@ def hist_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hist_log_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-of-magnitude (decade) histogram of order totals: bucket =
+    number of digits in the exact cent value — the log10 profile that
+    diagnoses value skew (how many orders live at $10³ vs $10⁵) where
+    the equi-width histogram (:func:`hist_value_buckets`) can't
+    resolve both ends at once.
+
+    The decade id is computed by STRING LENGTH of the integer cents,
+    not floor(log10): the ln-based form sits one ulp from flipping a
+    whole bucket at every power of ten, digit count is exact in both
+    engines by construction. One map-side expression + one ≤10-key
+    hash aggregate; exact cents for the per-bucket bounds."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = o.select(
+        cents.alias("v100"),
+        F.length(cents.cast("string")).cast("int").alias("decade"),
+    )
+    return d.groupBy("decade").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.min("v100").cast("double") / 100.0, 2).alias("min_total"),
+        F.round(F.max("v100").cast("double") / 100.0, 2).alias("max_total"),
+    )
+
+
 def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance + padding/translate string functions — the fuzzy
     matching primitives (levenshtein is the exact-small-string
@@ -323,6 +348,7 @@ QUERIES = {
     "upsert_latest_wins": upsert_latest_wins,
     "fn_json_struct": fn_json_struct,
     "hist_value_buckets": hist_value_buckets,
+    "hist_log_buckets": hist_log_buckets,
     "fn_array": fn_array,
 }
 
@@ -468,6 +494,19 @@ ORACLES = {
                     ELSE '{"k":' || CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS VARCHAR) || '}'
                END AS roundtrip
         FROM events
+    """,
+    "hist_log_buckets": """
+        WITH d AS (
+            SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v100,
+                   CAST(LENGTH(CAST(CAST(ROUND(o_totalprice * 100, 0)
+                        AS BIGINT) AS VARCHAR)) AS INTEGER) AS decade
+            FROM orders
+        )
+        SELECT decade,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(CAST(MIN(v100) AS DOUBLE) / 100.0, 2) AS min_total,
+               ROUND(CAST(MAX(v100) AS DOUBLE) / 100.0, 2) AS max_total
+        FROM d GROUP BY decade
     """,
     "hist_value_buckets": """
         SELECT bucket, COUNT(*) AS n FROM (

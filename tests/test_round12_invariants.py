@@ -698,3 +698,68 @@ def test_cross_field_consistency_clean_and_dirty(spark, sf_dir):
         assert 0 <= r.n_violations <= r.n_rows
         # rate is ROUND(…, 6)
         assert abs(r.violation_rate - r.n_violations / r.n_rows) < 5e-7
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
+    """The 63-bit bucket-bitmap pipeline is EXACT: it must reproduce
+    COUNT(DISTINCT) per group, and bucket counts bound the ids seen."""
+    from flink_kafka_replicator_spark.operators.aggregates import (
+        agg_bitmap_distinct,
+    )
+
+    got = {
+        r.event_type: r
+        for r in agg_bitmap_distinct(spark, sf_dir).collect()
+    }
+    truth = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(truth)
+    for t, r in got.items():
+        assert r.n_distinct_users == truth[t]
+        # each bucket holds 1..63 users
+        assert r.n_buckets <= r.n_distinct_users <= r.n_buckets * 63
+
+
+def test_seasonal_decompose_identity_and_centering(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.advanced import (
+        time_seasonal_decompose,
+    )
+
+    rows = time_seasonal_decompose(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # additive identity to output rounding
+        assert abs(r.revenue - (r.trend + r.seasonal + r.residual)) < 3e-4
+        assert 1 <= r.iso_weekday <= 7
+    # seasonal components, weighted by weekday frequency, sum to ~0
+    # (they are means of a detrended series whose total is ~0)
+    from collections import Counter
+
+    wk = {}
+    cnt = Counter()
+    for r in rows:
+        wk[r.iso_weekday] = r.seasonal
+        cnt[r.iso_weekday] += 1
+    weighted = sum(wk[d] * cnt[d] for d in wk)
+    mean_rev = sum(r.revenue for r in rows) / len(rows)
+    assert abs(weighted) / max(mean_rev * len(rows), 1.0) < 1e-2
+
+
+def test_hist_log_buckets_reconcile(spark, sf_dir):
+    from flink_kafka_replicator_spark.operators.scalar_fns import (
+        hist_log_buckets,
+    )
+
+    rows = hist_log_buckets(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    assert sum(r.n_orders for r in rows) == o.count()
+    for r in rows:
+        # bucket d holds cent values with exactly d digits
+        assert 10 ** (r.decade - 1) <= round(r.min_total * 100)
+        assert round(r.max_total * 100) < 10**r.decade
+        assert r.min_total <= r.max_total
