@@ -222,6 +222,21 @@ HEADLINE = list(R2_BASKET) + [
     "dedup_containment",
     "events_engagement_dau_mau",
     "agg_weekday_seasonality",
+    # round-12 second session: series diagnostics (ACF/MACD/seasonal
+    # decomposition), behavioral association (entropy/PMI), dup-graph
+    # link prediction, centroid confusability, lift table, the DQ
+    # cross-field battery, bitmap exact-distinct, decade histogram
+    "window_autocorr",
+    "window_macd",
+    "events_type_entropy",
+    "events_cooccurrence_pmi",
+    "graph_link_prediction",
+    "sim_centroid_pairs",
+    "eval_lift_gains",
+    "dq_cross_field_consistency",
+    "agg_bitmap_distinct",
+    "time_seasonal_decompose",
+    "hist_log_buckets",
 ]
 
 

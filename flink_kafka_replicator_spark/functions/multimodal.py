@@ -302,3 +302,58 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return df.mapInPandas(sample, FRAME_SCHEMA)
+
+
+PHASH_SHINGLE_BYTES = 8
+PHASH_SCHEMA = "doc_id bigint, phash bigint, n_shingles int"
+
+
+def phash64(df: DataFrame) -> DataFrame:
+    """64-bit perceptual-style content hash over the opaque binary
+    payload: SimHash of the blob's DISTINCT byte 8-grams (set-based —
+    a byte-level near-dup of the payload flips few bits). This is the
+    media-column face of the text SimHash: the signature a multimodal
+    pipeline computes right after decode to catch re-encoded /
+    lightly-edited copies of the same asset without parsing it.
+
+    Runs as ONE Arrow-batched mapInPandas stage (never per-row Python
+    round trips); the per-blob work is |blob| md5s of 8-byte windows —
+    embarrassingly parallel, no shuffle at all until the downstream
+    band join. The bit convention matches similarity.simhash_table
+    exactly (md5-half bit votes, majority = strictly more than half,
+    bit 63 wraps to long-min), so the DuckDB oracle replays signatures
+    bit-for-bit from the same shingle set."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = PHASH_SHINGLE_BYTES
+        for pdf in batches:
+            out_hash = []
+            out_n = []
+            for blob in pdf["blob"]:
+                b = bytes(blob)
+                n = len(b)
+                shingles = {b[i : i + k] for i in range(max(n - k + 1, 1))}
+                votes = [0] * 64
+                for sh in shingles:
+                    hx = hashlib.md5(sh).hexdigest()
+                    hl = int(hx[0:8], 16)
+                    hh = int(hx[8:16], 16)
+                    for j in range(32):
+                        votes[j] += (hl >> j) & 1
+                        votes[32 + j] += (hh >> j) & 1
+                m = len(shingles)
+                sig = 0
+                for j in range(64):
+                    if 2 * votes[j] > m:
+                        sig += (1 << j) if j < 63 else -(1 << 63)
+                out_hash.append(sig)
+                out_n.append(m)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pd.Series(out_hash, dtype="int64"),
+                    "n_shingles": pd.Series(out_n, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(compute, PHASH_SCHEMA)

@@ -4037,6 +4037,210 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(multimodal.with_blob(d))
 
 
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection on the OPAQUE BINARY column: 64-bit byte-
+    level SimHash (multimodal.phash64, an Arrow-batched mapInPandas
+    stage) → the standard 4×16-bit band blocking with MAX_BUCKET
+    hygiene → hamming ≤ 8 verification — the asset-dedup pass a
+    multimodal training-data pipeline runs on images/audio it never
+    decodes. Mirrors dedup_simhash's downstream exactly; only the
+    signature source differs (byte 8-gram set over the payload vs
+    word multiset over the text), so text-dedup and asset-dedup share
+    one banding/verify/report machinery.
+
+    Scale: signature cost is one linear pass per blob inside
+    mapInPandas (no shuffle); candidates are band-bounded exactly as
+    the text family. The fixture's blobs are the documents' UTF-8
+    bytes (the multimodal fake-codec convention), which is what lets
+    DuckDB replay the byte shingles as char 8-grams and check the
+    whole pipeline hash-exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = multimodal.phash64(multimodal.with_blob(d))
+    banded = sigs.select(
+        "doc_id",
+        F.col("phash").alias("sim"),
+        F.explode(simhash_bands(F.col("phash"))).alias("band_key"),
+    )
+    pairs = lsh_candidate_pairs_payload(
+        banded,
+        "doc_id",
+        "sim",
+        pair_filter=lambda df: df.filter(
+            hamming64(F.col("p_a"), F.col("p_b")) <= 8
+        ),
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        hamming64(F.col("p_a"), F.col("p_b")).cast("int").alias("hamming"),
+    )
+
+
+CURRICULUM_LEN_EDGES = (200, 400)  # chars: short / medium / long
+
+
+def corpus_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-planning mix table: the corpus cross-tabulated by
+    classifier-score bin × document-length bucket, each cell carrying
+    doc count, exact char volume, and corpus share — the table a
+    quality-curriculum schedule (start short+high-score, anneal
+    toward the full mix) is drawn from, and the coverage check that a
+    score threshold doesn't silently empty a length band.
+
+    Same scale discipline as the eval tables: score bins are
+    equal-WIDTH over broadcast [lo, hi] bounds, length buckets are
+    FIXED edges — never ntile/percentile (global sorts at corpus
+    scale); one corpus-scan hash aggregate to ≤ bins×3 cells. Exact
+    integers until the share division."""
+    _labels, _w, scored, _theta = _qc_fit(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    lo_e, hi_e = CURRICULUM_LEN_EDGES
+    bounds = scored.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    step = f"greatest(1L, (hi - lo) div {CALIB_BINS})"
+    cells = (
+        scored.join(d, "doc_id")
+        .crossJoin(broadcast(bounds))
+        .select(
+            F.expr(
+                f"least((s - lo) div {step}, {CALIB_BINS}L - 1)"
+            ).alias("score_bin"),
+            F.when(F.col("n_chars") < lo_e, F.lit("short"))
+            .when(F.col("n_chars") < hi_e, F.lit("medium"))
+            .otherwise(F.lit("long"))
+            .alias("len_bucket"),
+            "n_chars",
+        )
+        .groupBy("score_bin", "len_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+    totals = cells.agg(F.sum("n_docs").alias("t_docs"))
+    return cells.crossJoin(broadcast(totals)).select(
+        "score_bin",
+        "len_bucket",
+        "n_docs",
+        "total_chars",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("t_docs").cast("double"),
+            6,
+        ).alias("doc_share"),
+    )
+
+
+RAKE_TOP_K = 20
+
+
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-style keyword extraction over the corpus: tokens are
+    segmented into candidate phrases at stopword boundaries
+    (text.STOPWORDS — the same profile the language-ID heuristic
+    uses), each content word scored degree/frequency (degree = total
+    length of the phrases it appears in — words that travel in long
+    multi-word phrases score high; Rose et al. 2010), top-K reported.
+    The keyword table a corpus curation UI shows next to tfidf_top_terms
+    — co-occurrence salience vs corpus rarity.
+
+    Phrase segmentation is gaps-and-islands, NOT regex splitting:
+    posexplode tokens with position, flag stopwords, phrase_id = the
+    running stopword count per doc — one doc-keyed window exchange,
+    deterministic in both engines where a regex-boundary split is a
+    dialect minefield. Then two hash aggregates (phrase lengths, word
+    stats) and a top-K via TakeOrderedAndProject over the vocab-sized
+    word table. All-integer until the one score division."""
+    d = load_table(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+            "pos", "w"
+        ),
+    ).withColumn("is_stop", F.expr(f"w IN ({stop_arr})"))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    phrased = (
+        toks.withColumn(
+            "phrase_id", F.sum(F.col("is_stop").cast("int")).over(w_doc)
+        )
+        .filter((~F.col("is_stop")) & (F.col("w") != ""))
+        .select("doc_id", "phrase_id", "w")
+    )
+    plen = phrased.groupBy("doc_id", "phrase_id").agg(
+        F.count("*").alias("plen")
+    )
+    scored = (
+        phrased.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("w")
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("degree"),
+        )
+        .select(
+            F.col("w").alias("word"),
+            "freq",
+            "degree",
+            F.round(
+                F.col("degree").cast("double") / F.col("freq").cast("double"),
+                4,
+            ).alias("rake_score"),
+        )
+    )
+    return scored.orderBy(
+        F.col("rake_score").desc(),
+        F.col("freq").desc(),
+        F.col("word").asc(),
+    ).limit(RAKE_TOP_K)
+
+
+def _rake_oracle() -> str:
+    stop_arr = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(lower(text), ' '), 1)
+                       AS pos,
+                   unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ),
+        flagged AS (
+            SELECT doc_id, pos, w,
+                   CASE WHEN w IN ({stop_arr}) THEN 1 ELSE 0 END AS is_stop
+            FROM toks
+        ),
+        phrased AS (
+            SELECT doc_id, w,
+                   SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS phrase_id,
+                   is_stop
+            FROM flagged
+        ),
+        content AS (
+            SELECT doc_id, phrase_id, w FROM phrased
+            WHERE is_stop = 0 AND w <> ''
+        ),
+        plen AS (
+            SELECT doc_id, phrase_id, COUNT(*) AS plen
+            FROM content GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT w AS word,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(plen) AS BIGINT) AS degree
+            FROM content JOIN plen USING (doc_id, phrase_id)
+            GROUP BY w
+        )
+        SELECT word, freq, degree,
+               ROUND(CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE), 4)
+                   AS rake_score
+        FROM scored
+        ORDER BY rake_score DESC, freq DESC, word ASC
+        LIMIT {RAKE_TOP_K}
+    """
+
+
 # ----------------------------------------- Gopher-style rule filter (r9)
 
 # Rule bounds from the Gopher quality heuristics (Rae et al. 2021,
@@ -6097,6 +6301,9 @@ QUERIES = {
     "sample_per_group_hash": sample_per_group_hash,
     "sample_stratified": sample_stratified,
     "multimodal_meta": multimodal_meta,
+    "multimodal_phash_dedup": multimodal_phash_dedup,
+    "text_keyword_rake": text_keyword_rake,
+    "corpus_curriculum_buckets": corpus_curriculum_buckets,
     "multimodal_image_meta": multimodal_image_meta,
     "multimodal_audio_meta": multimodal_audio_meta,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -6470,6 +6677,50 @@ _SIMHASH_ORACLE = f"""
 # affine-permutation mins, 8×2 band keys with MAX_BUCKET hygiene, then
 # exact Jaccard on the surviving candidate pairs — bit-exact vs the
 # Spark banding, giving the UNthresholded pair set a real oracle.
+_PHASH_DEDUP_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   [substr(text, i, 8)
+                    for i in generate_series(1, greatest(len(text) - 7, 1))]
+               )) AS t
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 8))::BIGINT AS hl,
+               ('0x' || substr(md5(t), 9, 8))::BIGINT AS hh
+        FROM sh
+    ),
+    votes AS (
+        SELECT doc_id, COUNT(*) AS n, {_SIMHASH_VOTE_COLS}
+        FROM h GROUP BY doc_id
+    ),
+    sims AS (
+        SELECT doc_id, CAST({_SIMHASH_SIM_EXPR} AS BIGINT) AS sim
+        FROM votes
+    ),
+    bands AS (
+        SELECT doc_id, sim, g.b AS b, ((sim >> (g.b * 16)) & 65535) AS bv
+        FROM sims CROSS JOIN generate_series(0, 3) g(b)
+    ),
+    ok AS (
+        SELECT b, bv FROM bands GROUP BY b, bv
+        HAVING COUNT(*) BETWEEN 2 AND 200
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                        x.sim AS sa, y.sim AS sb
+        FROM bands x
+        JOIN ok k ON k.b = x.b AND k.bv = x.bv
+        JOIN bands y ON y.b = x.b AND y.bv = x.bv AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 8
+"""
+
+
 _NGRAM_SIG_COLS = ", ".join(
     f"list_min(list_transform(h, x -> (x * {a} + {b}) % {_MINHASH_P}))"
     f" AS s{i}"
@@ -6571,6 +6822,8 @@ _BM25_ORACLE = f"""
 
 ORACLES = {
     "dedup_simhash": _SIMHASH_ORACLE,
+    "multimodal_phash_dedup": _PHASH_DEDUP_ORACLE,
+    "text_keyword_rake": _rake_oracle(),
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
     "knn_ivf_join": f"""
         {_KNN_ORACLE_CORE}
@@ -8301,6 +8554,32 @@ ORACLES["eval_lift_gains"] = f"""
            ROUND((CAST(cum_pos AS DOUBLE) / cum_docs)
                  / (CAST(t_pos AS DOUBLE) / t_docs), 6) AS lift
     FROM cum CROSS JOIN totals
+"""
+
+ORACLES["corpus_curriculum_buckets"] = f"""
+    WITH {_DUCK_QC_SCORED_CTES},
+    bounds AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM scored),
+    cells AS (
+        SELECT LEAST((s - lo) // GREATEST(1, (hi - lo) // {CALIB_BINS}),
+                     {CALIB_BINS} - 1) AS score_bin,
+               CASE WHEN d.n_chars < 200 THEN 'short'
+                    WHEN d.n_chars < 400 THEN 'medium'
+                    ELSE 'long' END AS len_bucket,
+               d.n_chars
+        FROM scored
+        JOIN documents d USING (doc_id)
+        CROSS JOIN bounds
+    ),
+    agg AS (
+        SELECT CAST(score_bin AS BIGINT) AS score_bin, len_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM cells GROUP BY 1, 2
+    )
+    SELECT score_bin, len_bucket, n_docs, total_chars,
+           ROUND(CAST(n_docs AS DOUBLE)
+                 / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS doc_share
+    FROM agg
 """
 
 ORACLES["eval_ndcg_bm25"] = f"""

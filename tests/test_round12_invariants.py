@@ -763,3 +763,54 @@ def test_hist_log_buckets_reconcile(spark, sf_dir):
         assert 10 ** (r.decade - 1) <= round(r.min_total * 100)
         assert round(r.max_total * 100) < 10**r.decade
         assert r.min_total <= r.max_total
+
+
+def test_phash_dedup_finds_exact_dups_at_hamming_zero(spark, sf_dir):
+    """Identical blobs hash identically: every exact-dup doc pair must
+    surface in the phash pair set with hamming 0 (same signature →
+    same bands), and all reported pairs obey the canonical domain."""
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in pq.multimodal_phash_dedup(spark, sf_dir).collect()
+    }
+    assert pairs
+    for (a, b), h in pairs.items():
+        assert a < b and 0 <= h <= 8
+    # exact text dups -> exact blob dups (blob = UTF-8 of text)
+    from collections import defaultdict
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    ).collect()
+    groups = defaultdict(list)
+    for r in docs:
+        groups[r.h].append(r.doc_id)
+    for ids in groups.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert pairs.get((ids[i], ids[j])) == 0, (ids[i], ids[j])
+
+
+def test_rake_scores_bounded_and_stopword_free(spark, sf_dir):
+    from flink_kafka_replicator_spark.functions import text as t
+
+    rows = pq.text_keyword_rake(spark, sf_dir).collect()
+    assert len(rows) == pq.RAKE_TOP_K
+    for r in rows:
+        assert r.word not in t.STOPWORDS and r.word != ""
+        # degree >= freq (every occurrence sits in a phrase of len >= 1)
+        assert r.degree >= r.freq >= 1
+        assert r.rake_score >= 1.0
+
+
+def test_curriculum_buckets_partition_the_corpus(spark, sf_dir):
+    rows = pq.corpus_curriculum_buckets(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    total_chars = d.agg(F.sum("n_chars")).collect()[0][0]
+    assert sum(r.total_chars for r in rows) == total_chars
+    assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.len_bucket in ("short", "medium", "long")
+        assert 0 <= r.score_bin < 10
