@@ -237,6 +237,11 @@ HEADLINE = list(R2_BASKET) + [
     "agg_bitmap_distinct",
     "time_seasonal_decompose",
     "hist_log_buckets",
+    "multimodal_phash_dedup",
+    "text_keyword_rake",
+    "corpus_curriculum_buckets",
+    "embedding_outlier_zscore",
+    "time_downsample_m4",
 ]
 
 

@@ -4076,6 +4076,125 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OUTLIER_TOP_K = 20
+OUTLIER_Q = 1_000_000
+
+
+def embedding_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: per-vector diagonal
+    Mahalanobis distance (mean of squared per-dimension z-scores
+    against the corpus-wide per-dim mean/variance), top-K reported —
+    the vectors a curation pass eyeballs first (corrupt embeddings,
+    out-of-distribution docs, encoder version skew).
+
+    Exactness discipline: components quantize to 1e6-grid BIGINTs, so
+    the per-dim sufficient statistics (n, Σq, Σq²; cross terms in
+    DECIMAL(38,0)) are exact; μ and σ² derive from them in identical
+    float expressions; each (vec, dim) z² quantizes BACK to a BIGINT
+    before the per-vector sum (double sums are merge-order-dependent;
+    integer sums are not — the events_type_entropy rule). Shape: one
+    posexplode scan → a dims-sized stats aggregate (broadcast back) →
+    one map-side z² projection → a per-vec hash agg → top-K via
+    TakeOrderedAndProject. Zero-variance dims contribute 0 by guard."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("v") * OUTLIER_Q).cast("long").alias("q"),
+    )
+    dec = "decimal(38,0)"
+    stats = comp.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("q").cast(dec)).alias("s"),
+        F.sum(F.col("q").cast(dec) * F.col("q")).alias("ss"),
+    )
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        (F.col("n").cast(dec) * F.col("ss") - F.col("s") * F.col("s")).cast(
+            "double"
+        )
+        / (F.col("n").cast("double") * F.col("n").cast("double"))
+    )
+    z2 = (
+        (F.col("q").cast("double") - mu)
+        * (F.col("q").cast("double") - mu)
+        / var
+    )
+    terms = comp.join(broadcast(stats), "dim").select(
+        "vec_id",
+        "label",
+        F.when(var > 0, F.floor(z2 * OUTLIER_Q).cast("long"))
+        .otherwise(F.lit(0))
+        .alias("t"),
+    )
+    per_vec = terms.groupBy("vec_id", "label").agg(
+        F.sum("t").alias("m2q"), F.count("*").alias("dims")
+    )
+    return (
+        per_vec.select(
+            "vec_id",
+            "label",
+            F.round(
+                F.col("m2q").cast("double")
+                / (F.col("dims").cast("double") * OUTLIER_Q),
+                6,
+            ).alias("mean_z2"),
+        )
+        .orderBy(F.col("mean_z2").desc(), F.col("vec_id").asc())
+        .limit(OUTLIER_TOP_K)
+    )
+
+
+def _embedding_outlier_oracle() -> str:
+    q = OUTLIER_Q
+    return f"""
+        WITH comp AS (
+            SELECT vec_id, label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+                       AS dim,
+                   CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {q}, 0)
+                        AS BIGINT) AS q
+            FROM embeddings
+        ),
+        stats AS (
+            SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(q AS HUGEINT)) AS s,
+                   SUM(CAST(q AS HUGEINT) * q) AS ss
+            FROM comp GROUP BY dim
+        ),
+        terms AS (
+            SELECT vec_id, label,
+                   CASE WHEN CAST(n * ss - s * s AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) > 0
+                        THEN CAST(FLOOR(
+                            (CAST(q AS DOUBLE)
+                             - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(q AS DOUBLE)
+                               - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                            / (CAST(n * ss - s * s AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                            * {q}) AS BIGINT)
+                        ELSE 0 END AS t
+            FROM comp JOIN stats USING (dim)
+        ),
+        per_vec AS (
+            SELECT vec_id, label, SUM(t) AS m2q, COUNT(*) AS dims
+            FROM terms GROUP BY 1, 2
+        )
+        SELECT vec_id, label,
+               ROUND(CAST(m2q AS DOUBLE)
+                     / (CAST(dims AS DOUBLE) * {q}), 6) AS mean_z2
+        FROM per_vec
+        ORDER BY mean_z2 DESC, vec_id ASC
+        LIMIT {OUTLIER_TOP_K}
+    """
+
+
 CURRICULUM_LEN_EDGES = (200, 400)  # chars: short / medium / long
 
 
@@ -6304,6 +6423,7 @@ QUERIES = {
     "multimodal_phash_dedup": multimodal_phash_dedup,
     "text_keyword_rake": text_keyword_rake,
     "corpus_curriculum_buckets": corpus_curriculum_buckets,
+    "embedding_outlier_zscore": embedding_outlier_zscore,
     "multimodal_image_meta": multimodal_image_meta,
     "multimodal_audio_meta": multimodal_audio_meta,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -6824,6 +6944,7 @@ ORACLES = {
     "dedup_simhash": _SIMHASH_ORACLE,
     "multimodal_phash_dedup": _PHASH_DEDUP_ORACLE,
     "text_keyword_rake": _rake_oracle(),
+    "embedding_outlier_zscore": _embedding_outlier_oracle(),
     "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
     "knn_ivf_join": f"""
         {_KNN_ORACLE_CORE}

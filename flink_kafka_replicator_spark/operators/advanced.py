@@ -728,8 +728,86 @@ def _seasonal_decompose_oracle() -> str:
     """
 
 
+def time_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    (event_type, hour) bucket keep exactly the first, last, min and
+    max values — the four points that make a line chart of the bucket
+    pixel-identical to the full series. The dashboard-serving
+    downsample: a year of per-event data collapses to 4 points per
+    pixel column regardless of event volume.
+
+    Shape: two row_number stacks (forward/backward) sharing ONE
+    (event_type, hour) exchange, then a single conditional hash
+    aggregate; min/max are plain aggregates on exact cents. Output is
+    bucket-count-sized. Deterministic endpoints: ties broken on
+    event_id in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    fwd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    bwd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    staged = d.select(
+        "event_type",
+        "bucket",
+        "v100",
+        F.row_number().over(fwd).alias("rf"),
+        F.row_number().over(bwd).alias("rb"),
+    )
+    cents = lambda c: F.round(c.cast("double") / 100.0, 2)  # noqa: E731
+    return staged.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        cents(F.max(F.when(F.col("rf") == 1, F.col("v100")))).alias(
+            "v_first"
+        ),
+        cents(F.max(F.when(F.col("rb") == 1, F.col("v100")))).alias(
+            "v_last"
+        ),
+        cents(F.min("v100")).alias("v_min"),
+        cents(F.max("v100")).alias("v_max"),
+    )
+
+
+_M4_ORACLE = """
+    WITH d AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS bucket,
+               ts, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS v100
+        FROM events
+    ),
+    staged AS (
+        SELECT event_type, bucket, v100,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                   ORDER BY ts ASC, event_id ASC) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                   ORDER BY ts DESC, event_id DESC) AS rb
+        FROM d
+    )
+    SELECT event_type, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(CAST(MAX(CASE WHEN rf = 1 THEN v100 END) AS DOUBLE)
+                 / 100.0, 2) AS v_first,
+           ROUND(CAST(MAX(CASE WHEN rb = 1 THEN v100 END) AS DOUBLE)
+                 / 100.0, 2) AS v_last,
+           ROUND(CAST(MIN(v100) AS DOUBLE) / 100.0, 2) AS v_min,
+           ROUND(CAST(MAX(v100) AS DOUBLE) / 100.0, 2) AS v_max
+    FROM staged
+    GROUP BY event_type, bucket
+"""
+
+
 QUERIES = {
     "time_seasonal_decompose": time_seasonal_decompose,
+    "time_downsample_m4": time_downsample_m4,
     "session_length_stats": session_length_stats,
     "join_asof": join_asof,
     "join_asof_tolerance": join_asof_tolerance,
@@ -785,6 +863,7 @@ def _session_length_stats_oracle() -> str:
 
 ORACLES = {
     "time_seasonal_decompose": _seasonal_decompose_oracle(),
+    "time_downsample_m4": _M4_ORACLE,
     "session_length_stats": _session_length_stats_oracle(),
     "scd2_point_in_time": """
         WITH probe AS (

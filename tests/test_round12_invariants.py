@@ -814,3 +814,33 @@ def test_curriculum_buckets_partition_the_corpus(spark, sf_dir):
     for r in rows:
         assert r.len_bucket in ("short", "medium", "long")
         assert 0 <= r.score_bin < 10
+
+
+def test_embedding_outlier_scores_nonneg_and_ranked(spark, sf_dir):
+    rows = pq.embedding_outlier_zscore(spark, sf_dir).collect()
+    assert len(rows) == pq.OUTLIER_TOP_K
+    scores = [r.mean_z2 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.mean_z2 >= 0.0
+        # mean z^2 of the TOP outlier is still bounded by n (extreme
+        # case: all corpus variance concentrated in one vector)
+        assert r.mean_z2 < 1e6
+
+
+def test_m4_downsample_envelope(spark, sf_dir):
+    """M4 invariants: endpoints lie inside [min, max]; bucket point
+    counts reconcile with the raw table; single-point buckets have
+    first == last == min == max."""
+    from flink_kafka_replicator_spark.operators.advanced import (
+        time_downsample_m4,
+    )
+
+    rows = time_downsample_m4(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r.n_points for r in rows) == ev.count()
+    for r in rows:
+        assert r.v_min <= r.v_first <= r.v_max
+        assert r.v_min <= r.v_last <= r.v_max
+        if r.n_points == 1:
+            assert r.v_first == r.v_last == r.v_min == r.v_max
