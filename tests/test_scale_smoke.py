@@ -1196,3 +1196,72 @@ def test_vector_retrain_at_10x(spark, big_dir, tmp_path_factory):
     assert t_big < max(t_small, 1.0) * COPIES * 3, (
         f"superlinear retrain: {t_big:.1f}s vs {t_small:.1f}s"
     )
+
+
+# --------------------------------------------- round-12 second session
+
+
+def test_series_diagnostics_at_10x_linear(spark, big_dir):
+    """ACF / MACD / M4 at 10× events: all three are one user- (or
+    bucket-) keyed exchange over the fact table — wall clock must stay
+    ~linear and the plans must keep exactly one hash exchange."""
+    import re
+
+    from flink_kafka_replicator_spark.operators.advanced import (
+        time_downsample_m4,
+    )
+    from flink_kafka_replicator_spark.operators.windows import (
+        window_autocorr,
+        window_macd,
+    )
+
+    for q in (window_autocorr, window_macd, time_downsample_m4):
+        small = _timed(q(spark, SRC))
+        big = _timed(q(spark, big_dir))
+        assert big < max(small, 0.2) * COPIES * 3, (
+            f"{q.__name__} at 10x took {big:.1f}s vs {small:.1f}s — superlinear"
+        )
+        plan = q(spark, big_dir)._jdf.queryExecution().executedPlan().toString()
+        n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_ex == 1, f"{q.__name__}: {n_ex} exchanges"
+
+
+def test_phash_dedup_at_10x_linear(spark, big_dir):
+    """Byte-simhash asset dedup at 10× docs: signature cost is one
+    mapInPandas pass (linear), candidates band-bounded like the text
+    family. The salted 10× copies share no 8-gram windows across
+    copies beyond chance, so pairs grow ~linearly with the corpus."""
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        multimodal_phash_dedup,
+    )
+
+    t0 = time.perf_counter()
+    n_small = multimodal_phash_dedup(spark, SRC).count()
+    small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_big = multimodal_phash_dedup(spark, big_dir).count()
+    big = time.perf_counter() - t0
+    assert n_big >= n_small, "10x replication cannot lose pairs"
+    assert big < max(small, 0.5) * COPIES * 3, (
+        f"phash dedup at 10x took {big:.1f}s vs {small:.1f}s — superlinear"
+    )
+
+
+def test_bitmap_distinct_at_10x_state_bound(spark, big_dir):
+    """The bitmap-distinct shuffle carries bucket rows, not event rows:
+    at 10× events with 10× the id span, bucket count grows ~10× (id
+    space), and the popcount total equals the true distinct count."""
+    from flink_kafka_replicator_spark.operators.aggregates import (
+        agg_bitmap_distinct,
+    )
+
+    rows = agg_bitmap_distinct(spark, big_dir).collect()
+    ev = spark.read.parquet(f"{big_dir}/events.parquet")
+    truth = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_distinct_users == truth[r.event_type]
