@@ -242,6 +242,22 @@ HEADLINE = list(R2_BASKET) + [
     "corpus_curriculum_buckets",
     "embedding_outlier_zscore",
     "time_downsample_m4",
+    # round-12 third session: closed-form statistics (OLS trend,
+    # correlation matrix, moment-based shape), interval union +
+    # sweep-line backlog, per-dimension embedding health, lexical
+    # richness + JS distribution distance, rank-function API row,
+    # activation latency, timestamp arithmetic
+    "agg_ols_trend",
+    "agg_pearson_corr",
+    "agg_skew_kurtosis",
+    "intervals_merge_overlaps",
+    "orders_open_backlog",
+    "embedding_dim_profile",
+    "text_hapax_ratio",
+    "lang_js_divergence",
+    "window_percent_rank",
+    "events_time_to_nth",
+    "fn_timestamp_arith",
 ]
 
 

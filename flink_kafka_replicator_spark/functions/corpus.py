@@ -1122,7 +1122,229 @@ def corpus_source_lang_matrix(
     )
 
 
+# JS-divergence vocabulary bound: the pairwise stage runs over the
+# global top-V terms only, so its cost is langs² · V regardless of
+# corpus size (the vocab_coverage_topk discipline).
+JS_TOP_V = 200
+
+
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language lexical-richness profile: vocabulary size, hapax
+    legomena (terms that occur exactly once), hapax ratio, and
+    type-token ratio — the classic corpus-linguistics health row (a
+    template-generated or heavily duplicated corpus shows an abnormal
+    hapax ratio long before a dedup pass proves it).
+
+    Shape: (lang, term) hash agg (partial map-side combine), then a
+    vocab-sized per-lang rollup — the shuffle carries vocabulary
+    rows, never the corpus. All integer counts; the two ratios divide
+    once at output, rounded at 6."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(text.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tc = toks.groupBy("lang", "term").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    return (
+        tc.groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("total_tokens"),
+            F.count("*").cast("bigint").alias("vocab_size"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            "lang",
+            "total_tokens",
+            "vocab_size",
+            "n_hapax",
+            F.round(
+                F.col("n_hapax").cast("double")
+                / F.col("vocab_size").cast("double"),
+                6,
+            ).alias("hapax_ratio"),
+            F.round(
+                F.col("vocab_size").cast("double")
+                / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("type_token_ratio"),
+        )
+    )
+
+
+def lang_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-language unigram
+    distributions over the global top-V vocabulary — the
+    distribution-distance matrix a corpus-mixing review reads (two
+    languages/sources with near-zero JS are near-duplicates at the
+    distribution level; JS is symmetric and bounded by ln 2, unlike
+    raw KL).
+
+    Shape: (lang, term) counts restrict to the broadcast top-V term
+    list, densify against the langs × V grid (so a term absent from
+    one language still contributes its KL mass — an inner join would
+    silently drop exactly the terms that carry the divergence), then
+    ONE term-keyed self-join bounded at langs²·V rows. Exactness:
+    distributions renormalize within the top-V slice; each per-term
+    contribution quantizes to a 1e-9-grid BIGINT BEFORE the pair sum
+    (the merge-order house rule), one division at output, rounded at
+    6."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(text.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tc = toks.groupBy("lang", "term").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    topv = (
+        tc.groupBy("term")
+        .agg(F.sum("c").alias("g"))
+        .orderBy(F.col("g").desc(), F.col("term").asc())
+        .limit(JS_TOP_V)
+        .select("term")
+    )
+    langs = tc.select("lang").distinct()
+    grid = langs.crossJoin(F.broadcast(topv))
+    dense = grid.join(tc, ["lang", "term"], "left").select(
+        "lang", "term", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    totals = dense.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    dn = dense.join(F.broadcast(totals), "lang")
+    a = dn.select(
+        F.col("lang").alias("lang_a"),
+        "term",
+        F.col("c").alias("ca"),
+        F.col("n").alias("na"),
+    )
+    b = dn.select(
+        F.col("lang").alias("lang_b"),
+        "term",
+        F.col("c").alias("cb"),
+        F.col("n").alias("nb"),
+    )
+    # per-term JS contribution, quantized to BIGINT before the sum:
+    # p = ca/na, q = cb/nb, m = (p+q)/2; zero counts contribute 0
+    contrib = (
+        "cast(floor(("
+        " (case when ca > 0 then (cast(ca as double)/cast(na as double))"
+        "   * ln(2.0D * (cast(ca as double)/cast(na as double))"
+        "        / (cast(ca as double)/cast(na as double)"
+        "           + cast(cb as double)/cast(nb as double)))"
+        "   else 0.0D end)"
+        " + (case when cb > 0 then (cast(cb as double)/cast(nb as double))"
+        "   * ln(2.0D * (cast(cb as double)/cast(nb as double))"
+        "        / (cast(ca as double)/cast(na as double)"
+        "           + cast(cb as double)/cast(nb as double)))"
+        "   else 0.0D end)"
+        ") * 1000000000.0D) as bigint)"
+    )
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .select(
+            "lang_a",
+            "lang_b",
+            F.expr(contrib).alias("t"),
+            F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1)
+            .otherwise(0)
+            .alias("shared"),
+        )
+    )
+    return pairs.groupBy("lang_a", "lang_b").agg(
+        F.round(
+            F.lit(0.5) * F.sum("t").cast("double") / 1e9, 6
+        ).alias("js_nats"),
+        F.sum("shared").cast("bigint").alias("shared_terms"),
+    )
+
+
+_HAPAX_ORACLE = """
+    WITH tc AS (
+        SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS term
+              FROM documents)
+        WHERE term != ''
+        GROUP BY lang, term
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+               AS type_token_ratio
+    FROM tc GROUP BY lang
+"""
+
+
+def _js_divergence_oracle() -> str:
+    return f"""
+        WITH tc AS (
+            SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS term
+                  FROM documents)
+            WHERE term != ''
+            GROUP BY lang, term
+        ),
+        topv AS (
+            SELECT term FROM (
+                SELECT term, SUM(c) AS g FROM tc GROUP BY term
+            )
+            ORDER BY g DESC, term ASC LIMIT {JS_TOP_V}
+        ),
+        grid AS (
+            SELECT l.lang, t.term
+            FROM (SELECT DISTINCT lang FROM tc) l CROSS JOIN topv t
+        ),
+        dense AS (
+            SELECT g.lang, g.term, COALESCE(tc.c, 0) AS c
+            FROM grid g LEFT JOIN tc
+                ON g.lang = tc.lang AND g.term = tc.term
+        ),
+        dn AS (
+            SELECT d.lang, d.term, d.c, tot.n
+            FROM dense d JOIN (
+                SELECT lang, CAST(SUM(c) AS BIGINT) AS n
+                FROM dense GROUP BY lang
+            ) tot ON d.lang = tot.lang
+        ),
+        pairs AS (
+            SELECT a.lang AS lang_a, b.lang AS lang_b,
+                   CAST(FLOOR((
+                     (CASE WHEN a.c > 0 THEN
+                        (CAST(a.c AS DOUBLE)/CAST(a.n AS DOUBLE))
+                        * LN(2.0 * (CAST(a.c AS DOUBLE)/CAST(a.n AS DOUBLE))
+                             / (CAST(a.c AS DOUBLE)/CAST(a.n AS DOUBLE)
+                                + CAST(b.c AS DOUBLE)/CAST(b.n AS DOUBLE)))
+                        ELSE 0.0 END)
+                     + (CASE WHEN b.c > 0 THEN
+                        (CAST(b.c AS DOUBLE)/CAST(b.n AS DOUBLE))
+                        * LN(2.0 * (CAST(b.c AS DOUBLE)/CAST(b.n AS DOUBLE))
+                             / (CAST(a.c AS DOUBLE)/CAST(a.n AS DOUBLE)
+                                + CAST(b.c AS DOUBLE)/CAST(b.n AS DOUBLE)))
+                        ELSE 0.0 END)
+                   ) * 1000000000.0) AS BIGINT) AS t,
+                   CASE WHEN a.c > 0 AND b.c > 0 THEN 1 ELSE 0 END
+                       AS shared
+            FROM dn a JOIN dn b
+                ON a.term = b.term AND a.lang < b.lang
+        )
+        SELECT lang_a, lang_b,
+               ROUND(0.5 * CAST(SUM(t) AS DOUBLE) / 1e9, 6) AS js_nats,
+               CAST(SUM(shared) AS BIGINT) AS shared_terms
+        FROM pairs GROUP BY lang_a, lang_b
+    """
+
+
 QUERIES = {
+    "text_hapax_ratio": text_hapax_ratio,
+    "lang_js_divergence": lang_js_divergence,
     "dedup_rate_by_source": dedup_rate_by_source,
     "corpus_source_lang_matrix": corpus_source_lang_matrix,
     "vocab_growth_curve": vocab_growth_curve,
@@ -1160,6 +1382,8 @@ _UPSAMPLE_CASE = " ".join(
 )
 
 ORACLES = {
+    "text_hapax_ratio": _HAPAX_ORACLE,
+    "lang_js_divergence": _js_divergence_oracle(),
     "corpus_source_lang_matrix": """
         WITH cells AS (
             SELECT source, lang,

@@ -5331,6 +5331,91 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension health profile of the embedding matrix: mean,
+    standard deviation, min/max and dead-component fraction for every
+    coordinate — the table that catches a collapsed or always-zero
+    dimension (a classic encoder bug) before it poisons every cosine
+    downstream. Complements embedding_norm_profile (per-VECTOR norms)
+    with the per-COLUMN view.
+
+    Shape: ONE posexplode → (dim) hash agg — output is exactly
+    |dims| rows no matter the corpus size, and the partial aggregate
+    combines map-side. Exactness: components floor-quantize to
+    1e-6-grid BIGINTs (the norm-profile discipline), Σv and Σv² widen
+    to DECIMAL(38,0) BEFORE the multiply so the sums are exact in any
+    merge order at any scale; mean/std are doubles over those exact
+    integers at the end, rounded at 6."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        F.posexplode(as_double(F.col("embedding"))).alias("dim", "v")
+    ).select(
+        "dim",
+        F.expr(
+            "cast(floor(v * 1000000.0D) as bigint)"
+        ).alias("q"),
+    )
+    agg = comp.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("s2"),
+        F.min("q").alias("mn"),
+        F.max("q").alias("mx"),
+        F.sum(F.when(F.col("q") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )
+    mean = "cast(s as double) / cast(n as double)"
+    return agg.select(
+        "dim",
+        "n",
+        F.round(F.expr(mean), 6).alias("mean_q6"),
+        F.round(
+            F.expr(
+                f"sqrt(cast(s2 as double) / cast(n as double)"
+                f" - pow({mean}, 2.0D))"
+            ),
+            6,
+        ).alias("std_q6"),
+        F.round(F.col("mn").cast("double") / 1e6, 6).alias("min_v"),
+        F.round(F.col("mx").cast("double") / 1e6, 6).alias("max_v"),
+        F.round(
+            F.col("n_zero").cast("double") / F.col("n").cast("double"), 6
+        ).alias("frac_zero"),
+    )
+
+
+ORACLES_DIM_PROFILE = """
+    WITH comp AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(FLOOR(unnest(CAST(embedding AS DOUBLE[]))
+                          * 1000000.0) AS BIGINT) AS q
+        FROM embeddings
+    ),
+    agg AS (
+        SELECT dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(q AS HUGEINT)) AS s,
+               SUM(CAST(q AS HUGEINT) * q) AS s2,
+               MIN(q) AS mn,
+               MAX(q) AS mx,
+               CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero
+        FROM comp GROUP BY dim
+    )
+    SELECT dim, n,
+           ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_q6,
+           ROUND(SQRT(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                      - POW(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 2.0)),
+                 6) AS std_q6,
+           ROUND(CAST(mn AS DOUBLE) / 1e6, 6) AS min_v,
+           ROUND(CAST(mx AS DOUBLE) / 1e6, 6) AS max_v,
+           ROUND(CAST(n_zero AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS frac_zero
+    FROM agg
+"""
+
+
 _TRI_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -6204,6 +6289,35 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 CENTROID_Q = 1_000_000
 
 
+# the (labels × dims) integer sum table is a bounded model artifact —
+# memoized per (session, dataset) like _CC_LABEL_CACHE so a rebuild of
+# sim_centroid_pairs runs zero jobs (build-guard rule)
+_CENTROID_SUMS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _centroid_label_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    cached = _CENTROID_SUMS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    e = load_table(spark, sf_dir, "embeddings")
+    sums = (
+        e.select(
+            "label",
+            F.posexplode(as_double(F.col("embedding"))).alias("dim", "v"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(
+                F.round(F.col("v") * CENTROID_Q).cast("long")
+            ).alias("s")
+        )
+    )
+    sums = materialize_small(sums)
+    _cache_put(_CENTROID_SUMS_CACHE, key, sums)
+    return sums
+
+
 def sim_centroid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise cosine similarity between per-label embedding
     centroids — the class-confusability matrix: which label pairs sit
@@ -6220,20 +6334,7 @@ def sim_centroid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — then a dim-equi self-join over that tiny table. At
     100 TB only the first aggregate touches data; the pair stage is
     labels²·dims rows."""
-    e = load_table(spark, sf_dir, "embeddings")
-    sums = (
-        e.select(
-            "label",
-            F.posexplode(as_double(F.col("embedding"))).alias("dim", "v"),
-        )
-        .groupBy("label", "dim")
-        .agg(
-            F.sum(
-                F.round(F.col("v") * CENTROID_Q).cast("long")
-            ).alias("s")
-        )
-    )
-    sums = materialize_small(sums)
+    sums = _centroid_label_sums(spark, sf_dir)
     norms = sums.groupBy("label").agg(
         F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("n2")
     )
@@ -6366,6 +6467,7 @@ QUERIES = {
     "knn_ivf_join": knn_ivf_join,
     "knn_graph_symmetry": knn_graph_symmetry,
     "embedding_norm_profile": embedding_norm_profile,
+    "embedding_dim_profile": embedding_dim_profile,
     "dedup_cluster_size_hist": dedup_cluster_size_hist,
     "dedup_cross_source_pairs": dedup_cross_source_pairs,
     "knn_ivf_multiprobe": knn_ivf_multiprobe,
@@ -8367,6 +8469,8 @@ def _cross_source_pairs_oracle() -> str:
 
 
 ORACLES["dedup_cross_source_pairs"] = _cross_source_pairs_oracle()
+
+ORACLES["embedding_dim_profile"] = ORACLES_DIM_PROFILE
 
 ORACLES["embedding_norm_profile"] = """
     WITH norms AS (

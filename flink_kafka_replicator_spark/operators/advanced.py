@@ -805,7 +805,234 @@ _M4_ORACLE = """
 """
 
 
+def intervals_merge_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping order-fulfillment intervals per customer —
+    the classic interval-union: each order spans [orderdate, last
+    lineitem shipdate]; a customer with overlapping open orders counts
+    those calendar days ONCE (distinct days with at least one order in
+    flight). The gaps-and-islands recipe: a new island starts where an
+    interval's start clears the running max of all earlier ends;
+    island id = running count of starts.
+
+    Shape: one orderkey-keyed agg builds the spans (co-partitioned
+    orders⨝lineitem shuffle), then ONE customer-keyed window exchange
+    carries both the running-max-end and the island counter (same
+    frame), a (customer, island) hash agg and a per-customer rollup —
+    no self-join, no explode-per-day (the naive coverage count
+    explodes ~70 rows per order; this stays one row per order).
+    Closed-interval semantics: touching or adjacent-by-one-day
+    intervals merge (start ≤ prev_end + 1); inverted spans clamp to
+    the start day. Determinism: ties ordered by (start, end,
+    orderkey). All integer day arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    close = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("close_date")
+    )
+    iv = (
+        o.select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(close, F.col("o_orderkey") == F.col("l_orderkey"), "inner")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(
+                F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+            ).alias("s"),
+            F.greatest(
+                F.datediff(
+                    F.col("close_date"), F.to_date(F.lit("1970-01-01"))
+                ),
+                F.datediff(
+                    F.to_date("o_orderdate"),
+                    F.to_date(F.lit("1970-01-01")),
+                ),
+            ).alias("e"),
+        )
+    )
+    w = Window.partitionBy("o_custkey").orderBy("s", "e", "o_orderkey")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e + 1), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    merged = islands.groupBy("o_custkey", "island").agg(
+        F.min("s").alias("m_start"),
+        F.max("e").alias("m_end"),
+        F.count("*").cast("bigint").alias("n_raw"),
+    )
+    return (
+        merged.groupBy("o_custkey")
+        .agg(
+            F.sum("n_raw").cast("bigint").alias("n_orders"),
+            F.count("*").cast("bigint").alias("n_merged_intervals"),
+            F.sum(F.col("m_end") - F.col("m_start") + 1)
+            .cast("bigint")
+            .alias("covered_days"),
+            F.max(F.col("m_end") - F.col("m_start") + 1)
+            .cast("bigint")
+            .alias("longest_interval_days"),
+        )
+        .select(
+            "o_custkey",
+            "n_orders",
+            "n_merged_intervals",
+            "covered_days",
+            "longest_interval_days",
+        )
+    )
+
+
+_INTERVALS_MERGE_ORACLE = """
+    WITH close AS (
+        SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_date
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    iv AS (
+        SELECT o.o_custkey, o.o_orderkey,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o.o_orderdate AS DATE)) AS s,
+               GREATEST(
+                   date_diff('day', DATE '1970-01-01', c.close_date),
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(o.o_orderdate AS DATE))) AS e
+        FROM orders o JOIN close c ON o.o_orderkey = c.l_orderkey
+    ),
+    flagged AS (
+        SELECT o_custkey, o_orderkey, s, e,
+               CASE WHEN MAX(e) OVER (PARTITION BY o_custkey
+                        ORDER BY s, e, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY o_custkey
+                        ORDER BY s, e, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) + 1
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT o_custkey, s, e,
+               SUM(new_island) OVER (PARTITION BY o_custkey
+                   ORDER BY s, e, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM flagged
+    ),
+    merged AS (
+        SELECT o_custkey, island,
+               MIN(s) AS m_start, MAX(e) AS m_end,
+               CAST(COUNT(*) AS BIGINT) AS n_raw
+        FROM islands GROUP BY o_custkey, island
+    )
+    SELECT o_custkey,
+           CAST(SUM(n_raw) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_merged_intervals,
+           CAST(SUM(m_end - m_start + 1) AS BIGINT) AS covered_days,
+           CAST(MAX(m_end - m_start + 1) AS BIGINT)
+               AS longest_interval_days
+    FROM merged GROUP BY o_custkey
+"""
+
+
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog timeline: orders open at end of each
+    day (opened on or before, not yet fully received) — the
+    work-in-progress curve an operations dashboard draws, computed as
+    a sweep over daily open/close deltas instead of an
+    order×day explode.
+
+    Shape: close day = max lineitem shipdate per order (one
+    orderkey-keyed agg); open/close events collapse to DAY grain
+    first, so the only unpartitioned cumulative window runs over the
+    ~2.5k-row daily series (the bounded-series discipline from
+    time_seasonal_decompose), never the order stream. Backlog is a
+    running sum of exact integer deltas. Orders appear on both sides
+    of one inner join on orderkey — co-partitioned shuffle, no
+    broadcast needed at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    close = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("close_date")
+    )
+    spans = o.select(
+        "o_orderkey", F.to_date("o_orderdate").alias("open_date")
+    ).join(close, F.col("o_orderkey") == F.col("l_orderkey"), "inner")
+    opened = spans.groupBy(
+        F.col("open_date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("opened"))
+    closed = spans.groupBy(
+        F.col("close_date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("closed"))
+    daily = (
+        opened.join(closed, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("opened", F.lit(0)).cast("bigint").alias("opened"),
+            F.coalesce("closed", F.lit(0)).cast("bigint").alias("closed"),
+        )
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return daily.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "opened",
+        "closed",
+        F.sum(F.col("opened") - F.col("closed"))
+        .over(wcum)
+        .cast("bigint")
+        .alias("backlog"),
+    )
+
+
+_OPEN_BACKLOG_ORACLE = """
+    WITH close AS (
+        SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_date
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    spans AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS open_date,
+               c.close_date
+        FROM orders o JOIN close c ON o.o_orderkey = c.l_orderkey
+    ),
+    opened AS (
+        SELECT open_date AS day,
+               CAST(COUNT(*) AS BIGINT) AS opened
+        FROM spans GROUP BY 1
+    ),
+    closed AS (
+        SELECT close_date AS day,
+               CAST(COUNT(*) AS BIGINT) AS closed
+        FROM spans GROUP BY 1
+    ),
+    daily AS (
+        SELECT COALESCE(o.day, c.day) AS day,
+               CAST(COALESCE(o.opened, 0) AS BIGINT) AS opened,
+               CAST(COALESCE(c.closed, 0) AS BIGINT) AS closed
+        FROM opened o FULL OUTER JOIN closed c ON o.day = c.day
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, opened, closed,
+           CAST(SUM(opened - closed) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS backlog
+    FROM daily
+"""
+
+
 QUERIES = {
+    "intervals_merge_overlaps": intervals_merge_overlaps,
+    "orders_open_backlog": orders_open_backlog,
     "time_seasonal_decompose": time_seasonal_decompose,
     "time_downsample_m4": time_downsample_m4,
     "session_length_stats": session_length_stats,
@@ -862,6 +1089,8 @@ def _session_length_stats_oracle() -> str:
 
 
 ORACLES = {
+    "intervals_merge_overlaps": _INTERVALS_MERGE_ORACLE,
+    "orders_open_backlog": _OPEN_BACKLOG_ORACLE,
     "time_seasonal_decompose": _seasonal_decompose_oracle(),
     "time_downsample_m4": _M4_ORACLE,
     "session_length_stats": _session_length_stats_oracle(),

@@ -821,8 +821,328 @@ _BITMAP_DISTINCT_ORACLE = """
 """
 
 
+def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority revenue trend: ordinary-least-squares slope /
+    intercept / r² of daily order revenue over time — the "is this
+    segment growing?" line every ops review draws, as closed-form
+    sufficient statistics instead of an ML fit.
+
+    Shape: the corpus collapses to (priority, day) grain FIRST (the
+    bounded-series discipline from time_seasonal_decompose — the OLS
+    runs over a ~2.5k-row daily series per priority, not the order
+    stream), then ONE hash agg accumulates the five sufficient sums
+    n, Σx, Σy, Σxy, Σx², Σy² with x = epoch-day and y = exact cents.
+    Exactness: Σxy and Σy² widen one factor to DECIMAL(38,0) BEFORE
+    the multiply (the round-11 overflow rule — daily cents reach 1e13
+    at the 100 TB point and xy ~ 1e17 per term), so every accumulator
+    is exact in any merge order; slope/intercept/r² are a handful of
+    IEEE double ops on those exact integers at the very end, identical
+    expression shape on both engines, rounded at 6."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+            ).alias("x"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v100"),
+        )
+        .groupBy("o_orderpriority", "x")
+        .agg(F.sum(F.col("v100").cast("decimal(38,0)")).alias("y"))
+    )
+    agg = daily.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("x")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # all-double epilogue over exact integer sums: identical op order
+    # on both engines → identical doubles
+    return agg.select(
+        "o_orderpriority",
+        "n_days",
+        F.round(
+            F.expr(
+                "(cast(n_days as double) * cast(sxy as double)"
+                " - cast(sx as double) * cast(sy as double))"
+                " / (cast(n_days as double) * cast(sxx as double)"
+                "    - cast(sx as double) * cast(sx as double)) / 100.0D"
+            ),
+            6,
+        ).alias("slope_per_day"),
+        F.round(
+            F.expr(
+                "(cast(sy as double) - "
+                " (cast(n_days as double) * cast(sxy as double)"
+                "  - cast(sx as double) * cast(sy as double))"
+                " / (cast(n_days as double) * cast(sxx as double)"
+                "    - cast(sx as double) * cast(sx as double))"
+                " * cast(sx as double)) / cast(n_days as double) / 100.0D"
+            ),
+            2,
+        ).alias("intercept"),
+        F.round(
+            F.expr(
+                "pow(cast(n_days as double) * cast(sxy as double)"
+                "    - cast(sx as double) * cast(sy as double), 2.0D)"
+                " / ((cast(n_days as double) * cast(sxx as double)"
+                "     - cast(sx as double) * cast(sx as double))"
+                "    * (cast(n_days as double) * cast(syy as double)"
+                "       - cast(sy as double) * cast(sy as double)))"
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+_OLS_TREND_ORACLE = """
+    WITH daily AS (
+        SELECT o_orderpriority,
+               date_diff('day', DATE '1970-01-01', o_orderdate) AS x,
+               SUM(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                        AS HUGEINT)) AS y
+        FROM orders GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(y) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(y * x) AS sxy,
+               SUM(y * y) AS syy
+        FROM daily GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_days,
+           ROUND((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0,
+                 6) AS slope_per_day,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / CAST(n_days AS DOUBLE)
+                 / 100.0,
+                 2) AS intercept,
+           ROUND(POW(CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2.0)
+                 / ((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS r2
+    FROM agg
+"""
+
+
+def agg_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix between lineitem's three business
+    numerics (quantity, extended price, discount) in long form — the
+    feature-redundancy screen a training-data review runs before
+    fitting anything on tabular columns.
+
+    Shape: ONE full-scan hash agg accumulates all nine sufficient
+    sums in a single pass (no per-pair rescans — the three pairs
+    share one 1-row aggregate), then three 1-row selects union into
+    the long (col_x, col_y, n, r) table driver-side-free. Exactness:
+    quantity is a small int, price is exact cents, discount is exact
+    hundredths; every cross/square sum widens one factor to
+    DECIMAL(38,0) BEFORE the multiply (price² ~ 1e18 per term — an
+    int64 SUM would wrap within one partition at sf1), so the
+    statistics are exact in any merge order; r is the standard
+    closed form in doubles at the end, rounded at 6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("c"),
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    agg = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dec("q")).alias("sq"),
+        F.sum(dec("p")).alias("sp"),
+        F.sum(dec("c")).alias("sc"),
+        F.sum(dec("q") * F.col("q")).alias("sqq"),
+        F.sum(dec("p") * F.col("p")).alias("spp"),
+        F.sum(dec("c") * F.col("c")).alias("scc"),
+        F.sum(dec("q") * F.col("p")).alias("sqp"),
+        F.sum(dec("q") * F.col("c")).alias("sqc"),
+        F.sum(dec("p") * F.col("c")).alias("spc"),
+    )
+
+    def _r(sa, sb, sab, saa, sbb):
+        return (
+            f"round((cast(n as double) * cast({sab} as double)"
+            f" - cast({sa} as double) * cast({sb} as double))"
+            f" / sqrt(cast(n as double) * cast({saa} as double)"
+            f"        - cast({sa} as double) * cast({sa} as double))"
+            f" / sqrt(cast(n as double) * cast({sbb} as double)"
+            f"        - cast({sb} as double) * cast({sb} as double)), 6)"
+        )
+
+    pairs = [
+        ("quantity", "extendedprice", "sq", "sp", "sqp", "sqq", "spp"),
+        ("quantity", "discount", "sq", "sc", "sqc", "sqq", "scc"),
+        ("extendedprice", "discount", "sp", "sc", "spc", "spp", "scc"),
+    ]
+    # one exploded array of structs, NOT a union of per-pair selects:
+    # a union duplicates the aggregate subtree and column pruning then
+    # splits it into three full corpus scans — explode keeps the single
+    # 1-row aggregate (and the single scan) in the executed plan
+    structs = ", ".join(
+        f"named_struct('col_x', '{cx}', 'col_y', '{cy}',"
+        f" 'n', n, 'r', {_r(sa, sb, sab, saa, sbb)})"
+        for cx, cy, sa, sb, sab, saa, sbb in pairs
+    )
+    return agg.select(
+        F.explode(F.expr(f"array({structs})")).alias("x")
+    ).select("x.col_x", "x.col_y", "x.n", "x.r")
+
+
+def _pearson_oracle() -> str:
+    def r(sa, sb, sab, saa, sbb):
+        return (
+            f"ROUND((CAST(n AS DOUBLE) * CAST({sab} AS DOUBLE)"
+            f" - CAST({sa} AS DOUBLE) * CAST({sb} AS DOUBLE))"
+            f" / SQRT(CAST(n AS DOUBLE) * CAST({saa} AS DOUBLE)"
+            f"        - CAST({sa} AS DOUBLE) * CAST({sa} AS DOUBLE))"
+            f" / SQRT(CAST(n AS DOUBLE) * CAST({sbb} AS DOUBLE)"
+            f"        - CAST({sb} AS DOUBLE) * CAST({sb} AS DOUBLE)), 6)"
+        )
+
+    return f"""
+        WITH d AS (
+            SELECT CAST(l_quantity AS BIGINT) AS q,
+                   CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS p,
+                   CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS c
+            FROM lineitem
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(q AS HUGEINT)) AS sq,
+                   SUM(CAST(p AS HUGEINT)) AS sp,
+                   SUM(CAST(c AS HUGEINT)) AS sc,
+                   SUM(CAST(q AS HUGEINT) * q) AS sqq,
+                   SUM(CAST(p AS HUGEINT) * p) AS spp,
+                   SUM(CAST(c AS HUGEINT) * c) AS scc,
+                   SUM(CAST(q AS HUGEINT) * p) AS sqp,
+                   SUM(CAST(q AS HUGEINT) * c) AS sqc,
+                   SUM(CAST(p AS HUGEINT) * c) AS spc
+            FROM d
+        )
+        SELECT 'quantity' AS col_x, 'extendedprice' AS col_y, n,
+               {r('sq', 'sp', 'sqp', 'sqq', 'spp')} AS r FROM agg
+        UNION ALL
+        SELECT 'quantity', 'discount', n,
+               {r('sq', 'sc', 'sqc', 'sqq', 'scc')} FROM agg
+        UNION ALL
+        SELECT 'extendedprice', 'discount', n,
+               {r('sp', 'sc', 'spc', 'spp', 'scc')} FROM agg
+    """
+
+
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis of order quantity per return flag
+    — the two shape moments a distribution-health check reads next to
+    agg_stats' mean/stddev, from raw power sums instead of a
+    multi-pass centered computation.
+
+    Shape: ONE hash agg accumulates Σq, Σq², Σq³, Σq⁴ map-side
+    (quantity ≤ 50 so q⁴ ≤ 6.25e6; the sums widen to DECIMAL(38,0)
+    so even 1e12 rows per flag at the 100 TB point cannot wrap), then
+    the central-moment epilogue m₂/m₃/m₄ and the skew/kurtosis ratios
+    run in doubles over those exact integers — same expression text
+    both engines, rounded at 6. No window, no second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    )
+    dq = F.col("q").cast("decimal(38,0)")
+    agg = d.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dq).alias("s1"),
+        F.sum(dq * F.col("q")).alias("s2"),
+        F.sum(dq * F.col("q") * F.col("q")).alias("s3"),
+        F.sum(dq * F.col("q") * F.col("q") * F.col("q")).alias("s4"),
+    )
+    epi = (
+        "cast(s1 as double) / cast(n as double)"
+    )
+    m2 = (
+        f"(cast(s2 as double) / cast(n as double) - pow({epi}, 2.0D))"
+    )
+    m3 = (
+        f"(cast(s3 as double) / cast(n as double)"
+        f" - 3.0D * ({epi}) * cast(s2 as double) / cast(n as double)"
+        f" + 2.0D * pow({epi}, 3.0D))"
+    )
+    m4 = (
+        f"(cast(s4 as double) / cast(n as double)"
+        f" - 4.0D * ({epi}) * cast(s3 as double) / cast(n as double)"
+        f" + 6.0D * pow({epi}, 2.0D) * cast(s2 as double)"
+        f"   / cast(n as double)"
+        f" - 3.0D * pow({epi}, 4.0D))"
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(F.expr(epi), 6).alias("mean_qty"),
+        F.round(F.expr(f"{m3} / pow({m2}, 1.5D)"), 6).alias("skewness"),
+        F.round(F.expr(f"{m4} / pow({m2}, 2.0D) - 3.0D"), 6).alias(
+            "excess_kurtosis"
+        ),
+    ).orderBy("l_returnflag")
+
+
+def _skew_kurtosis_oracle() -> str:
+    epi = "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"
+    m2 = f"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - POW({epi}, 2.0))"
+    m3 = (
+        f"(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" - 3.0 * ({epi}) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" + 2.0 * POW({epi}, 3.0))"
+    )
+    m4 = (
+        f"(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" - 4.0 * ({epi}) * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" + 6.0 * POW({epi}, 2.0) * CAST(s2 AS DOUBLE)"
+        f"   / CAST(n AS DOUBLE)"
+        f" - 3.0 * POW({epi}, 4.0))"
+    )
+    return f"""
+        WITH d AS (
+            SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+            FROM lineitem
+        ),
+        agg AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(q AS HUGEINT)) AS s1,
+                   SUM(CAST(q AS HUGEINT) * q) AS s2,
+                   SUM(CAST(q AS HUGEINT) * q * q) AS s3,
+                   SUM(CAST(q AS HUGEINT) * q * q * q) AS s4
+            FROM d GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               ROUND({epi}, 6) AS mean_qty,
+               ROUND({m3} / POW({m2}, 1.5), 6) AS skewness,
+               ROUND({m4} / POW({m2}, 2.0) - 3.0, 6) AS excess_kurtosis
+        FROM agg
+        ORDER BY l_returnflag
+    """
+
+
 QUERIES = {
     "agg_bitmap_distinct": agg_bitmap_distinct,
+    "agg_ols_trend": agg_ols_trend,
+    "agg_pearson_corr": agg_pearson_corr,
+    "agg_skew_kurtosis": agg_skew_kurtosis,
     "agg_decay_weighted_revenue": agg_decay_weighted_revenue,
     "agg_order_lines_hist": agg_order_lines_hist,
     "agg_stats": agg_stats,
@@ -855,6 +1175,9 @@ def _duck_cms_pos(key_sql: str) -> str:
 
 ORACLES = {
     "agg_bitmap_distinct": _BITMAP_DISTINCT_ORACLE,
+    "agg_ols_trend": _OLS_TREND_ORACLE,
+    "agg_pearson_corr": _pearson_oracle(),
+    "agg_skew_kurtosis": _skew_kurtosis_oracle(),
     "agg_order_lines_hist": """
         WITH per_order AS (
             SELECT l_orderkey,

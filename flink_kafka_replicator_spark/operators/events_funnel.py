@@ -1137,7 +1137,76 @@ def _cooccurrence_pmi_oracle() -> str:
     """
 
 
+TIME_TO_NTH_N = 5
+
+
+def events_time_to_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation latency per user: seconds from the first event to
+    the Nth (N = 5) — the time-to-habit metric growth teams track
+    (median time-to-5th-action is the classic aha-moment proxy).
+    Users who never reach N events report NULL.
+
+    Shape: ONE user-keyed window exchange assigns event ranks, then a
+    per-user conditional aggregate picks the 1st and Nth timestamps —
+    no self-join, no collect_list of the event stream. Determinism:
+    ties at identical timestamps break by event_id. Exact integer
+    microsecond arithmetic until the final division to seconds."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= TIME_TO_NTH_N)
+    per_user = ranked.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_ranked"),
+        F.min(F.when(F.col("rn") == 1, F.col("us"))).alias("first_us"),
+        F.min(
+            F.when(F.col("rn") == TIME_TO_NTH_N, F.col("us"))
+        ).alias("nth_us"),
+    )
+    return per_user.select(
+        "user_id",
+        F.expr("timestamp_micros(first_us)").alias("first_event_at"),
+        (F.col("n_ranked") >= TIME_TO_NTH_N).alias("reached_n"),
+        F.round(
+            (F.col("nth_us") - F.col("first_us")).cast("double") / 1e6, 3
+        ).alias("secs_to_nth"),
+    )
+
+
+def _time_to_nth_oracle() -> str:
+    return f"""
+        WITH ranked AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS rn
+            FROM events
+            QUALIFY rn <= {TIME_TO_NTH_N}
+        ),
+        per_user AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_ranked,
+                   MIN(CASE WHEN rn = 1 THEN us END) AS first_us,
+                   MIN(CASE WHEN rn = {TIME_TO_NTH_N} THEN us END)
+                       AS nth_us
+            FROM ranked GROUP BY user_id
+        )
+        SELECT user_id,
+               make_timestamp(first_us) AS first_event_at,
+               n_ranked >= {TIME_TO_NTH_N} AS reached_n,
+               ROUND(CAST(nth_us - first_us AS DOUBLE) / 1e6, 3)
+                   AS secs_to_nth
+        FROM per_user
+    """
+
+
 QUERIES = {
+    "events_time_to_nth": events_time_to_nth,
     "events_type_entropy": events_type_entropy,
     "events_cooccurrence_pmi": events_cooccurrence_pmi,
     "events_hourly_heatmap": events_hourly_heatmap,
@@ -1252,6 +1321,7 @@ def _peak_concurrency_oracle() -> str:
 
 
 ORACLES = {
+    "events_time_to_nth": _time_to_nth_oracle(),
     "events_type_entropy": _type_entropy_oracle(),
     "events_cooccurrence_pmi": _cooccurrence_pmi_oracle(),
     "events_activity_streaks": _streaks_oracle(),

@@ -330,7 +330,46 @@ def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.unionByName(v2, allowMissingColumns=True)
 
 
+def fn_timestamp_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-domain arithmetic: interval addition, hour
+    truncation, ISO week/year, seconds-into-day, and linear month
+    index — the sub-day API surface next to fn_date_arith's date-grain
+    functions (ISO week semantics agree between the engines: week 1 =
+    the week containing the year's first Thursday).
+
+    Pure map-side column expressions — whole-stage codegen, no
+    shuffle, no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("ts + INTERVAL 90 MINUTE").alias("ts_plus_90m"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        F.weekofyear("ts").cast("int").alias("iso_week"),
+        F.expr("extract(YEAROFWEEK FROM ts)").cast("int").alias("iso_year"),
+        F.expr("unix_micros(ts) % 86400000000L div 1000000L")
+        .cast("bigint")
+        .alias("secs_into_day"),
+        F.expr("year(ts) * 12 + month(ts) - 1")
+        .cast("bigint")
+        .alias("month_index"),
+    )
+
+
+_TIMESTAMP_ARITH_ORACLE = """
+    SELECT event_id,
+           ts + INTERVAL 90 MINUTE AS ts_plus_90m,
+           date_trunc('hour', ts) AS hour_start,
+           CAST(weekofyear(ts) AS INTEGER) AS iso_week,
+           CAST(isoyear(ts) AS INTEGER) AS iso_year,
+           CAST(epoch_us(ts) % 86400000000 // 1000000 AS BIGINT)
+               AS secs_into_day,
+           CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT) AS month_index
+    FROM events
+"""
+
+
 QUERIES = {
+    "fn_timestamp_arith": fn_timestamp_arith,
     "fn_higher_order": fn_higher_order,
     "fn_regexp": fn_regexp,
     "fn_conditional": fn_conditional,
@@ -353,6 +392,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_timestamp_arith": _TIMESTAMP_ARITH_ORACLE,
     "fn_xml_parse": """
         SELECT event_id, event_id AS xml_id, event_type AS xml_type
         FROM events

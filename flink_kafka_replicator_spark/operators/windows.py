@@ -1109,7 +1109,54 @@ def _macd_oracle() -> str:
     """
 
 
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions over each event type:
+    percent_rank (share of peers strictly below), dense_rank, and the
+    third-lowest value so far (nth_value over an explicit running
+    frame) — the remaining rank-function API surface next to
+    window_rank / window_cume_dist / window_ntile.
+
+    Shape: ONE event_type-keyed window exchange carries all three
+    functions (identical partition + order spec, so Catalyst plans a
+    single Window node / single sort). Determinism: ties broken by
+    event_id; percent_rank rounds at 6 (it divides by n−1).
+    Scale note: per-type partitions are value-domain wide — this is
+    the API-coverage twin; rank statistics at corpus scale go through
+    the histogram discipline (agg_pareto_share)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("dense_rk"),
+        F.round(F.nth_value("value", 3).over(wrun), 4).alias(
+            "third_lowest"
+        ),
+    )
+
+
+_PERCENT_RANK_ORACLE = """
+    SELECT event_id, event_type,
+           ROUND(value, 4) AS value,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS dense_rk,
+           ROUND(NTH_VALUE(value, 3) OVER (PARTITION BY event_type
+                 ORDER BY value ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 4) AS third_lowest
+    FROM events
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY value ASC, event_id ASC)
+"""
+
+
 QUERIES = {
+    "window_percent_rank": window_percent_rank,
     "window_rank": window_rank,
     "window_bollinger_bands": window_bollinger_bands,
     "window_rsi": window_rsi,
@@ -1130,6 +1177,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_percent_rank": _PERCENT_RANK_ORACLE,
     "window_autocorr": _autocorr_oracle(),
     "window_macd": _macd_oracle(),
     "window_ewma": _ewma_oracle(),

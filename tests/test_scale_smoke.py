@@ -1265,3 +1265,78 @@ def test_bitmap_distinct_at_10x_state_bound(spark, big_dir):
     }
     for r in rows:
         assert r.n_distinct_users == truth[r.event_type]
+
+
+# --------------------------------------------- round-12 third session
+
+
+def test_closed_form_stats_at_10x_linear(spark, big_dir):
+    """OLS / Pearson / moments are single-scan hash aggregates with
+    map-side combine — strictly linear at 10×, and the correlation
+    matrix must keep its single-scan plan at scale."""
+    from flink_kafka_replicator_spark.operators.aggregates import (
+        agg_ols_trend,
+        agg_pearson_corr,
+        agg_skew_kurtosis,
+    )
+
+    for q in (agg_ols_trend, agg_pearson_corr, agg_skew_kurtosis):
+        small = _timed(q(spark, SRC))
+        big = _timed(q(spark, big_dir))
+        assert big < max(small, 0.2) * COPIES * 3, (
+            f"{q.__name__} at 10x took {big:.1f}s vs {small:.1f}s — superlinear"
+        )
+    plan = (
+        agg_pearson_corr(spark, big_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+
+
+def test_interval_union_and_backlog_at_10x(spark, big_dir):
+    """Interval union is one customer-keyed window; the backlog sweep
+    collapses to day grain before its only unpartitioned window — both
+    ~linear at 10×, and the backlog still conserves (ends at zero)."""
+    from flink_kafka_replicator_spark.operators.advanced import (
+        intervals_merge_overlaps,
+        orders_open_backlog,
+    )
+
+    for q in (intervals_merge_overlaps, orders_open_backlog):
+        small = _timed(q(spark, SRC))
+        big = _timed(q(spark, big_dir))
+        assert big < max(small, 0.2) * COPIES * 3, (
+            f"{q.__name__} at 10x took {big:.1f}s vs {small:.1f}s — superlinear"
+        )
+    last = orders_open_backlog(spark, big_dir).orderBy(F.col("day").desc()).limit(1).collect()
+    assert last[0].backlog == 0
+
+
+def test_text_and_embedding_profiles_at_10x(spark, big_dir):
+    """Hapax / JS shuffles carry vocabulary rows; the dim profile
+    carries |dims| rows — output sizes must be corpus-independent and
+    wall clock ~linear at 10×."""
+    from flink_kafka_replicator_spark.functions.corpus import (
+        lang_js_divergence,
+        text_hapax_ratio,
+    )
+    from flink_kafka_replicator_spark.functions.pipeline_queries import (
+        embedding_dim_profile,
+    )
+
+    for q in (text_hapax_ratio, lang_js_divergence, embedding_dim_profile):
+        t0 = time.perf_counter()
+        n_small = q(spark, SRC).count()
+        small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_big = q(spark, big_dir).count()
+        big = time.perf_counter() - t0
+        assert n_big == n_small, (
+            f"{q.__name__}: output must be corpus-size-independent "
+            f"({n_small} vs {n_big})"
+        )
+        assert big < max(small, 0.5) * COPIES * 3, (
+            f"{q.__name__} at 10x took {big:.1f}s vs {small:.1f}s — superlinear"
+        )
