@@ -861,6 +861,8 @@ DQ_AUDIT_IDS: tuple[str, ...] = (
     "dq_benford",
     "dq_distribution_drift",
     "dq_winsorize",
+    "dq_enum_conformity",
+    "dq_cross_field_consistency",
 )
 
 

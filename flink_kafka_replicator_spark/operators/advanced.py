@@ -805,6 +805,44 @@ _M4_ORACLE = """
 """
 
 
+def merge_intervals(
+    iv: DataFrame, key: str, tie_cols: list[str] | None = None
+) -> DataFrame:
+    """Union overlapping/adjacent closed integer intervals per key.
+
+    Input columns: ``key``, ``s``, ``e`` (integer day/unit bounds,
+    s ≤ e) plus optional ``tie_cols`` for deterministic ordering of
+    identical bounds. Output: one row per merged island — (key,
+    island, m_start, m_end, n_raw). Gaps-and-islands: a new island
+    starts where an interval's start clears the running max of all
+    earlier ends by more than one unit; ONE key-keyed window exchange
+    carries both the running max and the island counter."""
+    order = [F.col("s").asc(), F.col("e").asc()] + [
+        F.col(c).asc() for c in (tie_cols or [])
+    ]
+    w = Window.partitionBy(key).orderBy(*order)
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e + 1), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return islands.groupBy(key, "island").agg(
+        F.min("s").alias("m_start"),
+        F.max("e").alias("m_end"),
+        F.count("*").cast("bigint").alias("n_raw"),
+    )
+
+
 def intervals_merge_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge overlapping order-fulfillment intervals per customer —
     the classic interval-union: each order spans [orderdate, last
@@ -849,27 +887,7 @@ def intervals_merge_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e"),
         )
     )
-    w = Window.partitionBy("o_custkey").orderBy("s", "e", "o_orderkey")
-    prev_max_e = F.max("e").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = iv.withColumn(
-        "new_island",
-        F.when(
-            prev_max_e.isNull() | (F.col("s") > prev_max_e + 1), 1
-        ).otherwise(0),
-    )
-    islands = flagged.withColumn(
-        "island",
-        F.sum("new_island").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    merged = islands.groupBy("o_custkey", "island").agg(
-        F.min("s").alias("m_start"),
-        F.max("e").alias("m_end"),
-        F.count("*").cast("bigint").alias("n_raw"),
-    )
+    merged = merge_intervals(iv, "o_custkey", tie_cols=["o_orderkey"])
     return (
         merged.groupBy("o_custkey")
         .agg(

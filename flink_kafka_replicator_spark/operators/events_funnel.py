@@ -1043,7 +1043,7 @@ def _type_entropy_oracle() -> str:
                    SUM(c * ({lnq_c})) AS clnc
             FROM per_type GROUP BY user_id
         )
-        SELECT user_id, n, n_types,
+        SELECT user_id, CAST(n AS BIGINT) AS n, n_types,
                ROUND(CAST(n * ({lnq_n}) - clnc AS DOUBLE)
                      / CAST(n AS DOUBLE) / 1000000.0, 6)
                    AS entropy_nats

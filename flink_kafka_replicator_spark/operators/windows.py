@@ -938,7 +938,7 @@ def _autocorr_oracle() -> str:
             FROM d GROUP BY user_id
         )
         SELECT user_id,
-               n1 AS n_pairs_lag1,
+               CAST(n1 AS BIGINT) AS n_pairs_lag1,
                {corr("1")} AS acf1,
                {corr("2")} AS acf2
         FROM g

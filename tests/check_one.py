@@ -64,6 +64,14 @@ for qid in sys.argv[1:]:
         assert len(got) == len(want), f"rows {len(got)} vs {len(want)}"
         for c in got.columns:
             g, w = got[c].to_numpy(), want[c].to_numpy()
+            # mirror tests/oracle.py: the driver's hash is dtype-
+            # sensitive, so int-vs-float (DuckDB HUGEINT → float64)
+            # must fail here, not be coerced
+            kinds = {g.dtype.kind, w.dtype.kind}
+            assert not (kinds & {"i", "u"} and "f" in kinds), (
+                f"col {c}: dtype-kind mismatch spark={g.dtype} "
+                f"duckdb={w.dtype} — CAST the oracle (e.g. AS BIGINT)"
+            )
             if g.dtype.kind == "f" or w.dtype.kind == "f":
                 g, w = g.astype(float), w.astype(float)
                 ok = (np.isnan(g) & np.isnan(w)) | (g == w)

@@ -51,6 +51,17 @@ for qid in sorted(qs):
             assert len(got) == len(want), f"rows {len(got)} vs {len(want)}"
             for c in got.columns:
                 g, w = got[c].to_numpy(), want[c].to_numpy()
+                # the real driver's value-hash is dtype-sensitive:
+                # int on one side + float on the other (DuckDB
+                # HUGEINT sums land as float64 in pandas) would
+                # hash-mismatch even when 2 == 2.0 — fail loudly here
+                # like tests/oracle.py does instead of coercing
+                kinds = {g.dtype.kind, w.dtype.kind}
+                assert not (kinds & {"i", "u"} and "f" in kinds), (
+                    f"col {c}: dtype-kind mismatch spark={g.dtype} "
+                    f"duckdb={w.dtype} — CAST the oracle aggregate "
+                    f"(e.g. AS BIGINT)"
+                )
                 if g.dtype.kind == "f" or w.dtype.kind == "f":
                     g, w = g.astype(float), w.astype(float)
                     ok = (np.isnan(g) & np.isnan(w)) | (g == w)

@@ -374,3 +374,47 @@ def test_bpe_merge_application_matches_reference(spark, words, pair):
     }
     for w in set(words):
         assert got[w] == _greedy_merge(w, a, b), (w, a, b)
+
+
+interval_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),     # key
+        st.integers(0, 60),    # start day
+        st.integers(0, 20),    # span (e = s + span)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=interval_rows)
+@settings(**_SETTINGS)
+def test_merge_intervals_matches_brute_force_union(spark, rows):
+    """merge_intervals' island algebra must agree with an explicit
+    day-set union: per key, total covered days and the number of
+    disjoint runs match the brute-force enumeration, and islands never
+    overlap or touch (adjacent days always merge)."""
+    from flink_kafka_replicator_spark.operators.advanced import merge_intervals
+
+    df = spark.createDataFrame(
+        [(k, s, s + d) for k, s, d in rows], "k int, s int, e int"
+    )
+    merged = merge_intervals(df, "k").collect()
+
+    by_key: dict[int, set[int]] = {}
+    for k, s, d in rows:
+        by_key.setdefault(k, set()).update(range(s, s + d + 1))
+    for k, days in by_key.items():
+        runs = 0
+        prev = None
+        for day in sorted(days):
+            if prev is None or day > prev + 1:
+                runs += 1
+            prev = day
+        mine = [m for m in merged if m.k == k]
+        assert len(mine) == runs, (k, rows)
+        assert sum(m.m_end - m.m_start + 1 for m in mine) == len(days)
+        spans = sorted((m.m_start, m.m_end) for m in mine)
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1, "islands must be separated by a gap"
+    assert sum(m.n_raw for m in merged) == len(rows)
