@@ -24,6 +24,27 @@ from .streaming.replicate import (
 
 CONSUMER_PREFIX = "consumer."
 PRODUCER_PREFIX = "producer."
+
+
+def _warn_orphan_checkpoint(checkpoint: str, output: str, job: str) -> None:
+    """Warn when an explicit checkpoint already has state but the output
+    it fed is gone: the resumed stream will skip already-scored batches,
+    so the output silently omits them (ADVICE r11). Default checkpoints
+    live INSIDE --output and can never desync this way."""
+    import os as _os
+
+    if _os.path.isdir(checkpoint) and not _os.path.isdir(output):
+        import sys as _sys
+
+        print(
+            f"{job}: checkpoint {checkpoint} exists but output {output} "
+            "does not — already-processed batches will be SKIPPED and "
+            "the output will omit them; delete the checkpoint to "
+            "reprocess from the start",
+            file=_sys.stderr,
+        )
+
+
 REQUIRED = [
     "topics",
     "consumer.bootstrap.servers",
@@ -145,14 +166,21 @@ def parse_args(argv: list[str]) -> tuple[ReplicateConfig, dict[str, str]]:
     # Default checkpoint path is derived from (topics, group) so two
     # replicator instances on one host never share checkpoint state —
     # a fixed default would make job B silently resume job A's offsets.
+    # It lives under the user's home (NOT /tmp — ADVICE r11/VERDICT r12:
+    # a tmpfs checkpoint vanishes on reboot and the replicator silently
+    # reprocesses from starting offsets, exactly the at-least-once dupe
+    # storm a checkpoint exists to prevent).
     checkpoint = known.checkpoint_location
     if checkpoint is None:
         import hashlib
+        import os
 
         ident = f"{known.topics}|{consumer.get('group.id', '')}"
-        checkpoint = (
-            "/tmp/spark-kafka-replicator-ckpt-"
-            + hashlib.md5(ident.encode()).hexdigest()[:10]
+        checkpoint = os.path.join(
+            os.path.expanduser("~"),
+            ".spark-kafka-replicator",
+            "checkpoints",
+            hashlib.md5(ident.encode()).hexdigest()[:10],
         )
     return cfg, {
         "checkpoint_location": checkpoint,
@@ -534,7 +562,6 @@ def drift_monitor_main(argv: list[str], spark=None) -> int:
     invocation; the availableNow trigger drains existing files and
     exits — re-run with the same checkpoint to score only new files."""
     import argparse
-    import hashlib
 
     parser = argparse.ArgumentParser(
         prog="spark-kafka-replicator drift-monitor",
@@ -575,13 +602,19 @@ def drift_monitor_main(argv: list[str], spark=None) -> int:
             value_col=args.value_col,
         )
 
+    # checkpoint defaults INSIDE --output so the pair lives and dies
+    # together (ADVICE r11): a /tmp checkpoint that outlives a deleted
+    # output dir makes the merged report silently omit already-scored
+    # batches, and /tmp cleanup causes the reverse (full rescore
+    # against stale partials). Spark readers ignore _-prefixed paths,
+    # so the report scan below is unaffected.
     checkpoint = args.checkpoint_location
     if checkpoint is None:
-        ident = f"{args.source}|{args.output}"
-        checkpoint = (
-            "/tmp/spark-drift-monitor-ckpt-"
-            + hashlib.md5(ident.encode()).hexdigest()[:10]
-        )
+        import os as _os
+
+        checkpoint = _os.path.join(args.output, "_checkpoint")
+    else:
+        _warn_orphan_checkpoint(checkpoint, args.output, "drift-monitor")
 
     schema = spark.read.parquet(args.source).schema
     stream = spark.readStream.schema(schema).parquet(args.source)
@@ -626,7 +659,6 @@ def vector_search_main(argv: list[str], spark=None) -> int:
     code path (re-run with the same checkpoint to pick up new query
     files only)."""
     import argparse
-    import hashlib
 
     parser = argparse.ArgumentParser(
         prog="spark-kafka-replicator vector-search",
@@ -668,13 +700,15 @@ def vector_search_main(argv: list[str], spark=None) -> int:
 
         spark = get_session(app_name="spark-vector-search")
 
+    # checkpoint defaults INSIDE --output: pair lives and dies together
+    # (ADVICE r11; _-prefixed, invisible to parquet readers)
     checkpoint = args.checkpoint_location
     if checkpoint is None:
-        ident = f"{args.queries}|{args.output}"
-        checkpoint = (
-            "/tmp/spark-vector-search-ckpt-"
-            + hashlib.md5(ident.encode()).hexdigest()[:10]
-        )
+        import os as _os
+
+        checkpoint = _os.path.join(args.output, "_checkpoint")
+    else:
+        _warn_orphan_checkpoint(checkpoint, args.output, "vector-search")
 
     from .streaming.vector_search import start_streaming_vector_search
 
@@ -714,7 +748,6 @@ def lexical_search_main(argv: list[str], spark=None) -> int:
     files). ``--build-from`` first (re)builds the index from a corpus
     table directory, so one invocation can do build + serve."""
     import argparse
-    import hashlib
 
     parser = argparse.ArgumentParser(
         prog="spark-kafka-replicator lexical-search",
@@ -748,13 +781,15 @@ def lexical_search_main(argv: list[str], spark=None) -> int:
 
         write_lexical_index(spark, args.build_from, args.index_dir)
 
+    # checkpoint defaults INSIDE --output: pair lives and dies together
+    # (ADVICE r11; _-prefixed, invisible to parquet readers)
     checkpoint = args.checkpoint_location
     if checkpoint is None:
-        ident = f"{args.queries}|{args.output}"
-        checkpoint = (
-            "/tmp/spark-lexical-search-ckpt-"
-            + hashlib.md5(ident.encode()).hexdigest()[:10]
-        )
+        import os as _os
+
+        checkpoint = _os.path.join(args.output, "_checkpoint")
+    else:
+        _warn_orphan_checkpoint(checkpoint, args.output, "lexical-search")
 
     from .streaming.lexical_search import start_streaming_lexical_search
 
@@ -783,7 +818,6 @@ def hybrid_search_main(argv: list[str], spark=None) -> int:
     availableNow drain semantics like its vector-search / lexical-search
     peers."""
     import argparse
-    import hashlib
 
     parser = argparse.ArgumentParser(
         prog="spark-kafka-replicator hybrid-search",
@@ -816,13 +850,15 @@ def hybrid_search_main(argv: list[str], spark=None) -> int:
 
         spark = get_session(app_name="spark-hybrid-search")
 
+    # checkpoint defaults INSIDE --output: pair lives and dies together
+    # (ADVICE r11; _-prefixed, invisible to parquet readers)
     checkpoint = args.checkpoint_location
     if checkpoint is None:
-        ident = f"{args.queries}|{args.output}"
-        checkpoint = (
-            "/tmp/spark-hybrid-search-ckpt-"
-            + hashlib.md5(ident.encode()).hexdigest()[:10]
-        )
+        import os as _os
+
+        checkpoint = _os.path.join(args.output, "_checkpoint")
+    else:
+        _warn_orphan_checkpoint(checkpoint, args.output, "hybrid-search")
 
     from .streaming.hybrid_search import start_streaming_hybrid_search
 

@@ -1227,15 +1227,18 @@ def lang_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("nb"),
     )
     # per-term JS contribution, quantized to BIGINT before the sum:
-    # p = ca/na, q = cb/nb, m = (p+q)/2; zero counts contribute 0
+    # p = ca/na, q = cb/nb, m = (p+q)/2; zero counts contribute 0. The
+    # opposite-side n > 0 guards keep 0/0 (a language with zero top-V
+    # mass) out of the m denominator: without them Spark's NaN→cast-0
+    # and DuckDB's NULL→SUM-skip only coincidentally agree (ADVICE r12)
     contrib = (
         "cast(floor(("
-        " (case when ca > 0 then (cast(ca as double)/cast(na as double))"
+        " (case when ca > 0 and nb > 0 then (cast(ca as double)/cast(na as double))"
         "   * ln(2.0D * (cast(ca as double)/cast(na as double))"
         "        / (cast(ca as double)/cast(na as double)"
         "           + cast(cb as double)/cast(nb as double)))"
         "   else 0.0D end)"
-        " + (case when cb > 0 then (cast(cb as double)/cast(nb as double))"
+        " + (case when cb > 0 and na > 0 then (cast(cb as double)/cast(nb as double))"
         "   * ln(2.0D * (cast(cb as double)/cast(nb as double))"
         "        / (cast(ca as double)/cast(na as double)"
         "           + cast(cb as double)/cast(nb as double)))"
@@ -1317,13 +1320,13 @@ def _js_divergence_oracle() -> str:
         pairs AS (
             SELECT a.lang AS lang_a, b.lang AS lang_b,
                    CAST(FLOOR((
-                     (CASE WHEN a.c > 0 THEN
+                     (CASE WHEN a.c > 0 AND b.n > 0 THEN
                         (CAST(a.c AS DOUBLE)/CAST(a.n AS DOUBLE))
                         * LN(2.0 * (CAST(a.c AS DOUBLE)/CAST(a.n AS DOUBLE))
                              / (CAST(a.c AS DOUBLE)/CAST(a.n AS DOUBLE)
                                 + CAST(b.c AS DOUBLE)/CAST(b.n AS DOUBLE)))
                         ELSE 0.0 END)
-                     + (CASE WHEN b.c > 0 THEN
+                     + (CASE WHEN b.c > 0 AND a.n > 0 THEN
                         (CAST(b.c AS DOUBLE)/CAST(b.n AS DOUBLE))
                         * LN(2.0 * (CAST(b.c AS DOUBLE)/CAST(b.n AS DOUBLE))
                              / (CAST(a.c AS DOUBLE)/CAST(a.n AS DOUBLE)

@@ -346,7 +346,15 @@ def fn_timestamp_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("hour_start"),
         F.weekofyear("ts").cast("int").alias("iso_week"),
         F.expr("extract(YEAROFWEEK FROM ts)").cast("int").alias("iso_year"),
-        F.expr("unix_micros(ts) % 86400000000L div 1000000L")
+        # positive-modulus form: a bare % on a pre-epoch timestamp's
+        # negative micros yields a negative remainder (and DuckDB's
+        # historical floor-// would then diverge from Spark's div) —
+        # normalize so seconds-into-day is always in [0, 86400)
+        # regardless of the epoch sign (ADVICE r12)
+        F.expr(
+            "((unix_micros(ts) % 86400000000L + 86400000000L)"
+            " % 86400000000L) div 1000000L"
+        )
         .cast("bigint")
         .alias("secs_into_day"),
         F.expr("year(ts) * 12 + month(ts) - 1")
@@ -361,7 +369,8 @@ _TIMESTAMP_ARITH_ORACLE = """
            date_trunc('hour', ts) AS hour_start,
            CAST(weekofyear(ts) AS INTEGER) AS iso_week,
            CAST(isoyear(ts) AS INTEGER) AS iso_year,
-           CAST(epoch_us(ts) % 86400000000 // 1000000 AS BIGINT)
+           CAST((epoch_us(ts) % 86400000000 + 86400000000)
+                % 86400000000 // 1000000 AS BIGINT)
                AS secs_into_day,
            CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT) AS month_index
     FROM events

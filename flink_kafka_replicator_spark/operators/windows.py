@@ -1124,8 +1124,11 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the API-coverage twin; rank statistics at corpus scale go through
     the histogram discipline (agg_pareto_share)."""
     ev = load_table(spark, sf_dir, "events")
+    # NULLS LAST pinned explicitly: Spark defaults ASC to NULLS FIRST,
+    # DuckDB to NULLS LAST — events.value happens to be NULL-free today,
+    # but the ordering semantics must not hinge on that (ADVICE r12)
     w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
+        F.col("value").asc_nulls_last(), F.col("event_id").asc_nulls_last()
     )
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return ev.select(
@@ -1146,12 +1149,12 @@ _PERCENT_RANK_ORACLE = """
            ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
            CAST(DENSE_RANK() OVER w AS BIGINT) AS dense_rk,
            ROUND(NTH_VALUE(value, 3) OVER (PARTITION BY event_type
-                 ORDER BY value ASC, event_id ASC
+                 ORDER BY value ASC NULLS LAST, event_id ASC NULLS LAST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                  4) AS third_lowest
     FROM events
     WINDOW w AS (PARTITION BY event_type
-                 ORDER BY value ASC, event_id ASC)
+                 ORDER BY value ASC NULLS LAST, event_id ASC NULLS LAST)
 """
 
 

@@ -106,6 +106,51 @@ def left_outer_interval_join_clicks_to_views(
     )
 
 
+def full_outer_interval_join_clicks_to_views(
+    clicks: DataFrame,
+    views: DataFrame,
+    watermark: str = "10 minutes",
+    max_gap: str = "5 minutes",
+) -> DataFrame:
+    """Full-outer interval join — the last cell of the stream-join
+    matrix (inner / left-outer / left-semi / full-outer): matched pairs
+    emit as they join; an unmatched CLICK emits null view columns and
+    an unmatched VIEW emits null click columns, each released only when
+    the watermark passes the point where a match could still arrive.
+    Null emission on BOTH sides is watermark-driven (the state store
+    proves no counterpart can come, evicts, and emits) — the only
+    full-outer semantics that both bounds state and is complete over an
+    unbounded stream. State scale is the same O(rate × bound) as the
+    other variants; the full-outer adds no state, only the two-sided
+    null emission at eviction."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    return c.join(
+        v,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {max_gap}")),
+        "fullOuter",
+    ).select(
+        # user_id survives from whichever side is non-null
+        F.coalesce(F.col("c_user"), F.col("v_user")).alias("user_id"),
+        "click_id",
+        "click_ts",
+        "view_id",
+        "view_ts",
+        "view_value",
+    )
+
+
 def semi_interval_join_clicks_with_views(
     clicks: DataFrame,
     views: DataFrame,

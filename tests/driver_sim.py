@@ -1,5 +1,13 @@
-"""Simulate the driver: plain SparkSession, import __spark_entry__, run the protocol."""
-import sys, time
+"""Simulate the driver: plain SparkSession, import __spark_entry__, run the protocol.
+
+Writes a per-id result artifact (default DRIVERSIM.json at the repo
+root; override with SPARK_GRAFT_DRIVERSIM_OUT=path) so the full-sweep
+re-verification of every oracled id is a committed, auditable record —
+the driver's own 50-slot CORRECTNESS budget rotates through the 296-id
+registry over ~6 rounds, and this artifact bridges that gap each round
+(VERDICT r12 next-round task 4).
+"""
+import json, os, sys, time
 sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import SparkSession
@@ -41,6 +49,7 @@ def canon(df):
     return df
 
 fails = []
+record: dict[str, dict] = {}
 for qid in sorted(qs):
     t0 = time.time()
     try:
@@ -71,9 +80,15 @@ for qid in sorted(qs):
             status = "MATCH"
         else:
             status = f"rows-only({len(got)})"
+        record[qid] = {
+            "status": "MATCH" if qid in os_ else "rows_only",
+            "rows": int(len(got)),
+            "sec": round(time.time() - t0, 1),
+        }
         print(f"  {qid:30s} {status:12s} {time.time()-t0:5.1f}s")
     except Exception as ex:
         fails.append(qid)
+        record[qid] = {"status": "FAIL", "err": str(ex)[:300]}
         print(f"  {qid:30s} FAIL: {str(ex)[:200]}")
 
 # 3. probe: re-run one query twice (state pollution) on same session
@@ -81,5 +96,27 @@ n1 = qs["agg_hash_groupby"](spark, SF).count()
 n2 = qs["agg_hash_groupby"](spark, SF).count()
 assert n1 == n2
 print(f"rerun probe: {n1}=={n2} OK")
+
+out_path = os.environ.get(
+    "SPARK_GRAFT_DRIVERSIM_OUT", "/root/repo/DRIVERSIM.json"
+)
+n_match = sum(1 for v in record.values() if v["status"] == "MATCH")
+n_ro = sum(1 for v in record.values() if v["status"] == "rows_only")
+with open(out_path, "w", encoding="utf-8") as fh:
+    json.dump(
+        {
+            "sf_dir": SF,
+            "n_ids": len(record),
+            "n_match": n_match,
+            "n_rows_only": n_ro,
+            "n_fail": len(fails),
+            "rerun_probe_ok": bool(n1 == n2),
+            "results": record,
+        },
+        fh,
+        indent=1,
+        sort_keys=True,
+    )
+print(f"wrote {out_path}: {n_match} MATCH / {n_ro} rows-only / {len(fails)} FAIL")
 print("FAILS:", fails if fails else "none")
 sys.exit(1 if fails else 0)

@@ -22,6 +22,23 @@ pytestmark = pytest.mark.skipif(
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
 
+# Wall-clock linearity ratios are load-sensitive (SCALE.md round-12
+# records load-flaky failures on a busy box with zero code regression);
+# SPARK_GRAFT_SCALE_TIMING=0 keeps every strict output-size invariant
+# while skipping the timing half (ADVICE r12).
+TIMING = os.environ.get("SPARK_GRAFT_SCALE_TIMING", "1") == "1"
+
+
+def _linear(
+    big: float, small: float, floor: float = 0.2, copies: int | None = None
+) -> bool:
+    """Timing half of a 10x/100x linearity check: big within copies*3
+    of the small run (floor guards sub-100ms denominators). Always True
+    when timing checks are disabled."""
+    c = COPIES if copies is None else copies
+    return (not TIMING) or big < max(small, floor) * c * 3
+
+
 
 @pytest.fixture(scope="module")
 def big_dir(spark, tmp_path_factory):
@@ -81,7 +98,7 @@ def test_minhash_scales_linearly(spark, big_dir):
     small = _timed(dedup_fuzzy_minhash(spark, SRC))
     _clear_artifact_caches()
     big = _timed(dedup_fuzzy_minhash(spark, big_dir))
-    assert big < small * COPIES * 3, (
+    assert _linear(big, small, 0.0), (
         f"minhash at 10x took {big:.1f}s vs {small:.1f}s at 1x — superlinear"
     )
 
@@ -91,7 +108,7 @@ def test_q1_scales_linearly(spark, big_dir):
 
     small = _timed(agg_hash_groupby(spark, SRC))
     big = _timed(agg_hash_groupby(spark, big_dir))
-    assert big < small * COPIES * 3, f"q1 at 10x: {big:.1f}s vs {small:.1f}s"
+    assert _linear(big, small, 0.0), f"q1 at 10x: {big:.1f}s vs {small:.1f}s"
 
 
 def test_join_and_window_at_10x(spark, big_dir):
@@ -136,7 +153,7 @@ def test_round4_ops_at_10x(spark, big_dir):
     for q in (sessionize_events, pack_token_sequences, doc_pii_scrub):
         t_small = _timed(q(spark, SRC))
         t_big = _timed(q(spark, big_dir))
-        assert t_big < max(t_small, 0.2) * COPIES * 3, (
+        assert _linear(t_big, t_small, 0.2), (
             f"{q.__name__} superlinear at 10x: {t_big:.1f}s vs {t_small:.1f}s"
         )
 
@@ -166,14 +183,14 @@ def test_round5_ops_at_10x(spark, big_dir):
     ):
         t_small = _timed(q(spark, SRC))
         t_big = _timed(q(spark, big_dir))
-        assert t_big < max(t_small, 0.2) * COPIES * 3, (
+        assert _linear(t_big, t_small, 0.2), (
             f"{q.__name__} superlinear at 10x: {t_big:.1f}s vs {t_small:.1f}s"
         )
     _clear_artifact_caches()
     t_small = _timed(dedup_incremental(spark, SRC))
     _clear_artifact_caches()
     t_big = _timed(dedup_incremental(spark, big_dir))
-    assert t_big < max(t_small, 0.2) * COPIES * 3, (
+    assert _linear(t_big, t_small, 0.2), (
         f"dedup_incremental superlinear at 10x: {t_big:.1f}s vs {t_small:.1f}s"
     )
 
@@ -262,7 +279,7 @@ def test_minhash_at_100x_linear_no_pair_blowup(spark, big100_dir):
     t_big = time.perf_counter() - t0
     print(f"\nminhash 1x: {t_small:.1f}s/{n_small} pairs; "
           f"100x: {t_big:.1f}s/{n_big} pairs")
-    assert t_big < max(t_small, 0.2) * COPIES100 * 3, (
+    assert _linear(t_big, t_small, 0.2, COPIES100), (
         f"superlinear: {t_big:.1f}s vs {t_small:.1f}s at 1x"
     )
     # pair structure must scale with the corpus (no bucket blowup): each
@@ -281,7 +298,7 @@ def test_simhash_at_100x_linear(spark, big100_dir):
     n_big = dedup_simhash(spark, big100_dir).count()
     t_big = time.perf_counter() - t0
     print(f"\nsimhash 1x: {t_small:.1f}s; 100x: {t_big:.1f}s/{n_big} pairs")
-    assert t_big < max(t_small, 0.2) * COPIES100 * 3, (
+    assert _linear(t_big, t_small, 0.2, COPIES100), (
         f"superlinear: {t_big:.1f}s vs {t_small:.1f}s"
     )
 
@@ -294,7 +311,7 @@ def test_asof_at_100x_linear(spark, big100_dir):
     n_big = join_asof(spark, big100_dir).count()
     t_big = time.perf_counter() - t0
     print(f"\nasof 1x: {t_small:.1f}s; 100x: {t_big:.1f}s/{n_big} rows")
-    assert t_big < max(t_small, 0.2) * COPIES100 * 3, (
+    assert _linear(t_big, t_small, 0.2, COPIES100), (
         f"superlinear: {t_big:.1f}s vs {t_small:.1f}s"
     )
 
@@ -316,7 +333,7 @@ def test_corpus_ops_at_100x_linear(spark, big100_dir):
         n_big = q(spark, big100_dir).count()
         t_big = time.perf_counter() - t0
         print(f"\n{q.__name__} 1x: {t_small:.1f}s; 100x: {t_big:.1f}s/{n_big} rows")
-        assert t_big < max(t_small, 0.2) * COPIES100 * 3, (
+        assert _linear(t_big, t_small, 0.2, COPIES100), (
             f"{q.__name__} superlinear: {t_big:.1f}s vs {t_small:.1f}s"
         )
 
@@ -339,7 +356,7 @@ def test_paragraph_dedup_at_100x_linear(spark, big100_dir):
     n_big = dedup_paragraph_exact(spark, big100_dir).count()
     t_big = time.perf_counter() - t0
     print(f"\nparagraph dedup 1x: {t_small:.1f}s; 100x: {t_big:.1f}s/{n_big} docs")
-    assert t_big < max(t_small, 0.2) * COPIES100 * 3, (
+    assert _linear(t_big, t_small, 0.2, COPIES100), (
         f"superlinear: {t_big:.1f}s vs {t_small:.1f}s"
     )
 
@@ -368,7 +385,7 @@ def test_funnel_retention_at_100x_linear(spark, big100_dir):
         n_big = q(spark, big100_dir).count()
         t_big = time.perf_counter() - t0
         print(f"\n{q.__name__} 1x: {t_small:.1f}s; 100x: {t_big:.1f}s/{n_big} rows")
-        assert t_big < max(t_small, 0.2) * COPIES100 * 3, (
+        assert _linear(t_big, t_small, 0.2, COPIES100), (
             f"{q.__name__} superlinear: {t_big:.1f}s vs {t_small:.1f}s"
         )
 
@@ -390,7 +407,7 @@ def test_quality_classifier_at_100x_linear(spark, big100_dir, monkeypatch):
     n_big = pq.quality_classifier_score(spark, big100_dir).count()
     t_big = time.perf_counter() - t0
     print(f"\nqc score 1x: {t_small:.1f}s; 100x: {t_big:.1f}s/{n_big} docs")
-    assert t_big < max(t_small, 0.2) * COPIES100 * 3
+    assert _linear(t_big, t_small, 0.2, COPIES100)
 
     # time a COLD fit at 1x, BUILD INCLUDED: _qc_fit is memoized and
     # eagerly pinned per (session, dataset) since round 10, so the
@@ -410,7 +427,7 @@ def test_quality_classifier_at_100x_linear(spark, big100_dir, monkeypatch):
     n_big = big.count()
     t_big = time.perf_counter() - t0
     print(f"\nqc train 1x: {t_small:.1f}s; 100x: {t_big:.1f}s/{n_big} docs")
-    assert t_big < max(t_small, 0.2) * COPIES100 * 3
+    assert _linear(t_big, t_small, 0.2, COPIES100)
     # model state independence: the fitted weight table never exceeds
     # the bucket count, no matter the corpus size
     n_w = (
@@ -467,7 +484,7 @@ def test_ivf_k_dial_at_100x(spark, big100_dir):
     assert totals[640] < totals[64] / 2, totals
     # the assignment job is ~linear in N at fixed k (broadcast join,
     # no shuffle growth beyond the vec_id exchange)
-    assert t_k64 < max(t_small, 0.2) * COPIES100 * 3, (
+    assert _linear(t_k64, t_small, 0.2, COPIES100), (
         f"rowwise assignment superlinear: {t_k64:.1f}s vs {t_small:.1f}s"
     )
     # scaling k ~ N keeps in-cell pair work ~linear: at k=640 (40× the
@@ -557,7 +574,7 @@ def test_probe_recall_curve_at_10x_linear(spark, big_dir):
     recalls = [r["recall"] for r in rows]
     assert recalls == sorted(recalls)
     assert recalls[-1] == 1.0
-    assert t_big < max(t_small, 0.2) * COPIES * 3, (
+    assert _linear(t_big, t_small, 0.2), (
         f"probe curve superlinear: {t_big:.1f}s vs {t_small:.1f}s"
     )
 
@@ -579,7 +596,7 @@ def test_batch_adc_and_pagerank_at_10x(spark, big_dir):
     t_big = time.perf_counter() - t0
     print(f"\nbatch adc 1x: {t_small:.1f}s; 10x: {t_big:.1f}s/{n_big} rows")
     assert n_big > 0
-    assert t_big < max(t_small, 0.2) * COPIES * 3, (
+    assert _linear(t_big, t_small, 0.2), (
         f"batch adc superlinear: {t_big:.1f}s vs {t_small:.1f}s"
     )
 
@@ -735,7 +752,7 @@ def test_round9_text_ops_at_10x(spark, big_dir):
     for q, bound in ((quality_gopher_rules, 60), (bm25_topk, 60)):
         t_small = _timed(q(spark, SRC))
         t_big = _timed(q(spark, big_dir))
-        assert t_big < max(t_small, 0.2) * COPIES * 3, (
+        assert _linear(t_big, t_small, 0.2), (
             f"{q.__name__} superlinear at 10x: {t_big:.1f}s vs {t_small:.1f}s"
         )
         assert t_big < bound, f"{q.__name__} {t_big:.1f}s"
@@ -927,7 +944,7 @@ def test_round9b_ops_at_10x(spark, big_dir):
     ):
         t_small = _timed(q(spark, SRC))
         t_big = _timed(q(spark, big_dir))
-        assert t_big < max(t_small, 0.2) * COPIES * 3, (
+        assert _linear(t_big, t_small, 0.2), (
             f"{q.__name__} superlinear at 10x: {t_big:.1f}s vs {t_small:.1f}s"
         )
         assert t_big < bound, f"{q.__name__} {t_big:.1f}s"
@@ -980,7 +997,7 @@ def test_round9b_dq_and_serving_at_10x(spark, big_dir):
     ):
         t_small = _timed(q(spark, SRC))
         t_big = _timed(q(spark, big_dir))
-        assert t_big < max(t_small, 0.2) * COPIES * 3, (
+        assert _linear(t_big, t_small, 0.2), (
             f"{q.__name__} superlinear at 10x: {t_big:.1f}s vs {t_small:.1f}s"
         )
         assert t_big < bound, f"{q.__name__} {t_big:.1f}s"
@@ -1153,7 +1170,7 @@ def test_tpch_heavy_at_100x_linear_plan_safe(spark, big100_rel_dir):
             f"\n{q.__name__} 1x: {t_small:.1f}s/{n_small} rows; "
             f"100x: {t_big:.1f}s/{n_big} rows"
         )
-        assert t_big < max(t_small, 0.5) * COPIES100 * 3, (
+        assert _linear(t_big, t_small, 0.5, COPIES100), (
             f"{q.__name__} superlinear: {t_big:.1f}s vs {t_small:.1f}s"
         )
         assert n_big > 0
@@ -1193,7 +1210,7 @@ def test_vector_retrain_at_10x(spark, big_dir, tmp_path_factory):
           f"10x: {t_big:.1f}s/{n_big}")
     assert n_big == n_small * COPIES
     assert n_rep > 0
-    assert t_big < max(t_small, 1.0) * COPIES * 3, (
+    assert _linear(t_big, t_small, 1.0), (
         f"superlinear retrain: {t_big:.1f}s vs {t_small:.1f}s"
     )
 
@@ -1218,7 +1235,7 @@ def test_series_diagnostics_at_10x_linear(spark, big_dir):
     for q in (window_autocorr, window_macd, time_downsample_m4):
         small = _timed(q(spark, SRC))
         big = _timed(q(spark, big_dir))
-        assert big < max(small, 0.2) * COPIES * 3, (
+        assert _linear(big, small, 0.2), (
             f"{q.__name__} at 10x took {big:.1f}s vs {small:.1f}s — superlinear"
         )
         plan = q(spark, big_dir)._jdf.queryExecution().executedPlan().toString()
@@ -1242,7 +1259,7 @@ def test_phash_dedup_at_10x_linear(spark, big_dir):
     n_big = multimodal_phash_dedup(spark, big_dir).count()
     big = time.perf_counter() - t0
     assert n_big >= n_small, "10x replication cannot lose pairs"
-    assert big < max(small, 0.5) * COPIES * 3, (
+    assert _linear(big, small, 0.5), (
         f"phash dedup at 10x took {big:.1f}s vs {small:.1f}s — superlinear"
     )
 
@@ -1283,7 +1300,7 @@ def test_closed_form_stats_at_10x_linear(spark, big_dir):
     for q in (agg_ols_trend, agg_pearson_corr, agg_skew_kurtosis):
         small = _timed(q(spark, SRC))
         big = _timed(q(spark, big_dir))
-        assert big < max(small, 0.2) * COPIES * 3, (
+        assert _linear(big, small, 0.2), (
             f"{q.__name__} at 10x took {big:.1f}s vs {small:.1f}s — superlinear"
         )
     plan = (
@@ -1307,7 +1324,7 @@ def test_interval_union_and_backlog_at_10x(spark, big_dir):
     for q in (intervals_merge_overlaps, orders_open_backlog):
         small = _timed(q(spark, SRC))
         big = _timed(q(spark, big_dir))
-        assert big < max(small, 0.2) * COPIES * 3, (
+        assert _linear(big, small, 0.2), (
             f"{q.__name__} at 10x took {big:.1f}s vs {small:.1f}s — superlinear"
         )
     last = orders_open_backlog(spark, big_dir).orderBy(F.col("day").desc()).limit(1).collect()
@@ -1337,6 +1354,6 @@ def test_text_and_embedding_profiles_at_10x(spark, big_dir):
             f"{q.__name__}: output must be corpus-size-independent "
             f"({n_small} vs {n_big})"
         )
-        assert big < max(small, 0.5) * COPIES * 3, (
+        assert _linear(big, small, 0.5), (
             f"{q.__name__} at 10x took {big:.1f}s vs {small:.1f}s — superlinear"
         )

@@ -129,3 +129,65 @@ def test_semi_interval_join_no_pair_expansion(spark, tmp_path):
     drain(q)
     got = [r.click_id for r in spark.read.parquet(out).collect()]
     assert got == [10], f"semi join must emit one row per matched click: {got}"
+
+
+def test_full_outer_interval_join_emits_both_unmatched_sides(spark, tmp_path):
+    """Full-outer: the unmatched CLICK (user 3) emits null view columns
+    AND the unmatched VIEW (user 2) emits null click columns, each once
+    the watermark proves no counterpart can arrive — closing the
+    stream-join matrix (inner / left-outer / left-semi / full-outer)."""
+    from flink_kafka_replicator_spark.streaming.joins import (
+        full_outer_interval_join_clicks_to_views,
+    )
+
+    clicks_dir, views_dir = str(tmp_path / "clicks"), str(tmp_path / "views")
+    # user 1: matched pair; user 2: view with no click; user 3: click
+    # with no view
+    _write(spark, views_dir, _rows([(1, 100, 1), (4, 50, 2)]))
+    _write(spark, clicks_dir, _rows([(10, 120, 1), (12, 130, 3)]))
+    # watermark drivers in a second file release the unmatched state
+    _write(spark, views_dir, _rows([(98, 90000, 9)]))
+    _write(spark, clicks_dir, _rows([(99, 90000, 9)]))
+
+    clicks = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(clicks_dir)
+    views = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(views_dir)
+    out = str(tmp_path / "fo_out")
+    q = (
+        full_outer_interval_join_clicks_to_views(clicks, views)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "fo_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q)
+    rows = spark.read.parquet(out).collect()
+    got = {(r.click_id, r.view_id) for r in rows}
+    assert (10, 1) in got, f"matched pair missing: {got}"
+    assert (12, None) in got, f"unmatched click not emitted: {got}"
+    assert (None, 4) in got, f"unmatched view not emitted: {got}"
+    # user_id survives from the non-null side on both null-padded rows
+    by_pair = {(r.click_id, r.view_id): r.user_id for r in rows}
+    assert by_pair[(12, None)] == 3
+    assert by_pair[(None, 4)] == 2
+
+
+def test_full_outer_interval_join_batch_same_code(spark):
+    """Unified model: the same function on batch frames gives the full
+    outer-join truth table."""
+    from flink_kafka_replicator_spark.streaming.joins import (
+        full_outer_interval_join_clicks_to_views,
+    )
+
+    clicks = spark.createDataFrame(_rows([(10, 120, 1), (12, 130, 3)]), SCHEMA)
+    views = spark.createDataFrame(_rows([(1, 100, 1), (4, 50, 2)]), SCHEMA)
+    got = {
+        (r.click_id, r.view_id)
+        for r in full_outer_interval_join_clicks_to_views(clicks, views).collect()
+    }
+    assert got == {(10, 1), (12, None), (None, 4)}, got
