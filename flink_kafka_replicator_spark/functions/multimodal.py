@@ -322,10 +322,25 @@ def phash64(df: DataFrame) -> DataFrame:
     band join. The bit convention matches similarity.simhash_table
     exactly (md5-half bit votes, majority = strictly more than half,
     bit 63 wraps to long-min), so the DuckDB oracle replays signatures
-    bit-for-bit from the same shingle set."""
+    bit-for-bit from the same shingle set.
+
+    Parallelism: Spark sizes scan splits by BYTES, but this stage's
+    cost is per-byte PYTHON work — a small-file corpus (one 1.5 MB
+    split at sf0.1) would otherwise run the whole signature pass in a
+    single task. When the scan yields fewer partitions than cores, fan
+    out first; at production scale the scan already has ≥cores splits
+    and no extra shuffle happens."""
+
+    import numpy as np
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         k = PHASH_SHINGLE_BYTES
+        bit_lo = np.arange(32, dtype=np.uint32)
         for pdf in batches:
             out_hash = []
             out_n = []
@@ -333,19 +348,25 @@ def phash64(df: DataFrame) -> DataFrame:
                 b = bytes(blob)
                 n = len(b)
                 shingles = {b[i : i + k] for i in range(max(n - k + 1, 1))}
-                votes = [0] * 64
-                for sh in shingles:
-                    hx = hashlib.md5(sh).hexdigest()
-                    hl = int(hx[0:8], 16)
-                    hh = int(hx[8:16], 16)
-                    for j in range(32):
-                        votes[j] += (hl >> j) & 1
-                        votes[32 + j] += (hh >> j) & 1
                 m = len(shingles)
+                # md5 halves as uint32 pairs (same bits as the former
+                # hexdigest slices), bit votes vectorized: votes[j] =
+                # Σ_sh (half >> j) & 1 — numpy does the 64·m bit loop
+                digs = [hashlib.md5(sh).digest() for sh in shingles]
+                hl = np.frombuffer(
+                    b"".join(d[0:4] for d in digs), dtype=">u4"
+                ).astype(np.uint32)
+                hh = np.frombuffer(
+                    b"".join(d[4:8] for d in digs), dtype=">u4"
+                ).astype(np.uint32)
+                votes_lo = ((hl[:, None] >> bit_lo) & 1).sum(axis=0)
+                votes_hi = ((hh[:, None] >> bit_lo) & 1).sum(axis=0)
                 sig = 0
-                for j in range(64):
-                    if 2 * votes[j] > m:
-                        sig += (1 << j) if j < 63 else -(1 << 63)
+                for j in range(32):
+                    if 2 * int(votes_lo[j]) > m:
+                        sig += 1 << j
+                    if 2 * int(votes_hi[j]) > m:
+                        sig += (1 << (32 + j)) if j < 31 else -(1 << 63)
                 out_hash.append(sig)
                 out_n.append(m)
             yield pd.DataFrame(

@@ -599,3 +599,25 @@ def test_dq_monitor_subcommand(spark, tmp_path, capsys):
         for r in dq.dq_reconciliation(spark, sf).collect()
     )
     assert merged_recon == want_recon
+
+
+def test_orphan_checkpoint_warning(tmp_path, capsys):
+    """An explicit checkpoint with state whose output is gone warns
+    loudly (resumed streams skip already-processed batches); default
+    checkpoints live inside --output and can never desync."""
+    from flink_kafka_replicator_spark.cli import _warn_orphan_checkpoint
+
+    ck = tmp_path / "ck"
+    out = tmp_path / "out"
+    # no checkpoint state yet: silent
+    _warn_orphan_checkpoint(str(ck), str(out), "drift-monitor")
+    assert capsys.readouterr().err == ""
+    # checkpoint exists, output missing: loud
+    ck.mkdir()
+    _warn_orphan_checkpoint(str(ck), str(out), "drift-monitor")
+    err = capsys.readouterr().err
+    assert "SKIPPED" in err and "drift-monitor" in err
+    # both exist: silent again
+    out.mkdir()
+    _warn_orphan_checkpoint(str(ck), str(out), "drift-monitor")
+    assert capsys.readouterr().err == ""
