@@ -305,7 +305,11 @@ def stabilize_jvm(spark, max_runs: int = 8) -> list[float]:
         t = _probe_once(spark)
         times.append(t)
         best = min(best, t)
-        if len(times) >= 3 and t <= best * 1.15:
+        # ≥4 runs before trusting convergence: the round-13 probe study
+        # measured a fresh JVM needing ~4 runs to settle — a 3-run exit
+        # can latch onto a half-warm plateau (0.551→0.53 "converged"
+        # while the true steady state was 0.31, observed this round)
+        if len(times) >= 4 and t <= best * 1.15:
             break
     return times
 
@@ -357,7 +361,16 @@ def main() -> None:
         if fn is None:
             continue
         if n_run and n_run % PROBE_EVERY == 0:
-            probes.append((n_run, _probe_once(spark)))
+            # best-of-2: the start/end calibrations are best-of-3, so a
+            # single-sample interleaved probe mixes measurement rigor —
+            # one slow sample then reads as a box swing and fails the
+            # stability gate even when the box held (round-13: full-run
+            # single samples spread 0.40-0.63 while best-of-3 pairs in
+            # the same minutes sat 0.41-0.31). One extra 0.3s run per
+            # 15 queries buys the same estimator everywhere.
+            probes.append(
+                (n_run, min(_probe_once(spark) for _ in range(2)))
+            )
         best = float("inf")
         for i in range(3):
             t0 = time.perf_counter()
@@ -461,6 +474,7 @@ def main() -> None:
     vs_baseline: dict[str, float] = {}
     vs_baseline_norm: dict[str, float] = {}
     regressions: dict[str, float] = {}
+    settled: dict[str, dict] = {}
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_BENCH.json")
     sf_val = float(sf) if sf.replace(".", "").isdigit() else None
@@ -483,9 +497,56 @@ def main() -> None:
             # not a regression worth failing loudly over
             if norm_ratio > 2.0 and norm_sec - b["sec"] > 0.25:
                 regressions[qid] = norm_ratio
+        # In-run settle pass (round 13): on this box a probe-normalized
+        # flag raised in one minute routinely evaporates when the id is
+        # re-measured in another (every >=2x flag of r12+r13 solo-
+        # settled healthy; the box's minute-scale speed swings ~2x even
+        # idle, see SCALE.md). So the gate re-measures each flagged id
+        # best-of-3 NOW, against a probe taken in the same breath, and
+        # a flag only stands if it SURVIVES the retry — a true engine
+        # regression is slow in every minute, a box artifact is not.
+        # Both measurements land in the record (settled_in_run), so
+        # nothing is discarded silently.
+        if regressions:
+            settle_probe = round(
+                min(_probe_once(spark) for _ in range(3)), 3
+            )
+            factor = (
+                settle_probe / era_sec
+                if era_sec and era_sec > 0
+                else 1.0
+            )
+            for qid in sorted(regressions):
+                fn = queries.get(qid)
+                if fn is None:
+                    continue
+                best_retry = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    run_once(fn(spark, SF_DIR))
+                    best_retry = min(
+                        best_retry, time.perf_counter() - t0
+                    )
+                b = base[qid]["sec"]
+                norm_retry = best_retry / factor
+                retry_ratio = round(norm_retry / b, 2)
+                settled[qid] = {
+                    "first_norm_ratio": regressions[qid],
+                    "retry_wall": round(best_retry, 3),
+                    "retry_probe": settle_probe,
+                    "retry_norm_ratio": retry_ratio,
+                    "stands": bool(
+                        retry_ratio > 2.0 and norm_retry - b > 0.25
+                    ),
+                }
+                if not settled[qid]["stands"]:
+                    del regressions[qid]
+                else:
+                    regressions[qid] = retry_ratio
         if regressions:
             print(
-                "BENCH REGRESSION (>2x baseline, box-normalized): "
+                "BENCH REGRESSION (>2x baseline, box-normalized, "
+                "survived in-run re-measure): "
                 + ", ".join(f"{q}={r}x" for q, r in sorted(regressions.items())),
                 file=sys.stderr,
             )
@@ -550,6 +611,9 @@ def main() -> None:
         "vs_baseline_norm": vs_baseline_norm,
         "vs_baseline_norm_geomean": geomean_norm,
         "regressions": regressions,
+        # per-flag first-measure vs in-run re-measure evidence — every
+        # flag that was raised, whether it stood, and the numbers
+        "settled_in_run": settled,
         "era": era,
         # a solo artifact is only evidence for settling a drift flag
         # when its probes match the baseline era (raw comparability) or

@@ -88,3 +88,25 @@ def test_bench_probe_normalization_math():
     assert nearest(29) == 0.4
     vals = [p for _, p in probes]
     assert max(vals) / min(vals) == pytest.approx(2.0)  # unstable > 1.35
+
+
+def test_pq_query_lut_driver_fold_matches_spark_hof(spark):
+    """The driver-side LUT (round 13: zero jobs per search) must be
+    bit-identical to the Spark-HOF derivation it replaced — same
+    left-to-right (x-y)^2 fold over the same codebook rows."""
+    from flink_kafka_replicator_spark.functions import (
+        pipeline_queries as pq,
+    )
+
+    driver = {
+        (r.m, r.cid): r.qd2
+        for r in pq._pq_query_lut(spark, SF_DIR).collect()
+    }
+    hof = {
+        (r.m, r.cid): r.qd2
+        for r in pq._pq_lut_from(
+            pq._pq_codebook(spark, SF_DIR)
+        ).collect()
+    }
+    assert driver == hof  # exact float equality, not approx
+    assert len(driver) > 0
