@@ -4945,12 +4945,11 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalable formulation is exact-top-R shortlist first (TakeOrdered —
     distributed), then the greedy over bounded R×R state: shortlist
     and its pairwise-sim table are pinned small artifacts
-    (materialize_small), and the 5 selection rounds are lazy
-    DataFrame ops over ≤20 rows — no collect, no per-row driver loop,
+    (materialize_small) and the 5 selection rounds run driver-side
+    over that model-sized state (see :func:`_mmr_greedy_batch`) —
     work independent of corpus size beyond the one scored scan.
     Both the relevance and pairwise sims are rounded to 4 before the
     greedy, so the argmax comparisons are bit-identical cross-engine."""
-    lam = MMR_LAMBDA_SQL
     key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
     cached = _MMR_ART_CACHE.get(key)
     if cached is not None:
@@ -4983,42 +4982,13 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         _cache_put(_MMR_ART_CACHE, key, (short, sims))
-    sel = (
-        short.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
-        .limit(1)
-        .select(
-            "vec_id",
-            "rel",
-            F.lit(1).alias("rank"),
-            F.expr(f"{lam} * rel").alias("mmr"),
-        )
-    )
-    for r in range(2, MMR_K + 1):
-        pen = (
-            sims.join(
-                sel.select(F.col("vec_id").alias("b")), "b"
-            )
-            .groupBy("a")
-            .agg(F.max("s").alias("pen"))
-        )
-        cand = (
-            short.join(sel.select("vec_id"), "vec_id", "left_anti")
-            .join(pen, F.col("vec_id") == F.col("a"))
-            .select(
-                "vec_id",
-                "rel",
-                F.expr(f"{lam} * rel - (1.0D - {lam}) * pen").alias("mmr"),
-            )
-        )
-        pick = (
-            cand.orderBy(F.col("mmr").desc(), F.col("vec_id").asc())
-            .limit(1)
-            .select("vec_id", "rel", F.lit(r).alias("rank"), "mmr")
-        )
-        sel = sel.unionByName(pick)
-    return sel.select(
-        "rank", "vec_id", "rel", F.round("mmr", 6).alias("mmr")
-    )
+    # single query = a batch of one: same driver-side greedy (and the
+    # same parity pin) as the batch/served paths, zero nested plans
+    zero = F.lit(0).cast("bigint").alias("qid")
+    return _mmr_greedy_batch(
+        short.select(zero, "vec_id", "rel"),
+        sims.select(zero, "a", "b", "s"),
+    ).select("rank", "vec_id", "rel", "mmr")
 
 
 _MMR_BATCH_ART_CACHE: dict[
@@ -5026,15 +4996,106 @@ _MMR_BATCH_ART_CACHE: dict[
 ] = {}
 
 
+# the numeric twin of MMR_LAMBDA_SQL ("0.7D") — one constant, two
+# spellings; test_round13_invariants pins the driver greedy against
+# the plan greedy, which would catch any divergence between them
+MMR_LAMBDA = 0.7
+
+
 def _mmr_greedy_batch(
     short: DataFrame, sims: DataFrame, k: int = MMR_K
 ) -> DataFrame:
     """The per-qid MMR greedy over stacked bounded artifacts —
-    ``short`` (qid, vec_id, rel) and ``sims`` (qid, a, b, s) — every
-    query advances together per selection round (one plan per round
-    over per-qid groups; a window argmax replaces the single-query
-    ORDER BY ... LIMIT 1). Shared by the session batch query and the
-    served rerank (:func:`~..sinks.mmr_rerank_from_index`)."""
+    ``short`` (qid, vec_id, rel) and ``sims`` (qid, a, b, s) —
+    computed DRIVER-SIDE (round 13). MMR is inherently sequential in
+    k; the previous formulation kept each selection round as lazy
+    DataFrame ops, which nests round r's plan inside round r+1's —
+    Catalyst re-analyzes the whole deepening tree every round and the
+    5-round batch plan spent ~3s of pure planning on ≤160-row state.
+    The shortlists are bounded SERVING state (|Q|·R and |Q|·R² rows,
+    R=MMR_SHORTLIST — corpus-size-independent by construction; the
+    corpus-scan work all happens upstream in the shortlist build), so
+    this is the codebook/centroid pattern: collect the model-sized
+    artifact, do the sequential arithmetic where sequential work
+    belongs, hand back a local relation. Float parity: λ·rel and
+    λ·rel − (1−λ)·pen use the same IEEE-754 double ops Catalyst's
+    constant-folded expressions ran (Python 1.0-0.7 ≡ the folded
+    0.30000000000000004); the final ROUND stays IN Spark so oracle
+    rounding semantics are untouched. Bit-equality with the plan
+    formulation is pinned by
+    tests/test_round13_invariants.py::test_mmr_driver_greedy_matches_plan.
+    Shared by the session batch query and the served rerank
+    (:func:`~..sinks.mmr_rerank_from_index`)."""
+    spark = short.sparkSession
+    lam = MMR_LAMBDA
+    pen_w = 1.0 - lam
+    srows = short.select("qid", "vec_id", "rel").collect()
+    simrows = sims.select("qid", "a", "b", "s").collect()
+    by_q: dict = {}
+    for r in srows:
+        by_q.setdefault(r["qid"], {})[r["vec_id"]] = r["rel"]
+    sim: dict = {}
+    for r in simrows:
+        sim.setdefault(r["qid"], {})[(r["a"], r["b"])] = r["s"]
+    out = []
+    for qid, cands in by_q.items():
+        remaining = dict(cands)
+        sel_ids: list = []
+        for rank in range(1, k + 1):
+            best = None  # (mmr, vec_id, rel)
+            for vid, rel in remaining.items():
+                if rank == 1:
+                    mmr = lam * rel
+                    better = best is None or (
+                        rel > best[2]
+                        or (rel == best[2] and vid < best[1])
+                    )
+                else:
+                    pens = [
+                        sim[qid][(vid, b)]
+                        for b in sel_ids
+                        if (vid, b) in sim[qid]
+                    ]
+                    if not pens:
+                        # mirrors the plan twin's INNER join to the
+                        # penalty table: a candidate with no sim row
+                        # to any selected item is not selectable
+                        continue
+                    mmr = lam * rel - pen_w * max(pens)
+                    better = best is None or (
+                        mmr > best[0]
+                        or (mmr == best[0] and vid < best[1])
+                    )
+                if better:
+                    best = (mmr, vid, rel)
+            if best is None:
+                break
+            out.append((qid, rank, best[1], best[2], best[0]))
+            sel_ids.append(best[1])
+            del remaining[best[1]]
+    qid_t = short.schema["qid"].dataType.simpleString()
+    vid_t = short.schema["vec_id"].dataType.simpleString()
+    res = spark.createDataFrame(
+        out,
+        schema=(
+            f"qid {qid_t}, rank int, vec_id {vid_t},"
+            " rel double, mmr double"
+        ),
+    )
+    return res.select(
+        "qid", "rank", "vec_id", "rel", F.round("mmr", 6).alias("mmr")
+    )
+
+
+def _mmr_greedy_batch_plan(
+    short: DataFrame, sims: DataFrame, k: int = MMR_K
+) -> DataFrame:
+    """The lazy-DataFrame formulation of the per-qid MMR greedy (every
+    query advances together per round; a window argmax replaces the
+    single-query ORDER BY ... LIMIT 1). Kept as the parity twin the
+    driver-side greedy is pinned against — and the shape a cluster
+    would run if the per-batch shortlist state ever outgrew the
+    driver (it is |Q|·R²-bounded, so it does not)."""
     from pyspark.sql import Window
 
     lam = MMR_LAMBDA_SQL
@@ -5106,9 +5167,9 @@ def mmr_rerank_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-qid window top-R (WindowGroupLimit pushes the bound into
     the shuffle); the pairwise-sim table is a within-qid self-join of
     the R-row shortlists (|Q|·R² bounded rows); both are pinned small
-    artifacts, and the MMR_K selection rounds are lazy window argmaxes
-    over them — all queries advance together per round, no per-query
-    jobs, no driver loop. Restricting the batch to one query
+    artifacts, and the MMR_K selection rounds run driver-side over
+    that model-sized serving state (:func:`_mmr_greedy_batch`, plan
+    twin parity-pinned). Restricting the batch to one query
     reproduces mmr_rerank's picks exactly (pytest-pinned)."""
     key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
     cached = _MMR_BATCH_ART_CACHE.get(key)

@@ -110,3 +110,28 @@ def test_pq_query_lut_driver_fold_matches_spark_hof(spark):
     }
     assert driver == hof  # exact float equality, not approx
     assert len(driver) > 0
+
+
+def test_mmr_driver_greedy_matches_plan(spark):
+    """The driver-side MMR greedy (round 13: kills the k-deep nested
+    lazy plan) must reproduce the plan formulation's rows exactly —
+    same picks, same ranks, same rounded mmr scores."""
+    from flink_kafka_replicator_spark.functions import (
+        pipeline_queries as pq,
+    )
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.normpath(SF_DIR),
+    )
+    pq.mmr_rerank_batch(spark, SF_DIR).collect()  # builds artifacts
+    short, sims = pq._MMR_BATCH_ART_CACHE[key]
+    drv = {
+        tuple(r) for r in pq._mmr_greedy_batch(short, sims).collect()
+    }
+    plan = {
+        tuple(r)
+        for r in pq._mmr_greedy_batch_plan(short, sims).collect()
+    }
+    assert drv == plan
+    assert len(drv) > 0
