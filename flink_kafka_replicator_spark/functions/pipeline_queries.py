@@ -2369,6 +2369,83 @@ def knn_recall_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 # UNION ALL blocks.
 PROBE_LADDER: tuple[int, ...] = (1, 2, 4, 8, 16)
 
+# (vec_id, cos_sim, cell_rank) per (session, dataset): the ONE scored
+# scan every ladder rung filters — see _probe_curve_base
+_PROBE_CURVE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _probe_curve_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cos_sim, cell_rank): every vector scored against the
+    query ONCE, tagged with its assigned cell's RANK in the query's
+    probe order (dist ASC, cid ASC — driver arithmetic over the ≤16-row
+    centroid model). Rung n of the ladder is then exactly the rows with
+    cell_rank <= n — the same set `_argmin_case(...).isin(probe_ids(n))`
+    selects, because probe_ids(n) IS the first n cells of that order.
+
+    This turns the curve's five probe-pruned scans (each a full
+    explode+hash-agg pass — the probe filter in _ivf_search applies
+    AFTER the in-scan assignment) into ONE scan plus five trivial
+    rank-filter + TakeOrdered jobs. Pinned (checkpoint) because five
+    downstream actions reuse it; at 100 TB a deployment evaluates the
+    curve over a bounded query/corpus sample per index build (see
+    knn_probe_recall_curve docstring), so the pinned intermediate is
+    sample-sized there, corpus-sized only at bench scale."""
+    import math
+
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    cached = _PROBE_CURVE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    cents, _ = _ivf_model(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    qnorm = math.sqrt(_fold_dot(QUERY_VEC, QUERY_VEC))
+    # full probe ORDER (not just the first IVF_N_PROBE): the same
+    # (dist ASC, cid ASC) key _probe_nearest sorts by
+    ordered = sorted(
+        cents,
+        key=lambda c: (
+            1.0 - _fold_dot(c[1], QUERY_VEC) / (c[2] * qnorm),
+            c[0],
+        ),
+    )
+    rank_of = {cid: i + 1 for i, (cid, _, _) in enumerate(ordered)}
+    agg = (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("vec_id")
+        .agg(*_dot_sums(cents, include_query=True))
+    )
+    staged = (
+        agg.select(
+            "vec_id",
+            F.expr(
+                f"round(dot_q / (sqrt(selfdot) * {_sql_double(qnorm)}), 4)"
+            ).alias("cos_sim"),
+            *_dist_cols(cents),
+        )
+        .select(
+            "vec_id",
+            "cos_sim",
+            F.expr(_argmin_case(cents)).alias("acid"),
+        )
+        .select(
+            "vec_id",
+            "cos_sim",
+            F.expr(
+                "CASE acid "
+                + " ".join(
+                    f"WHEN {cid} THEN {rank}"
+                    for cid, rank in rank_of.items()
+                )
+                + " END"
+            )
+            .cast("int")
+            .alias("cell_rank"),
+        )
+    )
+    base = materialize_small(staged)
+    _cache_put(_PROBE_CURVE_CACHE, key, base)
+    return base
+
 
 def knn_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the probe-pruned IVF search at every rung of the
@@ -2385,19 +2462,25 @@ def knn_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerates to the exact scan, recall 1.0. Both ends pinned in
     pytest.
 
-    Scale shape: each rung is the same probe-pruned explode-agg plan as
-    :func:`sim_topk_ivf` (one scan, one vec_id exchange, TakeOrdered);
-    the stats are semi-join counts over 10-row lists. A production
-    deployment evaluates the curve over a bounded query sample per
-    index build, not per query."""
-    cents, _ = _ivf_model(spark, sf_dir)
-    e = load_table(spark, sf_dir, "embeddings")
+    Scale shape (round 13): ONE scored scan for the whole ladder —
+    `_probe_curve_base` computes each vector's cos_sim and its
+    assigned cell's probe-order rank once; rung n is the rows with
+    cell_rank <= n (provably the same set the per-rung
+    probe-membership filter selected), so each rung costs a trivial
+    filter + TakeOrdered over the pinned base instead of its own
+    explode+hash-agg pass. The stats are semi-join counts over 10-row
+    lists. A production deployment evaluates the curve over a bounded
+    query sample per index build, not per query."""
+    base = _probe_curve_base(spark, sf_dir)
     qtruth = sim_topk_cosine(spark, sf_dir).select("vec_id")
     parts = []
     for n_probe in PROBE_LADDER:
-        ivf = _ivf_search(
-            e, cents, _probe_nearest(cents, n_probe=n_probe)
-        ).select("vec_id")
+        ivf = (
+            base.filter(F.col("cell_rank") <= n_probe)
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+            .limit(10)
+            .select("vec_id")
+        )
         hits = qtruth.join(ivf, "vec_id", "left_semi").agg(
             F.count("*").alias("n_hits")
         )

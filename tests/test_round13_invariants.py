@@ -135,3 +135,32 @@ def test_mmr_driver_greedy_matches_plan(spark):
     }
     assert drv == plan
     assert len(drv) > 0
+
+
+def test_probe_curve_rank_filter_matches_per_rung_search(spark):
+    """Rung n of the single-scan curve (cell_rank <= n over
+    _probe_curve_base) must select exactly the top-10 the per-rung
+    probe-membership search (_ivf_search over probe_ids(n)) returns."""
+    from flink_kafka_replicator_spark.functions import (
+        pipeline_queries as pq,
+    )
+    from flink_kafka_replicator_spark.io import load_table
+
+    cents, _ = pq._ivf_model(spark, SF_DIR)
+    e = load_table(spark, SF_DIR, "embeddings")
+    base = pq._probe_curve_base(spark, SF_DIR)
+    for n in pq.PROBE_LADDER:
+        old = {
+            (r["vec_id"], r["cos_sim"])
+            for r in pq._ivf_search(
+                e, cents, pq._probe_nearest(cents, n_probe=n)
+            ).collect()
+        }
+        new = {
+            (r["vec_id"], r["cos_sim"])
+            for r in base.filter(F.col("cell_rank") <= n)
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+            .limit(10)
+            .collect()
+        }
+        assert new == old, f"rung {n} diverged"
