@@ -164,3 +164,43 @@ def test_probe_curve_rank_filter_matches_per_rung_search(spark):
             .collect()
         }
         assert new == old, f"rung {n} diverged"
+
+
+def test_mmr_driver_greedy_matches_plan_random(spark):
+    """Property pin beyond the fixed dataset: on seeded-random
+    shortlist/sims artifacts (including rel/sim ties, shortlists
+    shorter than k, and a qid with a single candidate) the driver
+    greedy and the plan greedy agree row-for-row."""
+    import random
+
+    from flink_kafka_replicator_spark.functions import (
+        pipeline_queries as pq,
+    )
+
+    rng = random.Random(13)
+    for trial in range(3):
+        short_rows, sim_rows = [], []
+        for qid in range(4):
+            n = rng.choice([1, 3, pq.MMR_K - 1, pq.MMR_K + 4])
+            vids = rng.sample(range(100), n)
+            # coarse 1dp grid manufactures rel/sim ties on purpose
+            rels = {v: round(rng.randint(0, 10) / 10.0, 1) for v in vids}
+            short_rows += [(qid, v, rels[v]) for v in vids]
+            for a in vids:
+                for b in vids:
+                    if a != b:
+                        sim_rows.append(
+                            (qid, a, b, round(rng.randint(0, 10) / 10.0, 1))
+                        )
+        short = spark.createDataFrame(
+            short_rows, "qid bigint, vec_id bigint, rel double"
+        )
+        sims = spark.createDataFrame(
+            sim_rows, "qid bigint, a bigint, b bigint, s double"
+        )
+        drv = {tuple(r) for r in pq._mmr_greedy_batch(short, sims).collect()}
+        plan = {
+            tuple(r)
+            for r in pq._mmr_greedy_batch_plan(short, sims).collect()
+        }
+        assert drv == plan, f"trial {trial} diverged"
