@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import fan_out_small_scan, load_table
 from . import text
 
 CHUNK_TOKENS = 50
@@ -612,7 +612,7 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the first-occurrence table, the persisted artifact at scale) →
     join back on gram → per-doc ratio. Two shuffles, both on keys with
     bounded per-key cardinality; no windows over corpus-sized data."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     grams = t.select(
         "doc_id",

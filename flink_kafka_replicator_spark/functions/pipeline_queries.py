@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..io import load_table, materialize_small
+from ..io import fan_out_small_scan, load_table, materialize_small
 from . import multimodal, text
 from .similarity import (
     _MINHASH_P,
@@ -3862,7 +3862,7 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the open-vocabulary case the round-11 broadcast gate exists for,
     so Catalyst/AQE picks from actual size). ln floor-quantized at
     1e-6 and summed as exact BIGINT before ONE division."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     pairs = t.select(
         "doc_id",
@@ -4791,7 +4791,9 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of the span table. Per-doc totals are a map-side-combined
     count. No all-pairs anything: cost is O(total tokens), the same
     class as exact-doc dedup."""
-    d = load_table(spark, sf_dir, "documents")
+    # per-token md5 work the byte-sized split planning cannot see —
+    # fan out a single-split corpus first (no-op at scale)
+    d = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
     k = SPAN_TOKENS
     # exact-length spans only: sequence(a, b) DESCENDS when b < a, so
@@ -4861,7 +4863,9 @@ def span_scrub_frame(d: DataFrame) -> DataFrame:
     ladder's SURVIVOR set (span ownership must be decided among the
     docs that remain, or content would be scrubbed whose only
     duplicate was already deleted)."""
-    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    t = fan_out_small_scan(d).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
     k = SPAN_TOKENS
     # 0-based span start positions alongside the hashes
     spans = t.select(
@@ -6200,7 +6204,7 @@ def bpe_token_stream(
     vocabulary-sized symbol table joined back to the corpus word
     stream: work is corpus-linear for the word explode plus
     vocab-sized for the merge application, never corpus × merges."""
-    words = d.select(
+    words = fan_out_small_scan(d).select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
     ).filter((F.col("w") != "") & ~F.col("w").contains(_BPE_D))

@@ -426,7 +426,14 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ``F.expr`` parse each — building them from hundreds of Column calls
     costs ~1.6 s of py4j round-trips per query *construction* (measured;
     the JVM plan is identical either way).
+
+    Entry fans out single-split scans (io.fan_out_small_scan): the
+    per-token md5 work is invisible to byte-sized split planning; a
+    no-op at production scale and on streaming frames.
     """
+    from ..io import fan_out_small_scan
+
+    df = fan_out_small_scan(df)
     toks = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("__tok"))
     h = toks.select(
         id_col,

@@ -79,6 +79,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out_small_scan(df: DataFrame) -> DataFrame:
+    """Repartition to defaultParallelism when a scan yields fewer
+    partitions — the multimodal.phash64 guard generalized (round 13).
+
+    Spark sizes scan splits by BYTES, but the token/shingle/n-gram
+    pipelines' cost is per-token EXPRESSION work the planner cannot
+    see: a small-file corpus (sf0.1's documents table is one 1.5 MB
+    split) otherwise runs an entire explode+md5 map stage in a single
+    task while 31 cores idle (measured 2× end-to-end on the span
+    pipeline, 5× on Python-stage phash). At production scale the scan
+    already has ≥cores splits and this is a no-op — the shuffle only
+    ever moves a corpus small enough to have arrived in one split.
+    Streaming frames pass through untouched (no static partition count
+    to inspect)."""
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def materialize_small(df: DataFrame) -> DataFrame:
     """Pin a small multi-use intermediate so its lineage runs exactly once.
 
