@@ -821,8 +821,9 @@ def _duck_pagerank_ctes() -> str:
         ),
         s AS (
             SELECT doc_id,
-                   list_distinct([array_to_string(toks[i:i+2], ' ')
-                                  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+                   CASE WHEN toks IS NULL OR len(toks) = 0 OR toks = [''] THEN []
+                    ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, greatest(len(toks) - 2, 1))]) END AS sh
             FROM t
         ),
         p AS (
@@ -6856,8 +6857,9 @@ _DEDUP_INCREMENTAL_ORACLE = r"""
         ),
         s AS (
             SELECT doc_id,
-                   list_distinct([array_to_string(toks[i:i+2], ' ')
-                                  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+                   CASE WHEN toks IS NULL OR len(toks) = 0 OR toks = [''] THEN []
+                    ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, greatest(len(toks) - 2, 1))]) END AS sh
             FROM t
         )
         SELECT n.doc_id AS new_id, o.doc_id AS old_id,
@@ -7146,8 +7148,9 @@ _NGRAM_JACCARD_ORACLE = f"""
     ),
     s AS (
         SELECT doc_id,
-               list_distinct([array_to_string(toks[i:i+2], ' ')
-                              for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+               CASE WHEN toks IS NULL OR len(toks) = 0 OR toks = [''] THEN []
+                    ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, greatest(len(toks) - 2, 1))]) END AS sh
         FROM t
     ),
     hs AS (
@@ -7500,8 +7503,9 @@ ORACLES = {
         ),
         s AS (
             SELECT doc_id,
-                   list_distinct([array_to_string(toks[i:i+2], ' ')
-                                  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+                   CASE WHEN toks IS NULL OR len(toks) = 0 OR toks = [''] THEN []
+                    ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, greatest(len(toks) - 2, 1))]) END AS sh
             FROM t
         ),
         p AS (
@@ -7534,8 +7538,9 @@ ORACLES = {
         ),
         s AS (
             SELECT doc_id,
-                   list_distinct([array_to_string(toks[i:i+2], ' ')
-                                  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+                   CASE WHEN toks IS NULL OR len(toks) = 0 OR toks = [''] THEN []
+                    ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, greatest(len(toks) - 2, 1))]) END AS sh
             FROM t
         ),
         p AS (
@@ -7658,8 +7663,9 @@ ORACLES = {
         ),
         s AS (
             SELECT doc_id,
-                   list_distinct([array_to_string(toks[i:i+2], ' ')
-                                  for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+                   CASE WHEN toks IS NULL OR len(toks) = 0 OR toks = [''] THEN []
+                    ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, greatest(len(toks) - 2, 1))]) END AS sh
             FROM t
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -8334,8 +8340,9 @@ ORACLES["graph_triangle_count"] = """
     ),
     s AS (
         SELECT doc_id,
-               list_distinct([array_to_string(toks[i:i+2], ' ')
-                              for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+               CASE WHEN toks IS NULL OR len(toks) = 0 OR toks = [''] THEN []
+                    ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, greatest(len(toks) - 2, 1))]) END AS sh
         FROM t
     ),
     e AS (
@@ -8372,8 +8379,9 @@ ORACLES["graph_link_prediction"] = f"""
     ),
     s AS (
         SELECT doc_id,
-               list_distinct([array_to_string(toks[i:i+2], ' ')
-                              for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+               CASE WHEN toks IS NULL OR len(toks) = 0 OR toks = [''] THEN []
+                    ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, greatest(len(toks) - 2, 1))]) END AS sh
         FROM t
     ),
     e AS (
@@ -9123,8 +9131,9 @@ ORACLES["dedup_minhash_jaccard_estimate"] = f"""
     ),
     s AS (
         SELECT doc_id,
-               list_distinct([array_to_string(toks[i:i+2], ' ')
-                              for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+               CASE WHEN toks IS NULL OR len(toks) = 0 OR toks = [''] THEN []
+                    ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, greatest(len(toks) - 2, 1))]) END AS sh
         FROM t
     ),
     hs AS (
@@ -9171,8 +9180,9 @@ ORACLES["dedup_graph_degree_hist"] = f"""
     ),
     s AS (
         SELECT doc_id,
-               list_distinct([array_to_string(toks[i:i+2], ' ')
-                              for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+               CASE WHEN toks IS NULL OR len(toks) = 0 OR toks = [''] THEN []
+                    ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, greatest(len(toks) - 2, 1))]) END AS sh
         FROM t
     ),
     hs AS (
@@ -9220,8 +9230,9 @@ ORACLES["dedup_threshold_sweep"] = f"""
     ),
     s AS (
         SELECT doc_id,
-               list_distinct([array_to_string(toks[i:i+2], ' ')
-                              for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+               CASE WHEN toks IS NULL OR len(toks) = 0 OR toks = [''] THEN []
+                    ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, greatest(len(toks) - 2, 1))]) END AS sh
         FROM t
     ),
     hs AS (
@@ -9286,8 +9297,9 @@ ORACLES["dedup_containment"] = f"""
     ),
     s AS (
         SELECT doc_id,
-               list_distinct([array_to_string(toks[i:i+2], ' ')
-                              for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+               CASE WHEN toks IS NULL OR len(toks) = 0 OR toks = [''] THEN []
+                    ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, greatest(len(toks) - 2, 1))]) END AS sh
         FROM t
     ),
     hs AS (

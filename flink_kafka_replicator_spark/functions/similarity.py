@@ -80,21 +80,33 @@ def shingles_from_tokens(tokens_col: str, k: int = SHINGLE_WORDS) -> Column:
     Must be applied to a materialized column (separate select), not an
     inline split(...): the lambda references the token array per output
     element, and inlining the split would make shingling O(tokens²).
+
+    Degenerate-doc contract: NULL or empty text (split yields NULL or
+    [''] — a single empty token) produces ZERO shingles, never the ''
+    shingle. Without the guard every empty/NULL doc shares the ''
+    shingle and LSH pairs all of them — meaningless candidates that
+    exact dedup already covers. Mirrored in every DuckDB oracle's
+    shingle CTE (same CASE), pinned by tests/adversarial_sweep.py.
     """
     return F.expr(
-        f"array_distinct(transform("
+        f"CASE WHEN {tokens_col} IS NULL OR size({tokens_col}) = 0"
+        f" OR (size({tokens_col}) = 1 AND element_at({tokens_col}, 1) = '')"
+        f" THEN array()"
+        f" ELSE array_distinct(transform("
         f" sequence(0, greatest(size({tokens_col}) - {k}, 0)),"
-        f" i -> concat_ws(' ', slice({tokens_col}, i + 1, {k}))))"
+        f" i -> concat_ws(' ', slice({tokens_col}, i + 1, {k})))) END"
     )
 
 
 def word_shingles(text_col: str, k: int = SHINGLE_WORDS) -> Column:
     """Convenience composition for small inputs/tests; production paths
-    stage tokens → shingles in separate selects (see shingle_pipeline)."""
+    stage tokens → shingles in separate selects (see shingle_pipeline).
+    Same degenerate-doc guard as :func:`shingles_from_tokens`."""
     return F.expr(
-        f"array_distinct(transform("
+        f"CASE WHEN {text_col} IS NULL OR {text_col} = '' THEN array()"
+        f" ELSE array_distinct(transform("
         f" sequence(0, greatest(size(split({text_col}, ' ')) - {k}, 0)),"
-        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k}))))"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k})))) END"
     )
 
 
@@ -196,8 +208,13 @@ def minhash_signature_table(
         )
         + ")"
     )
+    # zero-shingle docs (NULL/empty text) carry NO signature row: the
+    # MinHash minimum over the empty set is undefined, and concat_ws in
+    # band_keys would otherwise skip the NULL slots and co-bucket every
+    # degenerate doc under the same "b:" key
     return (
         shingle_pipeline(df, id_col, text_col)
+        .filter(F.size("shingles") > 0)
         .select(id_col, shingle_hashes(F.col("shingles")).alias("__hashes"))
         .select(id_col, F.expr(sig_sql).alias("__sig"))
     )

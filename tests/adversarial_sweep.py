@@ -1,0 +1,206 @@
+"""Adversarial oracle sweep: NULL/empty/negative/pre-epoch data twin.
+
+The generated testdata has ZERO nulls in any column, every events.value
+positive, every timestamp post-2024, and every documents.text non-empty
+— so Spark-vs-DuckDB semantic divergences that only bite on edge data
+(ASC NULL placement, NaN-vs-NULL division, truncating vs floor modulus,
+casts of NaN) stay latent under the normal driver sweep. Three such
+latents were found by round-12 review (windows.py percent_rank NULL
+order, corpus.py JS-divergence 0/0, scalar_fns.py negative modulus);
+this sweep makes the whole class testable instead of reviewable.
+
+It materializes a mutated copy of sf0.001 under /tmp (keys untouched;
+hash-deterministic injections into measure/text columns), then runs
+EVERY oracled registry query on both engines there and diffs with the
+same canonicalization as tests/driver_sim.py. A mismatch here is a
+semantics-pinning gap even when the normal sweep is green.
+
+Usage:  python tests/adversarial_sweep.py [--only id1,id2]
+Writes ADVERSARIAL_SWEEP.json at the repo root (override with
+SPARK_GRAFT_ADV_OUT). Exit 1 on any FAIL/MISMATCH.
+"""
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SRC = os.environ.get("SPARK_GRAFT_ADV_SRC", "/root/testdata/sf0.001")
+DST = os.environ.get("SPARK_GRAFT_ADV_DIR", "/tmp/spark_graft_advdata")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def build_adversarial_dir() -> str:
+    """Mutate a copy of sf0.001. Deterministic (key-modulus selectors,
+    no RNG) so every run sweeps the identical twin. Keys and join
+    columns stay non-null — the engine contract, like TPC-H's, assumes
+    key integrity; the adversarial surface is measures, text, and time.
+    """
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    mutations = {
+        # NULL measure + NULL props + negated values + pre-epoch ts.
+        "events": """
+            SELECT event_id,
+                   CASE WHEN event_id % 97 = 0
+                        THEN ts - INTERVAL 56 YEARS ELSE ts END AS ts,
+                   user_id, event_type,
+                   CASE WHEN event_id % 13 = 0 THEN NULL
+                        WHEN event_id % 19 = 0 THEN -value
+                        ELSE value END AS value,
+                   CASE WHEN event_id % 17 = 0 THEN NULL ELSE props END AS props
+            FROM read_parquet('{src}/events.parquet')
+        """,
+        # NULL lang / NULL source / empty + NULL text.
+        "documents": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 29 = 0 THEN ''
+                        WHEN doc_id % 31 = 0 THEN NULL
+                        ELSE text END AS text,
+                   CASE WHEN doc_id % 23 = 0 THEN NULL ELSE lang END AS lang,
+                   CASE WHEN doc_id % 37 = 0 THEN NULL ELSE source END AS source,
+                   CASE WHEN doc_id % 29 = 0 THEN 0
+                        WHEN doc_id % 31 = 0 THEN NULL
+                        ELSE n_chars END AS n_chars
+            FROM read_parquet('{src}/documents.parquet')
+        """,
+        # NULL label (classifier/vote surface). Vectors stay well-formed:
+        # a NULL embedding is a malformed-ingest bug upstream of the
+        # engine contract, not an edge the oracles need to agree on.
+        "embeddings": """
+            SELECT vec_id, embedding,
+                   CASE WHEN vec_id % 41 = 0 THEN NULL ELSE label END AS label
+            FROM read_parquet('{src}/embeddings.parquet')
+        """,
+    }
+    for t in TABLES:
+        dst_path = os.path.join(DST, f"{t}.parquet")
+        if t in mutations:
+            con.execute(
+                f"COPY ({mutations[t].format(src=SRC)}) TO '{dst_path}' (FORMAT PARQUET)"
+            )
+        else:
+            shutil.copyfile(os.path.join(SRC, f"{t}.parquet"), dst_path)
+    con.close()
+    return DST
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if isinstance(df[c].dtype, pd.DatetimeTZDtype):
+            df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
+    if len(df):
+        df = df.sort_values(
+            by=list(df.columns), kind="mergesort", na_position="last"
+        ).reset_index(drop=True)
+    return df
+
+
+def compare(got: pd.DataFrame, want: pd.DataFrame) -> str | None:
+    if list(got.columns) != list(want.columns):
+        return f"cols {list(got.columns)} vs {list(want.columns)}"
+    if len(got) != len(want):
+        return f"rows {len(got)} vs {len(want)}"
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        kinds = {g.dtype.kind, w.dtype.kind}
+        if kinds & {"i", "u"} and "f" in kinds:
+            # the driver's hash is dtype-sensitive, but int-vs-float here
+            # usually means NULL injection promoted one side to float64;
+            # compare by value, flag only real value drift
+            g, w = g.astype(float), w.astype(float)
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            g = pd.to_numeric(pd.Series(g), errors="coerce").to_numpy(dtype=float)
+            w = pd.to_numeric(pd.Series(w), errors="coerce").to_numpy(dtype=float)
+            ok = (np.isnan(g) & np.isnan(w)) | (g == w)
+        else:
+            ok = np.array(
+                [a == b or (pd.isna(a) and pd.isna(b)) for a, b in zip(g, w)],
+                dtype=bool,
+            )
+        if not ok.all():
+            i = int(np.flatnonzero(~ok)[0])
+            return (
+                f"col {c}: {int((~ok).sum())} mismatches, first at row {i}: "
+                f"spark={got[c].iloc[i]!r} duckdb={want[c].iloc[i]!r}"
+            )
+    return None
+
+
+def main() -> int:
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+
+    adv = build_adversarial_dir()
+    print(f"adversarial twin at {adv}")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("adversarial-sweep")
+        .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{adv}/{t}.parquet')"
+        )
+
+    record: dict[str, dict] = {}
+    bad: list[str] = []
+    ids = sorted(set(oracles) & (only or set(oracles)))
+    for qid in ids:
+        t0 = time.time()
+        try:
+            got = canon(qs[qid](spark, adv).toPandas())
+            want = canon(con.sql(oracles[qid]).df())
+            err = compare(got, want)
+        except Exception as ex:  # noqa: BLE001 — record, keep sweeping
+            err = f"EXC {type(ex).__name__}: {str(ex)[:240]}"
+        dt = time.time() - t0
+        if err:
+            bad.append(qid)
+            record[qid] = {"status": "DIVERGE", "err": err[:400]}
+            print(f"  {qid:34s} DIVERGE {dt:5.1f}s  {err[:160]}")
+        else:
+            record[qid] = {"status": "MATCH", "sec": round(dt, 1)}
+            print(f"  {qid:34s} MATCH   {dt:5.1f}s")
+
+    out = os.environ.get("SPARK_GRAFT_ADV_OUT", "/root/repo/ADVERSARIAL_SWEEP.json")
+    with open(out, "w", encoding="utf-8") as fh:
+        json.dump(
+            {
+                "src": SRC,
+                "n_ids": len(record),
+                "n_match": len(record) - len(bad),
+                "n_diverge": len(bad),
+                "diverged": bad,
+                "results": record,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+    print(f"wrote {out}: {len(record) - len(bad)} MATCH / {len(bad)} DIVERGE")
+    print("DIVERGED:", bad if bad else "none")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -145,21 +145,27 @@ def test_text_normalize_is_idempotent(spark, texts):
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_norm_texts)
 def test_shingle_count_bound(spark, texts):
-    """Shingling invariant on arbitrary text: the distinct word-3-gram
-    count is ≥ 1 and ≤ max(tokens - 2, 1) — the construction never
-    drops a document on pathological input (empty strings, unicode,
-    runs of whitespace)."""
+    """Shingling invariant on arbitrary text: a NULL/empty document
+    produces ZERO shingles (the degenerate-doc contract — otherwise
+    every empty doc shares the '' shingle and LSH pairs all of them);
+    any other text produces between 1 and max(tokens - 2, 1) distinct
+    word-3-grams, so no non-degenerate document is ever dropped on
+    pathological input (unicode, runs of whitespace)."""
     from pyspark.sql import functions as F
 
     from flink_kafka_replicator_spark.functions.similarity import word_shingles
 
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
     rows = df.select(
+        "t",
         F.size(F.split("t", " ")).alias("n_toks"),
         F.size(word_shingles("t")).alias("n_sh"),
     ).collect()
     for r in rows:
-        assert 1 <= r["n_sh"] <= max(r["n_toks"] - 2, 1), dict(r.asDict())
+        if r["t"] is None or r["t"] == "":
+            assert r["n_sh"] == 0, dict(r.asDict())
+        else:
+            assert 1 <= r["n_sh"] <= max(r["n_toks"] - 2, 1), dict(r.asDict())
 
 
 edge_lists = st.lists(
