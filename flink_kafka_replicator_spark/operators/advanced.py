@@ -492,11 +492,20 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_intervals"),
             # value has 2 decimals: value*100 is an exact integer, so
-            # sum(value*100*hold_us) is exact bigint arithmetic and the
-            # single final division is deterministic
+            # sum(value*100*hold_us) is exact integer arithmetic and
+            # the single final division is deterministic. The product
+            # accumulates in DECIMAL(38,0), not BIGINT: a long gap
+            # (pre-epoch outlier, or simply enough cents×micros) pushes
+            # cents×micros past 2^63 and both engines raise on INT64
+            # overflow — the oracle multiplies in HUGEINT for the same
+            # reason (pinned by tests/adversarial_sweep.py)
             (
                 F.sum(
-                    (F.round(F.col("value") * 100).cast("long"))
+                    (
+                        F.round(F.col("value") * 100)
+                        .cast("long")
+                        .cast("decimal(38,0)")
+                    )
                     * F.col("hold_us")
                 ).cast("double")
                 / F.lit(100.0)
@@ -1202,7 +1211,7 @@ ORACLES = {
         )
         SELECT user_id,
                COUNT(*) AS n_intervals,
-               ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+               ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS HUGEINT)
                               * hold_us) AS DOUBLE) / 100.0
                      / SUM(hold_us), 4) AS twavg,
                ROUND(SUM(hold_us) / 1000000.0, 4) AS span_sec

@@ -193,7 +193,12 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.round("value", 4).alias("value"),
-        F.round(num.cast("double") / den / F.lit(100.0), 4).alias("ewma"),
+        # den = 0 (every sample in the frame NULL) → ewma NULL: ANSI
+        # Spark would otherwise raise DIVIDE_BY_ZERO where DuckDB
+        # yields NULL — pinned by tests/adversarial_sweep.py
+        F.when(
+            den > 0, F.round(num.cast("double") / den / F.lit(100.0), 4)
+        ).alias("ewma"),
     )
 
 
@@ -201,19 +206,23 @@ def _ewma_oracle() -> str:
     lag_cols = ", ".join(
         f"LAG(v100, {i}) OVER w AS l{i}" for i in range(1, EWMA_LAGS)
     )
+    # the current-row term is coalesced/guarded exactly like the lag
+    # terms (NULL value rows contribute neither numerator nor weight —
+    # mirrors the Spark expression; an unguarded v100 * 128 would
+    # NULL-poison the whole numerator where Spark skips the sample)
     num_terms = " + ".join(
-        ["v100 * 128"]
-        + [
+        [
             f"COALESCE(l{i} * {1 << (EWMA_LAGS - 1 - i)}, 0)"
-            for i in range(1, EWMA_LAGS)
+            if i
+            else "COALESCE(v100 * 128, 0)"
+            for i in range(EWMA_LAGS)
         ]
     )
     den_terms = " + ".join(
-        ["128"]
-        + [
-            f"CASE WHEN l{i} IS NOT NULL THEN {1 << (EWMA_LAGS - 1 - i)}"
-            " ELSE 0 END"
-            for i in range(1, EWMA_LAGS)
+        [
+            f"CASE WHEN {'l' + str(i) if i else 'v100'} IS NOT NULL"
+            f" THEN {1 << (EWMA_LAGS - 1 - i)} ELSE 0 END"
+            for i in range(EWMA_LAGS)
         ]
     )
     return f"""
@@ -225,8 +234,9 @@ def _ewma_oracle() -> str:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         )
         SELECT user_id, event_id, ROUND(value, 4) AS value,
-               ROUND(CAST({num_terms} AS DOUBLE)
-                     / ({den_terms}) / 100.0, 4) AS ewma
+               CASE WHEN ({den_terms}) > 0
+                    THEN ROUND(CAST({num_terms} AS DOUBLE)
+                               / ({den_terms}) / 100.0, 4) END AS ewma
         FROM d
     """
 
@@ -266,13 +276,17 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.size(frame)
     # 1-indexed middles: odd -> element (n+1)/2 twice; even -> n/2 and
-    # n/2+1 — summed exactly, one division at the end
+    # n/2+1 — summed exactly, one division at the end. The n > 0 guard
+    # pins the empty frame (every sample NULL) to a NULL median: the
+    # even branch would hit element_at(frame, 0), an error under ANSI
+    # Spark where DuckDB's frame[0] is silently NULL.
     med2 = F.when(
         n % 2 == 1,
         F.element_at(frame, ((n + 1) / 2).cast("int")) * 2,
-    ).otherwise(
+    ).when(
+        n > 0,
         F.element_at(frame, (n / 2).cast("int"))
-        + F.element_at(frame, (n / 2 + 1).cast("int"))
+        + F.element_at(frame, (n / 2 + 1).cast("int")),
     )
     return d.select(
         "user_id",
@@ -328,10 +342,14 @@ def window_rolling_mad_anomaly(
             F.filter(F.array(*lags), lambda x: x.isNotNull())
         ).alias("frame"),
     )
+    # size = 0 → NULL (not the else branch: element_at(frame, 0) is an
+    # ANSI error where DuckDB's frame[0] is NULL — same pin as
+    # window_rolling_median)
     med2_sql = (
         "case when size(frame) % 2 = 1"
         " then element_at(frame, cast((size(frame) + 1) / 2 as int)) * 2L"
-        " else element_at(frame, cast(size(frame) / 2 as int))"
+        " when size(frame) > 0"
+        " then element_at(frame, cast(size(frame) / 2 as int))"
         "      + element_at(frame, cast(size(frame) / 2 + 1 as int))"
         " end"
     )
@@ -342,7 +360,8 @@ def window_rolling_mad_anomaly(
     mad4_sql = (
         "case when size(dev2) % 2 = 1"
         " then element_at(dev2, cast((size(dev2) + 1) / 2 as int)) * 2L"
-        " else element_at(dev2, cast(size(dev2) / 2 as int))"
+        " when size(dev2) > 0"
+        " then element_at(dev2, cast(size(dev2) / 2 as int))"
         "      + element_at(dev2, cast(size(dev2) / 2 + 1 as int))"
         " end"
     )
@@ -1005,13 +1024,17 @@ def window_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: 3**i * 4 ** (MACD_SLOW_LAGS - 1 - i),
         F.col("v100"),
     )
+    # an all-NULL frame on either leg → macd NULL (den = 0 would be an
+    # ANSI DIVIDE_BY_ZERO where DuckDB yields NULL); a NULL-value row
+    # inside a populated frame still averages the available samples
     staged = d.select(
         "user_id",
         "event_id",
         "ts",
-        (
+        F.when(
+            (fden > 0) & (sden > 0),
             fnum.cast("double") / fden.cast("double")
-            - snum.cast("double") / sden.cast("double")
+            - snum.cast("double") / sden.cast("double"),
         ).alias("macd_raw"),
     )
     # signal line: integer-weighted EWMA over the (double) macd series
@@ -1024,7 +1047,7 @@ def window_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         gnum = gnum + F.coalesce(lag_i * F.lit(float(wt)), F.lit(0.0))
         gden = gden + F.when(lag_i.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
-    sig = gnum / gden.cast("double")
+    sig = F.when(gden > 0, gnum / gden.cast("double"))
     return staged.select(
         "user_id",
         "event_id",
@@ -1041,15 +1064,18 @@ def _macd_oracle() -> str:
         )
 
     def terms(name: str, src: str, lags: int, wt_of, zero: str):
+        # current-row term coalesced/guarded like the lags — a NULL
+        # value contributes neither numerator nor weight (mirrors the
+        # Spark expression tree; see _ewma_oracle)
         num = " + ".join(
-            [f"{src} * {wt_of(0)}"]
+            [f"COALESCE({src} * {wt_of(0)}, {zero})"]
             + [
                 f"COALESCE({name}{i} * {wt_of(i)}, {zero})"
                 for i in range(1, lags)
             ]
         )
         den = " + ".join(
-            [str(wt_of(0))]
+            [f"CASE WHEN {src} IS NOT NULL THEN {wt_of(0)} ELSE 0 END"]
             + [
                 f"CASE WHEN {name}{i} IS NOT NULL THEN {wt_of(i)} ELSE 0 END"
                 for i in range(1, lags)
@@ -1068,7 +1094,7 @@ def _macd_oracle() -> str:
     # the CASE weights in gden are integers even though the gnum
     # weights are float literals (mirrors the Spark expression tree)
     gden = " + ".join(
-        [str(gw(0))]
+        [f"CASE WHEN macd_raw IS NOT NULL THEN {gw(0)} ELSE 0 END"]
         + [
             f"CASE WHEN g{i} IS NOT NULL THEN {gw(i)} ELSE 0 END"
             for i in range(1, MACD_SIGNAL_LAGS)
@@ -1089,9 +1115,10 @@ def _macd_oracle() -> str:
         ),
         staged AS (
             SELECT user_id, event_id, ts,
-                   CAST({fnum} AS DOUBLE) / CAST({fden} AS DOUBLE)
-                   - CAST({snum} AS DOUBLE) / CAST({sden} AS DOUBLE)
-                       AS macd_raw
+                   CASE WHEN ({fden}) > 0 AND ({sden}) > 0
+                        THEN CAST({fnum} AS DOUBLE) / CAST({fden} AS DOUBLE)
+                             - CAST({snum} AS DOUBLE) / CAST({sden} AS DOUBLE)
+                   END AS macd_raw
             FROM lagged
         ),
         siglag AS (
@@ -1102,9 +1129,12 @@ def _macd_oracle() -> str:
         )
         SELECT user_id, event_id,
                ROUND(macd_raw / 100.0, 4) AS macd,
-               ROUND(({gnum}) / CAST({gden} AS DOUBLE) / 100.0, 4) AS signal,
-               ROUND((macd_raw - ({gnum}) / CAST({gden} AS DOUBLE))
-                     / 100.0, 4) AS macd_hist
+               CASE WHEN ({gden}) > 0
+                    THEN ROUND(({gnum}) / CAST({gden} AS DOUBLE)
+                               / 100.0, 4) END AS signal,
+               CASE WHEN ({gden}) > 0
+                    THEN ROUND((macd_raw - ({gnum}) / CAST({gden} AS DOUBLE))
+                               / 100.0, 4) END AS macd_hist
         FROM siglag
     """
 
