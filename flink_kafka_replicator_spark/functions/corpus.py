@@ -42,6 +42,8 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no Python."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", "lang", text.tokens("text").alias("toks"))
+    # degenerate docs (NULL/empty text) fan out to ZERO chunks — the
+    # explode over an empty start array drops the row in both engines
     return (
         toks.select(
             "doc_id",
@@ -49,7 +51,11 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("toks").alias("doc_tokens"),
             F.explode(
                 F.expr(
-                    f"sequence(0, greatest(size(toks) - 1, 0), {CHUNK_STRIDE})"
+                    "CASE WHEN toks IS NULL OR size(toks) = 0"
+                    " OR (size(toks) = 1 AND element_at(toks, 1) = '')"
+                    " THEN array()"
+                    f" ELSE sequence(0, greatest(size(toks) - 1, 0),"
+                    f" {CHUNK_STRIDE}) END"
                 )
             ).alias("chunk_start"),
             F.col("toks"),
@@ -178,14 +184,20 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", text.tokens("text").alias("toks"), (F.col("doc_id") % 100).alias("m")
     )
+    # degenerate docs produce no grams — an eval doc with NULL/empty
+    # text would otherwise contribute a '' gram that "contaminates"
+    # every degenerate training doc
     grams = toks.select(
         "doc_id",
         "m",
         F.explode(
             F.expr(
-                f"array_distinct(transform("
+                "CASE WHEN toks IS NULL OR size(toks) = 0"
+                " OR (size(toks) = 1 AND element_at(toks, 1) = '')"
+                " THEN array()"
+                f" ELSE array_distinct(transform("
                 f" sequence(0, greatest(size(toks) - {CONTAM_NGRAM}, 0)),"
-                f" i -> concat_ws(' ', slice(toks, i + 1, {CONTAM_NGRAM}))))"
+                f" i -> concat_ws(' ', slice(toks, i + 1, {CONTAM_NGRAM})))) END"
             )
         ).alias("gram"),
     )
@@ -614,13 +626,17 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded per-key cardinality; no windows over corpus-sized data."""
     d = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    # degenerate docs have zero grams → no novelty row (nothing to rank)
     grams = t.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"array_distinct(transform("
+                "CASE WHEN toks IS NULL OR size(toks) = 0"
+                " OR (size(toks) = 1 AND element_at(toks, 1) = '')"
+                " THEN array()"
+                f" ELSE array_distinct(transform("
                 f" sequence(1, greatest(size(toks) - {NOVELTY_NGRAM - 1}, 1)),"
-                f" i -> concat_ws(' ', slice(toks, i, {NOVELTY_NGRAM}))))"
+                f" i -> concat_ws(' ', slice(toks, i, {NOVELTY_NGRAM})))) END"
             )
         ).alias("g"),
     )
@@ -661,8 +677,15 @@ def corpus_weighted_median_len(
     histogram, never per-doc rows). Output also carries the doc-count
     median for the contrast the docstring claims."""
     d = load_table(spark, sf_dir, "documents")
+    # degenerate docs (NULL/empty text) count as length 0, not as a
+    # NULL-length bucket: NULL lengths sort FIRST in Spark windows and
+    # LAST in DuckDB, silently shifting every nearest-rank pick
     lens = d.select(
-        "source", F.size(F.split("text", " ")).cast("bigint").alias("len")
+        "source",
+        F.when(F.col("text").isNull() | (F.col("text") == ""), F.lit(0))
+        .otherwise(F.size(F.split("text", " ")))
+        .cast("bigint")
+        .alias("len"),
     )
     hist = lens.groupBy("source", "len").agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -1470,7 +1493,9 @@ ORACLES = {
     "corpus_weighted_median_len": """
         WITH lens AS (
             SELECT source,
-                   CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+                   CAST(CASE WHEN text IS NULL OR text = '' THEN 0
+                             ELSE len(string_split(text, ' '))
+                        END AS BIGINT) AS len
             FROM documents
         ),
         hist AS (
@@ -1620,12 +1645,15 @@ ORACLES = {
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         ),
         grams AS (
+            -- degenerate docs yield zero grams (see the Spark twin)
             SELECT doc_id,
-                   unnest(list_distinct(
+                   unnest(CASE WHEN toks IS NULL OR len(toks) = 0
+                                    OR toks = [''] THEN []
+                          ELSE list_distinct(
                        [array_to_string(toks[i:i + {NOVELTY_NGRAM - 1}], ' ')
                         for i in generate_series(
-                            1, greatest(len(toks) - {NOVELTY_NGRAM - 1}, 1))]))
-                       AS g
+                            1, greatest(len(toks) - {NOVELTY_NGRAM - 1}, 1))])
+                          END) AS g
             FROM t
         ),
         first AS (
@@ -1673,9 +1701,13 @@ ORACLES = {
         WITH t AS (
             SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
         ), starts AS (
+            -- degenerate docs chunk to nothing (see the Spark twin)
             SELECT doc_id, lang, toks,
-                   unnest(generate_series(1, greatest(len(toks), 1),
-                                          {CHUNK_STRIDE})) AS s
+                   unnest(CASE WHEN toks IS NULL OR len(toks) = 0
+                                    OR toks = [''] THEN []
+                               ELSE generate_series(1, greatest(len(toks), 1),
+                                                    {CHUNK_STRIDE})
+                          END) AS s
             FROM t
         )
         SELECT doc_id, lang,
@@ -1710,10 +1742,15 @@ ORACLES = {
         WHERE rn <= 3
     """,
     "filter_blocklist": f"""
+        -- NULL-source docs survive the blocklist (anti-join semantics:
+        -- an unknown source is not a blocked source) - a bare NOT IN
+        -- would NULL out and drop them where Spark's left_anti keeps
+        -- them. NULL text stays dropped by the marker rule on both
+        -- engines (NOT regexp_matches(NULL) is NULL).
         SELECT lang, source, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents
-        WHERE source NOT IN ({_BLOCKED})
+        WHERE (source IS NULL OR source NOT IN ({_BLOCKED}))
           AND NOT regexp_matches(text, 'FORBIDDEN_MARKER')
         GROUP BY lang, source
     """,
@@ -1853,10 +1890,13 @@ ORACLES = {
             SELECT doc_id, doc_id % 100 AS m, string_split(text, ' ') AS toks
             FROM documents
         ), grams AS (
+            -- degenerate docs yield zero grams (see the Spark twin)
             SELECT doc_id, m,
-                   unnest(list_distinct([array_to_string(toks[i:i + {CONTAM_NGRAM} - 1], ' ')
-                          for i in generate_series(1, greatest(len(toks) - {CONTAM_NGRAM} + 1, 1))]))
-                       AS gram
+                   unnest(CASE WHEN toks IS NULL OR len(toks) = 0
+                                    OR toks = [''] THEN []
+                          ELSE list_distinct([array_to_string(toks[i:i + {CONTAM_NGRAM} - 1], ' ')
+                          for i in generate_series(1, greatest(len(toks) - {CONTAM_NGRAM} + 1, 1))])
+                          END) AS gram
             FROM t
         ), ev AS (
             SELECT DISTINCT gram FROM grams WHERE m = 0

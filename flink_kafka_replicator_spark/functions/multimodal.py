@@ -49,11 +49,22 @@ def blob_meta(df: DataFrame) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = pdf["blob"]
+            # a NULL payload yields NULL metadata (never len(None) — a
+            # missing asset is a per-row condition, not a job abort)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": blobs.map(len).astype("int32"),
-                    "header_hex": blobs.map(lambda b: bytes(b)[:4].hex()),
+                    "n_bytes": pd.Series(
+                        [len(b) if b is not None else None for b in blobs],
+                        dtype="Int32",
+                    ),
+                    "header_hex": pd.Series(
+                        [
+                            bytes(b)[:4].hex() if b is not None else None
+                            for b in blobs
+                        ],
+                        dtype="object",
+                    ),
                 }
             )
 
@@ -127,6 +138,8 @@ def decode_image_meta(
             )
 
             def one(blob: bytes):
+                if blob is None:  # missing asset → per-row refusal
+                    return None, None, None, "unknown"
                 b = bytes(blob)
                 if _Image is not None:
                     try:
@@ -170,21 +183,26 @@ def decode_image_meta(
         # package on their sys.path)
         import hashlib as _hl
 
-        def fake_decode(blob: bytes) -> tuple[int, int, int, str]:
-            digest = _hl.sha256(blob).digest()
+        def fake_decode(blob) -> tuple[int | None, int | None, int | None, str]:
+            # NULL payload → NULL dims, format stays the codec tag
+            # (mirrors the oracle: sha256(NULL) NULLs every derived
+            # field while the 'fake' literal survives)
+            if blob is None:
+                return None, None, None, "fake"
+            digest = _hl.sha256(bytes(blob)).digest()
             width = 16 + digest[0] % 240
             height = 16 + digest[1] % 240
             channels = 1 if digest[2] % 4 == 0 else 3
             return width, height, channels, "fake"
 
         for pdf in batches:
-            metas = [fake_decode(bytes(b)) for b in pdf["blob"]]
+            metas = [fake_decode(b) for b in pdf["blob"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": pd.Series([m[0] for m in metas], dtype="int32"),
-                    "height": pd.Series([m[1] for m in metas], dtype="int32"),
-                    "channels": pd.Series([m[2] for m in metas], dtype="int32"),
+                    "width": pd.Series([m[0] for m in metas], dtype="Int32"),
+                    "height": pd.Series([m[1] for m in metas], dtype="Int32"),
+                    "channels": pd.Series([m[2] for m in metas], dtype="Int32"),
                     "format": [m[3] for m in metas],
                 }
             )
@@ -214,6 +232,8 @@ def decode_audio_meta(df: DataFrame, use_fake_codec: bool = True) -> DataFrame:
             import wave as _wave
 
             def one(blob: bytes):
+                if blob is None:  # missing asset → per-row refusal
+                    return None, None, None, None
                 b = bytes(blob)
                 if _sf is not None:
                     try:
@@ -255,21 +275,24 @@ def decode_audio_meta(df: DataFrame, use_fake_codec: bool = True) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
 
-        def fake(blob: bytes) -> tuple[int, int, int, int]:
-            d = _hl.sha256(blob).digest()
+        def fake(blob):
+            if blob is None:  # NULL payload → NULL metadata
+                return None, None, None, None
+            b = bytes(blob)
+            d = _hl.sha256(b).digest()
             sr = 8000 * (1 + d[0] % 6)  # 8k..48k
-            ns = len(blob) // 2  # 16-bit PCM
+            ns = len(b) // 2  # 16-bit PCM
             return sr, ns, ns * 1000 // sr, ns // 1024
 
         for pdf in batches:
-            metas = [fake(bytes(b)) for b in pdf["blob"]]
+            metas = [fake(b) for b in pdf["blob"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "sample_rate": pd.Series([m[0] for m in metas], dtype="int32"),
-                    "n_samples": pd.Series([m[1] for m in metas], dtype="int32"),
-                    "duration_ms": pd.Series([m[2] for m in metas], dtype="int64"),
-                    "n_windows": pd.Series([m[3] for m in metas], dtype="int32"),
+                    "sample_rate": pd.Series([m[0] for m in metas], dtype="Int32"),
+                    "n_samples": pd.Series([m[1] for m in metas], dtype="Int32"),
+                    "duration_ms": pd.Series([m[2] for m in metas], dtype="Int64"),
+                    "n_windows": pd.Series([m[3] for m in metas], dtype="Int32"),
                 }
             )
 
@@ -286,6 +309,8 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
         for pdf in batches:
             ids, idxs, hashes = [], [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"], strict=True):
+                if blob is None:  # missing asset → zero frames
+                    continue
                 b = bytes(blob)
                 step = max(len(b) // n_frames, 1)
                 for i in range(min(n_frames, len(b))):
@@ -342,9 +367,17 @@ def phash64(df: DataFrame) -> DataFrame:
         k = PHASH_SHINGLE_BYTES
         bit_lo = np.arange(32, dtype=np.uint32)
         for pdf in batches:
+            out_ids = []
             out_hash = []
             out_n = []
-            for blob in pdf["blob"]:
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"], strict=True):
+                # degenerate assets (NULL/empty payload) carry NO
+                # signature row — the same zero-shingle contract as
+                # similarity.minhash_signature_table; an empty blob's
+                # lone b'' shingle would co-band every empty asset
+                if blob is None or len(blob) == 0:
+                    continue
+                out_ids.append(doc_id)
                 b = bytes(blob)
                 n = len(b)
                 shingles = {b[i : i + k] for i in range(max(n - k + 1, 1))}
@@ -371,7 +404,7 @@ def phash64(df: DataFrame) -> DataFrame:
                 out_n.append(m)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
                     "phash": pd.Series(out_hash, dtype="int64"),
                     "n_shingles": pd.Series(out_n, dtype="int32"),
                 }

@@ -1034,9 +1034,17 @@ def dedup_decision_matrix(
     keeps: dict[str, Column] = {}
     if "exact" in rungs:
         ex = dedup_exact_docs(spark, sf_dir).select(
-            "content_hash", F.col("keep_doc_id").alias("__exact_keep_id")
+            F.col("content_hash").alias("__ex_hash"),
+            F.col("keep_doc_id").alias("__exact_keep_id"),
         )
-        j = j.join(ex, "content_hash")
+        # NULL-SAFE equi-join: md5(NULL text) is NULL, and the NULL-hash
+        # docs form one exact-dup group in both engines' group-bys — a
+        # plain inner join would silently drop them from the decision
+        # matrix instead of deciding them (the matrix must rule on
+        # EVERY doc; tests/adversarial_sweep.py pins the row count)
+        j = j.join(
+            ex, F.col("content_hash").eqNullSafe(F.col("__ex_hash"))
+        ).drop("__ex_hash")
         keeps["exact"] = F.col("doc_id") == F.col("__exact_keep_id")
     if "paragraph" in rungs:
         para = dedup_paragraph_exact(spark, sf_dir).select(
@@ -2189,8 +2197,12 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
     )
+    # unlabeled neighbors ABSTAIN: a NULL label must not form a voting
+    # bloc (and its rank position differs per engine — Spark sorts
+    # NULLS FIRST on the ASC tiebreak, DuckDB NULLS LAST)
     votes = (
         nn.join(labels, "neighbor_id")
+        .filter(F.col("n_label").isNotNull())
         .groupBy("vec_id", "n_label")
         .agg(F.count("*").alias("votes"))
     )
@@ -3153,11 +3165,20 @@ def qc_score_of(d: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             (
-                F.expr(
-                    f"aggregate(t, 0L, (acc, g) -> acc + ({_qc_weight('g')}))"
+                # coalesced like the oracle's list_sum: a NULL-text doc
+                # folds to sum_iw = 0 → keep = false (the classifier
+                # DROPS degenerate docs, it doesn't abstain with NULL)
+                F.coalesce(
+                    F.expr(
+                        f"aggregate(t, 0L, (acc, g) -> acc + ({_qc_weight('g')}))"
+                    ),
+                    F.lit(0).cast("long"),
                 )
-                + F.expr(
-                    f"aggregate(b, 0L, (acc, g) -> acc + ({_qc_weight('g')}))"
+                + F.coalesce(
+                    F.expr(
+                        f"aggregate(b, 0L, (acc, g) -> acc + ({_qc_weight('g')}))"
+                    ),
+                    F.lit(0).cast("long"),
                 )
             ).alias("sum_iw"),
             (F.size("t") + F.size("b")).cast("bigint").alias("n_features"),
@@ -3745,8 +3766,13 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "   'best', greatest(acc.best, if(x <=> acc.prev, acc.run + 1L, 1L))),"
         " acc -> acc.best)"
     )
+    # degenerate docs (NULL/empty text) are EXCLUDED: repetition ratios
+    # over zero tokens are 0/0, and engines disagree on every NULL
+    # fallback along the way — the quality gate upstream already drops
+    # them (quality_classifier_score keep=false)
     return (
-        d.select("doc_id", F.split("text", " ").alias("toks"))
+        d.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("doc_id", F.split("text", " ").alias("toks"))
         .select(
             "doc_id",
             "toks",
@@ -5953,8 +5979,11 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"  'acc', if(x <=> acc.prev, acc.acc, acc.acc + {run_term})),"
         f" acc -> acc.acc + {run_term})"
     )
+    # degenerate docs excluded — the same contract (and reason) as
+    # text_repetition_ratio: entropy over zero tokens is undefined
     return (
-        d.select("doc_id", F.split("text", " ").alias("toks"))
+        d.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("doc_id", F.split("text", " ").alias("toks"))
         .select(
             "doc_id",
             F.size("toks").cast("bigint").alias("n_tokens"),
@@ -7091,11 +7120,13 @@ _SIMHASH_ORACLE = f"""
 # Spark banding, giving the UNthresholded pair set a real oracle.
 _PHASH_DEDUP_ORACLE = f"""
     WITH sh AS (
+        -- degenerate assets carry no shingles (see multimodal.phash64)
         SELECT doc_id,
-               unnest(list_distinct(
+               unnest(CASE WHEN text IS NULL OR text = '' THEN []
+                           ELSE list_distinct(
                    [substr(text, i, 8)
-                    for i in generate_series(1, greatest(len(text) - 7, 1))]
-               )) AS t
+                    for i in generate_series(1, greatest(len(text) - 7, 1))])
+                      END) AS t
         FROM documents
     ),
     h AS (
@@ -7482,6 +7513,7 @@ ORACLES = {
                        PARTITION BY t.qid
                        ORDER BY COUNT(*) DESC, e.label ASC) AS vrn
             FROM topk t JOIN embeddings e ON e.vec_id = t.nid
+            WHERE e.label IS NOT NULL  -- unlabeled neighbors abstain
             GROUP BY t.qid, e.label)
         WHERE vrn = 1
     """,
@@ -7905,8 +7937,10 @@ ORACLES = {
         GROUP BY t.doc_id
     """,
     "text_repetition_ratio": r"""
+        -- degenerate docs excluded (see the Spark twin's filter)
         WITH t AS (
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE text IS NOT NULL AND text <> ''
         ),
         g AS (
             SELECT doc_id,
@@ -8115,9 +8149,15 @@ ORACLES = {
         FROM documents
     """,
     "doc_fingerprint": """
+        -- degenerate docs: no k-grams, NULL fingerprint (Spark twin in
+        -- functions/text.py rolling_fingerprint/distinct_kgram_count)
         SELECT doc_id,
-               list_min([md5(text[i:i+4]) for i in generate_series(1, greatest(length(text) - 4, 1))]) AS fp_min,
-               CAST(len(list_distinct([text[i:i+4] for i in generate_series(1, greatest(length(text) - 4, 1))])) AS INTEGER) AS n_kgrams
+               CASE WHEN text IS NULL OR text = '' THEN NULL
+                    ELSE list_min([md5(text[i:i+4]) for i in generate_series(1, greatest(length(text) - 4, 1))])
+               END AS fp_min,
+               CAST(CASE WHEN text IS NULL OR text = '' THEN 0
+                         ELSE len(list_distinct([text[i:i+4] for i in generate_series(1, greatest(length(text) - 4, 1))]))
+                    END AS INTEGER) AS n_kgrams
         FROM documents
     """,
     "multimodal_meta": """
@@ -8148,13 +8188,19 @@ ORACLES = {
         SELECT doc_id,
                CAST(16 + ('0x' || substr(hx, 1, 2))::INT % 240 AS INTEGER) AS width,
                CAST(16 + ('0x' || substr(hx, 3, 2))::INT % 240 AS INTEGER) AS height,
-               CAST(CASE WHEN ('0x' || substr(hx, 5, 2))::INT % 4 = 0
+               -- the NULL arm is explicit: a NULL digest would fall to
+               -- ELSE 3 instead of NULL channels (missing asset)
+               CAST(CASE WHEN hx IS NULL THEN NULL
+                         WHEN ('0x' || substr(hx, 5, 2))::INT % 4 = 0
                          THEN 1 ELSE 3 END AS INTEGER) AS channels,
                'fake' AS format
         FROM h
     """,
     "multimodal_frame_sample": """
-        WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        -- NULL assets sample zero frames; without the filter DuckDB's
+        -- NULL-skipping least(4, NULL) = 4 manufactures 4 NULL frames
+        WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
+                   WHERE text IS NOT NULL),
         f AS (SELECT doc_id, text, greatest(n // 4, 1) AS step,
                      UNNEST(generate_series(0, least(4, n) - 1)) AS fi
               FROM b)
@@ -9414,8 +9460,10 @@ ORACLES["quality_perplexity_buckets"] = """
 """
 
 ORACLES["text_entropy"] = """
+    -- degenerate docs excluded (see the Spark twin's filter)
     WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE text IS NOT NULL AND text <> ''
     ),
     cnt AS (
         SELECT doc_id, tok, COUNT(*) AS c

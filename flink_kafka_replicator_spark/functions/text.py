@@ -85,15 +85,23 @@ def predicted_lang(col: Column | str) -> Column:
 def rolling_fingerprint(text_col: str, k: int = 5) -> Column:
     """Rolling-window document fingerprint: the minimum md5 over all
     character k-grams (a 1-sketch winnowing fingerprint). Pure SQL
-    expressions → codegen; no UDF."""
+    expressions → codegen; no UDF. Degenerate docs (NULL/empty text)
+    have no k-grams and fingerprint NULL — the unguarded floor would
+    manufacture a '' gram (md5('') for every empty doc)."""
     return F.expr(
-        f"array_min(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
-        f" i -> md5(substring({text_col}, i, {k}))))"
+        f"CASE WHEN {text_col} IS NULL OR {text_col} = '' THEN NULL"
+        f" ELSE array_min(transform("
+        f" sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> md5(substring({text_col}, i, {k})))) END"
     )
 
 
 def distinct_kgram_count(text_col: str, k: int = 5) -> Column:
+    """Distinct char-k-gram count; 0 for NULL/empty text (same
+    degenerate-doc contract as :func:`rolling_fingerprint`)."""
     return F.expr(
-        f"size(array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
-        f" i -> substring({text_col}, i, {k}))))"
+        f"CASE WHEN {text_col} IS NULL OR {text_col} = '' THEN 0"
+        f" ELSE size(array_distinct(transform("
+        f" sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> substring({text_col}, i, {k})))) END"
     )

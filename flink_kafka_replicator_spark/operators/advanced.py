@@ -57,18 +57,32 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # ONE struct carried forward, not per-column last(ignorenulls):
+    # separate carries desynchronize on a NULL view value (the ts would
+    # track the newest view while the value falls back to an older
+    # one); ASOF semantics match the latest ROW, value as-is — pinned
+    # against DuckDB's native ASOF JOIN by tests/adversarial_sweep.py
+    m_view = F.last(
+        F.when(
+            F.col("side") == 0,
+            F.struct(
+                F.col("view_ts").alias("ts"),
+                F.col("view_value").alias("val"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
     return (
         views.unionByName(clicks)
-        .withColumn("m_view_ts", F.last("view_ts", ignorenulls=True).over(w))
-        .withColumn("m_view_value", F.last("view_value", ignorenulls=True).over(w))
+        .withColumn("m_view", m_view)
         .filter(F.col("side") == 1)
         .select(
             "click_id",
             "user_id",
             F.col("ts").alias("click_ts"),
             F.round("click_value", 4).alias("click_value"),
-            F.col("m_view_ts").alias("view_ts"),
-            F.round("m_view_value", 4).alias("view_value"),
+            F.col("m_view.ts").alias("view_ts"),
+            F.round("m_view.val", 4).alias("view_value"),
         )
     )
 
@@ -1229,12 +1243,16 @@ ORACLES = {
         WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC)
     """,
     "resample_ohlc": """
+        -- open/close ride inside never-NULL structs: DuckDB's bare
+        -- MIN_BY/MAX_BY skip NULL args (sliding to the next non-NULL
+        -- sample) while OHLC row semantics - and Spark's min_by/max_by
+        -- - report the boundary ROW's value even when it is NULL
         SELECT event_type,
                date_trunc('hour', ts) AS hour,
-               ROUND(MIN_BY(value, ts), 4) AS open,
+               ROUND((MIN_BY(struct_pack(v := value), ts)).v, 4) AS open,
                ROUND(MAX(value), 4) AS high,
                ROUND(MIN(value), 4) AS low,
-               ROUND(MAX_BY(value, ts), 4) AS close,
+               ROUND((MAX_BY(struct_pack(v := value), ts)).v, 4) AS close,
                COUNT(*) AS n_events
         FROM events
         GROUP BY 1, 2

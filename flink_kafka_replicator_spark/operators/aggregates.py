@@ -250,11 +250,18 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny cell grid onto the top-k probes and a min-collapse."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select(F.split("text", " ").alias("toks"))
+    # degenerate docs (NULL/empty text) contribute zero grams — the
+    # same contract as similarity.shingles_from_tokens; the unguarded
+    # form manufactures a '' gram per degenerate doc, which is pure
+    # collision mass with no content
     grams = t.select(
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(toks) - 2, 1)),"
-                " i -> concat_ws(' ', slice(toks, i, 3)))"
+                "CASE WHEN toks IS NULL OR size(toks) = 0"
+                " OR (size(toks) = 1 AND element_at(toks, 1) = '')"
+                " THEN array()"
+                " ELSE transform(sequence(1, greatest(size(toks) - 2, 1)),"
+                " i -> concat_ws(' ', slice(toks, i, 3))) END"
             )
         ).alias("g")
     )
@@ -1445,9 +1452,12 @@ ORACLES = {
             SELECT string_split(text, ' ') AS toks FROM documents
         ),
         grams AS (
-            SELECT unnest([array_to_string(toks[i:i + 2], ' ')
-                           for i in generate_series(1, greatest(len(toks) - 2, 1))])
-                       AS g
+            -- degenerate docs yield zero grams (see the Spark twin)
+            SELECT unnest(CASE WHEN toks IS NULL OR len(toks) = 0
+                                    OR toks = [''] THEN []
+                               ELSE [array_to_string(toks[i:i + 2], ' ')
+                                     for i in generate_series(1, greatest(len(toks) - 2, 1))]
+                          END) AS g
             FROM t
         ),
         counts AS (

@@ -357,7 +357,13 @@ def dq_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     one task — the documented exact-percentile trade (cf.
     agg_percentile_exact); the unbounded-cardinality scale path is
     agg_percentile_approx."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL measures are excluded up front: they cannot be clamped, and
+    # leaving them in shifts every nearest-rank differently per engine
+    # (Spark sorts NULLS FIRST, DuckDB NULLS LAST) — pinned by
+    # tests/adversarial_sweep.py
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     w = Window.partitionBy("event_type").orderBy(
         F.col("value").asc(), F.col("event_id").asc()
     )
@@ -940,7 +946,7 @@ ORACLES = {
                                       ORDER BY value ASC, event_id ASC)
                        AS rn,
                    COUNT(*) OVER (PARTITION BY event_type) AS n
-            FROM events
+            FROM events WHERE value IS NOT NULL
         ),
         bounds AS (
             SELECT event_type,

@@ -273,10 +273,16 @@ ORACLES = {
         FROM events
     """,
     "fn_url": """
+        -- a NULL source or lang NULLs the whole synthesized URL (Spark
+        -- CONCAT is NULL-poisoning), so every parsed field is NULL -
+        -- the ground-truth reconstruction must gate on BOTH parts
         SELECT doc_id,
-               source || '.example.com'          AS url_host,
-               '/' || lang || '/doc'             AS url_path,
-               CAST(doc_id AS VARCHAR)           AS url_qid
+               CASE WHEN source IS NOT NULL AND lang IS NOT NULL
+                    THEN source || '.example.com' END AS url_host,
+               CASE WHEN source IS NOT NULL AND lang IS NOT NULL
+                    THEN '/' || lang || '/doc' END    AS url_path,
+               CASE WHEN source IS NOT NULL AND lang IS NOT NULL
+                    THEN CAST(doc_id AS VARCHAR) END  AS url_qid
         FROM documents
     """,
     "window_first_last": """

@@ -463,10 +463,15 @@ ORACLES = {
         FROM documents
     """,
     "upsert_latest_wins": """
+        -- latest_value rides inside a never-NULL struct: DuckDB's bare
+        -- MAX_BY skips NULL args (falling back to an older version's
+        -- value) while the upsert contract - and Spark's max_by - carry
+        -- the latest ROW's value even when that write was NULL
         SELECT user_id, event_type,
                MAX(event_id) AS latest_event_id,
                MAX_BY(ts, event_id) AS latest_ts,
-               ROUND(MAX_BY(value, event_id), 4) AS latest_value,
+               ROUND((MAX_BY(struct_pack(v := value), event_id)).v, 4)
+                   AS latest_value,
                COUNT(*) AS n_versions
         FROM events
         GROUP BY user_id, event_type
@@ -513,7 +518,9 @@ ORACLES = {
                UPPER(lang)                AS lang_upper,
                SUBSTRING(text, 1, 20)     AS prefix20,
                CAST(LENGTH(text) AS INTEGER) AS text_len,
-               CONCAT(source, ':', lang)  AS src_lang,
+               -- concat_ws, not CONCAT: Spark's concat_ws skips NULL
+               -- args AND their separators, CONCAT coerces NULL to ''
+               concat_ws(':', source, lang) AS src_lang,
                text LIKE '%spark%'        AS has_spark
         FROM documents
     """,
