@@ -317,7 +317,13 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                     chunk = b[i * step : (i + 1) * step]
                     ids.append(doc_id)
                     idxs.append(i)
-                    hashes.append(hashlib.md5(chunk).hexdigest())
+                    # hash the frame's lowercase HEX, not its raw
+                    # bytes: byte slices can split multi-byte chars,
+                    # and SQL engines' md5 is VARCHAR-only — the hex
+                    # domain keeps the fingerprint exactly replayable
+                    hashes.append(
+                        hashlib.md5(chunk.hex().encode("ascii")).hexdigest()
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),

@@ -8170,8 +8170,11 @@ ORACLES = {
     # documents.text is pure ASCII (char ops == byte ops), so DuckDB can
     # replay it exactly — the oracle checks the whole mapInPandas path.
     "multimodal_audio_meta": """
+        -- octet_length, not LENGTH: the payload is the text's UTF-8
+        -- BYTES, and char counts diverge on non-ASCII text (sha256
+        -- already hashes the UTF-8 bytes, so sr needs no change)
         WITH a AS (
-            SELECT doc_id, LENGTH(text) AS n_bytes,
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                    8000 * (1 + ('0x' || substr(sha256(text), 1, 2))::BIGINT % 6)
                        AS sr
             FROM documents
@@ -8198,15 +8201,20 @@ ORACLES = {
     """,
     "multimodal_frame_sample": """
         -- NULL assets sample zero frames; without the filter DuckDB's
-        -- NULL-skipping least(4, NULL) = 4 manufactures 4 NULL frames
-        WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents
-                   WHERE text IS NOT NULL),
-        f AS (SELECT doc_id, text, greatest(n // 4, 1) AS step,
+        -- NULL-skipping least(4, NULL) = 4 manufactures 4 NULL frames.
+        -- Frames are BYTE slices (the payload is binary), replayed in
+        -- the hex domain: hx[2i+1 : 2i+2k] is exactly bytes [i, i+k)
+        -- regardless of multi-byte chars, and the product hashes the
+        -- lowercase hex for exactly this replayability.
+        WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+                          octet_length(encode(text)) AS n
+                   FROM documents WHERE text IS NOT NULL),
+        f AS (SELECT doc_id, hx, greatest(n // 4, 1) AS step,
                      UNNEST(generate_series(0, least(4, n) - 1)) AS fi
               FROM b)
         SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
-               md5(substring(text, CAST(fi * step + 1 AS INTEGER),
-                             CAST(step AS INTEGER))) AS frame_hash
+               md5(substring(hx, CAST(fi * step * 2 + 1 AS INTEGER),
+                             CAST(step * 2 AS INTEGER))) AS frame_hash
         FROM f
     """,
 }

@@ -48,11 +48,15 @@ def build_adversarial_dir() -> str:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     mutations = {
-        # NULL measure + NULL props + negated values + pre-epoch ts.
+        # NULL measure + NULL props + negated values + pre-epoch ts +
+        # timestamp TIES (hour-truncated ts collides with siblings —
+        # exercises every window's event_id tiebreak).
         "events": """
             SELECT event_id,
                    CASE WHEN event_id % 97 = 0
-                        THEN ts - INTERVAL 56 YEARS ELSE ts END AS ts,
+                        THEN ts - INTERVAL 56 YEARS
+                        WHEN event_id % 101 = 0
+                        THEN date_trunc('hour', ts) ELSE ts END AS ts,
                    user_id, event_type,
                    CASE WHEN event_id % 13 = 0 THEN NULL
                         WHEN event_id % 19 = 0 THEN -value
@@ -60,11 +64,18 @@ def build_adversarial_dir() -> str:
                    CASE WHEN event_id % 17 = 0 THEN NULL ELSE props END AS props
             FROM read_parquet('{src}/events.parquet')
         """,
-        # NULL lang / NULL source / empty + NULL text.
+        # NULL lang / NULL source / empty + NULL text + unicode text +
+        # whitespace runs (double/leading/trailing spaces make ''
+        # tokens INSIDE token arrays — not just at the degenerate edge).
         "documents": """
             SELECT doc_id,
                    CASE WHEN doc_id % 29 = 0 THEN ''
                         WHEN doc_id % 31 = 0 THEN NULL
+                        WHEN doc_id % 43 = 0
+                        THEN 'héllo wörld 日本語 ' || text
+                        WHEN doc_id % 47 = 0
+                        THEN replace(text, ' the ', '  the ')
+                        WHEN doc_id % 53 = 0 THEN ' ' || text || ' '
                         ELSE text END AS text,
                    CASE WHEN doc_id % 23 = 0 THEN NULL ELSE lang END AS lang,
                    CASE WHEN doc_id % 37 = 0 THEN NULL ELSE source END AS source,

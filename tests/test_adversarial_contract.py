@@ -1,0 +1,63 @@
+"""Fast pytest pin of the adversarial-data oracle contract.
+
+tests/adversarial_sweep.py is the full 292-id audit (run per-session,
+artifact committed as ADVERSARIAL_SWEEP.json); this test keeps a fast
+representative slice of it in the default suite so a regression in the
+degenerate-doc / NULL-measure semantics fails CI within seconds instead
+of waiting for the next full sweep. One id per fixed divergence class
+(round-13 audit): shingle pipelines, EWMA-family ANSI guards, empty
+rolling frames, pick-row (ASOF/upsert/OHLC) struct semantics, NULL-rank
+percentiles, NULL-skipping concat/NOT IN, degenerate-doc stat filters,
+classifier keep folding, and the multimodal NULL-asset rows.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+from tests.adversarial_sweep import TABLES, build_adversarial_dir, canon, compare
+
+# fast ids only (≲2 s each at sf0.001) — one per divergence class
+FAST_IDS = [
+    "dedup_ngram_jaccard",       # zero-shingle contract (LSH family)
+    "window_ewma",               # den=0 ANSI divide guard + oracle i=0 term
+    "window_rolling_median",     # empty-frame element_at(0) guard
+    "time_weighted_avg",         # cents×micros overflow (decimal/HUGEINT)
+    "join_asof",                 # struct carry-forward (ts/value sync)
+    "upsert_latest_wins",        # MAX_BY NULL-arg row semantics
+    "resample_ohlc",             # MIN_BY/MAX_BY boundary-row semantics
+    "dq_winsorize",              # NULL measures out of nearest-rank
+    "corpus_weighted_median_len",  # degenerate len = 0, not NULL bucket
+    "filter_blocklist",          # NOT IN vs anti-join on NULL source
+    "fn_string",                 # concat_ws NULL-skip parity
+    "fn_url",                    # NULL-poisoned URL parses to NULL
+    "doc_fingerprint",           # 0 k-grams / NULL fingerprint
+    "text_entropy",              # degenerate docs excluded
+    "quality_classifier_score",  # NULL text folds to keep=false
+    "multimodal_meta",           # NULL payload → NULL metadata row
+    "multimodal_image_meta",     # fake-codec NULL digest arms
+]
+
+
+@pytest.fixture(scope="module")
+def adv(spark):
+    d = build_adversarial_dir()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    yield d, con
+    con.close()
+
+
+@pytest.mark.parametrize("qid", FAST_IDS)
+def test_adversarial_oracle_parity(spark, adv, qid):
+    d, con = adv
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    got = canon(qs[qid](spark, d).toPandas())
+    want = canon(con.sql(oracles[qid]).df())
+    err = compare(got, want)
+    assert err is None, f"{qid}: {err}"
