@@ -1082,24 +1082,33 @@ def corpus_mix_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p * (floor(ln(p) * 1000000.0D) / 1000000.0D)"
         ).alias("t"),
     )
+    # empty corpus → NULL entropy/KL (0 languages has no mix to score;
+    # an unguarded fold gives -0.0 here while DuckDB's list() of no
+    # rows is NULL, and DuckDB's ln(0) is an error, not NULL)
     return terms.agg(
         F.count("*").cast("bigint").alias("n_langs"),
         F.round(F.max("p"), 6).alias("max_share"),
-        F.round(
-            -F.expr(
-                "aggregate(array_sort(collect_list(struct(lang, t)))"
-                ", 0.0D, (acc, x) -> acc + x.t)"
+        F.when(
+            F.count("*") > 0,
+            F.round(
+                -F.expr(
+                    "aggregate(array_sort(collect_list(struct(lang, t)))"
+                    ", 0.0D, (acc, x) -> acc + x.t)"
+                ),
+                6,
             ),
-            6,
         ).alias("entropy"),
-        F.round(
-            F.expr(
-                "floor(ln(cast(count(*) as double)) * 1000000.0D)"
-                " / 1000000.0D"
-                " + aggregate(array_sort(collect_list(struct(lang, t)))"
-                ", 0.0D, (acc, x) -> acc + x.t)"
+        F.when(
+            F.count("*") > 0,
+            F.round(
+                F.expr(
+                    "floor(ln(cast(count(*) as double)) * 1000000.0D)"
+                    " / 1000000.0D"
+                    " + aggregate(array_sort(collect_list(struct(lang, t)))"
+                    ", 0.0D, (acc, x) -> acc + x.t)"
+                ),
+                6,
             ),
-            6,
         ).alias("kl_to_uniform"),
     )
 
@@ -1480,13 +1489,19 @@ ORACLES = {
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_langs,
                ROUND(MAX(p), 6) AS max_share,
-               ROUND(-list_reduce(list(t ORDER BY lang),
-                                  (acc, x) -> acc + x), 6) AS entropy,
-               ROUND(floor(ln(CAST(COUNT(*) AS DOUBLE)) * 1000000.0)
-                     / 1000000.0
-                     + list_reduce(list(t ORDER BY lang),
-                                   (acc, x) -> acc + x), 6)
-                   AS kl_to_uniform
+               -- COUNT(*) > 0 arms: DuckDB's ln(0) is an ERROR (not
+               -- NULL), and list() of no rows is NULL - pin NULL
+               -- entropy/KL on an empty corpus (see the Spark twin)
+               CASE WHEN COUNT(*) > 0 THEN
+                   ROUND(-list_reduce(list(t ORDER BY lang),
+                                      (acc, x) -> acc + x), 6)
+               END AS entropy,
+               CASE WHEN COUNT(*) > 0 THEN
+                   ROUND(floor(ln(CAST(COUNT(*) AS DOUBLE)) * 1000000.0)
+                         / 1000000.0
+                         + list_reduce(list(t ORDER BY lang),
+                                       (acc, x) -> acc + x), 6)
+               END AS kl_to_uniform
         FROM terms
     """,
     "text_readability_score": _READABILITY_ORACLE,

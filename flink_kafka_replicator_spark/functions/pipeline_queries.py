@@ -1452,6 +1452,15 @@ def _ivf_model(
     for r in sorted(rows, key=lambda r: r["vec_id"]):
         cvec = [float(x) for x in r["cvec"]]
         cents.append((int(r["vec_id"]), cvec, math.sqrt(_fold_dot(cvec, cvec))))
+    if not cents:
+        # EMPTY store: one query-vector centroid keeps the dim (and
+        # every dim-derived expression well-formed) while no vector can
+        # ever assign to it — every read path degenerates to an empty
+        # result instead of an IndexError at the model artifact. The
+        # contract: an empty vector store SERVES empty, it doesn't
+        # crash the serving job (tests/test_round13_invariants.py).
+        cvec = [float(x) for x in QUERY_VEC]
+        cents = [(0, cvec, math.sqrt(_fold_dot(cvec, cvec)))]
     qnorm = math.sqrt(_fold_dot(QUERY_VEC, QUERY_VEC))
     probes = sorted(
         cents,
@@ -1506,7 +1515,11 @@ def _dist_cols(cents: list[tuple[int, list[float], float]]) -> list:
 def _argmin_case(cents: list[tuple[int, list[float], float]]) -> str:
     """Argmin over the d_<cid> columns via least()+CASE — the first
     equal WHEN in centroid order reproduces the oracle's
-    (dist ASC, centroid_id ASC) tie-break, all in codegen."""
+    (dist ASC, centroid_id ASC) tie-break, all in codegen. A 1-centroid
+    model (the empty-store fallback) is a constant assignment — Spark's
+    least() rejects a single argument."""
+    if len(cents) == 1:
+        return str(cents[0][0])
     m = f"least({', '.join(f'd_{cid}' for cid, _, _ in cents)})"
     return (
         "CASE "
@@ -1673,6 +1686,10 @@ def _lloyd_centroid_rounds(
         by_cid: dict[int, dict[int, float]] = {}
         for r in upd:
             by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["cv"])
+        if not by_cid:
+            # empty training frame: no assignment can update anything —
+            # keep the seed model instead of iterating on zero clusters
+            break
         cents = [
             (cid, [dims[p] for p in range(len(dims))])
             for cid, dims in sorted(by_cid.items())
@@ -1767,10 +1784,14 @@ def _assignment_from(
     persisted-index delta append (which encodes new vectors with the
     index's frozen coarse quantizer loaded from disk)."""
     cids = [cid for cid, _, _ in cents]
+    # 1-centroid models (empty-store fallback) have no second-nearest;
+    # least() needs >= 2 args, so degenerate to a NULL runner-up
     masked_least = (
         "least("
         + ", ".join(f"if(cid = {c}, cast(null as double), d_{c})" for c in cids)
         + ")"
+        if len(cids) > 1
+        else "cast(null as double)"
     )
     cid2_case = (
         "CASE "
@@ -2359,8 +2380,13 @@ def knn_recall_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(path).alias("path"),
             F.col("n_hits").cast("bigint").alias("n_hits"),
             F.col("n_truth").cast("bigint").alias("n_truth"),
-            F.round(
-                F.col("n_hits").cast("double") / F.col("n_truth"), 4
+            # empty eval set → NULL recall (nothing to measure), not an
+            # ANSI DIVIDE_BY_ZERO abort
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(
+                    F.col("n_hits").cast("double") / F.col("n_truth"), 4
+                ),
             ).alias("recall"),
         )
 
@@ -2503,8 +2529,14 @@ def knn_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(n_probe).alias("n_probe"),
                 F.col("n_hits").cast("bigint").alias("n_hits"),
                 F.col("n_truth").cast("bigint").alias("n_truth"),
-                F.round(
-                    F.col("n_hits").cast("double") / F.col("n_truth"), 4
+                # empty eval set → NULL recall (see knn_recall_family)
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.round(
+                        F.col("n_hits").cast("double")
+                        / F.col("n_truth"),
+                        4,
+                    ),
                 ).alias("recall"),
             )
         )
@@ -5486,8 +5518,12 @@ def knn_graph_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges",
         "n_mutual",
         "n_nodes_with_mutual",
-        F.round(
-            F.col("n_mutual").cast("double") / F.col("n_edges"), 6
+        # empty graph → NULL rate, not an ANSI DIVIDE_BY_ZERO abort
+        F.when(
+            F.col("n_edges") > 0,
+            F.round(
+                F.col("n_mutual").cast("double") / F.col("n_edges"), 6
+            ),
         ).alias("symmetry_rate"),
     )
 
@@ -7028,7 +7064,8 @@ def _duck_probe_curve() -> str:
         selects.append(
             f"SELECT {np_} AS n_probe, CAST(h{np_}.n AS BIGINT) AS n_hits,"
             f" CAST(qn.n AS BIGINT) AS n_truth,"
-            f" ROUND(CAST(h{np_}.n AS DOUBLE) / qn.n, 4) AS recall"
+            f" CASE WHEN qn.n > 0 THEN"
+            f" ROUND(CAST(h{np_}.n AS DOUBLE) / qn.n, 4) END AS recall"
             f" FROM h{np_}, qn"
         )
     return f"""
@@ -7370,19 +7407,19 @@ ORACLES = {
         h5 AS (SELECT COUNT(*) AS n FROM qtruth q JOIN refined10 a USING (vec_id))
         SELECT 'ivf_single' AS path, CAST(h1.n AS BIGINT) AS n_hits,
                CAST(nt.n AS BIGINT) AS n_truth,
-               ROUND(CAST(h1.n AS DOUBLE) / nt.n, 4) AS recall FROM h1, nt
+               CASE WHEN nt.n > 0 THEN ROUND(CAST(h1.n AS DOUBLE) / nt.n, 4) END AS recall FROM h1, nt
         UNION ALL
         SELECT 'ivf_multiprobe', CAST(h2.n AS BIGINT), CAST(nt.n AS BIGINT),
-               ROUND(CAST(h2.n AS DOUBLE) / nt.n, 4) FROM h2, nt
+               CASE WHEN nt.n > 0 THEN ROUND(CAST(h2.n AS DOUBLE) / nt.n, 4) END FROM h2, nt
         UNION ALL
         SELECT 'pq_adc', CAST(h3.n AS BIGINT), CAST(qn.n AS BIGINT),
-               ROUND(CAST(h3.n AS DOUBLE) / qn.n, 4) FROM h3, qn
+               CASE WHEN qn.n > 0 THEN ROUND(CAST(h3.n AS DOUBLE) / qn.n, 4) END FROM h3, qn
         UNION ALL
         SELECT 'ivf_pq', CAST(h4.n AS BIGINT), CAST(qn.n AS BIGINT),
-               ROUND(CAST(h4.n AS DOUBLE) / qn.n, 4) FROM h4, qn
+               CASE WHEN qn.n > 0 THEN ROUND(CAST(h4.n AS DOUBLE) / qn.n, 4) END FROM h4, qn
         UNION ALL
         SELECT 'ivf_pq_refined', CAST(h5.n AS BIGINT), CAST(qn.n AS BIGINT),
-               ROUND(CAST(h5.n AS DOUBLE) / qn.n, 4) FROM h5, qn
+               CASE WHEN qn.n > 0 THEN ROUND(CAST(h5.n AS DOUBLE) / qn.n, 4) END FROM h5, qn
     """,
     "knn_batch_adc": f"""
         WITH {_PQ_ORACLE_BASE},

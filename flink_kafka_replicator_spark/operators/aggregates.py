@@ -1522,5 +1522,10 @@ ORACLES = {
                COUNT(*)                  AS n_items
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        -- vacuous on non-empty data (every group aggregates >= 1
+        -- row); pins Spark's Expand-based ROLLUP, which emits NO
+        -- grand-total row on empty input where the SQL standard
+        -- (and DuckDB) emit one
+        HAVING COUNT(*) > 0
     """,
 }

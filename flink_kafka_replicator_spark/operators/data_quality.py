@@ -533,8 +533,11 @@ def dq_completeness_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = load_table(spark, sf_dir, t)
         aggs = [F.count("*").cast("bigint").alias("__n")]
         for c in cols:
+            # coalesced: SUM over an empty table is NULL, but "how many
+            # nulls/blanks in zero rows" is 0 (the audit must not report
+            # unknown counts for an empty partition)
             aggs.append(
-                F.sum(F.col(c).isNull().cast("long"))
+                F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0))
                 .cast("bigint")
                 .alias(f"__null_{c}")
             )
@@ -545,7 +548,9 @@ def dq_completeness_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else F.lit(False)
             )
             aggs.append(
-                F.sum(blank.cast("long")).cast("bigint").alias(f"__blank_{c}")
+                F.coalesce(F.sum(blank.cast("long")), F.lit(0))
+                .cast("bigint")
+                .alias(f"__blank_{c}")
             )
         one = df.agg(*aggs)
         melted = one.select(
@@ -574,8 +579,12 @@ def dq_completeness_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "n_null",
         "n_blank",
-        F.round(
-            (F.col("n_null") + F.col("n_blank")) / F.col("n_rows"), 6
+        # empty table → NULL rate (0/0), never an ANSI divide error
+        F.when(
+            F.col("n_rows") > 0,
+            F.round(
+                (F.col("n_null") + F.col("n_blank")) / F.col("n_rows"), 6
+            ),
         ).alias("missing_rate"),
     )
 
@@ -597,12 +606,15 @@ def _completeness_oracle() -> str:
         parts.append(
             f"""SELECT '{t}' AS table_name, '{c}' AS column_name,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_null,
-               CAST({blank} AS BIGINT) AS n_blank,
-               ROUND((SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
-                      + {blank}) / CAST(COUNT(*) AS DOUBLE), 6)
-                   AS missing_rate
+               CAST(COALESCE(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END),
+                             0) AS BIGINT) AS n_null,
+               CAST(COALESCE({blank}, 0) AS BIGINT) AS n_blank,
+               CASE WHEN COUNT(*) > 0 THEN
+                   ROUND((COALESCE(SUM(CASE WHEN {c} IS NULL
+                                        THEN 1 ELSE 0 END), 0)
+                          + COALESCE({blank}, 0))
+                         / CAST(COUNT(*) AS DOUBLE), 6)
+               END AS missing_rate
         FROM {t}"""
         )
     return "\n        UNION ALL ".join(parts)

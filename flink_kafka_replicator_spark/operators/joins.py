@@ -296,9 +296,13 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = positions.groupBy(
         F.expr("pos >> 6").alias("w")
     ).agg(F.expr("bit_or(1L << cast(pos & 63 as int))").alias("bm"))
+    # coalesced: an empty build side sets ZERO bits (sum over no words
+    # is NULL, but the report must say 0 — the filter rejects all)
     bits = words.agg(
         F.expr("map_from_entries(collect_list(struct(w, bm)))").alias("m"),
-        F.expr("cast(sum(bit_count(bm)) as int)").alias("n_set"),
+        F.expr("cast(coalesce(sum(bit_count(bm)), 0L) as int)").alias(
+            "n_set"
+        ),
     ).select(
         F.expr(
             f"transform(sequence(0, {BLOOM_M // 64 - 1}),"
@@ -342,9 +346,14 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = (
         probed.agg(
             F.count("*").alias("n_big_rows"),
-            F.sum(F.col("pass").cast("long")).alias("n_pass_bloom"),
-            F.sum(
-                (F.col("pass") & F.col("hit").isNotNull()).cast("long")
+            F.coalesce(
+                F.sum(F.col("pass").cast("long")), F.lit(0).cast("long")
+            ).alias("n_pass_bloom"),
+            F.coalesce(
+                F.sum(
+                    (F.col("pass") & F.col("hit").isNotNull()).cast("long")
+                ),
+                F.lit(0).cast("long"),
             ).alias("n_true_match"),
         )
         .crossJoin(broadcast(small.agg(F.count("*").alias("n_small_keys"))))
@@ -359,10 +368,14 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pass_bloom",
         "n_true_match",
         (F.col("n_pass_bloom") - F.col("n_true_match")).alias("n_false_pos"),
-        F.round(
-            (F.col("n_pass_bloom") - F.col("n_true_match"))
-            / F.col("n_big_rows"),
-            6,
+        # empty fact side → NULL rate (0/0)
+        F.when(
+            F.col("n_big_rows") > 0,
+            F.round(
+                (F.col("n_pass_bloom") - F.col("n_true_match"))
+                / F.col("n_big_rows"),
+                6,
+            ),
         ).alias("fp_rate"),
     )
 
@@ -677,9 +690,12 @@ ORACLES = {
                (SELECT n_true_match FROM tm) AS n_true_match,
                (SELECT COUNT(*) FROM pass) - (SELECT n_true_match FROM tm)
                    AS n_false_pos,
-               ROUND(CAST((SELECT COUNT(*) FROM pass)
-                          - (SELECT n_true_match FROM tm) AS DOUBLE)
-                     / (SELECT COUNT(*) FROM lineitem), 6) AS fp_rate
+               -- empty fact side -> NULL rate (see the Spark twin)
+               CASE WHEN (SELECT COUNT(*) FROM lineitem) > 0 THEN
+                   ROUND(CAST((SELECT COUNT(*) FROM pass)
+                              - (SELECT n_true_match FROM tm) AS DOUBLE)
+                         / (SELECT COUNT(*) FROM lineitem), 6)
+               END AS fp_rate
     """,
     "join_interval_overlap": f"""
         WITH spans AS (

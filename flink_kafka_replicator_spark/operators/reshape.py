@@ -242,6 +242,9 @@ ORACLES = {
                ROUND(SUM(value), 4) AS sum_value
         FROM events
         GROUP BY ROLLUP (1, 2, 3)
+        -- vacuous on non-empty data; pins Spark's no-rows-on-empty
+        -- ROLLUP semantics (see agg_rollup)
+        HAVING COUNT(*) > 0
     """,
     "unpivot_lineitem": """
         SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric,

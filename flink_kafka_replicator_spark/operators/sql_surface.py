@@ -393,6 +393,9 @@ ORACLES = {
                ROUND(SUM(o_totalprice), 4) AS total_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        -- vacuous on non-empty data; pins Spark's no-rows-on-empty
+        -- grouping-set semantics (see agg_rollup)
+        HAVING COUNT(*) > 0
     """,
     "sql_q3_shipping_priority": """
         SELECT o.o_orderkey,
@@ -435,6 +438,9 @@ ORACLES = {
                ROUND(SUM(o_totalprice), 4) AS total_price
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        -- vacuous on non-empty data; pins Spark's no-rows-on-empty
+        -- CUBE semantics (see agg_rollup)
+        HAVING COUNT(*) > 0
     """,
     "pivot_status": """
         SELECT o_orderpriority,

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.utils import AnalysisException
 
 DEFAULT_SHARDS = 16
 
@@ -550,11 +551,13 @@ def write_minhash_index(
         _os.remove(_index_meta_path(out_dir))
     except FileNotFoundError:
         pass
-    (
+    banded = (
         banded_minhash(df, id_col, text_col)
         .select(F.col(id_col), "band_key")
         .withColumn("delta_id", F.lit(0))
-        .write.mode("overwrite")
+    )
+    (
+        banded.write.mode("overwrite")
         # STATIC overwrite on the base build: wipe the whole bands dir,
         # so rebuilding over a delta-extended index cannot leave ghost
         # delta partitions behind (dynamic mode would only replace
@@ -564,7 +567,13 @@ def write_minhash_index(
         .parquet(bands_path)
     )
     (
-        spark.read.parquet(bands_path)
+        # explicit schema on the read-back: a base build over an EMPTY
+        # (or all-degenerate) corpus writes zero partition directories,
+        # and schema inference would fail where an empty index is a
+        # legitimate state (it grows by append) — the schema is the
+        # plan's own, known without running it
+        spark.read.schema(banded.schema)
+        .parquet(bands_path)
         .groupBy("band_key")
         .agg(F.count("*").alias("n"))
         .write.mode("overwrite")
@@ -583,6 +592,9 @@ def write_minhash_index(
             # would be SILENT recall loss — readers/appenders refuse a
             # mismatch loudly instead (round 9: xxhash64 → md5-32)
             "band_hash": BAND_HASH_VERSION,
+            # lets readers reconstruct the band schema when the index
+            # is empty (zero partition dirs → nothing to infer from)
+            "id_col": id_col,
         },
     )
 
@@ -1154,11 +1166,18 @@ def read_minhash_index(
             "previous version survives one append cycle) — rebuild or "
             "read the current snapshot"
         )
-    bands = (
-        spark.read.parquet(f"{out_dir}/{BANDS_SUBDIR}")
-        .filter(F.col("delta_id").isin(committed))
-        .drop("delta_id")
-    )
+    try:
+        raw = spark.read.parquet(f"{out_dir}/{BANDS_SUBDIR}")
+    except AnalysisException:
+        # an EMPTY index (base build over zero docs, before any append)
+        # has no partition directories to infer from — serve the empty
+        # band table with the schema the meta pointer recorded
+        raw = spark.createDataFrame(
+            [],
+            f"{meta.get('id_col', 'doc_id')} bigint,"
+            " band_key string, delta_id int",
+        )
+    bands = raw.filter(F.col("delta_id").isin(committed)).drop("delta_id")
     # deletions visible at this snapshot: anti-join the committed
     # tombstone set (stats were decremented at delete time, so the
     # stats version already matches this filtered view)

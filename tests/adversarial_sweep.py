@@ -15,9 +15,14 @@ EVERY oracled registry query on both engines there and diffs with the
 same canonicalization as tests/driver_sim.py. A mismatch here is a
 semantics-pinning gap even when the normal sweep is green.
 
-Usage:  python tests/adversarial_sweep.py [--only id1,id2]
+Usage:  python tests/adversarial_sweep.py [--only id1,id2] [--empty]
+``--empty`` sweeps a ZERO-ROW twin instead (same schemas, no rows):
+the empty-partition robustness audit — driver-side model-artifact
+collects, SQL-standard ROLLUP grand totals, sum-over-empty NULLs, and
+empty persisted-index reads all only fire there.
 Writes ADVERSARIAL_SWEEP.json at the repo root (override with
-SPARK_GRAFT_ADV_OUT). Exit 1 on any FAIL/MISMATCH.
+SPARK_GRAFT_ADV_OUT; the --empty record goes to EMPTY_SWEEP.json).
+Exit 1 on any FAIL/MISMATCH.
 """
 import json
 import os
@@ -37,6 +42,23 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+
+def build_empty_dir() -> str:
+    """Zero-row copies of every table (schemas preserved): the
+    empty-partition robustness twin."""
+    dst = os.environ.get(
+        "SPARK_GRAFT_EMPTY_DIR", "/tmp/spark_graft_emptydata"
+    )
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet') LIMIT 0)"
+            f" TO '{os.path.join(dst, t + '.parquet')}' (FORMAT PARQUET)"
+        )
+    con.close()
+    return dst
 
 
 def build_adversarial_dir() -> str:
@@ -152,9 +174,10 @@ def main() -> int:
     only = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    empty = "--empty" in sys.argv
 
-    adv = build_adversarial_dir()
-    print(f"adversarial twin at {adv}")
+    adv = build_empty_dir() if empty else build_adversarial_dir()
+    print(f"{'empty' if empty else 'adversarial'} twin at {adv}")
 
     from pyspark.sql import SparkSession
 
@@ -193,11 +216,15 @@ def main() -> int:
             record[qid] = {"status": "MATCH", "sec": round(dt, 1)}
             print(f"  {qid:34s} MATCH   {dt:5.1f}s")
 
-    out = os.environ.get("SPARK_GRAFT_ADV_OUT", "/root/repo/ADVERSARIAL_SWEEP.json")
+    out = os.environ.get(
+        "SPARK_GRAFT_ADV_OUT",
+        "/root/repo/EMPTY_SWEEP.json" if empty else "/root/repo/ADVERSARIAL_SWEEP.json",
+    )
     with open(out, "w", encoding="utf-8") as fh:
         json.dump(
             {
                 "src": SRC,
+                "mode": "empty" if empty else "adversarial",
                 "n_ids": len(record),
                 "n_match": len(record) - len(bad),
                 "n_diverge": len(bad),
