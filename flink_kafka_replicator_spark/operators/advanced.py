@@ -514,10 +514,13 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             # overflow — the oracle multiplies in HUGEINT for the same
             # reason (pinned by tests/adversarial_sweep.py)
             (
+                # try_cast: a NaN/Inf measure is MISSING (NULL cents) —
+                # the interval contributes time but no value weight,
+                # the same contract as a NULL value
                 F.sum(
                     (
                         F.round(F.col("value") * 100)
-                        .cast("long")
+                        .try_cast("long")
                         .cast("decimal(38,0)")
                     )
                     * F.col("hold_us")
@@ -770,7 +773,7 @@ def time_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("bucket"),
         "ts",
         "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("v100"),
+        F.round(F.col("value") * 100).try_cast("long").alias("v100"),
     )
     fwd = Window.partitionBy("event_type", "bucket").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
@@ -804,7 +807,7 @@ _M4_ORACLE = """
         SELECT event_type,
                date_trunc('hour', ts) AS bucket,
                ts, event_id,
-               CAST(ROUND(value * 100, 0) AS BIGINT) AS v100
+               TRY_CAST(ROUND(value * 100, 0) AS BIGINT) AS v100
         FROM events
     ),
     staged AS (
@@ -1225,7 +1228,7 @@ ORACLES = {
         )
         SELECT user_id,
                COUNT(*) AS n_intervals,
-               ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS HUGEINT)
+               ROUND(CAST(SUM(TRY_CAST(ROUND(value * 100, 0) AS HUGEINT)
                               * hold_us) AS DOUBLE) / 100.0
                      / SUM(hold_us), 4) AS twavg,
                ROUND(SUM(hold_us) / 1000000.0, 4) AS span_sec

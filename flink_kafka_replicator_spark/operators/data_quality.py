@@ -96,7 +96,17 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange — the funnel_stages pattern."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    # non-finite measures normalize to NULL (missing) BEFORE the robust
+    # stats: the engines disagree on where NaN sits inside a percentile
+    # (Spark sorts it above +Inf, DuckDB's quantile interpolates), and
+    # a NaN is a data error, not a sample
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(
+            ~F.isnan("value") & (F.abs(F.col("value")) != float("inf")),
+            F.col("value"),
+        ).alias("value"),
+    )
     w = Window.partitionBy("user_id")
     d1 = e.withColumn("med", F.expr("percentile(value, 0.5D)").over(w))
     d2 = d1.withColumn(
@@ -106,9 +116,12 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2.groupBy("user_id", "med", "mad")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(
-                (F.abs(F.col("value") - F.col("med"))
-                 > 3 * 1.4826 * F.col("mad")).cast("long")
+            F.coalesce(
+                F.sum(
+                    (F.abs(F.col("value") - F.col("med"))
+                     > 3 * 1.4826 * F.col("mad")).cast("long")
+                ),
+                F.lit(0).cast("long"),
             ).alias("n_outliers"),
         )
         .select(
@@ -230,11 +243,20 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max dependency), a ≤2·bins-key aggregate, and a ≤bins-row
     join. The ln is floor-quantized at 1e-6 (tfidf idiom)."""
     e = load_table(spark, sf_dir, "events")
+    # non-finite measures bin to NULL (missing), guarded BEFORE floor:
+    # Spark's floor() coerces NaN to 0L on its internal double→long
+    # conversion, so a post-floor try_cast would silently file NaN
+    # under bin 0 (and Spark's NULL-skipping least() would drop a NULL
+    # into the top bucket)
+    finite = ~F.isnan("value") & (F.abs(F.col("value")) != float("inf"))
     binned = e.select(
         (F.col("event_id") % 2 == 0).alias("is_a"),
-        F.least(
-            F.floor(F.col("value") / F.lit(PSI_BIN_W)).cast("int"),
-            F.lit(PSI_BINS - 1),
+        F.when(
+            finite,
+            F.least(
+                F.floor(F.col("value") / F.lit(PSI_BIN_W)),
+                F.lit(PSI_BINS - 1).cast("long"),
+            ).cast("int"),
         ).alias("bin"),
     )
     counts = binned.groupBy("bin").agg(
@@ -369,7 +391,7 @@ def dq_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = ev.select(
         "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("v100"),
+        F.round(F.col("value") * 100).try_cast("long").alias("v100"),
         F.row_number().over(w).alias("rn"),
         F.count("*").over(Window.partitionBy("event_type")).alias("n"),
     )
@@ -953,7 +975,7 @@ ORACLES = {
     "dq_winsorize": f"""
         WITH d AS (
             SELECT event_type,
-                   CAST(ROUND(value * 100, 0) AS BIGINT) AS v100,
+                   TRY_CAST(ROUND(value * 100, 0) AS BIGINT) AS v100,
                    ROW_NUMBER() OVER (PARTITION BY event_type
                                       ORDER BY value ASC, event_id ASC)
                        AS rn,
@@ -1019,9 +1041,12 @@ ORACLES = {
     """,
     "dq_distribution_drift": f"""
         WITH binned AS (
+            -- non-finite measures bin to NULL (see the Spark twin)
             SELECT event_id % 2 = 0 AS is_a,
-                   CAST(LEAST(FLOOR(value / {PSI_BIN_W}::DOUBLE),
-                              {PSI_BINS - 1}) AS INTEGER) AS bin
+                   CASE WHEN isfinite(value) THEN
+                       CAST(LEAST(FLOOR(value / {PSI_BIN_W}::DOUBLE),
+                                  {PSI_BINS - 1}) AS INTEGER)
+                   END AS bin
             FROM events
         ),
         counts AS (
@@ -1086,11 +1111,17 @@ ORACLES = {
         UNION ALL SELECT 'max_date', CAST(max_date AS VARCHAR) FROM a
     """,
     "dq_outlier_mad": """
-        WITH m AS (
+        -- non-finite measures normalize to NULL first (Spark twin)
+        WITH base AS (
+            SELECT user_id,
+                   CASE WHEN isfinite(value) THEN value END AS value
+            FROM events
+        ),
+        m AS (
             SELECT user_id, value,
                    quantile_cont(value, 0.5)
                        OVER (PARTITION BY user_id) AS med
-            FROM events
+            FROM base
         ),
         d AS (
             SELECT user_id, value, med,

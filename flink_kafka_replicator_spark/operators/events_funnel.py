@@ -361,7 +361,7 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = ev.groupBy("user_id").agg(
         F.expr("max(unix_micros(ts)) div 3600000000").alias("rec"),
         F.count("*").cast("bigint").alias("freq"),
-        F.sum(F.round(F.col("value") * 100).cast("long"))
+        F.sum(F.round(F.col("value") * 100).try_cast("long"))
         .cast("bigint")
         .alias("mon100"),
     ).withColumn("mond", F.expr("mon100 div 100"))
@@ -445,9 +445,9 @@ def _rfm_oracle() -> str:
             SELECT user_id,
                    MAX(epoch_us(ts)) // 3600000000 AS rec,
                    CAST(COUNT(*) AS BIGINT) AS freq,
-                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                   CAST(SUM(TRY_CAST(ROUND(value * 100, 0) AS BIGINT))
                         AS BIGINT) AS mon100,
-                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                   CAST(SUM(TRY_CAST(ROUND(value * 100, 0) AS BIGINT))
                         AS BIGINT) // 100 AS mond
             FROM events GROUP BY user_id
         ),
@@ -785,7 +785,7 @@ def retention_revenue_cohorts(
                 / F.lit(7)
             ).cast("int").alias("week_offset"),
             "user_id",
-            F.round(F.col("value") * 100).cast("long").alias("v100"),
+            F.round(F.col("value") * 100).try_cast("long").alias("v100"),
         )
         .groupBy("cohort_date", "week_offset")
         .agg(
@@ -1329,7 +1329,7 @@ ORACLES = {
     "retention_revenue_cohorts": """
         WITH anchored AS (
             SELECT user_id, ts,
-                   CAST(ROUND(value * 100, 0) AS BIGINT) AS v100,
+                   TRY_CAST(ROUND(value * 100, 0) AS BIGINT) AS v100,
                    MIN(ts) OVER (PARTITION BY user_id) AS first_ts
             FROM events
         ),

@@ -566,7 +566,12 @@ ORACLES = {
     """,
     "hist_value_buckets": """
         SELECT bucket, COUNT(*) AS n FROM (
-            SELECT CASE WHEN value < 0 THEN 0
+            -- explicit NaN arm: DuckDB's total order puts NaN above
+            -- +Inf so NaN >= 500 is TRUE here, while Spark's
+            -- width_bucket(NaN) is NULL - a NaN measure is MISSING,
+            -- not an overflow-bucket member
+            SELECT CASE WHEN isnan(value) THEN NULL
+                        WHEN value < 0 THEN 0
                         WHEN value >= 500 THEN 11
                         ELSE CAST(FLOOR(value / 50.0) AS INTEGER) + 1
                    END AS bucket

@@ -180,7 +180,7 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         "value",
-        F.round(F.col("value") * 100).cast("long").alias("v100"),
+        F.round(F.col("value") * 100).try_cast("long").alias("v100"),
     )
     num = F.lit(0).cast("long")
     den = F.lit(0).cast("long")
@@ -228,7 +228,7 @@ def _ewma_oracle() -> str:
     return f"""
         WITH d AS (
             SELECT user_id, event_id, value,
-                   CAST(ROUND(value * 100, 0) AS BIGINT) AS v100,
+                   TRY_CAST(ROUND(value * 100, 0) AS BIGINT) AS v100,
                    {lag_cols}
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
@@ -266,7 +266,7 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         "value",
-        F.round(F.col("value") * 100).cast("long").alias("v100"),
+        F.round(F.col("value") * 100).try_cast("long").alias("v100"),
     )
     lags = [F.col("v100")] + [
         F.lag("v100", i).over(w) for i in range(1, ROLLMED_LAGS)
@@ -328,7 +328,7 @@ def window_rolling_mad_anomaly(
         "event_id",
         "ts",
         "value",
-        F.round(F.col("value") * 100).cast("long").alias("v100"),
+        F.round(F.col("value") * 100).try_cast("long").alias("v100"),
     )
     lags = [F.col("v100")] + [
         F.lag("v100", i).over(w) for i in range(1, ROLLMED_LAGS)
@@ -405,7 +405,7 @@ def window_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         "value",
-        F.round(F.col("value") * 100).cast("long").alias("v100"),
+        F.round(F.col("value") * 100).try_cast("long").alias("v100"),
     )
     wall = Window.partitionBy("user_id")
     # explicit ROWS frame: the default RANGE frame includes peers, so
@@ -468,7 +468,7 @@ def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("v100"),
+        F.round(F.col("value") * 100).try_cast("long").alias("v100"),
     )
     curve = d.withColumn("cum", F.sum("v100").over(wrun))
     curve = curve.withColumn("peak", F.max("cum").over(wrun))
@@ -493,7 +493,7 @@ def _drawdown_oracle() -> str:
     return """
         WITH d AS (
             SELECT user_id, ts, event_id,
-                   CAST(ROUND(value * 100, 0) AS BIGINT) AS v100
+                   TRY_CAST(ROUND(value * 100, 0) AS BIGINT) AS v100
             FROM events
         ),
         c0 AS (
@@ -535,7 +535,7 @@ def _cusum_oracle() -> str:
     return f"""
         WITH d AS (
             SELECT user_id, event_id, ts, value,
-                   CAST(ROUND(value * 100, 0) AS BIGINT) AS v100
+                   TRY_CAST(ROUND(value * 100, 0) AS BIGINT) AS v100
             FROM events
         ),
         st AS (
@@ -595,7 +595,7 @@ def _rollmad_oracle() -> str:
     return f"""
         WITH d AS (
             SELECT user_id, event_id, value,
-                   CAST(ROUND(value * 100, 0) AS BIGINT) AS v100,
+                   TRY_CAST(ROUND(value * 100, 0) AS BIGINT) AS v100,
                    {lag_cols}
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
@@ -635,7 +635,7 @@ def _rollmed_oracle() -> str:
     return f"""
         WITH d AS (
             SELECT user_id, event_id, value,
-                   CAST(ROUND(value * 100, 0) AS BIGINT) AS v100,
+                   TRY_CAST(ROUND(value * 100, 0) AS BIGINT) AS v100,
                    {lag_cols}
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
@@ -687,7 +687,7 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         "value",
-        F.round(F.col("value") * 100).cast("long").alias("v100"),
+        F.round(F.col("value") * 100).try_cast("long").alias("v100"),
     )
     staged = (
         d.withColumn("n", F.count("*").over(w))
@@ -717,7 +717,7 @@ def _bollinger_oracle() -> str:
     return f"""
         WITH d AS (
             SELECT user_id, event_id, ts, value,
-                   CAST(ROUND(value * 100, 0) AS BIGINT) AS v100
+                   TRY_CAST(ROUND(value * 100, 0) AS BIGINT) AS v100
             FROM events
         ),
         staged AS (
@@ -773,7 +773,7 @@ def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
-        F.round(F.col("value") * 100).cast("long").alias("v100"),
+        F.round(F.col("value") * 100).try_cast("long").alias("v100"),
     ).withColumn("delta", F.col("v100") - F.lag("v100").over(word))
     d = d.filter(F.col("delta").isNotNull())
     w = (
@@ -810,7 +810,7 @@ def _rsi_oracle() -> str:
     return f"""
         WITH d AS (
             SELECT user_id, event_id, ts,
-                   CAST(ROUND(value * 100, 0) AS BIGINT) AS v100
+                   TRY_CAST(ROUND(value * 100, 0) AS BIGINT) AS v100
             FROM events
         ),
         deltas AS (
@@ -869,7 +869,7 @@ def window_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.round(F.col("value") * 100).try_cast("long").alias("x"),
     ).select(
         "user_id",
         "x",
@@ -946,9 +946,9 @@ def _autocorr_oracle() -> str:
     return f"""
         WITH d AS (
             SELECT user_id,
-                   CAST(ROUND(value * 100, 0) AS BIGINT) AS x,
-                   LAG(CAST(ROUND(value * 100, 0) AS BIGINT), 1) OVER w AS y1,
-                   LAG(CAST(ROUND(value * 100, 0) AS BIGINT), 2) OVER w AS y2
+                   TRY_CAST(ROUND(value * 100, 0) AS BIGINT) AS x,
+                   LAG(TRY_CAST(ROUND(value * 100, 0) AS BIGINT), 1) OVER w AS y1,
+                   LAG(TRY_CAST(ROUND(value * 100, 0) AS BIGINT), 2) OVER w AS y2
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         ),
@@ -999,7 +999,7 @@ def window_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
-        F.round(F.col("value") * 100).cast("long").alias("v100"),
+        F.round(F.col("value") * 100).try_cast("long").alias("v100"),
     )
 
     def _ewma_terms(lags: int, wt_of, src: F.Column):
@@ -1103,7 +1103,7 @@ def _macd_oracle() -> str:
     return f"""
         WITH d AS (
             SELECT user_id, event_id, ts,
-                   CAST(ROUND(value * 100, 0) AS BIGINT) AS v100
+                   TRY_CAST(ROUND(value * 100, 0) AS BIGINT) AS v100
             FROM events
         ),
         lagged AS (

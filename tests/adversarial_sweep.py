@@ -15,14 +15,19 @@ EVERY oracled registry query on both engines there and diffs with the
 same canonicalization as tests/driver_sim.py. A mismatch here is a
 semantics-pinning gap even when the normal sweep is green.
 
-Usage:  python tests/adversarial_sweep.py [--only id1,id2] [--empty]
+Usage:  python tests/adversarial_sweep.py [--only id1,id2] [--empty|--nonfinite]
 ``--empty`` sweeps a ZERO-ROW twin instead (same schemas, no rows):
 the empty-partition robustness audit — driver-side model-artifact
 collects, SQL-standard ROLLUP grand totals, sum-over-empty NULLs, and
 empty persisted-index reads all only fire there.
+``--nonfinite`` sweeps a NaN/±Infinity twin (injected into
+events.value): the IEEE-edge audit — ANSI CAST_OVERFLOW on the cents
+quantization, Spark's floor(NaN)=0L coercion, NaN's position in each
+engine's total order, and percentile/bucket semantics on non-finite
+samples all only fire there.
 Writes ADVERSARIAL_SWEEP.json at the repo root (override with
-SPARK_GRAFT_ADV_OUT; the --empty record goes to EMPTY_SWEEP.json).
-Exit 1 on any FAIL/MISMATCH.
+SPARK_GRAFT_ADV_OUT; --empty goes to EMPTY_SWEEP.json, --nonfinite to
+NONFINITE_SWEEP.json). Exit 1 on any FAIL/MISMATCH.
 """
 import json
 import os
@@ -58,6 +63,36 @@ def build_empty_dir() -> str:
             f" TO '{os.path.join(dst, t + '.parquet')}' (FORMAT PARQUET)"
         )
     con.close()
+    return dst
+
+
+def build_nonfinite_dir() -> str:
+    """NaN/±Infinity injected into events.value (disjoint key classes);
+    every other table copied clean — the IEEE-edge robustness twin."""
+    dst = os.environ.get(
+        "SPARK_GRAFT_NONFINITE_DIR", "/tmp/spark_graft_nandata"
+    )
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (SELECT event_id, ts, user_id, event_type,
+                     CASE WHEN event_id % 23 = 0 THEN 'NaN'::DOUBLE
+                          WHEN event_id % 29 = 0 THEN 'Infinity'::DOUBLE
+                          WHEN event_id % 31 = 0 THEN '-Infinity'::DOUBLE
+                          ELSE value END AS value,
+                     props
+              FROM read_parquet('{SRC}/events.parquet'))
+        TO '{os.path.join(dst, "events.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    for t in TABLES:
+        if t != "events":
+            shutil.copyfile(
+                os.path.join(SRC, f"{t}.parquet"),
+                os.path.join(dst, f"{t}.parquet"),
+            )
     return dst
 
 
@@ -174,10 +209,19 @@ def main() -> int:
     only = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
-    empty = "--empty" in sys.argv
-
-    adv = build_empty_dir() if empty else build_adversarial_dir()
-    print(f"{'empty' if empty else 'adversarial'} twin at {adv}")
+    mode = (
+        "empty"
+        if "--empty" in sys.argv
+        else "nonfinite"
+        if "--nonfinite" in sys.argv
+        else "adversarial"
+    )
+    adv = {
+        "empty": build_empty_dir,
+        "nonfinite": build_nonfinite_dir,
+        "adversarial": build_adversarial_dir,
+    }[mode]()
+    print(f"{mode} twin at {adv}")
 
     from pyspark.sql import SparkSession
 
@@ -218,13 +262,17 @@ def main() -> int:
 
     out = os.environ.get(
         "SPARK_GRAFT_ADV_OUT",
-        "/root/repo/EMPTY_SWEEP.json" if empty else "/root/repo/ADVERSARIAL_SWEEP.json",
+        {
+            "empty": "/root/repo/EMPTY_SWEEP.json",
+            "nonfinite": "/root/repo/NONFINITE_SWEEP.json",
+            "adversarial": "/root/repo/ADVERSARIAL_SWEEP.json",
+        }[mode],
     )
     with open(out, "w", encoding="utf-8") as fh:
         json.dump(
             {
                 "src": SRC,
-                "mode": "empty" if empty else "adversarial",
+                "mode": mode,
                 "n_ids": len(record),
                 "n_match": len(record) - len(bad),
                 "n_diverge": len(bad),
