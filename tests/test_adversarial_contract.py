@@ -61,3 +61,73 @@ def test_adversarial_oracle_parity(spark, adv, qid):
     want = canon(con.sql(oracles[qid]).df())
     err = compare(got, want)
     assert err is None, f"{qid}: {err}"
+
+
+# one id per nonfinite-audit root cause (full sweep: --nonfinite)
+NONFINITE_FAST_IDS = [
+    "window_ewma",            # v100 try_cast (the 13-id shared idiom)
+    "dq_distribution_drift",  # floor(NaN)=0L coercion + DuckDB NaN>=max
+    "hist_value_buckets",     # width_bucket(NaN) NULL vs CASE ladder
+    "dq_outlier_mad",         # NaN inside percentile
+    "time_weighted_avg",      # decimal accumulator long-cast
+]
+
+
+@pytest.fixture(scope="module")
+def nonfinite(spark):
+    from tests.adversarial_sweep import build_nonfinite_dir
+
+    d = build_nonfinite_dir()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    yield d, con
+    con.close()
+
+
+@pytest.mark.parametrize("qid", NONFINITE_FAST_IDS)
+def test_nonfinite_oracle_parity(spark, nonfinite, qid):
+    d, con = nonfinite
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    got = canon(qs[qid](spark, d).toPandas())
+    want = canon(con.sql(oracles[qid]).df())
+    err = compare(got, want)
+    assert err is None, f"{qid}: {err}"
+
+
+# one id per empty-corpus root cause (full sweep: --empty). The kNN
+# family is excluded here only because its model memoization is keyed
+# per (session, dataset) and the full sweep already covers it.
+EMPTY_FAST_IDS = [
+    "agg_rollup",              # Spark's no-rows-on-empty ROLLUP
+    "corpus_mix_divergence",   # DuckDB ln(0) error / -0.0 fold
+    "dq_completeness_matrix",  # SUM-over-empty vs 0 counts
+    "join_bloom_prefilter",    # empty build side sets zero bits
+    "window_rolling_median",   # empty frames downstream
+]
+
+
+@pytest.fixture(scope="module")
+def empty_twin(spark):
+    from tests.adversarial_sweep import build_empty_dir
+
+    d = build_empty_dir()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    yield d, con
+    con.close()
+
+
+@pytest.mark.parametrize("qid", EMPTY_FAST_IDS)
+def test_empty_corpus_oracle_parity(spark, empty_twin, qid):
+    d, con = empty_twin
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    got = canon(qs[qid](spark, d).toPandas())
+    want = canon(con.sql(oracles[qid]).df())
+    err = compare(got, want)
+    assert err is None, f"{qid}: {err}"
