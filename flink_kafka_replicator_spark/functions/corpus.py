@@ -933,7 +933,18 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").cast("bigint").alias("n_words"),
         F.sum("n_sentences").cast("bigint").alias("n_sentences"),
         F.sum("n_syllables").cast("bigint").alias("n_syllables"),
-        F.round(F.avg("flesch"), 4).alias("mean_flesch"),
+        # mean over the 1e-4-lattice per-doc scores as an exact BIGINT
+        # sum of lattice units before ONE division: a double AVG is
+        # merge-order-dependent in its last ulp, which can flip the
+        # round-at-4 digit on duplicate-heavy corpora (the class the
+        # round-13 skew audit caught in doc_unigram_logprob). min/max
+        # are exact selections and stay as-is.
+        F.round(
+            F.sum(F.expr("cast(round(flesch * 10000.0D) as bigint)"))
+            / F.count("*")
+            / F.lit(10000.0),
+            4,
+        ).alias("mean_flesch"),
         F.round(F.min("flesch"), 4).alias("min_flesch"),
         F.round(F.max("flesch"), 4).alias("max_flesch"),
     )
@@ -962,7 +973,8 @@ _READABILITY_ORACLE = """
            CAST(SUM(n_words) AS BIGINT) AS n_words,
            CAST(SUM(n_sentences) AS BIGINT) AS n_sentences,
            CAST(SUM(n_syllables) AS BIGINT) AS n_syllables,
-           ROUND(AVG(flesch), 4) AS mean_flesch,
+           ROUND(CAST(SUM(CAST(ROUND(flesch * 10000.0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 10000.0, 4) AS mean_flesch,
            ROUND(MIN(flesch), 4) AS min_flesch,
            ROUND(MAX(flesch), 4) AS max_flesch
     FROM scored GROUP BY lang

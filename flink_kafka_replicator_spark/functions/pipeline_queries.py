@@ -3881,8 +3881,13 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     join and a per-doc combine-friendly mean. At 100 TB the vocab
     table is the model artifact a real pipeline persists;
     n_corpus_tokens is a scalar aggregate, not a collect. ln() is
-    floor-quantized at 1e-6 before averaging (the tfidf_top_terms
-    parity pattern — engines' ln may differ in the last ulp)."""
+    floor-quantized at 1e-6 (the tfidf_top_terms parity pattern —
+    engines' ln may differ in the last ulp) and the per-doc mean is an
+    exact BIGINT sum of the quantized micro-units before ONE division
+    (the doc_bigram_logprob idiom): a double AVG over the quantized
+    values is merge-order-dependent in its last ulp, which the skew
+    audit caught flipping a round-at-4 digit on a duplicated-text
+    corpus (SKEW_SWEEP round 13)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
@@ -3890,16 +3895,18 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = vocab.crossJoin(F.broadcast(total)).select(
         "tok",
         F.expr(
-            "floor(ln(cast(n_tok as double) / n_corpus_tokens) * 1000000.0D)"
-            " / 1000000.0D"
-        ).alias("logp"),
+            "cast(floor(ln(cast(n_tok as double) / n_corpus_tokens)"
+            " * 1000000.0D) as bigint)"
+        ).alias("logp_q"),
     )
     return (
         toks.join(_gate_vocab_broadcast(spark, sf_dir, vocab, lp), "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(-F.avg("logp"), 4).alias("avg_neg_logp"),
+            F.round(
+                -F.sum("logp_q") / F.count("*") / F.lit(1_000_000.0), 4
+            ).alias("avg_neg_logp"),
         )
     )
 
@@ -4104,7 +4111,11 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster vector centroids in exploded (cluster, dim, value)
     form — the distributed k-means update step. posexplode + hash
     aggregate: per-dim partial sums combine map-side, the shuffle
-    carries (clusters × dims) rows regardless of corpus size."""
+    carries (clusters × dims) rows regardless of corpus size.
+    Components are floor-quantized to 1e-6 units and summed as exact
+    BIGINT before ONE division (a double SUM over billions of
+    components is merge-order-dependent — the round-13 skew-audit
+    class; 1e-6 is far below the round-at-4 output quantum)."""
     e = load_table(spark, sf_dir, "embeddings")
     return (
         e.select(
@@ -4113,7 +4124,12 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cluster_id", "dim")
         .agg(
-            F.round(F.avg("v"), 4).alias("centroid_v"),
+            F.round(
+                F.sum(F.expr("cast(floor(v * 1000000.0D) as bigint)"))
+                / F.count("*")
+                / F.lit(1_000_000.0),
+                4,
+            ).alias("centroid_v"),
             F.count("*").alias("n_vecs"),
         )
     )
@@ -6001,7 +6017,15 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed.groupBy("lang", "bucket").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-        F.round(F.avg("avg_neg_logp"), 4).alias("mean_neg_logp"),
+        # exact BIGINT sum of the 1e-4-lattice per-doc scores before ONE
+        # division — a double AVG is merge-order-dependent in its last
+        # ulp (the round-13 skew-audit class); min/max are exact picks
+        F.round(
+            F.sum(F.expr("cast(round(avg_neg_logp * 10000.0D) as bigint)"))
+            / F.count("*")
+            / F.lit(10000.0),
+            4,
+        ).alias("mean_neg_logp"),
         F.round(F.min("avg_neg_logp"), 4).alias("best_neg_logp"),
         F.round(F.max("avg_neg_logp"), 4).alias("worst_neg_logp"),
     )
@@ -7877,7 +7901,8 @@ ORACLES = {
     "embedding_centroids": """
         SELECT u.cluster_id,
                u.dim,
-               ROUND(AVG(u.v), 4) AS centroid_v,
+               ROUND(CAST(SUM(CAST(FLOOR(u.v * 1000000.0) AS BIGINT))
+                          AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS centroid_v,
                COUNT(*) AS n_vecs
         FROM (
             SELECT vec_id % 8 AS cluster_id,
@@ -7984,13 +8009,14 @@ ORACLES = {
         total AS (SELECT SUM(n_tok) AS n_corpus_tokens FROM vocab),
         lp AS (
             SELECT tok,
-                   FLOOR(LN(CAST(n_tok AS DOUBLE) / n_corpus_tokens)
-                         * 1000000.0) / 1000000.0 AS logp
+                   CAST(FLOOR(LN(CAST(n_tok AS DOUBLE) / n_corpus_tokens)
+                              * 1000000.0) AS BIGINT) AS logp_q
             FROM vocab, total
         )
         SELECT t.doc_id,
                COUNT(*) AS n_tokens,
-               ROUND(-AVG(lp.logp), 4) AS avg_neg_logp
+               ROUND(-CAST(SUM(lp.logp_q) AS DOUBLE) / COUNT(*) / 1000000.0,
+                     4) AS avg_neg_logp
         FROM toks t JOIN lp USING (tok)
         GROUP BY t.doc_id
     """,
@@ -9519,7 +9545,8 @@ ORACLES["quality_perplexity_buckets"] = """
     SELECT lang, bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-           ROUND(AVG(avg_neg_logp), 4) AS mean_neg_logp,
+           ROUND(CAST(SUM(CAST(ROUND(avg_neg_logp * 10000.0) AS BIGINT))
+                      AS DOUBLE) / COUNT(*) / 10000.0, 4) AS mean_neg_logp,
            ROUND(MIN(avg_neg_logp), 4) AS best_neg_logp,
            ROUND(MAX(avg_neg_logp), 4) AS worst_neg_logp
     FROM bucketed GROUP BY lang, bucket

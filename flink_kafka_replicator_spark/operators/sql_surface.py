@@ -114,13 +114,25 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def explode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lateral explode (UDTF-shaped 1→N): per-dimension stats across all
-    vectors via posexplode."""
+    vectors via posexplode. The mean is a floor-quantized (1e-6) exact
+    BIGINT sum before ONE division — a double AVG over billions of
+    components is merge-order-dependent in its last ulp (the round-13
+    skew-audit class); max is an exact selection."""
     e = load_table(spark, sf_dir, "embeddings")
     return (
         e.select("vec_id", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("dim")
         .agg(
-            F.round(F.avg(F.col("v").cast("double")), 4).alias("avg_v"),
+            F.round(
+                F.sum(
+                    F.expr(
+                        "cast(floor(cast(v as double) * 1000000.0D) as bigint)"
+                    )
+                )
+                / F.count("*")
+                / F.lit(1_000_000.0),
+                4,
+            ).alias("avg_v"),
             F.round(F.max(F.col("v").cast("double")), 4).alias("max_v"),
             F.count("*").alias("n"),
         )
@@ -460,7 +472,8 @@ ORACLES = {
     """,
     "explode_embeddings": """
         SELECT u.dim,
-               ROUND(AVG(u.v), 4) AS avg_v,
+               ROUND(CAST(SUM(CAST(FLOOR(u.v * 1000000.0) AS BIGINT))
+                          AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS avg_v,
                ROUND(MAX(u.v), 4) AS max_v,
                COUNT(*) AS n
         FROM (

@@ -25,9 +25,19 @@ events.value): the IEEE-edge audit — ANSI CAST_OVERFLOW on the cents
 quantization, Spark's floor(NaN)=0L coercion, NaN's position in each
 engine's total order, and percentile/bucket semantics on non-finite
 samples all only fire there.
+``--skew`` sweeps a heavy-hitter twin: one user owns 40% of events,
+one event_type 33%, one customer 25% of orders, one supplier 33% and
+one part 25% of lineitem, one source 33% and one lang 25% of
+documents, a 14% exact-duplicate text cluster, and a 17%
+identical-embedding cluster. THE 100 TB hazard class: hot shuffle
+keys, LSH/CC giant components, IVF cell blowup, and — the correctness
+edge — sort-key ties introduced wherever an ORDER BY assumed a
+remapped column was selective. Keys and FK integrity stay intact
+(hot values are existing domain values; primary keys untouched).
 Writes ADVERSARIAL_SWEEP.json at the repo root (override with
 SPARK_GRAFT_ADV_OUT; --empty goes to EMPTY_SWEEP.json, --nonfinite to
-NONFINITE_SWEEP.json). Exit 1 on any FAIL/MISMATCH.
+NONFINITE_SWEEP.json, --skew to SKEW_SWEEP.json). Exit 1 on any
+FAIL/MISMATCH.
 """
 import json
 import os
@@ -93,6 +103,99 @@ def build_nonfinite_dir() -> str:
                 os.path.join(SRC, f"{t}.parquet"),
                 os.path.join(dst, f"{t}.parquet"),
             )
+    return dst
+
+
+def build_skew_dir() -> str:
+    """Heavy-hitter twin: deterministic key-modulus remaps onto EXISTING
+    domain values (FK integrity preserved, primary keys untouched).
+    Correctness question: do both engines still agree when the data is
+    as skewed as a real 100 TB corpus — giant dedup clusters, hot join
+    keys, and duplicate sort keys wherever an ORDER BY tiebreak quietly
+    assumed the column was selective?"""
+    dst = os.environ.get("SPARK_GRAFT_SKEW_DIR", "/tmp/spark_graft_skewdata")
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    # Hot values come from scalar subqueries over the source itself —
+    # no Python-side string quoting (text may hold quotes/braces), and
+    # every hot value is an EXISTING domain value by construction.
+    mutations = {
+        "events": f"""
+            WITH h AS (SELECT min(user_id) AS u, min(event_type) AS et
+                       FROM read_parquet('{SRC}/events.parquet'))
+            SELECT event_id, ts,
+                   CASE WHEN event_id % 5 < 2 THEN (SELECT u FROM h)
+                        ELSE user_id END AS user_id,
+                   CASE WHEN event_id % 3 = 0 THEN (SELECT et FROM h)
+                        ELSE event_type END AS event_type,
+                   value, props
+            FROM read_parquet('{SRC}/events.parquet')
+        """,
+        "orders": f"""
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 4 = 0
+                        THEN (SELECT min(o_custkey)
+                              FROM read_parquet('{SRC}/orders.parquet'))
+                        ELSE o_custkey END AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM read_parquet('{SRC}/orders.parquet')
+        """,
+        "lineitem": f"""
+            WITH h AS (SELECT min(l_partkey) AS p, min(l_suppkey) AS s
+                       FROM read_parquet('{SRC}/lineitem.parquet'))
+            SELECT l_orderkey,
+                   CASE WHEN (l_orderkey * 10 + l_linenumber) % 4 = 0
+                        THEN (SELECT p FROM h)
+                        ELSE l_partkey END AS l_partkey,
+                   CASE WHEN (l_orderkey * 10 + l_linenumber) % 3 = 0
+                        THEN (SELECT s FROM h)
+                        ELSE l_suppkey END AS l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount,
+                   l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM read_parquet('{SRC}/lineitem.parquet')
+        """,
+        # 14% of docs collapse onto ONE exact text (giant dedup/CC/LSH
+        # cluster); n_chars kept consistent with the substituted text.
+        "documents": f"""
+            WITH h AS (SELECT text AS t, lang, source
+                       FROM read_parquet('{SRC}/documents.parquet')
+                       ORDER BY doc_id LIMIT 1),
+                 hl AS (SELECT min(lang) AS lg, min(source) AS src
+                        FROM read_parquet('{SRC}/documents.parquet'))
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN (SELECT t FROM h)
+                        ELSE text END AS text,
+                   CASE WHEN doc_id % 4 = 0 THEN (SELECT lg FROM hl)
+                        ELSE lang END AS lang,
+                   CASE WHEN doc_id % 3 = 0 THEN (SELECT src FROM hl)
+                        ELSE source END AS source,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN length((SELECT t FROM h))
+                        ELSE n_chars END AS n_chars
+            FROM read_parquet('{SRC}/documents.parquet')
+        """,
+        # 17% identical vectors: one IVF cell (and one ANN result tie
+        # class) holds a sixth of the corpus.
+        "embeddings": f"""
+            SELECT vec_id,
+                   CASE WHEN vec_id % 6 = 0 THEN (
+                       SELECT embedding
+                       FROM read_parquet('{SRC}/embeddings.parquet')
+                       ORDER BY vec_id LIMIT 1)
+                        ELSE embedding END AS embedding,
+                   label
+            FROM read_parquet('{SRC}/embeddings.parquet')
+        """,
+    }
+    for t in TABLES:
+        dst_path = os.path.join(dst, f"{t}.parquet")
+        if t in mutations:
+            con.execute(
+                f"COPY ({mutations[t]}) TO '{dst_path}' (FORMAT PARQUET)"
+            )
+        else:
+            shutil.copyfile(os.path.join(SRC, f"{t}.parquet"), dst_path)
+    con.close()
     return dst
 
 
@@ -214,11 +317,14 @@ def main() -> int:
         if "--empty" in sys.argv
         else "nonfinite"
         if "--nonfinite" in sys.argv
+        else "skew"
+        if "--skew" in sys.argv
         else "adversarial"
     )
     adv = {
         "empty": build_empty_dir,
         "nonfinite": build_nonfinite_dir,
+        "skew": build_skew_dir,
         "adversarial": build_adversarial_dir,
     }[mode]()
     print(f"{mode} twin at {adv}")
@@ -265,6 +371,7 @@ def main() -> int:
         {
             "empty": "/root/repo/EMPTY_SWEEP.json",
             "nonfinite": "/root/repo/NONFINITE_SWEEP.json",
+            "skew": "/root/repo/SKEW_SWEEP.json",
             "adversarial": "/root/repo/ADVERSARIAL_SWEEP.json",
         }[mode],
     )

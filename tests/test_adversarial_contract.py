@@ -131,3 +131,43 @@ def test_empty_corpus_oracle_parity(spark, empty_twin, qid):
     want = canon(con.sql(oracles[qid]).df())
     err = compare(got, want)
     assert err is None, f"{qid}: {err}"
+
+
+# one id per heavy-hitter stress class (full sweep: --skew). The round-13
+# skew audit's one catch — a merge-order-dependent double AVG flipping a
+# round-at-4 digit on a duplicated-text corpus — is the first entry.
+SKEW_FAST_IDS = [
+    "doc_unigram_logprob",   # exact BIGINT logp sum (the caught class)
+    "dedup_simhash",         # giant duplicate cluster through banding
+    "dedup_exact_docs",      # exact-dup survivors on the hot cluster
+    "agg_mode_per_group",    # hot-group mode ties
+    "agg_salted_skew",       # the salting op on actually-skewed keys
+    "sessionize_events",     # hot user's per-key ordered window
+    "join_skew_report",      # hot join keys measured by the op itself
+    "sim_topk_cosine",       # duplicate-vector top-k tie class
+    "ivf_cell_histogram",    # one IVF cell holds a sixth of the corpus
+]
+
+
+@pytest.fixture(scope="module")
+def skew_twin(spark):
+    from tests.adversarial_sweep import build_skew_dir
+
+    d = build_skew_dir()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    yield d, con
+    con.close()
+
+
+@pytest.mark.parametrize("qid", SKEW_FAST_IDS)
+def test_skew_oracle_parity(spark, skew_twin, qid):
+    d, con = skew_twin
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    got = canon(qs[qid](spark, d).toPandas())
+    want = canon(con.sql(oracles[qid]).df())
+    err = compare(got, want)
+    assert err is None, f"{qid}: {err}"
