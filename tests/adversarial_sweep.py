@@ -25,6 +25,17 @@ events.value): the IEEE-edge audit — ANSI CAST_OVERFLOW on the cents
 quantization, Spark's floor(NaN)=0L coercion, NaN's position in each
 engine's total order, and percentile/bucket semantics on non-finite
 samples all only fire there.
+``--invariance`` is a different kind of sweep: Spark vs ITSELF. Every
+query runs twice in one session — spark.sql.shuffle.partitions=8 then
+=5 — and the frames must be exactly equal. This catches merge-order-
+dependent reductions (the doc_unigram_logprob class) even where DuckDB
+coincidentally lands on the same rounding, and it is precisely the
+"same job, different cluster width" reproducibility contract a 100 TB
+deployment relies on. Add --skew to run it over the heavy-hitter twin
+(duplicate-amplified knife edges) instead of the clean source.
+Memoized model artifacts (centroids, CC labels) are computed once per
+(session, dataset) and replayed for both widths — by design: that is
+also how production reuses a persisted model.
 ``--skew`` sweeps a heavy-hitter twin: one user owns 40% of events,
 one event_type 33%, one customer 25% of orders, one supplier 33% and
 one part 25% of lineitem, one source 33% and one lang 25% of
@@ -308,10 +319,84 @@ def compare(got: pd.DataFrame, want: pd.DataFrame) -> str | None:
     return None
 
 
+def run_invariance(only: set[str] | None) -> int:
+    """Spark-vs-itself width sweep: every query at shuffle.partitions=8
+    then =5 in one session must produce EXACTLY equal frames. Catches
+    merge-order-dependent reductions independently of the oracle."""
+    adv = build_skew_dir() if "--skew" in sys.argv else SRC
+    print(f"invariance sweep over {adv}")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("invariance-sweep")
+        .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    # the rows-only ids are documented approximations (HLL/GK sketches,
+    # seeded sampling) — their contract is a pinned accuracy bound, not
+    # bit-equality, and GK summary merges are legitimately order-
+    # sensitive; the invariance contract covers the exact surface
+    skipped = sorted(set(e.ROWS_ONLY_CONTRACT) & set(qs))
+    print(f"skipping rows-only (bound, not bit-equality) ids: {skipped}")
+    record: dict[str, dict] = {}
+    bad: list[str] = []
+    ids = sorted((set(qs) - set(skipped)) & (only or set(qs)))
+    for qid in ids:
+        t0 = time.time()
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            a = canon(qs[qid](spark, adv).toPandas())
+            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            b = canon(qs[qid](spark, adv).toPandas())
+            err = compare(a, b)
+        except Exception as ex:  # noqa: BLE001 — record, keep sweeping
+            err = f"EXC {type(ex).__name__}: {str(ex)[:240]}"
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        dt = time.time() - t0
+        if err:
+            bad.append(qid)
+            record[qid] = {"status": "DIVERGE", "err": err[:400]}
+            print(f"  {qid:34s} DIVERGE {dt:5.1f}s  {err[:160]}")
+        else:
+            record[qid] = {"status": "MATCH", "sec": round(dt, 1)}
+            print(f"  {qid:34s} MATCH   {dt:5.1f}s")
+
+    out = os.environ.get(
+        "SPARK_GRAFT_ADV_OUT", "/root/repo/INVARIANCE_SWEEP.json"
+    )
+    with open(out, "w", encoding="utf-8") as fh:
+        json.dump(
+            {
+                "src": adv,
+                "mode": "invariance",
+                "widths": [8, 5],
+                "n_ids": len(record),
+                "n_match": len(record) - len(bad),
+                "n_diverge": len(bad),
+                "diverged": bad,
+                "results": record,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+    print(f"wrote {out}: {len(record) - len(bad)} MATCH / {len(bad)} DIVERGE")
+    print("DIVERGED:", bad if bad else "none")
+    return 1 if bad else 0
+
+
 def main() -> int:
     only = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    if "--invariance" in sys.argv:
+        return run_invariance(only)
     mode = (
         "empty"
         if "--empty" in sys.argv

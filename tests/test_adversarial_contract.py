@@ -171,3 +171,37 @@ def test_skew_oracle_parity(spark, skew_twin, qid):
     want = canon(con.sql(oracles[qid]).df())
     err = compare(got, want)
     assert err is None, f"{qid}: {err}"
+
+
+# Shuffle-width invariance (full sweep: --invariance): the same query at
+# spark.sql.shuffle.partitions=8 then =5 must produce EXACTLY equal
+# frames — the "same job, different cluster width" reproducibility
+# contract a 100 TB deployment relies on. One id per reduction class
+# whose partial-merge order changes with the partition count; each is
+# exact (BIGINT / quantized-lattice sums), which is WHY it must not
+# drift when the merge tree reshapes.
+INVARIANCE_FAST_IDS = [
+    "doc_unigram_logprob",        # BIGINT logp-lattice sum (caught class)
+    "embedding_centroids",        # 1e-6-floor component sums
+    "explode_embeddings",         # same lattice, per-dimension grain
+    "agg_pearson_corr",           # co-moment sums (closed-form, exact)
+    "agg_skew_kurtosis",          # 3rd/4th central moments
+    "quality_perplexity_buckets", # per-doc lattice mean → bucket counts
+    "agg_decay_weighted_revenue", # exp-decay weighted sums
+    "sql_q1_pricing_summary",     # TPC-H Q1 ROUND(AVG) kept-verbatim risk
+]
+
+
+@pytest.mark.parametrize("qid", INVARIANCE_FAST_IDS)
+def test_shuffle_width_invariance(spark, qid):
+    sf_dir = "/root/testdata/sf0.001"
+    q = entry.queries()[qid]
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        a = canon(q(spark, sf_dir).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        b = canon(q(spark, sf_dir).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    err = compare(a, b)
+    assert err is None, f"{qid} diverges across shuffle widths: {err}"
