@@ -26,12 +26,18 @@ quantization, Spark's floor(NaN)=0L coercion, NaN's position in each
 engine's total order, and percentile/bucket semantics on non-finite
 samples all only fire there.
 ``--invariance`` is a different kind of sweep: Spark vs ITSELF. Every
-query runs twice in one session — spark.sql.shuffle.partitions=8 then
-=5 — and the frames must be exactly equal. This catches merge-order-
-dependent reductions (the doc_unigram_logprob class) even where DuckDB
-coincidentally lands on the same rounding, and it is precisely the
-"same job, different cluster width" reproducibility contract a 100 TB
-deployment relies on. Add --skew to run it over the heavy-hitter twin
+query runs twice in one session — once per value of one config axis —
+and the frames must be exactly equal. ``--axis width`` (default) flips
+spark.sql.shuffle.partitions 8→5 and catches merge-order-dependent
+reductions (the doc_unigram_logprob class) even where DuckDB
+coincidentally lands on the same rounding — the "same job, different
+cluster width" reproducibility contract a 100 TB deployment relies on.
+``--axis aqe`` flips adaptive execution on→off (runtime re-planning —
+coalescing, skew-split, join demotion — must never change results);
+``--axis broadcast`` flips autoBroadcastJoinThreshold 10MB→-1
+(broadcast-hash vs sort-merge join strategy — the classic trap where a
+non-deterministic expression is evaluated a different number of times
+per strategy). Add --skew to run any axis over the heavy-hitter twin
 (duplicate-amplified knife edges) instead of the clean source.
 Memoized model artifacts (centroids, CC labels) are computed once per
 (session, dataset) and replayed for both widths — by design: that is
@@ -319,12 +325,33 @@ def compare(got: pd.DataFrame, want: pd.DataFrame) -> str | None:
     return None
 
 
+# Spark-vs-itself invariance axes: each is a runtime conf the cluster
+# operator (or AQE itself) flips between runs of the SAME job, and none
+# may change a single output row. width = how many partial aggregates
+# exist and in what order they merge; aqe = runtime re-planning
+# (coalescing, skew-split, join demotion); broadcast = join strategy
+# (broadcast-hash vs sort-merge — a classic trap when an expression is
+# non-deterministic and the strategies evaluate it a different number
+# of times).
+INVARIANCE_AXES: dict[str, tuple[str, str, str]] = {
+    "width": ("spark.sql.shuffle.partitions", "8", "5"),
+    "aqe": ("spark.sql.adaptive.enabled", "true", "false"),
+    "broadcast": ("spark.sql.autoBroadcastJoinThreshold", "10485760", "-1"),
+}
+
+
 def run_invariance(only: set[str] | None) -> int:
-    """Spark-vs-itself width sweep: every query at shuffle.partitions=8
-    then =5 in one session must produce EXACTLY equal frames. Catches
-    merge-order-dependent reductions independently of the oracle."""
+    """Spark-vs-itself sweep along one config axis (--axis width|aqe|
+    broadcast, default width): every query runs twice in one session —
+    once per axis value — and must produce EXACTLY equal frames.
+    Catches merge-order-dependent reductions and plan-choice-dependent
+    results independently of the oracle."""
+    axis = "width"
+    if "--axis" in sys.argv:
+        axis = sys.argv[sys.argv.index("--axis") + 1]
+    conf_key, val_a, val_b = INVARIANCE_AXES[axis]
     adv = build_skew_dir() if "--skew" in sys.argv else SRC
-    print(f"invariance sweep over {adv}")
+    print(f"invariance sweep over {adv}, axis {axis}: {conf_key}={val_a} vs {val_b}")
 
     from pyspark.sql import SparkSession
 
@@ -349,15 +376,15 @@ def run_invariance(only: set[str] | None) -> int:
     for qid in ids:
         t0 = time.time()
         try:
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            spark.conf.set(conf_key, val_a)
             a = canon(qs[qid](spark, adv).toPandas())
-            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            spark.conf.set(conf_key, val_b)
             b = canon(qs[qid](spark, adv).toPandas())
             err = compare(a, b)
         except Exception as ex:  # noqa: BLE001 — record, keep sweeping
             err = f"EXC {type(ex).__name__}: {str(ex)[:240]}"
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            spark.conf.set(conf_key, val_a)
         dt = time.time() - t0
         if err:
             bad.append(qid)
@@ -375,7 +402,8 @@ def run_invariance(only: set[str] | None) -> int:
             {
                 "src": adv,
                 "mode": "invariance",
-                "widths": [8, 5],
+                "axis": axis,
+                "conf": {conf_key: [val_a, val_b]},
                 "n_ids": len(record),
                 "n_match": len(record) - len(bad),
                 "n_diverge": len(bad),

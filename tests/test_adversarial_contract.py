@@ -192,16 +192,46 @@ INVARIANCE_FAST_IDS = [
 ]
 
 
-@pytest.mark.parametrize("qid", INVARIANCE_FAST_IDS)
-def test_shuffle_width_invariance(spark, qid):
+from tests.adversarial_sweep import INVARIANCE_AXES
+
+
+def _axis_invariance(spark, qid: str, axis: str) -> None:
+    conf_key, val_a, val_b = INVARIANCE_AXES[axis]
     sf_dir = "/root/testdata/sf0.001"
     q = entry.queries()[qid]
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(conf_key, val_a)
         a = canon(q(spark, sf_dir).toPandas())
-        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        spark.conf.set(conf_key, val_b)
         b = canon(q(spark, sf_dir).toPandas())
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(conf_key, val_a)
     err = compare(a, b)
-    assert err is None, f"{qid} diverges across shuffle widths: {err}"
+    assert err is None, f"{qid} diverges across {axis} ({conf_key}): {err}"
+
+
+@pytest.mark.parametrize("qid", INVARIANCE_FAST_IDS)
+def test_shuffle_width_invariance(spark, qid):
+    _axis_invariance(spark, qid, "width")
+
+
+# aqe: runtime re-planning (partition coalescing, skew-split, join
+# demotion) must never change results — shuffle/join-heavy picks.
+AQE_FAST_IDS = ["doc_unigram_logprob", "join_range", "dedup_fuzzy_minhash",
+                "sql_q1_pricing_summary"]
+
+
+@pytest.mark.parametrize("qid", AQE_FAST_IDS)
+def test_aqe_invariance(spark, qid):
+    _axis_invariance(spark, qid, "aqe")
+
+
+# broadcast: broadcast-hash vs sort-merge strategy flip — join-shaped
+# picks (incl. the LSH band equi-join family and a semi/anti pair).
+BROADCAST_FAST_IDS = ["join_inner", "join_broadcast", "join_semi",
+                      "dedup_fuzzy_minhash"]
+
+
+@pytest.mark.parametrize("qid", BROADCAST_FAST_IDS)
+def test_broadcast_threshold_invariance(spark, qid):
+    _axis_invariance(spark, qid, "broadcast")
