@@ -122,3 +122,40 @@ def materialize_small(df: DataFrame) -> DataFrame:
     if ck:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def trunc_ntz(unit: str, col):
+    """Wall-clock timestamp truncation that STAYS ``timestamp_ntz``.
+
+    ``F.date_trunc`` coerces a TIMESTAMP_NTZ input to session-zoned
+    TIMESTAMP, which leaks the cluster's ``spark.sql.session.timeZone``
+    into results: the same job submitted from another region renders
+    (and, for sub-hour-offset zones like +05:30, BUCKETS) the column
+    differently, and a memoized/persisted intermediate built under one
+    zone replays shifted under another (caught by the round-13 tz
+    invariance sweep on ``gap_fill_locf``). This helper truncates from
+    the NTZ wall-clock fields directly — no zone conversion anywhere,
+    so the result is identical on every cluster, including across DST
+    transitions where the NTZ→LTZ hop is lossy.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("timestamp_ntz")
+    u = unit.lower()
+    zero = F.lit(0)
+    if u == "hour":
+        return F.make_timestamp_ntz(
+            F.year(c), F.month(c), F.dayofmonth(c), F.hour(c), zero, zero
+        )
+    if u == "day":
+        return c.cast("date").cast("timestamp_ntz")
+    if u == "month":
+        return F.make_timestamp_ntz(
+            F.year(c), F.month(c), F.lit(1), zero, zero, zero
+        )
+    if u == "quarter":
+        return F.make_timestamp_ntz(
+            F.year(c), (F.quarter(c) - 1) * 3 + 1, F.lit(1), zero, zero, zero
+        )
+    raise ValueError(f"unsupported trunc unit: {unit}")

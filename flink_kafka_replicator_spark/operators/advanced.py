@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table, materialize_small
+from ..io import load_table, materialize_small, trunc_ntz
 
 TOPK_PER_GROUP = 3
 SKEW_SALT_BUCKETS = 16
@@ -220,7 +220,7 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hourly is None:
         ev = load_table(spark, sf_dir, "events")
         hourly = materialize_small(
-            ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+            ev.groupBy("event_type", trunc_ntz("hour", "ts").alias("h")).agg(
                 F.count("*").alias("n_events"),
                 F.round(F.sum("value"), 4).alias("sum_value"),
             )
@@ -260,7 +260,7 @@ def resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, sequence) key instead."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        ev.groupBy("event_type", trunc_ntz("hour", "ts").alias("hour"))
         .agg(
             F.round(F.min_by("value", F.col("ts")), 4).alias("open"),
             F.round(F.max("value"), 4).alias("high"),
@@ -770,7 +770,7 @@ def time_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     d = ev.select(
         "event_type",
-        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        trunc_ntz("hour", F.col("ts")).alias("bucket"),
         "ts",
         "event_id",
         F.round(F.col("value") * 100).try_cast("long").alias("v100"),

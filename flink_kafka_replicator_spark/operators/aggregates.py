@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, trunc_ntz
 
 # TPC-H Q1 cutoff adapted to the synthetic data's 1995..2001 shipdate range.
 Q1_CUTOFF = "1998-09-02"
@@ -516,7 +516,7 @@ def agg_revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     monthly = (
         o.select(
-            F.date_trunc("MONTH", "o_orderdate").alias("month"),
+            trunc_ntz("month", "o_orderdate").alias("month"),
             F.round(F.col("o_totalprice") * 100)
             .cast("long")
             .alias("v100"),

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, trunc_ntz
 
 
 def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,7 +88,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # schema/hash compare rightly flags. Midnight timestamps agree.
     return (
         anchored.select(
-            F.date_trunc("DAY", "first_ts").alias("cohort_date"),
+            trunc_ntz("day", "first_ts").alias("cohort_date"),
             (
                 F.datediff(F.to_date("ts"), F.to_date("first_ts"))
                 / F.lit(7)
@@ -568,7 +568,7 @@ def events_engagement_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     division."""
     ev = load_table(spark, sf_dir, "events")
     activity = ev.select(
-        "user_id", F.date_trunc("DAY", "ts").alias("day")
+        "user_id", trunc_ntz("day", "ts").alias("day")
     ).distinct()
     days = activity.select("day").distinct()
     fan = activity.select(
@@ -678,13 +678,13 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the retention_cohorts dtype note)."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     first_day = ev.groupBy("user_id").agg(
-        F.date_trunc("DAY", F.min("ts")).alias("day")
+        trunc_ntz("day", F.min("ts")).alias("day")
     )
     new_per_day = first_day.groupBy("day").agg(
         F.count("*").cast("bigint").alias("n_new")
     )
     active = (
-        ev.select(F.date_trunc("DAY", "ts").alias("day"), "user_id")
+        ev.select(trunc_ntz("day", "ts").alias("day"), "user_id")
         .groupBy("day")
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
     )
@@ -779,7 +779,7 @@ def retention_revenue_cohorts(
     anchored = ev.withColumn("first_ts", F.min("ts").over(w))
     cells = (
         anchored.select(
-            F.date_trunc("DAY", "first_ts").alias("cohort_date"),
+            trunc_ntz("day", "first_ts").alias("cohort_date"),
             (
                 F.datediff(F.to_date("ts"), F.to_date("first_ts"))
                 / F.lit(7)
@@ -797,7 +797,7 @@ def retention_revenue_cohorts(
     )
     sizes = (
         anchored.groupBy("user_id")
-        .agg(F.date_trunc("DAY", F.min("first_ts")).alias("cohort_date"))
+        .agg(trunc_ntz("day", F.min("first_ts")).alias("cohort_date"))
         .groupBy("cohort_date")
         .agg(F.count("*").cast("bigint").alias("cohort_size"))
     )

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, trunc_ntz
 
 
 def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,7 +343,7 @@ def fn_timestamp_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.expr("ts + INTERVAL 90 MINUTE").alias("ts_plus_90m"),
-        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        trunc_ntz("hour", F.col("ts")).alias("hour_start"),
         F.weekofyear("ts").cast("int").alias("iso_week"),
         F.expr("extract(YEAROFWEEK FROM ts)").cast("int").alias("iso_year"),
         # positive-modulus form: a bare % on a pre-epoch timestamp's

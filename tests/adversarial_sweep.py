@@ -337,6 +337,13 @@ INVARIANCE_AXES: dict[str, tuple[str, str, str]] = {
     "width": ("spark.sql.shuffle.partitions", "8", "5"),
     "aqe": ("spark.sql.adaptive.enabled", "true", "false"),
     "broadcast": ("spark.sql.autoBroadcastJoinThreshold", "10485760", "-1"),
+    # tz: the session timezone of the cluster a job happens to run on
+    # must never leak into results — the testdata timestamps are NTZ
+    # and every date/window derivation must stay wall-clock-naive, or
+    # the same job scheduled in another region produces different rows
+    # (America/New_York crosses a DST boundary over the data's range,
+    # so an accidental NTZ→TZ→NTZ round-trip shifts by an hour).
+    "tz": ("spark.sql.session.timeZone", "UTC", "America/New_York"),
 }
 
 

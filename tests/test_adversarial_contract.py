@@ -235,3 +235,19 @@ BROADCAST_FAST_IDS = ["join_inner", "join_broadcast", "join_semi",
 @pytest.mark.parametrize("qid", BROADCAST_FAST_IDS)
 def test_broadcast_threshold_invariance(spark, qid):
     _axis_invariance(spark, qid, "broadcast")
+
+
+# tz: the cluster's session timezone must never leak into results. The
+# round-13 tz sweep caught gap_fill_locf's memoized hourly rollup
+# replaying shifted under a second zone (date_trunc had coerced NTZ →
+# session-zoned timestamp); all bucket derivations now go through
+# io.trunc_ntz, which truncates wall-clock fields directly. The picks
+# cover memoized-hourly, plain-hourly, daily-cohort, and the
+# seconds-into-day arithmetic family.
+TZ_FAST_IDS = ["gap_fill_locf", "resample_ohlc", "retention_cohorts",
+               "fn_timestamp_arith"]
+
+
+@pytest.mark.parametrize("qid", TZ_FAST_IDS)
+def test_session_timezone_invariance(spark, qid):
+    _axis_invariance(spark, qid, "tz")
