@@ -685,16 +685,18 @@ def agg_decay_weighted_revenue(
     exponent would hang parity on pow()'s last ulp). The weight is
     scaled to 1e6 integer units and multiplied into exact cents, so
     every SUM is BIGINT; the single double division happens at output.
-    One scan, one small groupBy — map-side combinable."""
-    from pyspark.sql import Window
-
+    One scan, one small groupBy — map-side combinable. The anchor
+    (global max order date) is a 1-row aggregate broadcast back onto
+    the stream — NOT a partitionBy(lit(1)) window, which would shuffle
+    every order onto one task to compute a scalar (the round-13 plan
+    audit caught exactly that here)."""
     o = load_table(spark, sf_dir, "orders")
-    wall = Window.partitionBy(F.lit(1))
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
     staged = o.select(
         "o_orderpriority",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("rev100"),
         F.col("o_orderdate").alias("d"),
-    ).withColumn("anchor", F.max("d").over(wall))
+    ).crossJoin(F.broadcast(anchor))
     staged = staged.withColumn(
         "hl",
         F.expr(

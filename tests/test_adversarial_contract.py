@@ -251,3 +251,42 @@ TZ_FAST_IDS = ["gap_fill_locf", "resample_ohlc", "retention_cohorts",
 @pytest.mark.parametrize("qid", TZ_FAST_IDS)
 def test_session_timezone_invariance(spark, qid):
     _axis_invariance(spark, qid, "tz")
+
+
+# Plan-lint gate (full audit: tests/plan_audit.py, artifact
+# PLAN_AUDIT.json): the scale anti-patterns stay machine-checked. The
+# fast slice re-audits one id per allowlist family plus the id the
+# round-13 audit caught red-handed (a partitionBy(lit(1)) window
+# computing a scalar over the FULL orders table), and pins the
+# allowlist itself to the registry so stale entries surface.
+PLAN_FAST_IDS = [
+    "agg_decay_weighted_revenue",  # the caught class, now a 1-row broadcast
+    "sql_q6_forecast_revenue",     # keyless global agg → auto-OK class
+    "eval_roc_auc",                # bounded-histogram window epilogue
+    "join_range",                  # tiny-broadcast non-equi probe
+    "dedup_fuzzy_minhash",         # banded LSH must stay equi-join (CLEAN)
+]
+
+
+@pytest.mark.parametrize("qid", PLAN_FAST_IDS)
+def test_plan_audit_fast(spark, qid):
+    from flink_kafka_replicator_spark.plans import formatted_plan
+    from tests.plan_audit import ALLOW, audit_plan
+
+    hits = audit_plan(
+        formatted_plan(entry.queries()[qid](spark, "/root/testdata/sf0.001"))
+    )
+    for pattern, count in hits.items():
+        pin = ALLOW.get((qid, pattern))
+        assert pin is not None, f"{qid}: unjustified {pattern} x{count}"
+        assert count <= pin[0], (
+            f"{qid}: {pattern} count {count} exceeds pinned max {pin[0]}"
+        )
+
+
+def test_plan_audit_allowlist_ids_exist():
+    from tests.plan_audit import ALLOW
+
+    qs = set(entry.queries())
+    stale = sorted({q for q, _ in ALLOW} - qs)
+    assert not stale, f"allowlist names unknown ids: {stale}"
