@@ -8,3 +8,8 @@ from .explain import (  # noqa: F401
     plan_contains,
     pushed_filters,
 )
+from .lint import (  # noqa: F401
+    lint_plan,
+    lint_plan_text,
+    single_partition_consumers,
+)

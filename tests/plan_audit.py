@@ -41,15 +41,12 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = os.environ.get("SPARK_GRAFT_ADV_SRC", "/root/testdata/sf0.001")
-
-AGG_CONSUMERS = {"HashAggregate", "SortAggregate", "ObjectHashAggregate"}
 
 # (qid, pattern) -> (max_count, reason). Counts are PINNED at the HEAD
 # plan shape: growing past the pin fails the audit even for an
@@ -173,45 +170,9 @@ def _fill_allow() -> None:
 _fill_allow()
 
 
-def single_partition_consumers(plan: str) -> list[str]:
-    """Names of the nodes consuming each SinglePartition exchange,
-    parsed from the formatted plan's tree section."""
-    sp_ids = set()
-    for m in re.finditer(r"\((\d+)\) Exchange\n(?:.*\n)*?Arguments: ([^\n]*)", plan):
-        if "SinglePartition" in m.group(2):
-            sp_ids.add(m.group(1))
-    tree = plan.split("\n\n")[0]
-    nodes: list[tuple[int, str, str]] = []
-    for line in tree.split("\n"):
-        m = re.search(r"([A-Za-z][A-Za-z0-9 ]*?) \((\d+)\)\s*$", line)
-        if m:
-            prefix = line[: line.index(m.group(1))]
-            nodes.append((len(prefix), m.group(1).strip().lstrip("* ").strip(), m.group(2)))
-    out: list[str] = []
-    for i, (ind, _name, nid) in enumerate(nodes):
-        if nid in sp_ids:
-            for j in range(i - 1, -1, -1):
-                if nodes[j][0] < ind:
-                    out.append(nodes[j][1])
-                    break
-            else:
-                out.append("ROOT")
-    return out
-
-
-def audit_plan(plan: str) -> dict[str, int]:
-    """Anti-pattern occurrence counts needing justification."""
-    hits: dict[str, int] = {}
-    n = len(re.findall(r"\(\d+\) CartesianProduct", plan))
-    if n:
-        hits["cartesian"] = n
-    n = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
-    if n:
-        hits["bnl"] = n
-    nonagg = [c for c in single_partition_consumers(plan) if c not in AGG_CONSUMERS]
-    if nonagg:
-        hits["single_part"] = len(nonagg)
-    return hits
+# the detection itself is product surface: plans.lint_plan_text — the
+# harness owns only the allowlist and the per-id sweep
+from flink_kafka_replicator_spark.plans import lint_plan_text as audit_plan  # noqa: E402
 
 
 def main() -> int:
