@@ -1081,6 +1081,83 @@ def dq_monitor_main(argv: list[str], spark=None) -> int:
     return 0
 
 
+def plan_lint_main(argv: list[str], spark=None) -> int:
+    """The ``plan-lint`` subcommand: lint registry queries' physical
+    plans for the shapes that do not survive a 100 TB scale-up
+    (``plans.lint_plan``: cartesian products, broadcast-nested-loop
+    joins, single-partition exchanges whose consumer is not a keyless
+    aggregate). Plan build only — nothing executes beyond the memoized
+    model-artifact seeds some builders pin. Prints ONE JSON line:
+    clean ids counted, flagged ids with their per-pattern occurrence
+    counts. With ``--fail-on-hits`` the exit code gates a CI step; the
+    repo's own gate is the pinned allowlist in tests/plan_audit.py —
+    this subcommand reports raw hits and leaves the judgment to the
+    operator."""
+    import argparse
+    import json as _json
+
+    parser = argparse.ArgumentParser(
+        prog="spark-kafka-replicator plan-lint",
+        description="Lint registry query plans for scale anti-patterns",
+        allow_abbrev=False,
+    )
+    parser.add_argument(
+        "--query",
+        action="append",
+        default=[],
+        help="registry query id (repeatable); default: all ids",
+    )
+    parser.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.001",
+        help="parquet table directory the plans are built against",
+    )
+    parser.add_argument(
+        "--fail-on-hits",
+        action="store_true",
+        help="exit 1 if any plan shows an anti-pattern",
+    )
+    args = parser.parse_args(argv)
+
+    from .plans import formatted_plan, lint_plan_text
+    from .registry import all_queries
+
+    qs = all_queries()
+    unknown = sorted(set(args.query) - set(qs))
+    if unknown:
+        parser.error(f"unknown query ids: {unknown}")
+    ids = sorted(args.query) if args.query else sorted(qs)
+
+    if spark is None:
+        from .session import get_session
+
+        spark = get_session(app_name="spark-plan-lint")
+
+    flagged: dict[str, dict[str, int]] = {}
+    errors: dict[str, str] = {}
+    for qid in ids:
+        try:
+            hits = lint_plan_text(formatted_plan(qs[qid](spark, args.sf_dir)))
+        except Exception as ex:  # noqa: BLE001 — report, keep linting
+            errors[qid] = f"{type(ex).__name__}: {str(ex)[:200]}"
+            continue
+        if hits:
+            flagged[qid] = hits
+    print(
+        _json.dumps(
+            {
+                "n_ids": len(ids),
+                "n_clean": len(ids) - len(flagged) - len(errors),
+                "flagged": flagged,
+                "errors": errors,
+                "sf_dir": args.sf_dir,
+            },
+            sort_keys=True,
+        )
+    )
+    return 1 if (args.fail_on_hits and (flagged or errors)) else 0
+
+
 def main(argv: list[str] | None = None, admin_factory=None) -> int:
     import sys
 
@@ -1116,6 +1193,8 @@ def main(argv: list[str] | None = None, admin_factory=None) -> int:
         return dq_audit_main(args[1:])
     if args and args[0] == "dq-monitor":
         return dq_monitor_main(args[1:])
+    if args and args[0] == "plan-lint":
+        return plan_lint_main(args[1:])
 
     cfg, extra = parse_args(args)
     run_preflight(cfg, admin_factory)

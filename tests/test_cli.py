@@ -621,3 +621,39 @@ def test_orphan_checkpoint_warning(tmp_path, capsys):
     out.mkdir()
     _warn_orphan_checkpoint(str(ck), str(out), "drift-monitor")
     assert capsys.readouterr().err == ""
+
+
+def test_plan_lint_subcommand(spark, capsys):
+    """plan-lint reports raw anti-pattern hits per registry id: the
+    1-row-broadcast idiom shows as bnl, a bounded-histogram window as
+    single_part, a plain join as clean — and --fail-on-hits gates."""
+    import json
+
+    from flink_kafka_replicator_spark.cli import plan_lint_main
+
+    rc = plan_lint_main(
+        ["--query", "join_inner", "--query", "agg_decay_weighted_revenue"],
+        spark=spark,
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["n_ids"] == 2
+    assert out["flagged"]["agg_decay_weighted_revenue"] == {"bnl": 1}
+    assert "join_inner" not in out["flagged"]
+
+    rc = plan_lint_main(
+        ["--query", "agg_decay_weighted_revenue", "--fail-on-hits"],
+        spark=spark,
+    )
+    capsys.readouterr()
+    assert rc == 1
+
+
+def test_plan_lint_unknown_id_rejected(capsys):
+    import pytest as _pytest
+
+    from flink_kafka_replicator_spark.cli import plan_lint_main
+
+    with _pytest.raises(SystemExit):
+        plan_lint_main(["--query", "no_such_query"])
+    assert "unknown query ids" in capsys.readouterr().err
