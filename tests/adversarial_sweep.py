@@ -357,7 +357,15 @@ def run_invariance(only: set[str] | None) -> int:
     if "--axis" in sys.argv:
         axis = sys.argv[sys.argv.index("--axis") + 1]
     conf_key, val_a, val_b = INVARIANCE_AXES[axis]
-    adv = build_skew_dir() if "--skew" in sys.argv else SRC
+    adv = (
+        build_skew_dir()
+        if "--skew" in sys.argv
+        else build_empty_dir()
+        if "--empty" in sys.argv
+        else build_nonfinite_dir()
+        if "--nonfinite" in sys.argv
+        else SRC
+    )
     print(f"invariance sweep over {adv}, axis {axis}: {conf_key}={val_a} vs {val_b}")
 
     from pyspark.sql import SparkSession
