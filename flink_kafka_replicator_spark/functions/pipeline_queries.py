@@ -2022,7 +2022,12 @@ def _knn_vectors(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     if cached is not None:
         return cached, dim
     e = load_table(spark, sf_dir, "embeddings")
-    assigned = _knn_assignment(spark, sf_dir).select("vec_id", "nrm", "cid")
+    # pcid rides along (round 13): multiprobe's query side previously
+    # re-joined the assignment table on vec_id just to fetch the
+    # probe-2 cell — both columns belong to the same postings artifact
+    assigned = _knn_assignment(spark, sf_dir).select(
+        "vec_id", "nrm", "cid", "pcid"
+    )
     out = materialize_small(
         e.selectExpr(
             "vec_id",
@@ -2177,10 +2182,14 @@ def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra fold work is only the probe-2 candidates."""
     from .similarity import unrolled_product_sum
 
-    probe2 = _knn_assignment(spark, sf_dir).select("vec_id", "pcid")
     v, dim = _knn_vectors(spark, sf_dir)
     _, b = _knn_pair_sides(v, dim, b_cell_col="pcid")
-    q = probe2.join(v.drop("cid"), "vec_id").selectExpr(
+    # the query side reads pcid straight off the materialized vector
+    # store (round 13) — it used to re-join the assignment table on
+    # vec_id purely to fetch the probe-2 cell: one whole join (and its
+    # broadcast of the wide per-dim rows) gone from every multiprobe
+    # plan and every plan that embeds it (recall family)
+    q = v.selectExpr(
         "vec_id as qid", "nrm as nrm_a", "pcid",
         *[f"x{i} as ax{i}" for i in range(1, dim + 1)],
     )
@@ -2372,20 +2381,27 @@ def knn_recall_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     refined = knn_ivf_pq_refined(spark, sf_dir).select("vec_id")
 
     def stat(path: str, t: DataFrame, p: DataFrame, keys: list[str]):
-        hits = t.join(p, keys, "left_semi").agg(
-            F.count("*").alias("n_hits")
-        )
-        tot = t.agg(F.count("*").alias("n_truth"))
-        return hits.crossJoin(tot).select(
+        # ONE aggregate per branch (round 13): the left-semi count +
+        # total count + crossJoin epilogue was 2 aggregates and a
+        # 1-row BNL join per rung — ×5 rungs. The prediction side's
+        # keys are unique by construction (row_number-capped neighbor
+        # lists / top-k lists), so a LEFT join cannot duplicate truth
+        # rows and count(marker) IS the semi-join count.
+        marked = t.join(p.withColumn("__hit", F.lit(1)), keys, "left")
+        return marked.agg(
+            F.count("*").alias("__n_truth"),
+            F.count("__hit").alias("__n_hits"),
+        ).select(
             F.lit(path).alias("path"),
-            F.col("n_hits").cast("bigint").alias("n_hits"),
-            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.col("__n_hits").cast("bigint").alias("n_hits"),
+            F.col("__n_truth").cast("bigint").alias("n_truth"),
             # empty eval set → NULL recall (nothing to measure), not an
             # ANSI DIVIDE_BY_ZERO abort
             F.when(
-                F.col("n_truth") > 0,
+                F.col("__n_truth") > 0,
                 F.round(
-                    F.col("n_hits").cast("double") / F.col("n_truth"), 4
+                    F.col("__n_hits").cast("double") / F.col("__n_truth"),
+                    4,
                 ),
             ).alias("recall"),
         )

@@ -322,6 +322,20 @@ def sessionize(ev: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFra
     """Core gaps-and-islands over any (user_id, event_id, ts) frame —
     split out of sessionize_events so property tests can drive it with
     synthetic boundary cases (gap exactly == gap_seconds, ts ties)."""
+    return sessionize_with_ts(ev, gap_seconds).select(
+        "user_id", "event_id", "session_seq"
+    )
+
+
+def sessionize_with_ts(
+    ev: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
+) -> DataFrame:
+    """:func:`sessionize` keeping ``ts`` on each row: the window pass
+    already orders by ts, so consumers that need per-session time
+    bounds (peak concurrency, session durations) read it here instead
+    of re-joining the event stream on event_id — that join was a full
+    event_id exchange of BOTH sides purely to recover a column this
+    pass had in hand (round 13; guide §2.4 remove-shuffles)."""
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     prev = F.lag("ts").over(w)
     new_s = F.when(
@@ -341,6 +355,7 @@ def sessionize(ev: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFra
     return flagged.select(
         "user_id",
         "event_id",
+        "ts",
         F.sum("new_s").over(wc).cast("int").alias("session_seq"),
     )
 
@@ -601,8 +616,7 @@ def session_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     sess = (
-        sessionize(ev, gap_seconds=SESSION_GAP_SECONDS)
-        .join(ev.select("event_id", "ts"), "event_id")
+        sessionize_with_ts(ev, gap_seconds=SESSION_GAP_SECONDS)
         .groupBy("user_id", "session_seq")
         .agg(
             F.count("*").cast("int").alias("session_len"),

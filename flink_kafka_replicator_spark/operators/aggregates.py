@@ -190,18 +190,31 @@ def agg_linear_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ln is floor-quantized at 1e-6 (the tfidf idiom) so both
     engines iterate on the identical double."""
     li = load_table(spark, sf_dir, "lineitem")
-    b = li.select(
+    # two-level dedup instead of count_distinct (round 13): the expand
+    # form shipped 2x the corpus through the distinct-agg; deduping
+    # (flag, partkey) FIRST shuffles only the distinct pairs and runs
+    # the md5 on ~1/10th the rows (bucket is a function of partkey, so
+    # hashing after the dedup is value-identical). Guide §2.3 —
+    # aggregate before you shuffle, shuffle fewer bytes. NULL partkeys
+    # hash to a NULL bucket (concat propagates NULL), which the
+    # count_distinct form skipped — mirrored by counting only non-NULL
+    # buckets, so an all-NULL group still emits its row with 0s.
+    pairs = li.select("l_returnflag", "l_partkey").distinct()
+    b = pairs.select(
         "l_returnflag",
         F.expr(
             "cast(conv(substring(md5(concat('lc:', cast(l_partkey as string)))"
             ", 1, 8), 16, 10) as bigint)"
             f" % {LC_M}"
         ).alias("bucket"),
-        "l_partkey",
     )
-    per_group = b.groupBy("l_returnflag").agg(
-        F.count_distinct("bucket").alias("occupied"),
-        F.count_distinct("l_partkey").alias("exact_distinct"),
+    g1 = b.groupBy("l_returnflag", "bucket").agg(F.count("*").alias("nk"))
+    per_group = g1.groupBy("l_returnflag").agg(
+        F.count("bucket").alias("occupied"),
+        F.coalesce(
+            F.sum(F.when(F.col("bucket").isNotNull(), F.col("nk"))),
+            F.lit(0),
+        ).cast("bigint").alias("exact_distinct"),
     )
     est = F.expr(
         f"round(-{LC_M}.0D * (floor(ln((cast({LC_M} as double) - occupied)"

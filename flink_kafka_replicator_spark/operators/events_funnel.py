@@ -573,22 +573,30 @@ def events_engagement_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = activity.select("day").distinct()
     fan = activity.select(
         "user_id",
-        "day",
         F.explode(F.expr("sequence(0, 29)")).alias("i"),
-    ).select(
-        "user_id",
-        "day",
         F.expr("timestampadd(DAY, i, day)").alias("obs_day"),
-        "i",
-    ).join(days.select(F.col("day").alias("obs_day")), "obs_day", "left_semi")
-    counts = fan.groupBy("obs_day").agg(
-        F.count_distinct(
-            F.when(F.col("i") == 0, F.col("user_id"))
+    )
+    # two-level aggregation instead of three count_distincts (round
+    # 13): the expand form shipped 3x the fanned rows through the
+    # distinct-agg; deduping (obs_day, user) with min(i) first makes
+    # the three window counts plain conditional sums (min(i)=0 ⟺ some
+    # i=0 row etc. — the windows are nested by construction). Guide
+    # §2.3 aggregate-before-shuffle. NULL users group but never count
+    # (count_distinct's NULL-skip, mirrored); the day semi-join moves
+    # AFTER aggregation — it drops whole obs_day groups either way,
+    # and post-agg it probes ≤|days| rows instead of the fanned table.
+    g1 = fan.groupBy("obs_day", "user_id").agg(F.min("i").alias("mi"))
+    live = F.col("user_id").isNotNull()
+    counts = g1.groupBy("obs_day").agg(
+        F.sum(
+            F.when(live & (F.col("mi") == 0), 1).otherwise(0)
         ).cast("bigint").alias("dau"),
-        F.count_distinct(
-            F.when(F.col("i") < 7, F.col("user_id"))
+        F.sum(
+            F.when(live & (F.col("mi") < 7), 1).otherwise(0)
         ).cast("bigint").alias("wau"),
-        F.count_distinct("user_id").cast("bigint").alias("mau"),
+        F.sum(F.when(live, 1).otherwise(0)).cast("bigint").alias("mau"),
+    ).join(
+        days.select(F.col("day").alias("obs_day")), "obs_day", "left_semi"
     )
     return counts.select(
         F.col("obs_day").alias("day"),
@@ -915,31 +923,42 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     reached."""
     from pyspark.sql import Window
 
-    from .advanced import SESSION_GAP_SECONDS, sessionize
+    from .advanced import SESSION_GAP_SECONDS, sessionize_with_ts
 
     ev = load_table(spark, sf_dir, "events")
     sess = (
-        sessionize(ev, gap_seconds=SESSION_GAP_SECONDS)
-        .join(ev.select("event_id", "ts"), "event_id")
+        sessionize_with_ts(ev, gap_seconds=SESSION_GAP_SECONDS)
         .groupBy("user_id", "session_seq")
         .agg(
             F.expr("min(unix_micros(ts))").alias("start_us"),
             F.expr("max(unix_micros(ts))").alias("end_us"),
         )
     )
+    # one sess evaluation fans out to both boundary rows via explode
+    # (a self-union re-ran the whole sessionize lineage per branch —
+    # round 13: this plan scanned events FIVE times); the bucket
+    # repartition is shared by the per-bucket totals and the sweep via
+    # ReuseExchange, so the window pass runs once
     deltas = sess.select(
-        F.col("start_us").alias("us"),
-        F.lit(1).alias("delta"),
         "user_id",
         "session_seq",
-    ).unionByName(
-        sess.select(
-            F.col("end_us").alias("us"),
-            F.lit(-1).alias("delta"),
-            "user_id",
-            "session_seq",
-        )
-    ).withColumn("bucket", F.expr("us div 3600000000L"))
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_us").alias("us"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col("end_us").alias("us"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("d"),
+    ).select(
+        F.col("d.us").alias("us"),
+        F.col("d.delta").alias("delta"),
+        "user_id",
+        "session_seq",
+        F.expr("d.us div 3600000000L").alias("bucket"),
+    ).repartition("bucket")
     btot = deltas.groupBy("bucket").agg(
         F.sum("delta").cast("bigint").alias("btotal")
     )
@@ -962,21 +981,27 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     swept = deltas.join(base, "bucket").select(
         "us",
+        "delta",
         (F.col("base") + F.sum("delta").over(wrun)).alias("concurrent"),
     )
-    wall = Window.partitionBy(F.lit(1))
-    peak = swept.withColumn(
-        "peak", F.max("concurrent").over(wall)
-    ).filter(F.col("concurrent") == F.col("peak"))
-    n_sessions = sess.agg(
-        F.count("*").cast("bigint").alias("n_sessions")
+    # ONE epilogue aggregate: n_sessions = the +1 boundaries; the peak
+    # and its first timestamp via max(struct(concurrent, -us)) — max
+    # concurrency, min us among its ties — replacing the whole-table
+    # max window + filter + crossJoin epilogue (3 ops → 1 agg)
+    return swept.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("n_sessions"),
+        F.max(
+            F.struct(
+                F.col("concurrent").alias("c"), (-F.col("us")).alias("nus")
+            )
+        ).alias("m"),
+    ).select(
+        "n_sessions",
+        F.col("m.c").cast("bigint").alias("peak_concurrent"),
+        F.expr("timestamp_micros(-m.nus)").alias("peak_at"),
     )
-    return n_sessions.crossJoin(
-        peak.agg(
-            F.max("peak").cast("bigint").alias("peak_concurrent"),
-            F.expr("timestamp_micros(min(us))").alias("peak_at"),
-        )
-    ).select("n_sessions", "peak_concurrent", "peak_at")
 
 
 ENTROPY_LNQ = "floor(ln({x}) * 1000000.0D) / 1000000.0D"

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..io import load_table
+from ..io import fan_out_small_scan, load_table
 
 PRICE_BANDS = [(i, i * 100_000.0, (i + 1) * 100_000.0) for i in range(5)]
 
@@ -320,8 +320,13 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = small.select(
         F.col("o_orderkey").alias("l_orderkey"), F.lit(1).alias("hit")
     )
+    # the probe side pays 3 md5+conv probes per row — on sf-scale data
+    # that whole expression stage lands on ONE scan split (guide §2.5
+    # input skew); fan out AFTER the 1-column projection so the spread
+    # shuffle moves only the key (io.fan_out_small_scan is a no-op on
+    # production-sized scans)
     probed = (
-        li.select("l_orderkey")
+        fan_out_small_scan(li.select("l_orderkey"))
         .join(broadcast(hit), "l_orderkey", "left")
         .crossJoin(broadcast(bits))
         .select(

@@ -106,7 +106,6 @@ def _fill_allow() -> None:
         tfidf_top_terms=1,
         vocab_coverage_topk=1,
         lang_js_divergence=4,
-        events_peak_concurrency=1,
         agg_pareto_share=1,
         # round-13 plan-audit fix: anchor date was a partitionBy(lit(1))
         # window over the FULL orders table — now a 1-row max broadcast
@@ -133,7 +132,6 @@ def _fill_allow() -> None:
         knn_batch_recall=2,
         knn_graph_symmetry=1,
         knn_probe_recall_curve=5,
-        knn_recall_family=5,
         graph_triangle_count=2,
         join_range=1,
     )
@@ -150,7 +148,8 @@ def _fill_allow() -> None:
         dq_freshness_report=1,
         eval_lift_gains=1,
         events_hourly_heatmap=1,
-        events_peak_concurrency=2,
+        # round-13 optimization: peak epilogue collapsed to one agg
+        events_peak_concurrency=1,
         events_rfm_segmentation=3,
         funnel_conversion=1,
         join_skew_report=1,
