@@ -1074,18 +1074,18 @@ def corpus_mix_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ≤|langs| terms fold in sorted-lang order (the served-BM25
     idiom), so the float sum is order-fixed cross-engine.
     KL(p‖uniform) = ln(k) + Σ p·ln(p) — one extra quantized ln."""
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
-    wall = Window.partitionBy(F.lit(1))
-    shares = (
-        d.groupBy("lang")
-        .agg(F.count("*").cast("bigint").alias("n"))
-        .select(
-            "lang",
-            "n",
-            (F.col("n") / F.sum("n").over(wall)).alias("p"),
-        )
+    counts = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    # share denominator as a scalar subquery (round 14): replaces the
+    # partitionBy(lit(1)) window — no SinglePartition exchange; the
+    # total's agg reuses the lang-count exchange (ReusedExchange)
+    tot = counts.agg(F.sum("n").alias("t"))
+    shares = counts.select(
+        "lang",
+        "n",
+        (F.col("n") / tot.scalar()).alias("p"),
     )
     terms = shares.select(
         "lang",
@@ -1149,7 +1149,11 @@ def corpus_source_lang_matrix(
         ),
     )
     wsrc = Window.partitionBy("source")
-    wall = Window.partitionBy(F.lit(1))
+    # corpus-wide denominator as a scalar subquery (round 14): the
+    # per-source share keeps its KEYED window (source-partitioned —
+    # scales), but the whole-corpus total no longer parks the grouped
+    # table on one task; its agg reuses the cell exchange
+    tot = cells.agg(F.sum("n_docs").alias("t"))
     return cells.select(
         "source",
         "lang",
@@ -1160,7 +1164,7 @@ def corpus_source_lang_matrix(
             6,
         ).alias("share_in_source"),
         F.round(
-            F.col("n_docs").cast("double") / F.sum("n_docs").over(wall),
+            F.col("n_docs").cast("double") / tot.scalar(),
             6,
         ).alias("share_of_corpus"),
     )

@@ -626,19 +626,21 @@ def session_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dur_us"),
         )
     )
-    wall = Window.partitionBy(F.lit(1))
+    hist = sess.groupBy("session_len").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("dur_us").cast("bigint").alias("sdur"),
+    )
+    # share denominator as a scalar subquery (round 14): replaces the
+    # partitionBy(lit(1)) window — no SinglePartition exchange; the
+    # total's agg reuses the histogram exchange (ReusedExchange)
+    tot = hist.agg(F.sum("n_sessions").alias("t"))
     return (
-        sess.groupBy("session_len")
-        .agg(
-            F.count("*").cast("bigint").alias("n_sessions"),
-            F.sum("dur_us").cast("bigint").alias("sdur"),
-        )
+        hist
         .select(
             "session_len",
             "n_sessions",
             F.round(
-                F.col("n_sessions").cast("double")
-                / F.sum("n_sessions").over(wall),
+                F.col("n_sessions").cast("double") / tot.scalar(),
                 6,
             ).alias("session_share"),
             F.round(

@@ -663,19 +663,25 @@ def agg_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_orders"),
         F.sum("v100").cast("bigint").alias("rev100"),
     )
-    from pyspark.sql import Window
-
-    wall = Window.partitionBy(F.lit(1))
+    # share denominators as SCALAR SUBQUERIES (round 14): the previous
+    # partitionBy(lit(1)) window parked the grouped table on one task
+    # via an Exchange SinglePartition; each subquery computes its total
+    # with a partial-aggregated global agg and REUSES the groupBy
+    # exchange (ReusedExchange — verified in the committed plan), so no
+    # single-partition shuffle remains and the total reaches the main
+    # pass as a plan literal. Same exact bigint sums, same division.
+    tot_orders = agg.agg(F.sum("n_orders").alias("t"))
+    tot_rev = agg.agg(F.sum("rev100").alias("t"))
     return agg.select(
         "iso_weekday",
         "n_orders",
         F.round(F.col("rev100").cast("double") / 100.0, 2).alias("revenue"),
         F.round(
-            F.col("n_orders") / F.sum("n_orders").over(wall).cast("double"),
+            F.col("n_orders") / tot_orders.scalar().cast("double"),
             6,
         ).alias("order_share"),
         F.round(
-            F.col("rev100") / F.sum("rev100").over(wall).cast("double"),
+            F.col("rev100") / tot_rev.scalar().cast("double"),
             6,
         ).alias("revenue_share"),
     )
@@ -753,10 +759,8 @@ def agg_order_lines_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one (l_orderkey) aggregate (the fact table's natural key —
     map-side combinable), then a ≤|max lines| histogram; shares from
-    full-window sums over the tiny histogram. Revenue is the exact
-    extended-price cents sum carried through both aggregates."""
-    from pyspark.sql import Window
-
+    scalar-subquery totals over the tiny histogram. Revenue is the
+    exact extended-price cents sum carried through both aggregates."""
     li = load_table(spark, sf_dir, "lineitem")
     per_order = li.groupBy("l_orderkey").agg(
         F.count("*").cast("int").alias("n_lines"),
@@ -764,30 +768,29 @@ def agg_order_lines_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_extendedprice") * 100).cast("long")
         ).cast("bigint").alias("rev100"),
     )
-    wall = Window.partitionBy(F.lit(1))
-    return (
-        per_order.groupBy("n_lines")
-        .agg(
-            F.count("*").cast("bigint").alias("n_orders"),
-            F.sum("rev100").cast("bigint").alias("rev100"),
-        )
-        .select(
-            "n_lines",
-            "n_orders",
-            F.round(
-                F.col("n_orders").cast("double")
-                / F.sum("n_orders").over(wall),
-                6,
-            ).alias("order_share"),
-            F.round(F.col("rev100").cast("double") / 100.0, 2).alias(
-                "revenue"
-            ),
-            F.round(
-                F.col("rev100").cast("double")
-                / F.sum("rev100").over(wall),
-                6,
-            ).alias("revenue_share"),
-        )
+    hist = per_order.groupBy("n_lines").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("rev100").cast("bigint").alias("rev100"),
+    )
+    # share denominators as scalar subqueries (round 14, the
+    # agg_weekday_seasonality idiom): no SinglePartition exchange; the
+    # totals' aggs reuse the histogram's exchange (ReusedExchange)
+    tot_orders = hist.agg(F.sum("n_orders").alias("t"))
+    tot_rev = hist.agg(F.sum("rev100").alias("t"))
+    return hist.select(
+        "n_lines",
+        "n_orders",
+        F.round(
+            F.col("n_orders").cast("double") / tot_orders.scalar(),
+            6,
+        ).alias("order_share"),
+        F.round(F.col("rev100").cast("double") / 100.0, 2).alias(
+            "revenue"
+        ),
+        F.round(
+            F.col("rev100").cast("double") / tot_rev.scalar(),
+            6,
+        ).alias("revenue_share"),
     )
 
 

@@ -652,24 +652,23 @@ def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("int").alias("hour"),
         "user_id",
     )
-    wall = Window.partitionBy(F.lit(1))
-    return (
-        cells.groupBy("dow", "hour")
-        .agg(
-            F.count("*").cast("bigint").alias("n_events"),
-            F.count_distinct("user_id").cast("bigint").alias("n_users"),
-        )
-        .select(
-            "dow",
-            "hour",
-            "n_events",
-            "n_users",
-            F.round(
-                F.col("n_events").cast("double")
-                / F.sum("n_events").over(wall),
-                6,
-            ).alias("share"),
-        )
+    grid = cells.groupBy("dow", "hour").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+    # share denominator as a scalar subquery (round 14): replaces the
+    # partitionBy(lit(1)) window — no SinglePartition exchange; the
+    # total's agg reuses the grid exchange (ReusedExchange)
+    tot = grid.agg(F.sum("n_events").alias("t"))
+    return grid.select(
+        "dow",
+        "hour",
+        "n_events",
+        "n_users",
+        F.round(
+            F.col("n_events").cast("double") / tot.scalar(),
+            6,
+        ).alias("share"),
     )
 
 
@@ -735,22 +734,29 @@ def dq_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast back for the recency-window counts (no second pass to
     # find the head itself; the one recount pass is the recency scan)
     head = per_type.agg(F.max("last_us").alias("head_us"))
+    # the head reaches both consumers as a SCALAR SUBQUERY (round 14):
+    # the broadcast crossJoin (a BroadcastNestedLoopJoin) and the
+    # full-window max (an Exchange SinglePartition) are both gone; the
+    # head's agg reuses the per-type exchange (ReusedExchange) and the
+    # head value arrives in the recency comparisons as a plan literal.
+    # Same integer micros arithmetic, same NULL propagation on an
+    # empty stream (max over zero rows is NULL either way).
     rec = (
         ev.select("event_type", F.expr("unix_micros(ts)").alias("us"))
-        .crossJoin(F.broadcast(head))
         .groupBy("event_type")
         .agg(
             F.sum(
-                F.expr("cast(us > head_us - 86400000000L as bigint)")
+                (F.col("us") > head.scalar() - F.lit(86400000000))
+                .cast("bigint")
             ).cast("bigint").alias("n_last_24h"),
             F.sum(
-                F.expr("cast(us > head_us - 604800000000L as bigint)")
+                (F.col("us") > head.scalar() - F.lit(604800000000))
+                .cast("bigint")
             ).cast("bigint").alias("n_last_7d"),
         )
     )
-    wall = Window.partitionBy(F.lit(1))
     return (
-        per_type.withColumn("head_us", F.max("last_us").over(wall))
+        per_type.withColumn("head_us", head.scalar())
         .join(rec, "event_type")
         .select(
             "event_type",

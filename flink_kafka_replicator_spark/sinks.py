@@ -2066,30 +2066,30 @@ def index_cell_histogram(spark: SparkSession, out_dir: str) -> DataFrame:
 
     Returns (cid, n_vectors, share, skew_vs_mean) per committed cell —
     one postings aggregate, no codes/vectors touched."""
-    from pyspark.sql import Window
-
     meta = _read_vindex_meta(out_dir)
     _check_vindex_geometry(meta, out_dir)
     _, postings, _, _ = read_vector_index(spark, out_dir)
-    wall = Window.partitionBy(F.lit(1))
-    return (
-        postings.groupBy("cid")
-        .agg(F.count("*").cast("bigint").alias("n_vectors"))
-        .select(
-            "cid",
-            "n_vectors",
-            F.round(
-                F.col("n_vectors").cast("double")
-                / F.sum("n_vectors").over(wall),
-                6,
-            ).alias("share"),
-            F.round(
-                F.col("n_vectors")
-                * F.count("*").over(wall)
-                / F.sum("n_vectors").over(wall).cast("double"),
-                4,
-            ).alias("skew_vs_mean"),
-        )
+    hist = postings.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_vectors")
+    )
+    # totals as scalar subqueries (round 14): replaces the
+    # partitionBy(lit(1)) windows — no SinglePartition exchange; both
+    # totals' aggs reuse the histogram exchange (ReusedExchange)
+    tot = hist.agg(F.sum("n_vectors").alias("t"))
+    n_cells = hist.agg(F.count("*").alias("t"))
+    return hist.select(
+        "cid",
+        "n_vectors",
+        F.round(
+            F.col("n_vectors").cast("double") / tot.scalar(),
+            6,
+        ).alias("share"),
+        F.round(
+            F.col("n_vectors")
+            * n_cells.scalar()
+            / tot.scalar().cast("double"),
+            4,
+        ).alias("skew_vs_mean"),
     )
 
 

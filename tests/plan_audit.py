@@ -95,7 +95,7 @@ def _fill_allow() -> None:
         doc_unigram_logprob=1,
         dq_benford=1,
         dq_distribution_drift=1,
-        dq_freshness_report=1,
+        # dq_freshness_report: round 14 — head now a scalar subquery
         events_cooccurrence_pmi=1,
         hybrid_search_rrf=1,
         ivf_cell_histogram=1,
@@ -136,32 +136,33 @@ def _fill_allow() -> None:
         join_range=1,
     )
     # --- single_part: bounded Window/Sort epilogues ------------------
+    # round 14: nine ids left this list — their share-of-total
+    # denominators became SCALAR SUBQUERIES (partial-aggregated global
+    # agg + ReusedExchange of the grouped table; no SinglePartition
+    # exchange, no broadcast join): agg_order_lines_hist,
+    # agg_weekday_seasonality, corpus_mix_divergence,
+    # corpus_source_lang_matrix, dedup_cluster_size_hist,
+    # dedup_cross_source_pairs, dq_freshness_report,
+    # events_hourly_heatmap, session_length_stats. The ids still here
+    # carry ORDERED windows (cumulative/nearest-rank picks) whose
+    # single-partition sort is inherent and whose frame is bounded.
     add(
         "single_part",
         R_SP_EPILOGUE,
-        agg_order_lines_hist=1,
         agg_pareto_share=2,
         agg_revenue_mom_change=1,
-        agg_weekday_seasonality=1,
-        corpus_source_lang_matrix=1,
-        dedup_cluster_size_hist=1,
-        dq_freshness_report=1,
         eval_lift_gains=1,
-        events_hourly_heatmap=1,
         # round-13 optimization: peak epilogue collapsed to one agg
         events_peak_concurrency=1,
         events_rfm_segmentation=3,
         funnel_conversion=1,
         join_skew_report=1,
         orders_open_backlog=1,
-        session_length_stats=1,
         time_seasonal_decompose=2,
         vocab_coverage_topk=1,
         vocab_growth_curve=1,
         text_zipf_fit=1,
-        dedup_cross_source_pairs=1,
         embedding_norm_profile=1,
-        corpus_mix_divergence=1,  # window over the <=|langs| share table
         eval_roc_auc=1,  # window over the distinct-score histogram
     )
 
