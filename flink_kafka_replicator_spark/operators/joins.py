@@ -391,6 +391,9 @@ _HOUR_US = 3_600_000_000
 _INCIDENT_HALF_US = 900_000_000  # 15 min
 
 
+_DAY_US = 86_400_000_000
+
+
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join (both sides are intervals — the shape
     range-join optimizers special-case): per-user daily activity spans
@@ -398,13 +401,37 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     min), reporting per user-day how many incidents overlapped and the
     total overlap seconds.
 
-    Scale design: a naive interval×interval join is a BNLJ cartesian.
-    Binning makes it an equi-join — BOTH sides explode into the fixed
-    hour buckets they cover (activity span ≤ 25, incident ≤ 2), the
-    bucket equi-join prunes candidates to co-bucketed pairs, the exact
-    overlap predicate refines, and the pair dedup collapses multi-bucket
-    matches. All timestamp math in integer microseconds (unix_micros /
-    epoch_us) so both engines agree bit-for-bit."""
+    Scale design (round 14): the rounds-2..13 shape binned both sides
+    into hour buckets and equi-joined — correct, but the candidate set
+    nearly IS the answer set (measured at sf0.1: 15.25M co-bucketed
+    candidates for 9.64M truly-overlapping pairs from 40k spans ×
+    19.8k incidents), so no bin width can beat ~1.6× and the pair
+    fan-out grows ~|spans|·|incidents-per-day|. The aggregates never
+    need the pairs: with f_i(x) = (min(w_end_i, x) − w_start_i)⁺ — the
+    mass of incident i at or below x —
+
+        Σ_i |[w_s_i, w_e_i] ∩ [a, b]|  =  M(b) − M(a),
+        M(x) = Σ_i f_i(x)  (the running integral of the open-incident
+                            count O(t) over time),
+        n_overlapping      =  #{w_s <= b} − #{w_e <= a−1},
+
+    both exactly the original `w_s <= a_end AND w_e >= a_start` filter
+    and its µs sum (touching intervals count with zero mass). So this
+    runs ONE day-partitioned sweep: incident boundary points carry
+    (+open/+close) deltas, every span endpoint rides the same ordered
+    stream as a zero-mass probe row (a probe splits a gap without
+    changing the integral), running sums give the within-day values, a
+    calendar-bounded per-day carry table chains them across partitions,
+    and a per-span pivot emits the report. Work is
+    O((|spans| + |incidents|)·log) with NO pair ever materialized; all
+    arithmetic stays integer µs, and every product is (open count ×
+    bounded gap) — the integral is bounded by the total incident mass
+    (Σ durations), never by epoch magnitudes, so nothing can overflow
+    int64 even on pre-epoch adversarial data. Row-identity with the
+    binned join is oracle-checked (the DuckDB twin still replays the
+    bucket join) and pytest-pinned."""
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "events")
     spans = (
         # day as a plain string: date dtypes round-trip differently
@@ -417,66 +444,190 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.unix_micros("ts")).alias("a_start"),
             F.max(F.unix_micros("ts")).alias("a_end"),
         )
+        # NULL-ts groups have no epoch span — the binned form dropped
+        # them via explode(sequence(NULL)); drop them explicitly here
+        .filter(F.col("a_start").isNotNull())
     )
-    incidents = e.filter(F.col("event_type") == "error").select(
-        F.col("event_id").alias("incident_id"),
+    incidents = e.filter(
+        (F.col("event_type") == "error") & F.col("ts").isNotNull()
+    ).select(
         (F.unix_micros("ts") - F.lit(_INCIDENT_HALF_US)).alias("w_start"),
         (F.unix_micros("ts") + F.lit(_INCIDENT_HALF_US)).alias("w_end"),
     )
-    a = spans.select(
+    zero = F.lit(0).cast("bigint")
+    nul_u = F.lit(None).cast(spans.schema["user_id"].dataType)
+    # incident boundary deltas and span-endpoint probes, ONE explode
+    # each: probes evaluate the running values at b (count + integral),
+    # a (integral) and a−1 (the strict end-count — integer µs make
+    # `w_end < a` the same as `w_end <= a−1`)
+    pts = incidents.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("w_start").alias("t"),
+                    F.lit(1).alias("ds"),
+                    F.lit(0).alias("de"),
+                ),
+                F.struct(
+                    F.col("w_end").alias("t"),
+                    F.lit(0).alias("ds"),
+                    F.lit(1).alias("de"),
+                ),
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.t").alias("t"),
+        F.col("p.ds").alias("ds"),
+        F.col("p.de").alias("de"),
+        F.lit(0).alias("probe"),
+        nul_u.alias("p_user"),
+        F.lit(None).cast("string").alias("p_day"),
+        F.lit(None).cast("string").alias("p_side"),
+    )
+    probes = spans.select(
         "user_id",
         "day",
-        "a_start",
-        "a_end",
         F.explode(
-            F.sequence(
-                F.expr(f"a_start div {_HOUR_US}"),
-                F.expr(f"a_end div {_HOUR_US}"),
+            F.array(
+                F.struct(
+                    (F.col("a_start") - 1).alias("t"),
+                    F.lit("a1").alias("side"),
+                ),
+                F.struct(F.col("a_start").alias("t"), F.lit("a").alias("side")),
+                F.struct(F.col("a_end").alias("t"), F.lit("b").alias("side")),
             )
-        ).alias("bucket"),
+        ).alias("p"),
+    ).select(
+        F.col("p.t").alias("t"),
+        F.lit(0).alias("ds"),
+        F.lit(0).alias("de"),
+        F.lit(1).alias("probe"),
+        F.col("user_id").alias("p_user"),
+        F.col("day").alias("p_day"),
+        F.col("p.side").alias("p_side"),
     )
-    b = incidents.select(
-        "incident_id",
-        "w_start",
-        "w_end",
-        F.explode(
-            F.sequence(
-                F.expr(f"w_start div {_HOUR_US}"),
-                F.expr(f"w_end div {_HOUR_US}"),
-            )
-        ).alias("bucket"),
-    )
-    pairs = (
-        a.join(b, "bucket")
-        .filter(
-            (F.col("a_start") <= F.col("w_end"))
-            & (F.col("w_start") <= F.col("a_end"))
-            # emit each overlapping pair ONLY in the bucket where its
-            # overlap starts — a co-bucketed pair matches once by
-            # construction, so no dedup shuffle over the pair fanout
-            # (measured: replaced a dropDuplicates that dominated the
-            # first bench at 12.8 s)
-            & (
-                F.col("bucket")
-                == F.expr(
-                    f"greatest(a_start, w_start) div {_HOUR_US}"
-                )
-            )
+    # the day-partitioned sweep: probes sort AFTER boundary points at
+    # equal t (probe ASC) so every running value is the <=t prefix.
+    # The within-day integral needs NO gap/lag bookkeeping — by parts,
+    #   ∫_{<=x} O_local dt = x·D(x) − Σ_{t<=x} (ds−de)·t
+    # with D(x) the running net-delta sum, and it is shift-invariant
+    # per day, so t is rebased to the day (t_rel < 86400e6) and every
+    # product stays far from int64 range even on pre-epoch data.
+    stream = (
+        pts.unionByName(probes)
+        .withColumn("day_k", F.expr(f"t div {_DAY_US}"))
+        .withColumn(
+            "t_rel", (F.col("t") - F.col("day_k") * F.lit(_DAY_US))
         )
     )
+    w = Window.partitionBy("day_k").orderBy(
+        F.col("t").asc(), F.col("probe").asc()
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    st = (
+        stream.withColumn("cs_run", F.sum("ds").over(wrun))
+        .withColumn("ce_run", F.sum("de").over(wrun))
+        .withColumn(
+            "dt_run",
+            F.sum((F.col("ds") - F.col("de")) * F.col("t_rel")).over(wrun),
+        )
+        .withColumn(
+            "j_run",
+            F.col("t_rel") * (F.col("cs_run") - F.col("ce_run"))
+            - F.col("dt_run"),
+        )
+    )
+    # per-day totals → carry-ins (a ≤|days| calendar-bounded table; its
+    # cumulative windows are the one allowlisted single-partition step).
+    # Probe rows carry zero deltas, so aggregating the raw stream gives
+    # the boundary-only totals; the day's full integral is the same
+    # by-parts form evaluated at the day's last row.
+    day_tot = stream.groupBy("day_k").agg(
+        F.sum(F.col("ds") - F.col("de")).alias("o_day"),
+        F.sum("ds").alias("cs_day"),
+        F.sum("de").alias("ce_day"),
+        F.sum((F.col("ds") - F.col("de")) * F.col("t_rel")).alias("dt_day"),
+        F.max("t").alias("t_last"),
+        F.max("t_rel").alias("t_last_rel"),
+    ).withColumn(
+        "j_day",
+        F.col("t_last_rel") * F.col("o_day") - F.col("dt_day"),
+    )
+    wday = Window.orderBy("day_k")
+    wday_prev = wday.rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        day_tot.withColumn(
+            "o_carry", F.coalesce(F.sum("o_day").over(wday_prev), zero)
+        )
+        .withColumn(
+            "cs_carry", F.coalesce(F.sum("cs_day").over(wday_prev), zero)
+        )
+        .withColumn(
+            "ce_carry", F.coalesce(F.sum("ce_day").over(wday_prev), zero)
+        )
+        .withColumn("t_last_prev", F.lag("t_last").over(wday))
+        # a completed day's full integral = its local terms + the carry
+        # level across every gap it spans (telescopes to t_last−t_last′;
+        # o_carry > 0 forces the gap ≤ one incident length, so the
+        # product stays mass-bounded)
+        .withColumn(
+            "i_full",
+            F.col("j_day")
+            + F.coalesce(
+                F.col("o_carry")
+                * (F.col("t_last") - F.col("t_last_prev")),
+                zero,
+            ),
+        )
+        .withColumn(
+            "i_prev", F.coalesce(F.sum("i_full").over(wday_prev), zero)
+        )
+        .select(
+            "day_k", "o_carry", "cs_carry", "ce_carry", "t_last_prev",
+            "i_prev",
+        )
+    )
+    ev = (
+        st.filter(F.col("probe") == 1)
+        .join(F.broadcast(carry), "day_k")
+        .select(
+            "p_user",
+            "p_day",
+            "p_side",
+            (F.col("cs_carry") + F.col("cs_run")).alias("cs"),
+            (F.col("ce_carry") + F.col("ce_run")).alias("ce"),
+            (
+                F.col("i_prev")
+                + F.col("o_carry")
+                * (F.col("t") - F.coalesce(F.col("t_last_prev"), F.col("t")))
+                + F.col("j_run")
+            ).alias("ii"),
+        )
+    )
+    per_span = ev.groupBy(
+        F.col("p_user").alias("user_id"), F.col("p_day").alias("day")
+    ).agg(
+        F.max(F.when(F.col("p_side") == "b", F.col("cs"))).alias("cs_b"),
+        F.max(F.when(F.col("p_side") == "a1", F.col("ce"))).alias("ce_a1"),
+        F.max(F.when(F.col("p_side") == "b", F.col("ii"))).alias("i_b"),
+        F.max(F.when(F.col("p_side") == "a", F.col("ii"))).alias("i_a"),
+    )
     return (
-        pairs.groupBy("user_id", "day")
-        .agg(
-            F.count("*").alias("n_incidents"),
-            # sum the exact integer microseconds, divide ONCE: summing
-            # per-row doubles is order-dependent across engines
+        per_span.withColumn(
+            "n_incidents",
+            (F.col("cs_b") - F.col("ce_a1")).cast("bigint"),
+        )
+        # rows exist exactly where the binned join emitted one: some
+        # incident satisfies w_start <= a_end AND w_end >= a_start
+        .filter(F.col("n_incidents") >= 1)
+        .select(
+            "user_id",
+            "day",
+            "n_incidents",
+            # the µs integral difference is the same exact integer the
+            # pair sum produced; one division, one rounding
             F.round(
-                F.sum(
-                    F.least("a_end", "w_end")
-                    - F.greatest("a_start", "w_start")
-                )
-                / F.lit(1_000_000.0),
-                4,
+                (F.col("i_b") - F.col("i_a")) / F.lit(1_000_000.0), 4
             ).alias("overlap_sec"),
         )
     )

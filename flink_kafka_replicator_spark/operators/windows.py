@@ -256,7 +256,15 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     divided once), so both engines pick identical elements. Shape: the
     EWMA pattern exactly — 8 LAG columns sharing ONE (user_id)
     window exchange, then map-side array sort over ≤8 elements; no
-    joins, no second shuffle, state bounded by the frame."""
+    joins, no second shuffle, state bounded by the frame.
+
+    Round 14: the sorted frame is pinned in its OWN projection before
+    the median arithmetic. Inlined, the six frame references (size ×4,
+    element_at ×3 through the conditionals) each re-ran the
+    array_sort+filter per row — whole-stage codegen's subexpression
+    elimination does not reach through the conditional branches — and
+    the interleaved A/B measured the staged form 2.5× faster
+    (0.99 s vs 2.46 s at sf0.1) with bit-identical rows."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
@@ -274,7 +282,10 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame = F.array_sort(
         F.filter(F.array(*lags), lambda x: x.isNotNull())
     )
-    n = F.size(frame)
+    staged = d.select(
+        "user_id", "event_id", "value", frame.alias("frame")
+    )
+    n = F.size("frame")
     # 1-indexed middles: odd -> element (n+1)/2 twice; even -> n/2 and
     # n/2+1 — summed exactly, one division at the end. The n > 0 guard
     # pins the empty frame (every sample NULL) to a NULL median: the
@@ -282,17 +293,17 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark where DuckDB's frame[0] is silently NULL.
     med2 = F.when(
         n % 2 == 1,
-        F.element_at(frame, ((n + 1) / 2).cast("int")) * 2,
+        F.element_at("frame", ((n + 1) / 2).cast("int")) * 2,
     ).when(
         n > 0,
-        F.element_at(frame, (n / 2).cast("int"))
-        + F.element_at(frame, (n / 2 + 1).cast("int")),
+        F.element_at("frame", (n / 2).cast("int"))
+        + F.element_at("frame", (n / 2 + 1).cast("int")),
     )
-    return d.select(
+    return staged.select(
         "user_id",
         "event_id",
         F.round("value", 4).alias("value"),
-        F.size(frame).cast("int").alias("n_window"),
+        F.size("frame").cast("int").alias("n_window"),
         F.round(med2.cast("double") / F.lit(200.0), 4).alias(
             "rolling_median"
         ),

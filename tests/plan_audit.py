@@ -156,6 +156,9 @@ def _fill_allow() -> None:
         events_peak_concurrency=1,
         events_rfm_segmentation=3,
         funnel_conversion=1,
+        # round-14 sweep rewrite: the per-day carry table's cumulative
+        # windows (<=|days| calendar-bounded rows)
+        join_interval_overlap=1,
         join_skew_report=1,
         orders_open_backlog=1,
         time_seasonal_decompose=2,

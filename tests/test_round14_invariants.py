@@ -122,3 +122,64 @@ def test_scalar_subquery_conversions_lint_clean(spark, sf_dir, qid):
 
     hits = lint_plan(all_queries()[qid](spark, sf_dir))
     assert not hits, f"{qid} expected CLEAN after round 14, got {hits}"
+
+
+def test_interval_overlap_sweep_equals_binned_join(spark, sf_dir):
+    """Round 14 rewrote join_interval_overlap from the hour-bucket
+    fan-out equi-join to a day-partitioned sweep (prefix integrals).
+    Pin row-identity against an inline replay of the binned form."""
+    from flink_kafka_replicator_spark.io import load_table
+    from flink_kafka_replicator_spark.operators.joins import (
+        _HOUR_US,
+        _INCIDENT_HALF_US,
+        join_interval_overlap,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    spans = e.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.min(F.unix_micros("ts")).alias("a_start"),
+        F.max(F.unix_micros("ts")).alias("a_end"),
+    )
+    incidents = e.filter(F.col("event_type") == "error").select(
+        (F.unix_micros("ts") - F.lit(_INCIDENT_HALF_US)).alias("w_start"),
+        (F.unix_micros("ts") + F.lit(_INCIDENT_HALF_US)).alias("w_end"),
+    )
+    a = spans.select(
+        "user_id", "day", "a_start", "a_end",
+        F.explode(F.sequence(
+            F.expr(f"a_start div {_HOUR_US}"),
+            F.expr(f"a_end div {_HOUR_US}"),
+        )).alias("bucket"),
+    )
+    b = incidents.select(
+        "w_start", "w_end",
+        F.explode(F.sequence(
+            F.expr(f"w_start div {_HOUR_US}"),
+            F.expr(f"w_end div {_HOUR_US}"),
+        )).alias("bucket"),
+    )
+    pairs = a.join(b, "bucket").filter(
+        (F.col("a_start") <= F.col("w_end"))
+        & (F.col("w_start") <= F.col("a_end"))
+        & (F.col("bucket") == F.expr(f"greatest(a_start, w_start) div {_HOUR_US}"))
+    )
+    ref = {
+        (r.user_id, r.day): (r.n_incidents, r.overlap_sec)
+        for r in pairs.groupBy("user_id", "day").agg(
+            F.count("*").alias("n_incidents"),
+            F.round(
+                F.sum(
+                    F.least("a_end", "w_end")
+                    - F.greatest("a_start", "w_start")
+                ) / F.lit(1_000_000.0),
+                4,
+            ).alias("overlap_sec"),
+        ).collect()
+    }
+    got = {
+        (r.user_id, r.day): (r.n_incidents, r.overlap_sec)
+        for r in join_interval_overlap(spark, sf_dir).collect()
+    }
+    assert got == ref
